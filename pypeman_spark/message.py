@@ -1,0 +1,202 @@
+"""The Message data model as a DataFrame schema.
+
+Reference: ``pypeman/message.py:16-102`` — a Message carries ``payload``
+(arbitrary object), ``meta`` (dict), ``timestamp``, ``uuid``,
+``content_type``, ``ctx`` (named payload/meta snapshots) and store
+bookkeeping. Pypeman pickles payloads (``message.py:117``); we
+standardize on JSON-encoded string payloads — columnar, portable,
+oracle-comparable.
+
+A *message DataFrame* is any DataFrame with (a subset of) MESSAGE_SCHEMA.
+Operators only require the columns they touch, so plain relational
+DataFrames flow through the same pipeline API untouched. At scale the
+message frame is just a normal DataFrame: Catalyst prunes the unused
+message columns out of parquet scans.
+
+State model mirrors ``message.py:36-43``: priority order (least to most
+important) wait_retry < pending < processing < processed < rejected <
+error. ``DROPPED`` is an outcome (reference handles it via the
+``Dropped`` exception, ``exceptions.py:9``), not a store state; we carry
+it in the ``state`` column for routing and map it to filtered-out rows
+at sink time.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+# --- states (pypeman/message.py:36-43) ---------------------------------
+WAIT_RETRY = "wait_retry"
+PENDING = "pending"
+PROCESSING = "processing"
+PROCESSED = "processed"
+REJECTED = "rejected"
+ERROR = "error"
+DROPPED = "dropped"  # routing outcome, not a stored state in the reference
+
+#: Less important first — worst-substate aggregation takes the max index.
+STATES_PRIORITY = [WAIT_RETRY, PENDING, PROCESSING, PROCESSED, REJECTED, ERROR]
+
+META_TYPE = T.MapType(T.StringType(), T.StringType())
+CTX_TYPE = T.MapType(
+    T.StringType(),
+    T.StructType(
+        [
+            T.StructField("payload", T.StringType()),
+            T.StructField("meta", META_TYPE),
+        ]
+    ),
+)
+SUBSTATE_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("sub_id", T.StringType()),
+            T.StructField("state", T.StringType()),
+            T.StructField("ts", T.DoubleType()),
+        ]
+    )
+)
+
+MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("uuid", T.StringType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("channel", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("meta", META_TYPE),
+        T.StructField("ctx", CTX_TYPE),
+        T.StructField("state", T.StringType()),
+        T.StructField("submessage_states", SUBSTATE_TYPE),
+        T.StructField("err_msg", T.StringType()),
+    ]
+)
+
+MESSAGE_COLUMNS = [f.name for f in MESSAGE_SCHEMA.fields]
+
+
+def state_priority_col(state_col: str = "state") -> F.Column:
+    """Priority index of a state (higher = worse) — ``array_position`` over
+    STATES_PRIORITY, mirroring ``msgstore.py:66-130`` worst-substate logic."""
+    return F.array_position(
+        F.array(*[F.lit(s) for s in STATES_PRIORITY]), F.col(state_col)
+    )
+
+
+def worst_state_expr(states_col: F.Column) -> F.Column:
+    """Worst state of an array of state strings (``set_state_to_worst_sub_state``,
+    ``msgstore.py:687-705``)."""
+    prio = F.array(*[F.lit(s) for s in STATES_PRIORITY])
+    idx = F.array_max(
+        F.transform(states_col, lambda s: F.array_position(prio, s))
+    )
+    return F.element_at(prio, idx.cast("int"))
+
+
+def ensure_message_columns(df: DataFrame, channel: str = "default") -> DataFrame:
+    """Add any missing message columns with engine defaults.
+
+    Mirrors ``Message.__init__`` (``message.py:45-66``): fresh uuid,
+    now() timestamp, empty meta/ctx, state=pending. Uses only built-in
+    expressions — no UDFs — so it costs nothing at scale.
+    """
+    out = df
+    cols = set(out.columns)
+    if "uuid" not in cols:
+        out = out.withColumn("uuid", F.regexp_replace(F.expr("uuid()"), "-", ""))
+    if "timestamp" not in cols:
+        out = out.withColumn("timestamp", F.current_timestamp())
+    if "id" not in cols:
+        # store id format '<ts>_<uuid>' (msgstore.py:622)
+        out = out.withColumn(
+            "id",
+            F.concat_ws(
+                "_",
+                F.date_format(F.col("timestamp"), "yyyyMMdd_HHmmssSSS"),
+                F.col("uuid"),
+            ),
+        )
+    if "channel" not in cols:
+        out = out.withColumn("channel", F.lit(channel))
+    if "content_type" not in cols:
+        out = out.withColumn("content_type", F.lit("application/text"))
+    if "payload" not in cols:
+        out = out.withColumn("payload", F.lit(None).cast("string"))
+    if "meta" not in cols:
+        out = out.withColumn("meta", F.create_map().cast(META_TYPE))
+    if "ctx" not in cols:
+        out = out.withColumn("ctx", F.lit(None).cast(CTX_TYPE))
+    if "state" not in cols:
+        out = out.withColumn("state", F.lit(PENDING))
+    if "submessage_states" not in cols:
+        out = out.withColumn("submessage_states", F.lit(None).cast(SUBSTATE_TYPE))
+    if "err_msg" not in cols:
+        out = out.withColumn("err_msg", F.lit(None).cast("string"))
+    return out
+
+
+def messages_from_payloads(
+    spark: SparkSession,
+    payloads: Iterable[Any],
+    meta: dict[str, str] | None = None,
+    channel: str = "default",
+    content_type: str = "application/json",
+) -> DataFrame:
+    """Build a message DataFrame from python payloads (JSON-encoded).
+
+    Test/ingest helper mirroring ``generate_msg`` (reference
+    ``tests/common.py:52-78``).
+    """
+    rows = []
+    for p in payloads:
+        payload = p if isinstance(p, str) else json.dumps(p)
+        rows.append((payload, meta or {}))
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("payload", T.StringType()),
+                T.StructField("meta", META_TYPE),
+            ]
+        ),
+    )
+    return ensure_message_columns(
+        df.withColumn("content_type", F.lit(content_type)), channel=channel
+    )
+
+
+def renew(df: DataFrame) -> DataFrame:
+    """New uuid + timestamp, everything else kept (``message.py:80-90``) —
+    the replay primitive."""
+    return (
+        df.withColumn("uuid", F.regexp_replace(F.expr("uuid()"), "-", ""))
+        .withColumn("timestamp", F.current_timestamp())
+        .withColumn(
+            "id",
+            F.concat_ws(
+                "_",
+                F.date_format(F.col("timestamp"), "yyyyMMdd_HHmmssSSS"),
+                F.col("uuid"),
+            ),
+        )
+    )
+
+
+def add_context(df: DataFrame, key: str) -> DataFrame:
+    """Snapshot current payload+meta under ``ctx[key]``
+    (``Message.add_context``, ``message.py:92-102``).
+
+    Pure column expression: at scale this is a struct copy inside the
+    same stage, no shuffle, no UDF.
+    """
+    entry = F.struct(
+        F.col("payload").alias("payload"), F.col("meta").alias("meta")
+    )
+    new_ctx = F.when(
+        F.col("ctx").isNull(), F.create_map(F.lit(key), entry).cast(CTX_TYPE)
+    ).otherwise(F.map_concat(F.col("ctx"), F.create_map(F.lit(key), entry)))
+    return df.withColumn("ctx", new_ctx)

@@ -1,0 +1,72 @@
+"""Parquet table loader for the test corpus (and any parquet dir).
+
+Handles a real-world ingestion wart: parquet files written with
+``TIMESTAMP(NANOS)`` (pandas/pyarrow default) are rejected by Spark's
+vectorized reader unless ``spark.sql.legacy.parquet.nanosAsLong=true``,
+and then surface as LongType nanoseconds. We inspect the parquet footer
+with pyarrow (driver-side, metadata only — no data read) and convert
+those columns back to proper ``TimestampType`` via ``timestamp_micros``,
+so every downstream operator sees real event-time columns.
+
+The conversion is a cheap JVM-side projection; predicate pushdown on the
+underlying int64 column still works (Catalyst pushes comparisons through
+the cast at the literal level after we pre-convert filters, and at worst
+the scan prunes row groups by min/max stats on the raw int64).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+__all__ = ["load_table", "load_tables", "register_views", "TABLES"]
+
+
+@lru_cache(maxsize=256)
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Column names stored as timestamp[ns] in the parquet footer."""
+    import pyarrow.dataset as ds
+
+    schema = ds.dataset(path, format="parquet").schema
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return tuple(out)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for col in _nanos_ts_columns(path):
+        # long nanos -> micros -> TimestampType (session TZ pinned to UTC)
+        df = df.withColumn(
+            col, F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Register each table as a temp view for the SQL surface."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)

@@ -1,0 +1,8 @@
+from .msgstore import (  # noqa: F401
+    FileMessageStore,
+    MemoryMessageStore,
+    MessageStore,
+    NullMessageStore,
+)
+from .persistence import KVStore, MemoryKVStore  # noqa: F401
+from .retry import RetryStore  # noqa: F401

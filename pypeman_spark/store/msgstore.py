@@ -1,0 +1,357 @@
+"""Message store — the reference's queryable table (SURVEY §1.3, §2.G).
+
+Reference: ``pypeman/msgstore.py``. Every message is persisted with its
+state transitions and searchable meta; the file backend lays messages out
+as ``<store>/<YYYY>/<MM>/<DD>/<ts>_<uuid>`` — i.e. date partitioning with
+directory pruning (``msgstore.py:805-811``).
+
+Spark design — an **append-only event-sourced audit table** on parquet
+(Delta-ready: every mutation is an append; with Delta the same API maps
+to MERGE/DELETE):
+
+* ``messages/`` — one row per stored message, Hive-partitioned by
+  ``date`` (Catalyst partition pruning replaces directory skipping).
+* ``events/``  — state changes / sub-message states / meta additions as
+  appended events; "current" values resolve with a max-timestamp window,
+  so no rewrite is ever needed. This is the plain-parquet fallback of
+  SURVEY §7.4 ("mutable-store semantics on parquet").
+
+At 100 TB the messages table is the one that grows; events stay tiny
+relative to it. ``search`` compiles to a single Catalyst plan with
+partition pruning on ``date``, predicate pushdown on ``timestamp`` and
+LIMIT pushdown for pagination.
+
+Backends mirror the reference: :class:`NullMessageStore`
+(``msgstore.py:315``), :class:`MemoryMessageStore` (``msgstore.py:424``)
+and :class:`FileMessageStore` (parquet; ``msgstore.py:576``) share one
+implementation parameterized by path — memory uses a temp dir.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+from ..message import (
+    MESSAGE_COLUMNS,
+    PENDING,
+    STATES_PRIORITY,
+    ensure_message_columns,
+    renew,
+    worst_state_expr,
+)
+
+__all__ = ["MessageStore", "NullMessageStore", "MemoryMessageStore", "FileMessageStore"]
+
+_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("kind", T.StringType()),  # state | substate | meta
+        T.StructField("state", T.StringType()),
+        T.StructField("sub_id", T.StringType()),
+        T.StructField("meta_key", T.StringType()),
+        T.StructField("meta_value", T.StringType()),
+        T.StructField("event_ts", T.DoubleType()),
+    ]
+)
+
+
+class MessageStore:
+    """Parquet-backed audit table with the full §2.G query surface."""
+
+    def __init__(self, spark: SparkSession, base_path: str, channel: str = "default"):
+        self.spark = spark
+        self.base_path = base_path
+        self.channel = channel
+        self.msg_path = os.path.join(base_path, "messages")
+        self.event_path = os.path.join(base_path, "events")
+
+    # -- writes ----------------------------------------------------------
+    def store(self, df: DataFrame, state: str = PENDING) -> None:
+        """Append messages with state=pending (``msgstore.py:617-634``).
+        Partitioned by date(timestamp) — the reference's YYYY/MM/DD tree."""
+        out = (
+            ensure_message_columns(df, channel=self.channel)
+            .select(*MESSAGE_COLUMNS)
+            .withColumn("state", F.lit(state))
+            .withColumn("date", F.to_date("timestamp"))
+        )
+        out.write.mode("append").partitionBy("date").parquet(self.msg_path)
+
+    def _append_events(self, rows: list[tuple]) -> None:
+        df = self.spark.createDataFrame(rows, _EVENT_SCHEMA)
+        df.write.mode("append").parquet(self.event_path)
+
+    def change_message_state(self, msg_id: str, state: str) -> None:
+        """``msgstore.py:110-130``."""
+        self._append_events([(msg_id, "state", state, None, None, None, time.time())])
+
+    def change_message_states(self, df: DataFrame, state_col: str = "state") -> None:
+        """Bulk variant: one append for a whole batch's outcomes — the
+        scale path (per-row events would be a driver loop)."""
+        ev = df.select(
+            F.col("id"),
+            F.lit("state").alias("kind"),
+            F.col(state_col).alias("state"),
+            F.lit(None).cast("string").alias("sub_id"),
+            F.lit(None).cast("string").alias("meta_key"),
+            F.lit(None).cast("string").alias("meta_value"),
+            F.lit(time.time()).alias("event_ts"),
+        )
+        ev.write.mode("append").parquet(self.event_path)
+
+    def add_sub_message_state(self, msg_id: str, sub_id: str, state: str) -> None:
+        """``msgstore.py:74-108``."""
+        self._append_events([(msg_id, "substate", state, sub_id, None, None, time.time())])
+
+    def add_message_meta_infos(self, msg_id: str, name: str, value: str) -> None:
+        """Append ``value`` to the store-meta list ``name``
+        (``msgstore.py:44-64``)."""
+        self._append_events([(msg_id, "meta", None, None, name, str(value), time.time())])
+
+    def set_state_to_worst_sub_state(self, msg_id: str) -> None:
+        """``msgstore.py:687-705``: state := worst recorded substate."""
+        ev = self._events().filter(
+            (F.col("id") == msg_id) & (F.col("kind") == "substate")
+        )
+        states = [r["state"] for r in ev.select("state").collect()]
+        if states:
+            worst = max(states, key=lambda s: STATES_PRIORITY.index(s))
+            self.change_message_state(msg_id, worst)
+
+    def delete(self, msg_id: str) -> None:
+        """``msgstore.py:877-888``. Append a tombstone event; the current
+        view filters deleted ids (parquet is immutable; Delta: DELETE)."""
+        self._append_events([(msg_id, "delete", None, None, None, None, time.time())])
+
+    # -- reads -----------------------------------------------------------
+    def _messages(self) -> DataFrame:
+        from ..message import MESSAGE_SCHEMA
+
+        empty_schema = T.StructType(
+            MESSAGE_SCHEMA.fields + [T.StructField("date", T.DateType())]
+        )
+        # existence check avoids a logged JVM FileNotFound on fresh stores
+        if not os.path.isdir(self.msg_path):
+            return self.spark.createDataFrame([], empty_schema)
+        return self.spark.read.parquet(self.msg_path)
+
+    def _events(self) -> DataFrame:
+        if not os.path.isdir(self.event_path):
+            return self.spark.createDataFrame([], _EVENT_SCHEMA)
+        return self.spark.read.schema(_EVENT_SCHEMA).parquet(self.event_path)
+
+    def current(self) -> DataFrame:
+        """Current view: base messages + latest state event + substates +
+        store-meta lists. One broadcast-able join (events ≪ messages)."""
+        msgs = self._messages()
+        events = self._events()
+
+        w = Window.partitionBy("id").orderBy(F.col("event_ts").desc())
+        latest_state = (
+            events.filter(F.col("kind") == "state")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", F.col("state").alias("__new_state"))
+        )
+        substates = (
+            events.filter(F.col("kind") == "substate")
+            .groupBy("id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("sub_id"), F.col("state"), F.col("event_ts").alias("ts")
+                        )
+                    )
+                ).alias("__substates")
+            )
+        )
+        store_meta = (
+            events.filter(F.col("kind") == "meta")
+            .groupBy("id", "meta_key")
+            .agg(F.collect_list("meta_value").alias("__vals"))
+            .groupBy("id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("meta_key", "__vals"))
+                ).alias("store_meta")
+            )
+        )
+        deleted = events.filter(F.col("kind") == "delete").select("id").distinct()
+
+        cur = (
+            msgs.join(F.broadcast(latest_state), "id", "left")
+            .join(F.broadcast(substates), "id", "left")
+            .join(F.broadcast(store_meta), "id", "left")
+            .join(F.broadcast(deleted), "id", "left_anti")
+            .withColumn("state", F.coalesce("__new_state", "state"))
+            .withColumn(
+                "submessage_states",
+                F.coalesce(F.col("__substates"), F.col("submessage_states")),
+            )
+            .drop("__new_state", "__substates")
+        )
+        return cur
+
+    def total(self) -> int:
+        """``msgstore.py:292``."""
+        return self.current().count()
+
+    def get(self, msg_id: str):
+        """Point lookup (``msgstore.py:710-717``)."""
+        rows = self.current().filter(F.col("id") == msg_id).collect()
+        return rows[0] if rows else None
+
+    def get_preview_str(self, msg_id: str, length: int = 1000):
+        """First ``length`` chars of payload (``msgstore.py:727-735``)."""
+        rows = (
+            self.current()
+            .filter(F.col("id") == msg_id)
+            .select(F.substring("payload", 1, length).alias("preview"))
+            .collect()
+        )
+        return rows[0]["preview"] if rows else None
+
+    def search(
+        self,
+        start: int = 0,
+        count: int = 100,
+        order_by: str = "timestamp",
+        start_dt=None,
+        end_dt=None,
+        text: str | None = None,
+        rtext: str | None = None,
+        start_id: str | None = None,
+        meta: dict | None = None,
+    ) -> DataFrame:
+        """The §2.G row-53/54 search surface as one Catalyst plan.
+
+        Semantics mirror ``msgstore.py:777-867``:
+
+        * ``start_dt``/``end_dt`` — timestamp range; the ``date``
+          partition column prunes whole partitions (directory skipping,
+          ``msgstore.py:805-811``).
+        * ``text`` — substring anywhere in payload (``is_txt_in_msg``).
+        * ``rtext`` — **anchored** regex (reference uses ``re.match``,
+          ``msgstore.py:766-767``) → ``RLIKE '^(…)'``.
+        * ``start_id`` — keyset pagination: strictly after that id
+          (ids sort by timestamp by construction).
+        * ``start``/``count`` — offset pagination (LIMIT pushdown).
+        * ``order_by`` — ``timestamp`` / ``-timestamp`` / any message
+          column; meta ordering via ``meta['k']``.
+        * ``meta`` — dict of ``{name: v}`` exact / ``{'text_n': v}``
+          contains / ``{'rtext_n': v}`` regex-search / ``{'start_n': v}``
+          / ``{'end_n': v}`` numeric range / ``{'order_by': 'n'|'-n'}`` —
+          ANY-match over store-meta lists (``msgstore.py:214-290``).
+        """
+        df = self.current()
+        if start_dt is not None:
+            df = df.filter(
+                (F.col("timestamp") >= F.lit(start_dt))
+                & (F.to_date("timestamp") >= F.to_date(F.lit(start_dt)))
+            )
+        if end_dt is not None:
+            df = df.filter(
+                (F.col("timestamp") <= F.lit(end_dt))
+                & (F.to_date("timestamp") <= F.to_date(F.lit(end_dt)))
+            )
+        if text:
+            df = df.filter(F.col("payload").contains(text))
+        if rtext:
+            df = df.filter(F.col("payload").rlike(f"^(?:{rtext})"))
+        if start_id is not None:
+            df = df.filter(F.col("id") > start_id)
+
+        meta = dict(meta or {})
+        meta_order = meta.pop("order_by", None)
+        for key, value in meta.items():
+            filt_name, _, meta_name = key.partition("_")
+            if filt_name not in ("text", "rtext", "start", "end"):
+                filt_name, meta_name = "exact", key
+            vals = F.coalesce(
+                F.col("store_meta").getItem(meta_name),
+                F.when(
+                    F.col("meta").getItem(meta_name).isNotNull(),
+                    F.array(F.col("meta").getItem(meta_name)),
+                ),
+            )
+            if filt_name == "exact":
+                pred = F.exists(vals, lambda x: x == F.lit(value))
+            elif filt_name == "text":
+                pred = F.exists(vals, lambda x: x.contains(value))
+            elif filt_name == "rtext":
+                pred = F.exists(vals, lambda x: x.rlike(value))
+            elif filt_name == "start":
+                pred = F.exists(
+                    vals, lambda x: x.cast("double") >= float(value)
+                )
+            else:  # end
+                pred = F.exists(
+                    vals, lambda x: x.cast("double") <= float(value)
+                )
+            df = df.filter(vals.isNotNull() & pred)
+
+        if meta_order is not None:
+            desc = meta_order.startswith("-")
+            name = meta_order.lstrip("-")
+            key = F.coalesce(
+                F.element_at(F.col("store_meta").getItem(name), 1),
+                F.col("meta").getItem(name),
+                F.lit(""),
+            )
+            df = df.orderBy(key.desc() if desc else key.asc())
+        else:
+            desc = order_by.startswith("-")
+            name = order_by.lstrip("-")
+            col = F.col(name)
+            df = df.orderBy(col.desc() if desc else col.asc())
+
+        if start:
+            df = df.offset(start)
+        return df.limit(count)
+
+    # -- replay ----------------------------------------------------------
+    def get_for_replay(self, msg_id: str) -> DataFrame:
+        """Stored message as a fresh 1-row DataFrame with renewed
+        uuid/timestamp (``channels.py:857-869``, ``message.py:80-90``)."""
+        one = self.current().filter(F.col("id") == msg_id).select(*MESSAGE_COLUMNS)
+        return renew(one).withColumn("state", F.lit(PENDING))
+
+
+class NullMessageStore(MessageStore):
+    """No-op store (``msgstore.py:315``)."""
+
+    def __init__(self, spark: SparkSession, channel: str = "default"):
+        self.spark = spark
+        self.channel = channel
+
+    def store(self, df: DataFrame, state: str = PENDING) -> None:
+        pass
+
+    def _messages(self) -> DataFrame:  # pragma: no cover
+        raise RuntimeError("NullMessageStore is write-only/no-op")
+
+
+class MemoryMessageStore(MessageStore):
+    """Ephemeral store in a temp dir (``msgstore.py:424``) — same engine,
+    auto-cleaned."""
+
+    def __init__(self, spark: SparkSession, channel: str = "default"):
+        self._tmp = tempfile.mkdtemp(prefix=f"pypeman_spark_store_{channel}_")
+        super().__init__(spark, self._tmp, channel)
+
+    def close(self) -> None:
+        shutil.rmtree(self._tmp, ignore_errors=True)
+
+
+class FileMessageStore(MessageStore):
+    """Durable store rooted at ``path/<channel>`` (``msgstore.py:576``)."""
+
+    def __init__(self, spark: SparkSession, path: str, channel: str = "default"):
+        super().__init__(spark, os.path.join(path, channel), channel)
