@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Each query is forced with the ``noop`` sink — full computation, zero
+driver-side collection — so timings measure the engine, not pandas
+conversion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pypeman_spark.plans.queries import REGISTRY  # noqa: E402
+from pypeman_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "top_orders_per_priority",
+    "rollup_revenue",
+    "pivot_event_values",
+    "sessionize_events",
+    "asof_last_view_before_purchase",
+    "hourly_event_rollup",
+    "route_outcomes",
+    "worst_substate_agg",
+    "search_text_window",
+    "dedup_exact_keep_first",
+    "minhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_sketch",
+    "embedding_cosine_topk",
+    "lsh_ann_topk",
+    "text_language_id",
+    "text_quality_score",
+    "token_counts",
+    "doc_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench", cpus=cpus)
+    # warmup: JIT/codegen/session init out of the first timed query
+    from pypeman_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        # warm the input cache/plan once so we time steady-state execution
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

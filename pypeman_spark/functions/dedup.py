@@ -1,0 +1,221 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all engine-portable (md5-based hashing so the DuckDB oracle
+computes byte-identical values):
+
+* **exact** — hash-groupBy. One shuffle on the content hash; at 100 TB
+  the hash (16 B) shuffles, never the document text.
+* **MinHash + LSH** — shingle → K md5-min hashes → B bands → bucket
+  join. Candidate generation never compares all pairs: docs meet only
+  inside a band bucket. The band table is ``(doc_id, band, band_hash)``
+  — tiny vs the corpus; the self-join is an equi-join Catalyst can
+  shuffle-hash on (band, band_hash).
+* **SimHash** — 16-bit sign-sum sketch over token hashes; near-dups
+  share the sketch (or differ in ≤1 bit via the banded variant).
+* **n-gram Jaccard** — exact verification: shared-shingle equi-join →
+  intersection counts → |A∩B| / (|A|+|B|-|A∩B|). Run it on LSH
+  candidates, not the full corpus, at scale.
+
+Everything is built-in expressions — explode / groupBy / join — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "exact_dup_groups",
+    "dedupe_exact",
+    "shingles",
+    "minhash_bands",
+    "minhash_candidate_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+]
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: ``(content_hash, n_docs,
+    doc_ids)`` for groups with >1 member."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedupe_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each identical-content group.
+
+    groupBy-min instead of a window: partial (map-side) aggregation makes
+    this one light shuffle of (hash, id) pairs at any scale.
+    """
+    keep = (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: ``(id, shingle)``.
+
+    Tokenize by whitespace, slide a window of ``n`` words, ``concat_ws``
+    back. Uses ``sequence``+``transform`` then one explode — the explode
+    is the unavoidable row fan-out, everything else is array ops.
+    """
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    sh = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  num_hashes: int = 16, bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """MinHash signature banded for LSH: ``(id, band, band_hash)``.
+
+    Hash family i (0..K-1): ``md5(i || ':' || shingle)`` — engine-portable
+    and uniform. Signature element i = min over the doc's shingles.
+    Band b hashes together its K/B consecutive signature elements.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles(df, text_col, id_col, n=shingle_n)
+    # (id, i, minhash): explode the hash family per shingle, take min
+    hashed = sh.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.md5(
+                        F.concat(i.cast("string"), F.lit(":"), F.col("shingle"))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("ih"),
+    ).select(id_col, F.col("ih.i").alias("i"), F.col("ih.h").alias("h"))
+    sig = hashed.groupBy(id_col, "i").agg(F.min("h").alias("minh"))
+    banded = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+    return (
+        banded.groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "minh"))),
+                        lambda s: s["minh"],
+                    ),
+                    ",",
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", num_hashes: int = 16,
+                            bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Near-duplicate candidate pairs ``(id_a < id_b)``: docs sharing any
+    LSH band bucket. The join key (band, band_hash) is high-cardinality →
+    well-distributed shuffle; no all-pairs comparison ever happens."""
+    b = minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_n)
+    left = b.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = b.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """SimHash sketch: ``(id, simhash)`` where bit b is the sign of the
+    sum over distinct tokens of ±1, and the ±1 for (token, b) is the
+    parity of hex digit b of md5(token) — a formulation with no
+    hex→int conversion, byte-identical in any engine with md5.
+    """
+    assert bits <= 32  # md5 has 32 hex digits
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), "\\s+"))
+        ).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    tok_bits = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.struct(
+                    b.alias("bit"),
+                    F.when(
+                        F.lit("02468ace").contains(h.substr(b + 1, F.lit(1))),
+                        F.lit(1),
+                    )
+                    .otherwise(F.lit(-1))
+                    .alias("v"),
+                ),
+            )
+        ).alias("bv"),
+    ).select(id_col, F.col("bv.bit").alias("bit"), F.col("bv.v").alias("v"))
+    return (
+        tok_bits.groupBy(id_col, "bit")
+        .agg(F.sum("v").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
+    ``(id_a, id_b, jaccard)`` with jaccard ≥ threshold.
+
+    At scale: feed this only LSH candidates (semi-join the shingle table
+    with minhash_candidate_pairs) — here it is the exact verifier.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,118 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``BINARY`` columns with a typed metadata struct. The
+Spark-side machinery — schema, Arrow batch shape, ``mapInPandas``
+signatures, partition sizing — is real and tested; the codec step is a
+deterministic fake (the container ships no image/audio libs), clearly
+marked, swappable for PIL/torchaudio on a real cluster.
+
+Scale notes: media rows are large → keep ``spark.sql.files.
+maxPartitionBytes`` low enough that one Arrow batch of decoded frames
+fits executor memory; never collect; feature vectors (small) flow on,
+raw bytes get dropped as early as possible (column pruning does this
+automatically once downstream selects only features).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+__all__ = [
+    "MEDIA_META_TYPE",
+    "attach_media_meta",
+    "decode_image_features",
+    "sample_video_frames",
+]
+
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),      # png|jpeg|wav|mp4|...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("size_bytes", T.LongType()),
+    ]
+)
+
+
+def attach_media_meta(df: DataFrame, binary_col: str = "content",
+                      media_type: str = "image", fmt: str = "png") -> DataFrame:
+    """Add the typed metadata struct next to an opaque binary column."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(F.col(binary_col)).cast("long").alias("size_bytes"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes, dim: int) -> list[float]:
+    """STUB CODEC — deterministic fake in place of a real image decode.
+
+    Real deployment: replace with PIL/torchvision; signature and batch
+    shape stay identical. The fake derives ``dim`` floats from byte
+    statistics so tests get stable, content-dependent vectors.
+    """
+    if payload is None:
+        return [0.0] * dim
+    n = len(payload)
+    return [
+        float(payload[i % n] if n else 0) / 255.0 + (i * 0.001)
+        for i in range(dim)
+    ]
+
+
+def decode_image_features(df: DataFrame, binary_col: str = "content",
+                          id_col: str = "doc_id", dim: int = 8) -> DataFrame:
+    """binary → feature vector via Arrow-batched ``mapInPandas``.
+
+    Output schema ``(id, features array<float>)`` — raw bytes do not
+    survive the operator, so downstream stages shuffle only features.
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": [
+                        _fake_decode(b, dim) for b in pdf[binary_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_decode, out_schema)
+
+
+def sample_video_frames(df: DataFrame, binary_col: str = "content",
+                        id_col: str = "doc_id", every_ms: int = 1000,
+                        fake_duration_ms: int = 5000) -> DataFrame:
+    """Frame sampling plumbing: one output row per sampled frame offset
+    (the real codec would seek; the stub emits offsets + a byte-slice
+    fingerprint). Fan-out is a JVM-side explode over ``sequence``."""
+    frames = df.select(
+        id_col,
+        F.posexplode(
+            F.sequence(F.lit(0), F.lit(fake_duration_ms - 1), F.lit(every_ms))
+        ).alias("frame_idx", "offset_ms"),
+        # hex-encode before md5: engines disagree on base64 chunking
+        # (Spark's base64 wraps MIME-style at 76 chars) and on md5(BLOB)
+        F.md5(F.hex(F.col(binary_col))).alias("frame_fingerprint"),
+    )
+    return frames

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* **Brute-force cosine top-k** — the exact baseline: broadcast the query
+  vectors, JVM-side ``aggregate``/``zip_with`` dot product, window top-k.
+  Scales linearly in corpus size; right answer for ≤ millions of rows or
+  as the re-rank stage.
+* **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
+  (deterministic ±1 planes derived from md5 parity, generated
+  driver-side and inlined as literals so any engine reproduces them),
+  bucket equi-join, exact cosine re-rank inside buckets. Sub-linear
+  candidate generation; the bucket join shuffles signatures (a few
+  bytes/row), never full vectors until the re-rank.
+
+No UDFs; every arithmetic step is a built-in higher-order function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_topk",
+    "hyperplanes",
+    "lsh_bucket",
+    "lsh_ann_topk",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query: ``(query_id, vec_id, score)``.
+
+    The query side is broadcast (queries ≪ corpus) → no shuffle of the
+    corpus; the window top-k shuffles only (query_id, vec_id, score).
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: coefficient (p, d) is +1 iff the
+    first hex digit of md5(f"{p}:{d}") is even. Reproducible in any
+    engine/language — the oracle SQL inlines the same literals."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bucket = bucket + F.when(
+            dot(vec_col, plane_col) > 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket,
+    then exact cosine re-rank. Recall grows with fewer planes / multiple
+    tables; this single-table variant is the building block."""
+    planes = hyperplanes(num_planes, dim)
+    c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+    ).withColumn("__bucket", lsh_bucket(F.col("__qvec"), planes))
+    scored = c.join(F.broadcast(q), "__bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )

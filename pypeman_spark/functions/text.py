@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure built-in column expressions (JVM-side, whole-stage-codegen) —
+no UDFs anywhere, so these run at full scan speed over 100 TB of
+documents. Each has an exact ANSI-SQL equivalent (see plans/queries.py)
+used as the DuckDB oracle.
+
+Ops: language-ID (stopword-hit heuristic), quality scoring
+(length/punct/stopword ratios), token counting (whitespace + BPE-ish
+regex), document fingerprinting (bottom-k shingle sketch — the
+order-free formulation of a rolling-hash winnow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = [
+    "whitespace_token_count",
+    "regex_token_count",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "detect_language",
+    "fingerprint",
+    "STOPWORDS",
+    "TOKEN_REGEX",
+]
+
+# Tiny per-language stopword marker sets (public common words).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "fr": ["le", "la", "les", "de", "et", "est", "dans", "que"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "es": ["el", "la", "los", "de", "y", "es", "en", "que"],
+}
+
+#: BPE-ish pre-tokenizer: word | number | single non-space symbol.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Count whitespace-separated tokens."""
+    return F.size(F.split(F.trim(col), "\\s+"))
+
+
+def regex_token_count(col: Column) -> Column:
+    """BPE-ish token count via TOKEN_REGEX (``regexp_count`` is codegen'd)."""
+    return F.regexp_count(col, F.lit(TOKEN_REGEX))
+
+
+def _word_hits(col: Column, words: list[str]) -> Column:
+    """How many occurrences of any marker word (word-boundary match)."""
+    pattern = "(?i)\\b(" + "|".join(words) + ")\\b"
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    punct = F.length(F.regexp_replace(col, "[A-Za-z0-9\\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = whitespace_token_count(col)
+    hits = _word_hits(col, STOPWORDS[lang])
+    return F.when(toks > 0, hits.cast("double") / toks).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, not punct-heavy,
+    natural stopword density. Deterministic arithmetic only."""
+    n = F.length(col)
+    len_score = F.least(n.cast("double") / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4)
+    stop = stopword_ratio(col, "en")
+    stop_score = F.least(stop * 5, F.lit(1.0))
+    return F.round((len_score + punct_pen + stop_score) / 3, 6)
+
+
+def detect_language(col: Column) -> Column:
+    """Argmax of per-language stopword hit counts; 'und' (undetermined)
+    when nothing matches. First-listed language wins ties (deterministic:
+    en > fr > de > es)."""
+    hits = {lang: _word_hits(col, ws) for lang, ws in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    # build reversed so earlier langs take precedence on ties
+    for lang in reversed(list(STOPWORDS)):
+        out = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(col: Column, shingle_len: int = 8, k: int = 4) -> Column:
+    """Bottom-k sketch fingerprint: md5 each character shingle, keep the
+    k smallest hashes, concatenate. Two documents share a fingerprint iff
+    their shingle sets' k minima coincide — the set-based equivalent of a
+    rolling-hash winnow, but expressible as pure SQL in any engine.
+
+    Implementation: generate shingle start offsets with ``sequence``,
+    ``transform`` to md5 hashes, ``array_sort`` + ``slice`` + ``concat``.
+    No explode — stays one row per document.
+    """
+    n_shingles = F.greatest(F.length(col) - F.lit(shingle_len - 1), F.lit(1))
+    offsets = F.sequence(F.lit(1), n_shingles)
+    hashes = F.transform(offsets, lambda i: F.md5(col.substr(i, F.lit(shingle_len))))
+    return F.array_join(F.slice(F.array_sort(hashes), 1, k), "")

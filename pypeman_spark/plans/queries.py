@@ -1,0 +1,1079 @@
+"""Query registry: every SURVEY §2 operator concept + the LLM-pipeline
+ops, expressed over the test corpus, each paired with an exact ANSI-SQL
+DuckDB oracle.
+
+Conventions (the driver hash-compares after sorting columns by name):
+
+* every computed column is aliased identically on both sides;
+* float aggregates are ``round``-ed on both sides (decimal-exact where
+  money matters is a Delta-era refinement; rounding to 2/6 dp makes the
+  double sums order-insensitive in practice);
+* pagination/limit queries order by a unique key so LIMIT is
+  deterministic in both engines;
+* hashing primitives are md5-hex (byte-identical across engines).
+
+Each entry documents which reference operator(s) it exercises
+(file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import dedup as D
+from ..functions import similarity as S
+from ..functions import text as TX
+from ..sources.tables import load_table
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => rows-only check (non-SQL-expressible)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# A. Relational core (SURVEY §2 note: joins/aggs/windows are pure
+# built-in Spark; these are the bench headliners)
+# =====================================================================
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape. Scale: single scan + partial agg; no join; AQE
+    coalesces the 6-group output."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape. customer is broadcast (small dim); lineitem⋈orders
+    shuffles on orderkey only after filters prune."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join. region/nation/supplier/customer are
+    broadcast dims; only orders⋈lineitem shuffles."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "top_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def top_orders_per_priority(spark, sf_dir):
+    """Top-K per group — Window.partitionBy + row_number (guide pattern)."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "rollup_revenue",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           round(sum(o_totalprice), 2) AS total, count(*) AS n
+    FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "pivot_event_values",
+    """
+    SELECT user_id,
+           round(coalesce(sum(value) FILTER (event_type = 'click'), 0), 2)    AS click_sum,
+           round(coalesce(sum(value) FILTER (event_type = 'view'), 0), 2)     AS view_sum,
+           round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 2) AS purchase_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_values(spark, sf_dir):
+    """Pivot as conditional aggregation (one pass, no pivot shuffle)."""
+    ev = t(spark, sf_dir, "events")
+
+    def cs(kind):
+        return F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == kind, F.col("value"))), F.lit(0)
+            ),
+            2,
+        ).alias(f"{kind}_sum")
+
+    return ev.groupBy("user_id").agg(cs("click"), cs("view"), cs("purchase"))
+
+
+@q(
+    "sessionize_events",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, sum(new_session) AS n_sessions FROM gaps GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Sessionization: lag + gap>threshold (guide 'Common OLAP patterns').
+    One shuffle on user_id serves both the window and the final agg."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_new = (
+        F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 1800
+    ) | F.lag(F.col("ts")).over(w).isNull()
+    return (
+        ev.withColumn("new_session", F.when(gap_new, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
+    )
+
+
+@q(
+    "asof_last_view_before_purchase",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             max(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+      FROM events
+    )
+    SELECT event_id, user_id, last_view_ts
+    FROM marked WHERE event_type = 'purchase'
+    """,
+)
+def asof_last_view_before_purchase(spark, sf_dir):
+    """As-of join expressed as a running max over a union'd timeline —
+    the Spark-native formulation (no native ASOF operator needed; one
+    shuffle on user_id, no range explosion)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "last_view_ts",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "last_view_ts"
+    )
+
+
+@q(
+    "hourly_event_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hourly_event_rollup(spark, sf_dir):
+    """Tumbling-window agg (batch form of the streaming windowed agg —
+    streaming/channel.py runs the same expression on readStream)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# =====================================================================
+# B. Pypeman operator parity (SURVEY §2.A–§2.G row refs inline)
+# =====================================================================
+
+@q(
+    "source_scan",
+    "SELECT event_id, event_type, props FROM events",
+)
+def source_scan(spark, sf_dir):
+    """Row 1 FileWatcherChannel as batch scan (channels.py:1306)."""
+    return t(spark, sf_dir, "events").select("event_id", "event_type", "props")
+
+
+@q(
+    "merge_union",
+    """
+    SELECT event_id, 'purchase' AS src FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, 'signup' AS src FROM events WHERE event_type = 'signup'
+    """,
+)
+def merge_union(spark, sf_dir):
+    """Row 6 MergeChannel = unionByName (channels.py:1252)."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.lit("purchase").alias("src")
+    )
+    b = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", F.lit("signup").alias("src")
+    )
+    return a.unionByName(b)
+
+
+@q(
+    "parse_json_payload",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def parse_json_payload(spark, sf_dir):
+    """Row 11 JsonToPython = get_json_object (nodes.py:468)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+@q(
+    "serialize_json_payload",
+    """
+    SELECT event_id,
+           '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}'
+             AS payload
+    FROM events
+    """,
+)
+def serialize_json_payload(spark, sf_dir):
+    """Row 12 PythonToJson = to_json(struct(...)) (nodes.py:482)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type")).alias("payload"),
+    )
+
+
+@q(
+    "csv_serialize",
+    """
+    SELECT concat_ws(',', c_custkey, c_name, c_mktsegment) AS line FROM customer
+    """,
+)
+def csv_serialize(spark, sf_dir):
+    """Row 15 Python2CSVstr = to_csv/concat_ws (contrib/csv.py:74)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        F.concat_ws(",", "c_custkey", "c_name", "c_mktsegment").alias("line")
+    )
+
+
+@q(
+    "b64_roundtrip",
+    """
+    SELECT doc_id, to_base64(encode(source)) AS b64,
+           decode(from_base64(to_base64(encode(source)))) AS back
+    FROM documents
+    """,
+)
+def b64_roundtrip(spark, sf_dir):
+    """Rows 20-21 Encode/B64Encode/B64Decode (nodes.py:495-540)."""
+    d = t(spark, sf_dir, "documents")
+    b64 = F.base64(F.encode(F.col("source"), "utf-8"))
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.decode(F.unbase64(b64), "utf-8").alias("back"),
+    )
+
+
+@q(
+    "map_rename_project",
+    """
+    SELECT c_custkey AS customer_id, c_name AS full_name,
+           coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+           round(c_acctbal, 2) AS balance
+    FROM customer
+    """,
+)
+def map_rename_project(spark, sf_dir):
+    """Row 22 Map/MapItem: rename + default (nodes.py:752, map_item.py:6)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("full_name"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        F.round(F.col("c_acctbal"), 2).alias("balance"),
+    )
+
+
+@q(
+    "join_map_item",
+    """
+    SELECT s_suppkey, concat_ws(' / ', s_name, n_name) AS supplier_label
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def join_map_item(spark, sf_dir):
+    """Row 22 JoinMapItem = concat_ws of several fields (map_item.py:34)."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey",
+        F.concat_ws(" / ", "s_name", "n_name").alias("supplier_label"),
+    )
+
+
+@q(
+    "ordered_projection",
+    """
+    SELECT p_partkey AS id, p_name AS name, p_brand AS brand,
+           coalesce(p_type, 'n/a') AS type, p_size AS size
+    FROM part
+    """,
+)
+def ordered_projection(spark, sf_dir):
+    """Row 23 ToOrderedDict = fixed ordered SELECT (nodes.py:805)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.coalesce(F.col("p_type"), F.lit("n/a")).alias("type"),
+        F.col("p_size").alias("size"),
+    )
+
+
+@q(
+    "ctx_before_after",
+    """
+    SELECT doc_id, text AS ctx_original, upper(text) AS payload
+    FROM documents WHERE n_chars < 120
+    """,
+)
+def ctx_before_after(spark, sf_dir):
+    """Rows 26-30: columns ARE the context — keep the pre-transform value
+    alongside the transformed payload (contrib/ctx.py:10, nodes.py:396)."""
+    d = t(spark, sf_dir, "documents")
+    return d.filter(F.col("n_chars") < 120).select(
+        "doc_id",
+        F.col("text").alias("ctx_original"),
+        F.upper(F.col("text")).alias("payload"),
+    )
+
+
+@q(
+    "filter_drop",
+    "SELECT event_id, event_type FROM events WHERE event_type <> 'click'",
+)
+def filter_drop(spark, sf_dir):
+    """Row 33 Drop = filter (nodes.py:358, channels.py:465)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") != "click").select(
+        "event_id", "event_type"
+    )
+
+
+@q(
+    "route_outcomes",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN 'error'
+                WHEN event_type = 'click' THEN 'dropped'
+                WHEN value > 300 THEN 'rejected'
+                ELSE 'processed' END AS state
+    FROM events
+    """,
+)
+def route_outcomes(spark, sf_dir):
+    """Rows 34-36: Reject/when/case as first-match-wins CASE
+    (channels.py:354-397)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", "error")
+        .when(F.col("event_type") == "click", "dropped")
+        .when(F.col("value") > 300, "rejected")
+        .otherwise("processed")
+        .alias("state"),
+    )
+
+
+@q(
+    "explode_words",
+    """
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def explode_words(spark, sf_dir):
+    """Rows 40-41 YielderNode/generator fan-out = explode (nodes.py:914,
+    channels.py:750)."""
+    d = t(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("word"),
+    )
+
+
+@q(
+    "worst_substate_agg",
+    """
+    WITH states AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 6
+                  WHEN event_type = 'purchase' THEN 4
+                  WHEN event_type = 'signup' THEN 3
+                  ELSE 2 END AS prio
+      FROM events
+    )
+    SELECT user_id,
+           CASE max(prio) WHEN 6 THEN 'error' WHEN 4 THEN 'processed'
+                          WHEN 3 THEN 'processing' ELSE 'pending' END AS worst_state,
+           count(*) AS n_subs
+    FROM states GROUP BY user_id
+    """,
+)
+def worst_substate_agg(spark, sf_dir):
+    """Row 42/57: worst-of-substates by STATES_PRIORITY index
+    (msgstore.py:687-705) — array_position max, decoded back."""
+    ev = t(spark, sf_dir, "events")
+    prio = (
+        F.when(F.col("event_type") == "error", 6)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 3)
+        .otherwise(2)
+    )
+    decode = (
+        F.when(F.col("max_prio") == 6, "error")
+        .when(F.col("max_prio") == 4, "processed")
+        .when(F.col("max_prio") == 3, "processing")
+        .otherwise("pending")
+    )
+    return (
+        ev.withColumn("prio", prio)
+        .groupBy("user_id")
+        .agg(F.max("prio").alias("max_prio"), F.count(F.lit(1)).alias("n_subs"))
+        .select("user_id", decode.alias("worst_state"), "n_subs")
+    )
+
+
+# --- §2.G search surface (msgstore.py:777-867) -----------------------
+
+@q(
+    "search_text_window",
+    """
+    SELECT event_id, ts, props FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+      AND props LIKE '%"k": 9%'
+    ORDER BY event_id LIMIT 50
+    """,
+)
+def search_text_window(spark, sf_dir):
+    """Row 53: datetime-range + substring search with LIMIT pushdown."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+            & F.col("props").contains('"k": 9')
+        )
+        .select("event_id", "ts", "props")
+        .orderBy("event_id")
+        .limit(50)
+    )
+
+
+@q(
+    "search_regex_anchored",
+    """
+    SELECT event_id, props FROM events
+    WHERE regexp_matches(props, '^\\{"k": 9[0-9]')
+    ORDER BY event_id
+    """,
+)
+def search_regex_anchored(spark, sf_dir):
+    """Row 53 rtext: reference uses re.match → anchored regex
+    (msgstore.py:766)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("props").rlike('^\\{"k": 9[0-9]'))
+        .select("event_id", "props")
+        .orderBy("event_id")
+    )
+
+
+@q(
+    "search_meta_range",
+    """
+    SELECT event_id, event_type, round(value, 2) AS value FROM events
+    WHERE value >= 100.0 AND value <= 200.0
+    """,
+)
+def search_meta_range(spark, sf_dir):
+    """Row 54 start_/end_ numeric meta range (msgstore.py:243-251)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.filter((F.col("value") >= 100.0) & (F.col("value") <= 200.0)).select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@q(
+    "keyset_pagination",
+    """
+    SELECT event_id, ts FROM events WHERE event_id > 5000
+    ORDER BY event_id LIMIT 20
+    """,
+)
+def keyset_pagination(spark, sf_dir):
+    """Row 53 start_id keyset pagination (msgstore.py:817-821)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_id") > 5000)
+        .select("event_id", "ts")
+        .orderBy("event_id")
+        .limit(20)
+    )
+
+
+@q(
+    "point_lookup_preview",
+    """
+    SELECT event_id, substring(props, 1, 10) AS preview FROM events
+    WHERE event_id = 42
+    """,
+)
+def point_lookup_preview(spark, sf_dir):
+    """Row 56 get/get_preview_str (msgstore.py:710-735)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") == 42).select(
+        "event_id", F.substring("props", 1, 10).alias("preview")
+    )
+
+
+@q("total_count", "SELECT count(*) AS total FROM events")
+def total_count(spark, sf_dir):
+    """Row 55 total() (msgstore.py:292)."""
+    return t(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("total"))
+
+
+# =====================================================================
+# C. Training-data pipeline ops (dedup / similarity / text / multimodal)
+# =====================================================================
+
+_DOC_DUP_SQL_BASE = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _docs_with_dups(spark, sf_dir):
+    """Corpus + re-keyed copies of every 5th doc — gives exact-dup
+    queries real duplicates to find (the corpus itself is all-distinct)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+@q(
+    "dedup_exact_groups",
+    f"""
+    WITH corpus AS ({_DOC_DUP_SQL_BASE})
+    SELECT md5(text) AS content_hash, count(*) AS n_docs,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup: hash-groupBy duplicate groups (functions/dedup.py)."""
+    return D.exact_dup_groups(_docs_with_dups(spark, sf_dir))
+
+
+@q(
+    "dedup_exact_keep_first",
+    f"""
+    WITH corpus AS ({_DOC_DUP_SQL_BASE}),
+    keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text))
+    SELECT c.doc_id FROM corpus c JOIN keep k ON c.doc_id = k.doc_id
+    """,
+)
+def dedup_exact_keep_first(spark, sf_dir):
+    """Exact dedup keeping the lowest-id representative."""
+    return D.dedupe_exact(_docs_with_dups(spark, sf_dir)).select("doc_id")
+
+
+_MINHASH_SQL = """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE doc_id < 200
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(0, greatest(len(w) - 3, 0)),
+               i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+      FROM words
+    ),
+    hashed AS (
+      SELECT doc_id, i, min(md5(i || ':' || shingle)) AS minh
+      FROM sh, (SELECT unnest(generate_series(0, 15)) AS i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band,
+             md5(string_agg(minh, ',' ORDER BY i)) AS band_hash
+      FROM hashed GROUP BY doc_id, CAST(i // 4 AS INT)
+    )
+"""
+
+
+@q(
+    "minhash_bands",
+    _MINHASH_SQL + "SELECT doc_id, band, band_hash FROM bands",
+)
+def minhash_bands_q(spark, sf_dir):
+    """MinHash+LSH banding (functions/dedup.py:minhash_bands): 16 md5
+    hash functions, 4 bands × 4 rows."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return D.minhash_bands(d, num_hashes=16, bands=4, shingle_n=3)
+
+
+@q(
+    "minhash_near_dup_pairs",
+    _MINHASH_SQL
+    + """
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_near_dup_pairs(spark, sf_dir):
+    """LSH candidate pairs: docs sharing any band bucket."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return D.minhash_candidate_pairs(d, num_hashes=16, bands=4, shingle_n=3)
+
+
+@q(
+    "ngram_jaccard_pairs",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE doc_id < 100
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(0, greatest(len(w) - 3, 0)),
+               i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+      FROM words
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    """Exact n-gram Jaccard verifier (threshold 0.2 exposes the corpus's
+    synthetic near-dups)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return D.ngram_jaccard_pairs(d, threshold=0.2)
+
+
+@q(
+    "simhash_sketch",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE doc_id < 100
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN strpos('02468ace', substring(md5(tok), b.bit + 1, 1)) > 0
+                  THEN 1 ELSE -1 END AS v
+      FROM toks, (SELECT unnest(generate_series(0, 15)) AS bit) b
+    ),
+    sums AS (SELECT doc_id, bit, sum(v) AS s FROM bits GROUP BY doc_id, bit)
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN CAST(2 AS BIGINT) ** bit ELSE 0 END) AS simhash
+    FROM sums GROUP BY doc_id
+    """,
+)
+def simhash_sketch(spark, sf_dir):
+    """16-bit SimHash; bit b = sign of Σ ±1 over tokens, where ±1 is the
+    parity of hex digit b of the token's md5 (portable, no int casts)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return D.simhash(d, bits=16)
+
+
+@q(
+    "embedding_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_dot_product(c.v, q.qv) /
+                   (sqrt(list_dot_product(c.v, c.v)) *
+                    sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+      FROM c, q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 (functions/similarity.py:cosine_topk):
+    broadcast queries, JVM zip_with dot product."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.cosine_topk(emb, queries, k=5)
+
+
+@q("lsh_ann_topk", None)  # oracle added programmatically below (plane literals)
+def lsh_ann_topk_q(spark, sf_dir):
+    """LSH-bucketed ANN (functions/similarity.py:lsh_ann_topk): 4
+    deterministic hyperplanes over 64 dims, bucket join, exact re-rank."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_ann_topk(emb, queries, k=5, num_planes=4, dim=64)
+
+
+def _lsh_oracle() -> str:
+    planes = S.hyperplanes(4, 64)
+    lits = [
+        "[" + ",".join(f"{v:.1f}" for v in p) + "]::DOUBLE[]" for p in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(lits)
+    )
+    qbucket = bucket.replace("(v,", "(qv,")
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (SELECT vec_id, v, {bucket} AS bucket FROM c),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    qb AS (SELECT query_id, qv, {qbucket} AS bucket FROM q),
+    scored AS (
+      SELECT qb.query_id, cb.vec_id,
+             round(list_dot_product(cb.v, qb.qv) /
+                   (sqrt(list_dot_product(cb.v, cb.v)) *
+                    sqrt(list_dot_product(qb.qv, qb.qv))), 6) AS score
+      FROM cb JOIN qb ON cb.bucket = qb.bucket
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5
+    """
+
+
+REGISTRY["lsh_ann_topk"].oracle = _lsh_oracle()
+
+
+_STOP_SQL = {
+    lang: "|".join(ws) for lang, ws in TX.STOPWORDS.items()
+}
+
+
+@q(
+    "text_language_id",
+    f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '(?i)\\b({_STOP_SQL["en"]})\\b')) AS h_en,
+             len(regexp_extract_all(text, '(?i)\\b({_STOP_SQL["fr"]})\\b')) AS h_fr,
+             len(regexp_extract_all(text, '(?i)\\b({_STOP_SQL["de"]})\\b')) AS h_de,
+             len(regexp_extract_all(text, '(?i)\\b({_STOP_SQL["es"]})\\b')) AS h_es
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN h_en > 0 AND h_en >= greatest(h_en, h_fr, h_de, h_es) THEN 'en'
+                WHEN h_fr > 0 AND h_fr >= greatest(h_en, h_fr, h_de, h_es) THEN 'fr'
+                WHEN h_de > 0 AND h_de >= greatest(h_en, h_fr, h_de, h_es) THEN 'de'
+                WHEN h_es > 0 AND h_es >= greatest(h_en, h_fr, h_de, h_es) THEN 'es'
+                ELSE 'und' END AS detected
+    FROM hits
+    """,
+)
+def text_language_id(spark, sf_dir):
+    """Stopword-hit language ID (functions/text.py:detect_language)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TX.detect_language(F.col("text")).alias("detected"))
+
+
+@q(
+    "text_quality_score",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+             len(string_split_regex(trim(text), '\\s+')) AS toks,
+             len(regexp_extract_all(text, '(?i)\\b({_STOP_SQL["en"]})\\b')) AS stops
+      FROM documents
+    )
+    SELECT doc_id,
+           round((least(n / 500.0, 1.0)
+                + greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN punct::DOUBLE / n ELSE 0 END) * 4)
+                + least((CASE WHEN toks > 0 THEN stops::DOUBLE / toks ELSE 0 END) * 5, 1.0)
+                 ) / 3, 6) AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Composite quality heuristic (functions/text.py:quality_score)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@q(
+    "token_counts",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish token counting (functions/text.py)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        TX.regex_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           array_to_string(
+             list_sort(list_transform(
+               generate_series(1, greatest(length(text) - 7, 1)),
+               i -> md5(text[i:i+7])))[1:4], '') AS fp
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Bottom-k shingle-hash fingerprint (functions/text.py:fingerprint)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id", TX.fingerprint(F.col("text"), shingle_len=8, k=4).alias("fp")
+    )
+
+
+@q("multimodal_decode_features", None)  # python fake codec — rows-only check
+def multimodal_decode_features(spark, sf_dir):
+    """Multimodal plumbing: documents' bytes as opaque binary → Arrow
+    mapInPandas feature extraction (functions/multimodal.py). The codec
+    is a stub; schema/batching/partitioning are the real thing."""
+    from ..functions import multimodal as MM
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
+    )
+    feats = MM.decode_image_features(d, binary_col="content", dim=8)
+    return feats.select(
+        "doc_id", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
+@q(
+    "video_frame_sampling",
+    """
+    SELECT doc_id, frame_idx, offset_ms, md5(hex(encode(text))) AS frame_fingerprint
+    FROM documents,
+         (SELECT unnest(generate_series(0, 4)) AS frame_idx,
+                 unnest(generate_series(0, 4)) * 1000 AS offset_ms)
+    WHERE doc_id < 20
+    """,
+)
+def video_frame_sampling(spark, sf_dir):
+    """Frame-sampling fan-out plumbing (functions/multimodal.py:
+    sample_video_frames) — JVM explode over sequence."""
+    from ..functions import multimodal as MM
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
+    )
+    return MM.sample_video_frames(d, every_ms=1000, fake_duration_ms=5000)

@@ -55,9 +55,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for col in _nanos_ts_columns(path):
-        # long nanos -> micros -> TimestampType (session TZ pinned to UTC)
+        # long nanos -> micros -> TimestampType. Integer DIV, not `/`:
+        # epoch-nanos (~1.7e18) exceed double's 2^53 exact range, so a
+        # float division silently corrupts the low microseconds.
         df = df.withColumn(
-            col, F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long"))
+            col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
         )
     return df
 

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then
+compares row count, column names, and an order-insensitive value hash
+(columns sorted by name, rows sorted by stringified values, floats
+rounded to 9 significant decimals before hashing).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+)
+ONLY = set(sys.argv[2:])
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return format(v, ".9g")
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def frame_fingerprint(cols: list[str], rows: list[tuple]):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    lines = sorted(
+        "\x01".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\x02")
+    return sorted_cols, len(rows), h.hexdigest()
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pypeman_spark.session import get_spark
+
+    spark = get_spark("check_correctness", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = [tuple(r) for r in cur.fetchall()]
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+        sc, sn, sh = frame_fingerprint(scols, srows)
+        dc, dn, dh = frame_fingerprint(dcols, drows)
+        if sc != dc:
+            print(f"FAIL  {name}: columns {sc} vs {dc}")
+            failures.append(name)
+        elif sn != dn:
+            print(f"FAIL  {name}: rows {sn} vs {dn}")
+            failures.append(name)
+        elif sh != dh:
+            print(f"FAIL  {name}: value hash mismatch ({sn} rows)")
+            # show a sample diff
+            s_set = {tuple(norm_cell(v) for v in r) for r in srows}
+            d_set = {tuple(norm_cell(v) for v in r) for r in drows}
+            for r in list(s_set - d_set)[:3]:
+                print(f"        spark-only: {r}")
+            for r in list(d_set - s_set)[:3]:
+                print(f"        duck-only : {r}")
+            failures.append(name)
+        else:
+            print(f"ok    {name}: {sn} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{len(failures)} failures / {len(queries)} queries")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
