@@ -1,0 +1,87 @@
+"""Admin API tests, mirroring `pypeman/tests/test_remoteadmin.py`
+semantics (list/search/view/preview/replay/push)."""
+
+import json
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypeman_spark import Pipeline, messages_from_payloads
+from pypeman_spark.operators import FuncNode, JsonToPython
+from pypeman_spark.plans.admin import AdminServer, ChannelRegistry
+from pypeman_spark.store import MemoryMessageStore
+
+
+@pytest.fixture()
+def admin(spark):
+    store = MemoryMessageStore(spark, channel="chan_a")
+    pipe = Pipeline("chan_a").add(
+        JsonToPython(),
+        FuncNode(lambda d: {"n": d["n"] * 2}, name="double"),
+    )
+    msgs = messages_from_payloads(spark, [{"n": 1}, {"n": 2}, {"n": 3}])
+    store.store(msgs)
+    reg = ChannelRegistry(spark)
+    reg.register("chan_a", pipe, store)
+    server = AdminServer(reg)
+    server.start()
+    yield server, store
+    server.stop()
+    store.close()
+
+
+def _get(server, path):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{server.port}{path}") as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_list_channels(admin):
+    server, _ = admin
+    status, body = _get(server, "/channels")
+    assert status == 200 and body == {"channels": ["chan_a"]}
+
+
+def test_search_messages(admin):
+    server, _ = admin
+    status, body = _get(server, "/channels/chan_a/messages?count=2&text=%22n%22")
+    assert status == 200
+    assert len(body["messages"]) == 2
+    assert all("n" in m["payload"] for m in body["messages"])
+
+
+def test_view_preview_and_404(admin):
+    server, store = admin
+    mid = store.current().select("id").collect()[0]["id"]
+    status, body = _get(server, f"/channels/chan_a/messages/{mid}")
+    assert status == 200 and body["id"] == mid
+    status, body = _get(server, f"/channels/chan_a/messages/{mid}/preview")
+    assert status == 200 and body["preview"].startswith('{"n":')
+    status, _ = _get(server, "/channels/chan_a/messages/nope_123")
+    assert status == 404
+
+
+def test_replay(admin):
+    server, store = admin
+    mid = store.current().select("id").collect()[0]["id"]
+    status, body = _get(server, f"/channels/chan_a/messages/{mid}/replay")
+    assert status == 200
+    assert body["outcomes"] == ["processed"]
+    assert store.total() == 4  # replayed message stored as a new row
+
+
+def test_push_msg(admin):
+    server, store = admin
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/channels/chan_a/messages",
+        data=json.dumps({"n": 10}).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 201
+        body = json.loads(r.read())
+    assert body == {"pushed": 1, "outcomes": ["processed"]}
+    assert store.total() == 4

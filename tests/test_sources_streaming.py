@@ -1,0 +1,169 @@
+"""Source + streaming-channel tests, mirroring the reference's channel
+source tests (`test_channel.py:1015-1275`: http/fwatcher/merge) and the
+streaming lifecycle (SURVEY §2.H)."""
+
+import json
+import os
+import time
+import urllib.request
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from pypeman_spark import Pipeline, messages_from_payloads
+from pypeman_spark.operators import FuncNode, JsonToPython, Drop
+from pypeman_spark.sources.cron import cron_ticks
+from pypeman_spark.sources.file_watcher import FileWatcher, scan_files, stream_files
+from pypeman_spark.sources.http_sidecar import HttpLandingServer, hl7_ack_for_state
+from pypeman_spark.sources.merge import merge_channels
+from pypeman_spark.store import KVStore, MemoryMessageStore
+from pypeman_spark.streaming.channel import StreamingChannel
+
+
+def test_scan_files_basic(spark, tmp_path):
+    # test_fwatcher_channel :1205 — regex match, payload=content, meta
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.txt").write_text("hello A")
+    (d / "b.txt").write_text("hello B")
+    (d / "skip.log").write_text("nope")
+    df = scan_files(spark, str(d), regex=r".*\.txt$")
+    rows = {r["meta"]["filename"]: r["payload"] for r in df.collect()}
+    assert rows == {"a.txt": "hello A", "b.txt": "hello B"}
+    assert all(
+        r["meta"]["filepath"].endswith(r["meta"]["filename"]) for r in df.collect()
+    )
+
+
+def test_scan_files_ack_indirection(spark, tmp_path):
+    # real_extensions: the .ok file is only the marker (channels.py:1384)
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "data1.csv").write_text("payload1")
+    (d / "data1.ok").write_text("")
+    (d / "data2.csv").write_text("not acked yet")
+    df = scan_files(spark, str(d), regex=r".*\.ok$", real_extensions=[".csv"])
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["payload"] == "payload1"
+
+
+def test_scan_files_mtime_repickup(spark, tmp_path):
+    # modified-file re-read (channels.py:1353-1356) via kv snapshot
+    d = tmp_path / "in"
+    d.mkdir()
+    f = d / "x.txt"
+    f.write_text("v1")
+    kv = KVStore(spark, str(tmp_path / "kv"))
+    w = FileWatcher(spark, str(d), regex=r".*\.txt$", kv_store=kv)
+    assert w.tick().count() == 1
+    assert w.tick().count() == 0  # unchanged → not re-read
+    time.sleep(0.01)
+    f.write_text("v2")
+    os.utime(f, (time.time() + 5, time.time() + 5))
+    rows = w.tick().collect()
+    assert len(rows) == 1 and rows[0]["payload"] == "v2"
+
+
+def test_merge_channels(spark):
+    # test_mergechannel :1275
+    a = messages_from_payloads(spark, [{"s": 1}], channel="a")
+    b = messages_from_payloads(spark, [{"s": 2}, {"s": 3}], channel="b")
+    merged = merge_channels(a, b, channel="m")
+    assert merged.count() == 3
+
+
+def test_cron_ticks(spark):
+    # contrib/time.py: every 15 min of one hour window
+    df = cron_ticks(
+        spark,
+        datetime(2024, 1, 1, 0, 0),
+        datetime(2024, 1, 1, 1, 0),
+        cron="*/15 * * * *",
+    )
+    fire_times = sorted(r["payload"] for r in df.collect())
+    assert fire_times == [
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:15:00",
+        "2024-01-01 00:30:00",
+        "2024-01-01 00:45:00",
+    ]
+
+
+def test_streaming_channel_end_to_end(spark, tmp_path):
+    # readStream file source → pipeline in foreachBatch → audit store
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i in range(4):
+        (landing / f"m{i}.txt").write_text(json.dumps({"n": i}))
+
+    store = MemoryMessageStore(spark, channel="stream_t")
+    pipe = Pipeline("stream_t").add(
+        JsonToPython(),
+        Drop(condition=F.get_json_object("payload", "$.n").cast("int") >= 3,
+             name="drop_big"),
+        FuncNode(lambda d: {"n": d["n"] * 10}, name="x10"),
+    )
+    src = stream_files(spark, str(landing), glob="*.txt", channel="stream_t")
+    chan = StreamingChannel(
+        src, pipe, message_store=store, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    chan.start()
+    try:
+        chan.process_all_available()
+        assert chan.batches_processed >= 1
+        # late-arriving file picked up by the next trigger (exactly-once)
+        (landing / "late.txt").write_text(json.dumps({"n": 1}))
+        chan.process_all_available()
+    finally:
+        chan.stop()
+    cur = store.current()
+    assert cur.count() == 5
+    states = dict(
+        (r["state"], r["count"]) for r in cur.groupBy("state").count().collect()
+    )
+    assert states == {"processed": 4, "dropped": 1}
+    # the audit store keeps the ORIGINAL incoming payload (reference
+    # stores the message at ingress, msgstore.py:617; only state updates)
+    payloads = sorted(
+        r["payload"] for r in cur.filter(F.col("state") == "processed").collect()
+    )
+    assert payloads == ['{"n": 0}', '{"n": 1}', '{"n": 1}', '{"n": 2}']
+    store.close()
+
+
+def test_http_sidecar_lands_files(spark, tmp_path):
+    # test_http_channel :1015 — request becomes a message with meta
+    landing = tmp_path / "http_landing"
+    server = HttpLandingServer(str(landing))
+    server.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/api/ingest?x=1",
+            data=json.dumps({"hello": "world"}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 202
+            ack = json.loads(resp.read())
+            assert "id" in ack
+    finally:
+        server.stop()
+    files = list(landing.glob("*.json"))
+    assert len(files) == 1
+    record = json.loads(files[0].read_text())
+    assert json.loads(record["payload"]) == {"hello": "world"}
+    assert record["meta"]["method"] == "POST"
+    assert record["meta"]["url"] == "/api/ingest?x=1"
+    # and the landing dir is a valid channel source
+    df = scan_files(spark, str(landing), regex=r".*\.json$", channel="http")
+    assert df.count() == 1
+
+
+def test_hl7_ack_mapping():
+    # contrib/hl7.py:173-186 — AA on success/drop, AR reject, AE error
+    assert "MSA|AA|" in hl7_ack_for_state("processed")
+    assert "MSA|AA|" in hl7_ack_for_state("dropped")
+    assert "MSA|AR|" in hl7_ack_for_state("rejected")
+    assert "MSA|AE|" in hl7_ack_for_state("error")

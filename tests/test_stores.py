@@ -1,0 +1,124 @@
+"""Message store, retry store, and kv persistence tests, mirroring
+`pypeman/tests/test_msgstore.py` and `test_retrystore.py` (SURVEY §5)."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypeman_spark import Pipeline, messages_from_payloads
+from pypeman_spark.operators import FuncNode, Reject
+from pypeman_spark.store import KVStore, MemoryMessageStore, RetryStore
+
+
+@pytest.fixture()
+def store(spark):
+    s = MemoryMessageStore(spark, channel="t")
+    yield s
+    s.close()
+
+
+def _store_n(spark, store, n=10):
+    msgs = messages_from_payloads(
+        spark, [{"i": i, "tag": "even" if i % 2 == 0 else "odd"} for i in range(n)]
+    )
+    store.store(msgs)
+    return msgs
+
+
+def test_store_and_total(spark, store):
+    _store_n(spark, store, 10)
+    assert store.total() == 10
+
+
+def test_search_text_and_regex(spark, store):
+    # test_msgstore.py search semantics: text=contains, rtext=anchored match
+    _store_n(spark, store, 10)
+    assert store.search(text='"tag": "even"').count() == 5
+    # anchored: payloads start with '{"i":' so 'i' alone must not match
+    assert store.search(rtext='i').count() == 0
+    assert store.search(rtext='\\{"i": [0-9], "tag": "odd"').count() == 5
+
+
+def test_search_meta_filters(spark, store):
+    # meta filter grammar (msgstore.py:214-290): exact / text_ / rtext_ /
+    # start_ / end_ + order_by, ANY-match over store-meta lists
+    _store_n(spark, store, 4)
+    ids = [r["id"] for r in store.current().select("id").collect()]
+    for i, mid in enumerate(sorted(ids)):
+        store.add_message_meta_infos(mid, "score", str(i * 10))
+        store.add_message_meta_infos(mid, "label", f"item_{i}")
+    assert store.search(meta={"label": "item_2"}).count() == 1
+    assert store.search(meta={"text_label": "item"}).count() == 4
+    assert store.search(meta={"rtext_label": "m_[23]"}).count() == 2
+    assert store.search(meta={"start_score": "15"}).count() == 2
+    assert store.search(meta={"end_score": "15"}).count() == 2
+    got = [
+        r["store_meta"]["label"][0]
+        for r in store.search(meta={"order_by": "-label"}).collect()
+    ]
+    assert got == ["item_3", "item_2", "item_1", "item_0"]
+
+
+def test_state_lifecycle_and_replay(spark, store):
+    _store_n(spark, store, 3)
+    mid = sorted(r["id"] for r in store.current().select("id").collect())[0]
+    store.change_message_state(mid, "processed")
+    assert store.get(mid)["state"] == "processed"
+    # replay renews uuid/timestamp (message.py:80-90)
+    replayed = store.get_for_replay(mid)
+    row = replayed.collect()[0]
+    assert row["state"] == "pending"
+    assert row["uuid"] != store.get(mid)["uuid"]
+    assert json.loads(row["payload"])["i"] == json.loads(store.get(mid)["payload"])["i"]
+
+
+def test_delete_tombstone(spark, store):
+    _store_n(spark, store, 3)
+    mid = store.current().select("id").collect()[0]["id"]
+    store.delete(mid)
+    assert store.get(mid) is None
+    assert store.total() == 2
+
+
+def test_retry_store_cycle(spark, tmp_path):
+    # test_retrystore.py:181 test_complete_retry — park, retry, drain
+    flaky_state = {"fail": True}
+
+    p = Pipeline("t").add(
+        FuncNode(lambda d: {"n": d["n"] + 1}, name="incr"),
+        FuncNode(lambda d: d, name="flaky"),
+    )
+    rs = RetryStore(spark, str(tmp_path), channel="t", retry_delay=0.0)
+    msgs = messages_from_payloads(spark, [{"n": 1}, {"n": 2}])
+
+    # simulate a node failure routing to the retry store at stage 'flaky'
+    res = p.run(msgs, to_stage="incr")
+    rs.store_until_retry(res.df, "flaky")
+    assert not rs.is_empty()
+    assert rs.pending().count() == 2
+
+    # sweep: re-enter at 'flaky', both succeed, store drains
+    counts = rs.retry_once(p, now=time.time() + 1)
+    assert counts == {"retried": 2, "succeeded": 2}
+    assert rs.is_empty()
+
+
+def test_retry_due_respects_backoff(spark, tmp_path):
+    rs = RetryStore(spark, str(tmp_path), channel="t", retry_delay=3600.0)
+    msgs = messages_from_payloads(spark, [{"n": 1}])
+    rs.store_until_retry(msgs, None)
+    assert rs.retry_due(now=time.time()).count() == 0
+    assert rs.retry_due(now=time.time() + 7200).count() == 1
+
+
+def test_kv_store_latest_wins(spark, tmp_path):
+    kv = KVStore(spark, str(tmp_path / "kv"))
+    assert kv.restore_data("ns", "k", default="none") == "none"
+    kv.save_data("ns", "k", {"v": 1})
+    kv.save_data("ns", "k", {"v": 2})
+    assert kv.restore_data("ns", "k") == {"v": 2}
+    kv.save_data("other", "k", "x")
+    assert kv.restore_data("other", "k") == "x"
+    assert kv.restore_data("ns", "k") == {"v": 2}
