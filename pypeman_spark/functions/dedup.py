@@ -90,37 +90,27 @@ def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """
     rows_per_band = num_hashes // bands
     sh = shingles(df, text_col, id_col, n=shingle_n)
-    # (id, i, minhash): explode the hash family per shingle, take min
-    hashed = sh.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.struct(
-                    i.alias("i"),
-                    F.md5(
-                        F.concat(i.cast("string"), F.lit(":"), F.col("shingle"))
-                    ).alias("h"),
-                ),
-            )
-        ).alias("ih"),
-    ).select(id_col, F.col("ih.i").alias("i"), F.col("ih.h").alias("h"))
-    sig = hashed.groupBy(id_col, "i").agg(F.min("h").alias("minh"))
-    banded = sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-    return (
-        banded.groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "minh"))),
-                        lambda s: s["minh"],
-                    ),
-                    ",",
-                )
-            ).alias("band_hash")
-        )
+    # One shuffle total: K min-aggregations side by side over the shingle
+    # rows (no K-fold explode, no second groupBy — at 100 TB the shuffle
+    # carries one row per doc with K 32-byte hashes).
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *members)).alias("band_hash"),
+            )
+        )
+    return sig.select(
+        id_col, F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",
@@ -155,35 +145,25 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         ).alias("tok"),
     )
     h = F.md5(F.col("tok"))
-    tok_bits = toks.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: F.struct(
-                    b.alias("bit"),
-                    F.when(
-                        F.lit("02468ace").contains(h.substr(b + 1, F.lit(1))),
-                        F.lit(1),
-                    )
-                    .otherwise(F.lit(-1))
-                    .alias("v"),
-                ),
-            )
-        ).alias("bv"),
-    ).select(id_col, F.col("bv.bit").alias("bit"), F.col("bv.v").alias("v"))
-    return (
-        tok_bits.groupBy(id_col, "bit")
-        .agg(F.sum("v").alias("s"))
-        .groupBy(id_col)
-        .agg(
+    # One shuffle: per-bit ±1 sums as side-by-side aggregates over the
+    # token rows, then the sketch is a pure expression.
+    sums = toks.groupBy(id_col).agg(
+        *[
             F.sum(
                 F.when(
-                    F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
+                    F.lit("02468ace").contains(F.substring(h, b + 1, 1)), F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
+    sketch = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sketch = term if sketch is None else sketch + term
+    return sums.select(id_col, sketch.alias("simhash"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

@@ -17,5 +17,6 @@ from .parsers import (  # noqa: F401
     PythonToXML,
     XMLToPython,
 )
+from .enrich import FileReader, HttpRequest  # noqa: F401
 from .routing import Drop, Empty, RaiseError, Reject  # noqa: F401
 from .sinks import Email, FileCleaner, FileMover, FileWriter, Log, Save, Sleep  # noqa: F401

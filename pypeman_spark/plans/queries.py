@@ -331,6 +331,126 @@ def hourly_event_rollup(spark, sf_dir):
     )
 
 
+@q(
+    "distinct_active_users",
+    """
+    SELECT count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    """,
+)
+def distinct_active_users(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@q(
+    "customers_without_orders",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    """NOT EXISTS as left_anti join (guide: join section)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@q(
+    "suppliers_with_shipments",
+    """
+    SELECT count(*) AS n FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+    """,
+)
+def suppliers_with_shipments(spark, sf_dir):
+    """EXISTS as left_semi join."""
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "users_purchase_and_error",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def users_purchase_and_error(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+@q(
+    "users_view_no_purchase",
+    """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def users_view_no_purchase(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # subtract = EXCEPT (set semantics); exceptAll would keep multiplicity
+    return a.subtract(b)
+
+
+@q(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (both engines: linear
+    interpolation). The approximate variant at 100 TB is
+    ``percentile_approx`` — kept exact here for the oracle."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+@q(
+    "grouping_sets_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """GROUPING SETS through the SQL API (same Catalyst plan as the
+    DataFrame cube/rollup)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 # =====================================================================
 # B. Pypeman operator parity (SURVEY §2.A–§2.G row refs inline)
 # =====================================================================
@@ -633,17 +753,16 @@ def search_text_window(spark, sf_dir):
     """
     SELECT event_id, props FROM events
     WHERE regexp_matches(props, '^\\{"k": 9[0-9]')
-    ORDER BY event_id
     """,
 )
 def search_regex_anchored(spark, sf_dir):
     """Row 53 rtext: reference uses re.match → anchored regex
     (msgstore.py:766)."""
     ev = t(spark, sf_dir, "events")
-    return (
-        ev.filter(F.col("props").rlike('^\\{"k": 9[0-9]'))
-        .select("event_id", "props")
-        .orderBy("event_id")
+    # no ORDER BY: the driver's compare is order-insensitive and a full
+    # sort without LIMIT is a wasted range-partition shuffle at scale
+    return ev.filter(F.col("props").rlike('^\\{"k": 9[0-9]')).select(
+        "event_id", "props"
     )
 
 
