@@ -64,7 +64,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
-        # warm the input cache/plan once so we time steady-state execution
+        # one untimed run amortizes plan compilation/codegen (at target
+        # scale that cost is noise; steady-state is what matters), then
+        # the timed run measures execution
+        spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         t0 = time.time()
         df = spec.fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
