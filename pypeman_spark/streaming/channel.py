@@ -113,3 +113,34 @@ class StreamingChannel:
         """One retry sweep (the reference's background loop body)."""
         assert self.retry_store is not None
         return self.retry_store.retry_once(self.pipeline)
+
+
+def add_channel_listener(spark, on_event) -> object:
+    """Channel state-change events (``events.py:6-60``,
+    ``channels.py:192-198``) via ``StreamingQueryListener``: ``on_event``
+    receives ``(kind, query_id, payload)`` with kind in
+    start|progress|terminate. Returns the listener (pass to
+    ``spark.streams.removeListener`` to detach)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Listener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            on_event("start", str(event.id), {"name": event.name})
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            on_event(
+                "progress",
+                str(p.id),
+                {"batchId": p.batchId, "numInputRows": p.numInputRows},
+            )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            on_event("terminate", str(event.id), {"exception": event.exception})
+
+    listener = _Listener()
+    spark.streams.addListener(listener)
+    return listener
