@@ -110,8 +110,10 @@ def pricing_summary(spark, sf_dir):
     """,
 )
 def shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape. customer is broadcast (small dim); lineitem⋈orders
-    shuffles on orderkey only after filters prune."""
+    """TPC-H Q3 shape. No broadcast hint on customer — it scales with SF
+    (15B rows at 100 TB); AQE broadcasts it at small SF from runtime
+    stats, sort-merge at scale. lineitem⋈orders shuffles on orderkey
+    only after filters prune."""
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -121,7 +123,7 @@ def shipping_priority(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -150,8 +152,10 @@ def shipping_priority(spark, sf_dir):
     """,
 )
 def local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5 shape: 6-way join. region/nation/supplier/customer are
-    broadcast dims; only orders⋈lineitem shuffles."""
+    """TPC-H Q5 shape: 6-way join. Broadcast hints only on the bounded
+    dims (nation=25, region=5 rows at every SF); customer/supplier scale
+    with SF so AQE picks their strategy — broadcast at bench scale,
+    sort-merge on a cluster."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -163,9 +167,9 @@ def local_supplier_volume(spark, sf_dir):
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )

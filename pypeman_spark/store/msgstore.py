@@ -148,7 +148,10 @@ class MessageStore:
 
     def current(self) -> DataFrame:
         """Current view: base messages + latest state event + substates +
-        store-meta lists. One broadcast-able join (events ≪ messages)."""
+        store-meta lists. All four joins key on ``id`` — no broadcast
+        hints: the event aggregates scale 1:1 with message volume, so
+        AQE broadcasts them while small and co-shuffles at scale (one
+        shared hash partitioning on ``id`` across the join chain)."""
         msgs = self._messages()
         events = self._events()
 
@@ -186,10 +189,10 @@ class MessageStore:
         deleted = events.filter(F.col("kind") == "delete").select("id").distinct()
 
         cur = (
-            msgs.join(F.broadcast(latest_state), "id", "left")
-            .join(F.broadcast(substates), "id", "left")
-            .join(F.broadcast(store_meta), "id", "left")
-            .join(F.broadcast(deleted), "id", "left_anti")
+            msgs.join(latest_state, "id", "left")
+            .join(substates, "id", "left")
+            .join(store_meta, "id", "left")
+            .join(deleted, "id", "left_anti")
             .withColumn("state", F.coalesce("__new_state", "state"))
             .withColumn(
                 "submessage_states",

@@ -73,10 +73,10 @@ class RetryStore:
                 ]
             )
             return self.spark.createDataFrame([], schema)
+        # no broadcast hint: acks grow with parked volume between
+        # compactions; AQE broadcasts the anti-join side while small
         parked = self.spark.read.parquet(self.msg_path)
-        return parked.join(
-            F.broadcast(self._acks()), "id", "left_anti"
-        ).orderBy("id")
+        return parked.join(self._acks(), "id", "left_anti").orderBy("id")
 
     def retry_due(self, now: float | None = None) -> DataFrame:
         """Rows whose backoff has elapsed (``retry.py:225-240``)."""
