@@ -142,19 +142,23 @@ def ensure_message_columns(df: DataFrame, channel: str = "default") -> DataFrame
 def messages_from_payloads(
     spark: SparkSession,
     payloads: Iterable[Any],
-    meta: dict[str, str] | None = None,
+    meta: dict[str, str] | list[dict[str, str]] | None = None,
     channel: str = "default",
     content_type: str = "application/json",
 ) -> DataFrame:
     """Build a message DataFrame from python payloads (JSON-encoded).
+    ``meta`` is one dict shared by every row, or a list parallel to
+    ``payloads``.
 
     Test/ingest helper mirroring ``generate_msg`` (reference
     ``tests/common.py:52-78``).
     """
+    payloads = list(payloads)
+    metas = meta if isinstance(meta, list) else [meta or {}] * len(payloads)
     rows = []
-    for p in payloads:
+    for p, m in zip(payloads, metas):
         payload = p if isinstance(p, str) else json.dumps(p)
-        rows.append((payload, meta or {}))
+        rows.append((payload, m or {}))
     df = spark.createDataFrame(
         rows,
         T.StructType(

@@ -16,6 +16,15 @@ Cross-cutting BaseNode params reproduced here (``nodes.py:114-121``):
   forward the *input* payload+meta (``nodes.py:227-229``).
 * ``name`` — stage-addressable name for inject/replay
   (``channels.py:551-662``).
+* ``auto_retry`` — failures from this node become ``wait_retry`` rows
+  tagged with the node's name as re-entry stage, instead of ``error``
+  (``nodes.py:132,194-204`` auto_retry_exceptions → RetryException); the
+  channel parks them in the retry store (``retry.py:13-240``).
+* ``store_meta`` — after the node, append ``str(meta[k])`` for each
+  listed key to the row's audit store-meta list (``nodes.py:119-121,
+  216-222``); collected into a ``__store_meta`` column and bulk-flushed
+  by ``MessageStore.add_meta_from_messages`` — one distributed append,
+  no per-row driver loop.
 
 Per-row failure never raises: nodes write ``err_msg`` and flip ``state``
 to ``error``; downstream nodes skip non-active rows. This is the columnar
@@ -29,7 +38,15 @@ from typing import Any, Callable
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
-from ..message import DROPPED, ERROR, PENDING, PROCESSING, REJECTED, add_context
+from ..message import (
+    DROPPED,
+    ERROR,
+    PENDING,
+    PROCESSING,
+    REJECTED,
+    WAIT_RETRY,
+    add_context,
+)
 
 __all__ = ["Node", "active_cond", "payload_fn_udf"]
 
@@ -48,11 +65,15 @@ class Node:
         passthrough: bool = False,
         store_input_as: str | None = None,
         store_output_as: str | None = None,
+        auto_retry: bool = False,
+        store_meta: list[str] | None = None,
     ):
         self.name = name or type(self).__name__
         self.passthrough = passthrough
         self.store_input_as = store_input_as
         self.store_output_as = store_output_as
+        self.auto_retry = auto_retry
+        self.store_meta = list(store_meta) if store_meta else []
 
     # -- override points -------------------------------------------------
     def transform(self, df: DataFrame) -> DataFrame:
@@ -72,11 +93,8 @@ class Node:
         act = active_cond()
         out = df
         if err is not None:
-            out = out.withColumn(
-                "err_msg", F.when(act & err.isNotNull(), err).otherwise(F.col("err_msg"))
-            ).withColumn(
-                "state", F.when(act & err.isNotNull(), F.lit(ERROR)).otherwise(F.col("state"))
-            )
+            # via set_state so auto_retry rewrites error → wait_retry
+            out = self.set_state(out, err.isNotNull(), ERROR, err_msg=err)
             act = active_cond()
         out = out.withColumn(
             "payload", F.when(act, expr).otherwise(F.col("payload"))
@@ -96,6 +114,16 @@ class Node:
         if err_msg is not None:
             out = out.withColumn(
                 "err_msg", F.when(act & cond, err_msg).otherwise(F.col("err_msg"))
+            )
+        if state == ERROR and self.auto_retry:
+            # auto_retry_exceptions parity (nodes.py:194-204): the failed
+            # row re-enters at THIS node instead of terminating in error.
+            state = WAIT_RETRY
+            if "retry_stage" not in out.columns:
+                out = out.withColumn("retry_stage", F.lit(None).cast("string"))
+            out = out.withColumn(
+                "retry_stage",
+                F.when(act & cond, F.lit(self.name)).otherwise(F.col("retry_stage")),
             )
         out = out.withColumn(
             "state", F.when(act & cond, F.lit(state)).otherwise(F.col("state"))
@@ -120,7 +148,41 @@ class Node:
             out = self.transform(df)
         if self.store_output_as:
             out = add_context(out, self.store_output_as)
+        if self.store_meta:
+            out = self._append_store_meta(out)
         return out
+
+    def _append_store_meta(self, df: DataFrame) -> DataFrame:
+        """Collect ``(key, str(meta[key]))`` pairs for active rows into
+        ``__store_meta``; keys absent from ``meta`` are skipped
+        (``nodes.py:216-222`` only stores present keys)."""
+        entry_type = T.ArrayType(
+            T.StructType(
+                [T.StructField("key", T.StringType()), T.StructField("value", T.StringType())]
+            )
+        )
+        out = df
+        if "__store_meta" not in out.columns:
+            out = out.withColumn("__store_meta", F.lit(None).cast(entry_type))
+        new_entries = F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("key"),
+                        F.col("meta").getItem(k).alias("value"),
+                    )
+                    for k in self.store_meta
+                ]
+            ),
+            lambda e: e["value"].isNotNull(),
+        )
+        appended = F.concat(
+            F.coalesce(F.col("__store_meta"), F.array().cast(entry_type)), new_entries
+        )
+        return out.withColumn(
+            "__store_meta",
+            F.when(active_cond(), appended).otherwise(F.col("__store_meta")),
+        )
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"<{type(self).__name__} {self.name!r}>"

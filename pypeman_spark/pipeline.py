@@ -41,6 +41,7 @@ from .message import (
     PROCESSED,
     PROCESSING,
     REJECTED,
+    WAIT_RETRY,
     ensure_message_columns,
 )
 from .operators.base import Node, active_cond
@@ -289,6 +290,9 @@ class Pipeline:
         dropped = out.filter(F.col("state") == DROPPED)
         rejected = out.filter(F.col("state") == REJECTED)
         errors = out.filter(F.col("state") == ERROR)
+        # auto_retry rows: parked for the retry store, no end-node chains
+        # (retry.py:58-86 parks before outcome handling)
+        waiting = out.filter(F.col("state") == WAIT_RETRY)
 
         processed = self._run_handlers(processed, self.join_nodes)
         dropped = self._run_handlers(dropped, self.drop_nodes)
@@ -299,6 +303,9 @@ class Pipeline:
         for part in (dropped, rejected, errors):
             allrows = allrows.unionByName(part, allowMissingColumns=True)
         allrows = self._run_handlers(allrows, self.final_nodes)
+        # retry-parked rows skip end-node chains entirely — they are not
+        # terminal; the retry sweep re-runs them (retry.py:130-170)
+        allrows = allrows.unionByName(waiting, allowMissingColumns=True)
 
         return PipelineResult(
             df=processed,

@@ -105,6 +105,28 @@ class MessageStore:
         )
         ev.write.mode("append").parquet(self.event_path)
 
+    def add_meta_from_messages(self, df: DataFrame) -> None:
+        """Bulk flush of node-level ``store_meta`` captures: explode the
+        ``__store_meta`` column (built by ``Node._append_store_meta``)
+        into ``kind=meta`` events — one distributed append for the whole
+        batch (``nodes.py:216-222`` per-message, done set-at-a-time)."""
+        if "__store_meta" not in df.columns:
+            return
+        ev = (
+            df.filter(F.col("__store_meta").isNotNull())
+            .select("id", F.explode("__store_meta").alias("__e"))
+            .select(
+                F.col("id"),
+                F.lit("meta").alias("kind"),
+                F.lit(None).cast("string").alias("state"),
+                F.lit(None).cast("string").alias("sub_id"),
+                F.col("__e.key").alias("meta_key"),
+                F.col("__e.value").alias("meta_value"),
+                F.lit(time.time()).alias("event_ts"),
+            )
+        )
+        ev.write.mode("append").parquet(self.event_path)
+
     def add_sub_message_state(self, msg_id: str, sub_id: str, state: str) -> None:
         """``msgstore.py:74-108``."""
         self._append_events([(msg_id, "substate", state, sub_id, None, None, time.time())])

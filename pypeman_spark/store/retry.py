@@ -42,13 +42,21 @@ class RetryStore:
         self.msg_path = os.path.join(base_path, "retry_messages")
         self.ack_path = os.path.join(base_path, "retry_acks")
 
-    def store_until_retry(self, df: DataFrame, stage: str | None) -> None:
-        """Park rows for retry at ``stage`` (``retry.py:58-86``)."""
+    def store_until_retry(self, df: DataFrame, stage: str | None = None) -> None:
+        """Park rows for retry at ``stage`` (``retry.py:58-86``). Rows
+        carrying a ``retry_stage`` column (set by ``auto_retry`` nodes,
+        ``nodes.py:194-204``) re-enter at that per-row stage; ``stage``
+        is the fallback (None = restart from the first stage)."""
+        stage_col = F.lit(stage).cast("string")
+        if "retry_stage" in df.columns:
+            stage_col = F.coalesce(F.col("retry_stage"), stage_col)
         out = (
             ensure_message_columns(df, channel=self.channel)
-            .select(*MESSAGE_COLUMNS)
+            .withColumn("__stage", stage_col)
+            .select(*MESSAGE_COLUMNS, "__stage")
             .withColumn("state", F.lit(WAIT_RETRY))
-            .withColumn("stage", F.lit(stage))
+            .withColumn("stage", F.col("__stage"))
+            .drop("__stage")
             .withColumn("retry_at", F.lit(time.time() + self.retry_delay))
             .withColumn("attempts", F.lit(1))
         )

@@ -75,6 +75,7 @@ class StreamingChannel:
                 out = out.filter(~retry_cond)
         if self.message_store is not None:
             self.message_store.change_message_states(out)
+            self.message_store.add_meta_from_messages(out)
         self.batches_processed += 1
 
     # -- lifecycle (channels.py:206-247) --------------------------------

@@ -122,3 +122,57 @@ def test_kv_store_latest_wins(spark, tmp_path):
     kv.save_data("other", "k", "x")
     assert kv.restore_data("other", "k") == "x"
     assert kv.restore_data("ns", "k") == {"v": 2}
+
+
+def test_auto_retry_node_parks_at_stage(spark, tmp_path):
+    # nodes.py:132,194-204 auto_retry_exceptions: a failing node's rows
+    # become wait_retry tagged with the node name, not error
+    def flaky(d):
+        if d["n"] == 1:
+            raise RuntimeError("boom")
+        return d
+
+    p = Pipeline("t").add(
+        FuncNode(lambda d: {"n": d["n"]}, name="head"),
+        FuncNode(flaky, name="flaky", auto_retry=True),
+    )
+    msgs = messages_from_payloads(spark, [{"n": 1}, {"n": 2}])
+    res = p.run(msgs)
+    assert res.df.count() == 1          # n=2 sailed through
+    assert res.errors.count() == 0      # failure did NOT terminate in error
+    waiting = res.all.filter(F.col("state") == "wait_retry")
+    assert [r["retry_stage"] for r in waiting.collect()] == ["flaky"]
+
+    # park via the per-row retry_stage column, then heal the node and sweep
+    rs = RetryStore(spark, str(tmp_path), channel="t", retry_delay=0.0)
+    rs.store_until_retry(waiting)
+    assert [r["stage"] for r in rs.pending().collect()] == ["flaky"]
+    healed = Pipeline("t").add(
+        FuncNode(lambda d: {"n": d["n"]}, name="head"),
+        FuncNode(lambda d: d, name="flaky"),
+    )
+    counts = rs.retry_once(healed, now=time.time() + 1)
+    assert counts == {"retried": 1, "succeeded": 1}
+    assert rs.is_empty()
+
+
+def test_store_meta_node_param(spark, store):
+    # nodes.py:119-121,216-222 store_meta: after the node, meta[k] is
+    # appended to the audit store's meta list, queryable via search
+    msgs = messages_from_payloads(
+        spark,
+        [{"i": 0}, {"i": 1}],
+        meta=[{"kind": "a"}, {"kind": "b"}],
+    )
+    store.store(msgs)
+    p = Pipeline("t").add(
+        FuncNode(lambda d: d, name="noop", store_meta=["kind", "absent"]),
+    )
+    res = p.run(msgs)
+    store.change_message_states(res.all)
+    store.add_meta_from_messages(res.all)
+    assert store.search(meta={"kind": "a"}).count() == 1
+    got = store.search(meta={"text_kind": ""})
+    assert got.count() == 2
+    # absent keys are skipped, not stored as nulls
+    assert store.search(meta={"text_absent": ""}).count() == 0
