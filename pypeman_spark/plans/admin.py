@@ -31,15 +31,39 @@ class ChannelRegistry:
     def __init__(self, spark):
         self.spark = spark
         self._channels: dict[str, tuple] = {}
+        self._streams: dict[str, object] = {}
 
-    def register(self, name: str, pipeline, store) -> None:
+    def register(self, name: str, pipeline, store, streaming_channel=None) -> None:
         self._channels[name] = (pipeline, store)
+        if streaming_channel is not None:
+            self._streams[name] = streaming_channel
 
     def names(self) -> list[str]:
         return sorted(self._channels)
 
     def get(self, name: str):
         return self._channels[name]
+
+    # -- lifecycle (views.py start_channel/stop_channel) ----------------
+    def channel_status(self, name: str) -> str:
+        self.get(name)  # raise KeyError for unknown channels
+        sc = self._streams.get(name)
+        return sc.status if sc is not None else "BATCH"
+
+    def start_channel(self, name: str) -> dict:
+        sc = self._streams.get(name)
+        if sc is None:
+            raise ValueError(f"channel {name!r} has no streaming source")
+        if sc.query is None:
+            sc.start()
+        return {"name": name, "status": sc.status}
+
+    def stop_channel(self, name: str) -> dict:
+        sc = self._streams.get(name)
+        if sc is None:
+            raise ValueError(f"channel {name!r} has no streaming source")
+        sc.stop()
+        return {"name": name, "status": sc.status}
 
     # -- operations (views.py) ------------------------------------------
     def list_msgs(self, channel: str, **search_kw) -> list[dict]:
@@ -97,6 +121,8 @@ class ChannelRegistry:
 
 _ROUTES = [
     (re.compile(r"^/channels/?$"), "list_channels"),
+    (re.compile(r"^/channels/([^/]+)/start/?$"), "start"),
+    (re.compile(r"^/channels/([^/]+)/stop/?$"), "stop"),
     (re.compile(r"^/channels/([^/]+)/messages/?$"), "messages"),
     (re.compile(r"^/channels/([^/]+)/messages/([^/]+)/replay/?$"), "replay"),
     (re.compile(r"^/channels/([^/]+)/messages/([^/]+)/preview/?$"), "preview"),
@@ -131,7 +157,14 @@ class AdminServer:
                         if not m:
                             continue
                         if op == "list_channels":
-                            return self._json(200, {"channels": outer.registry.names()})
+                            return self._json(200, {"channels": [
+                                {"name": n, "status": outer.registry.channel_status(n)}
+                                for n in outer.registry.names()
+                            ]})
+                        if op == "start":
+                            return self._json(200, outer.registry.start_channel(m.group(1)))
+                        if op == "stop":
+                            return self._json(200, outer.registry.stop_channel(m.group(1)))
                         if op == "messages":
                             kw = {}
                             if "start" in q:

@@ -42,7 +42,11 @@ def _get(server, path):
 def test_list_channels(admin):
     server, _ = admin
     status, body = _get(server, "/channels")
-    assert status == 200 and body == {"channels": ["chan_a"]}
+    assert status == 200
+    assert body == {"channels": [{"name": "chan_a", "status": "BATCH"}]}
+    # start/stop require a streaming source (views.py start/stop_channel)
+    status, body = _get(server, "/channels/chan_a/start")
+    assert status == 400
 
 
 def test_search_messages(admin):

@@ -167,3 +167,28 @@ def test_hl7_ack_mapping():
     assert "MSA|AA|" in hl7_ack_for_state("dropped")
     assert "MSA|AR|" in hl7_ack_for_state("rejected")
     assert "MSA|AE|" in hl7_ack_for_state("error")
+
+
+def test_admin_streaming_lifecycle(spark, tmp_path):
+    # urls.py:17-18 start/stop channel over the admin API
+    from pypeman_spark.plans.admin import ChannelRegistry
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.txt").write_text(json.dumps({"n": 1}))
+    store = MemoryMessageStore(spark, channel="adm_s")
+    pipe = Pipeline("adm_s").add(FuncNode(lambda d: d, name="noop"))
+    src = stream_files(spark, str(landing), glob="*.txt", channel="adm_s")
+    chan = StreamingChannel(
+        src, pipe, message_store=store, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    reg = ChannelRegistry(spark)
+    reg.register("adm_s", pipe, store, streaming_channel=chan)
+    assert reg.channel_status("adm_s") == "STOPPED"
+    out = reg.start_channel("adm_s")
+    try:
+        assert out["status"] in ("STARTING", "WAITING", "PROCESSING")
+        chan.process_all_available()
+        assert store.total() == 1
+    finally:
+        assert reg.stop_channel("adm_s")["status"] == "STOPPED"
