@@ -29,6 +29,10 @@ HEADLINE = [
     "shipping_priority",
     "local_supplier_volume",
     "top_orders_per_priority",
+    "order_priority_check",
+    "returned_items_report",
+    "customer_order_distribution",
+    "nation_market_share",
     "rollup_revenue",
     "pivot_event_values",
     "sessionize_events",

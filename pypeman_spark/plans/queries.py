@@ -1200,3 +1200,215 @@ def video_frame_sampling(spark, sf_dir):
         .select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
     )
     return MM.sample_video_frames(d, every_ms=1000, fake_duration_ms=5000)
+
+
+# =====================================================================
+# F. Wider relational coverage: semi/anti/correlated/conditional-agg
+# shapes + the salted-skew-join pattern (all pure built-in Spark; the
+# engine's pipeline API composes with these, SURVEY §2 closing note)
+# =====================================================================
+
+@q(
+    "order_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS = left-semi join. The date filter prunes
+    orders before the shuffle; the semi join never materializes lineitem
+    columns (ReadSchema stays 3-column at any SF)."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "returned_items_report",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_items_report(spark, sf_dir):
+    """TPC-H Q10 shape. nation broadcast (bounded); customer/orders/
+    lineitem strategies left to AQE. TopK = sort+limit (Spark plans
+    TakeOrderedAndProject — no full sort at scale)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery = per-key avg window.
+    The window partitions on l_partkey — same shuffle key as the join, so
+    Catalyst reuses one exchange; no second lineitem scan like the
+    self-join formulation."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    w = Window.partitionBy("l_partkey")
+    flagged = li.withColumn("__avg_qty", F.avg("l_quantity").over(w))
+    return (
+        flagged.join(part, flagged.l_partkey == part.p_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@q(
+    "nation_market_share",
+    """
+    SELECT year(o_orderdate) AS o_year,
+           round(sum(CASE WHEN n_name = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY year(o_orderdate)
+    ORDER BY o_year
+    """,
+)
+def nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: conditional aggregation (sum(CASE WHEN)) — one
+    pass computes both numerator and denominator; no second join."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_3", rev).otherwise(0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@q(
+    "customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join + double aggregation (histogram
+    of per-customer order counts). count(o_orderkey) ignores the nulls
+    the outer join produces, exactly like SQL."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@q(
+    "salted_user_event_join",
+    """
+    SELECT e.user_id, u.n_events AS user_total, count(*) AS n_purchases
+    FROM events e
+      JOIN (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) u
+        ON e.user_id = u.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id, u.n_events
+    """,
+)
+def salted_user_event_join(spark, sf_dir):
+    """Skew-mitigation pattern: the fact side is salted
+    (``pmod(event_id, N)``) and the dim side exploded N× so one hot
+    user_id spreads over N tasks instead of one straggler. Result is
+    identical to the unsalted join — the oracle proves it. (AQE skew-join
+    does this adaptively; explicit salting is the belt-and-braces form
+    for extreme keys.)"""
+    n_salt = 8
+    ev = t(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "__salt", F.pmod(F.col("event_id"), F.lit(n_salt)).cast("int")
+    )
+    return (
+        fact.join(salted_dim, ["user_id", "__salt"])
+        .groupBy("user_id", F.col("n_events").alias("user_total"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
