@@ -72,3 +72,27 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     """Register each table as a temp view for the SQL surface."""
     for n, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(n)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    path: str,
+    buckets: int = 32,
+) -> None:
+    """Persist ``df`` hash-bucketed (and sorted) by ``key``.
+
+    Co-location strategy for repeated big-big joins (SURVEY "Partitioning
+    & shuffle"): two tables bucketed on the same key with the same bucket
+    count join with ZERO exchange — at 100 TB that removes the dominant
+    shuffle of lineitem⋈orders-class queries entirely. Registered as an
+    external table so the files live at ``path``, not in the warehouse.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(table)
+    )

@@ -151,6 +151,59 @@ class MessageStore:
         view filters deleted ids (parquet is immutable; Delta: DELETE)."""
         self._append_events([(msg_id, "delete", None, None, None, None, time.time())])
 
+    def compact(self) -> None:
+        """Fold the event log into the base table (the plain-parquet
+        analogue of Delta OPTIMIZE + checkpoint).
+
+        The event log grows with every state change; ``current()`` pays
+        one extra join chain per query until it is folded. Compaction
+        rewrites the base from ``current()`` (latest state and substates
+        become base columns, tombstoned rows disappear) and re-emits
+        store-meta lists as a fresh, minimal event log — schemas are
+        unchanged, so readers never see a special case. Swap is
+        directory-rename atomic per path (single-writer assumption, same
+        as the reference's file store)."""
+        cur = self.current().cache()
+        try:
+            new_msg = os.path.join(self.base_path, f".compact_msg_{_uuid.uuid4().hex}")
+            new_ev = os.path.join(self.base_path, f".compact_ev_{_uuid.uuid4().hex}")
+            (
+                cur.select(*MESSAGE_COLUMNS)
+                .withColumn("date", F.to_date("timestamp"))
+                .write.mode("overwrite")
+                .partitionBy("date")
+                .parquet(new_msg)
+            )
+            meta_ev = (
+                cur.filter(F.col("store_meta").isNotNull())
+                .select(
+                    "id",
+                    F.explode("store_meta").alias("meta_key", "__vals"),
+                )
+                .select(
+                    "id", F.posexplode("__vals").alias("__pos", "meta_value"), "meta_key"
+                )
+                .select(
+                    F.col("id"),
+                    F.lit("meta").alias("kind"),
+                    F.lit(None).cast("string").alias("state"),
+                    F.lit(None).cast("string").alias("sub_id"),
+                    F.col("meta_key"),
+                    F.col("meta_value"),
+                    # position preserves list order through the re-read
+                    (F.lit(time.time()) + F.col("__pos")).alias("event_ts"),
+                )
+            )
+            meta_ev.write.mode("overwrite").parquet(new_ev)
+            for live, fresh in ((self.msg_path, new_msg), (self.event_path, new_ev)):
+                old = live + ".old"
+                if os.path.isdir(live):
+                    os.replace(live, old)
+                os.replace(fresh, live)
+                shutil.rmtree(old, ignore_errors=True)
+        finally:
+            cur.unpersist()
+
     # -- reads -----------------------------------------------------------
     def _messages(self) -> DataFrame:
         from ..message import MESSAGE_SCHEMA
@@ -200,7 +253,16 @@ class MessageStore:
         store_meta = (
             events.filter(F.col("kind") == "meta")
             .groupBy("id", "meta_key")
-            .agg(F.collect_list("meta_value").alias("__vals"))
+            # collect_list order is partition-dependent; sort on event_ts
+            # so list order is append order at any parallelism
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("event_ts", "meta_value"))
+                    ),
+                    lambda s: s["meta_value"],
+                ).alias("__vals")
+            )
             .groupBy("id")
             .agg(
                 F.map_from_entries(

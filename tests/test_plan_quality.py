@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the scale properties the engine
+relies on (pushdown, pruning, broadcast-vs-SMJ, top-k, bucketing) —
+asserted on .explain output so a refactor can't silently lose them."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypeman_spark.plans.queries import REGISTRY
+from pypeman_spark.sources.tables import load_table, write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(REGISTRY["pricing_summary"].fn(spark, SF))
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # projection pruned: join keys unused by Q1 are not read
+    read = plan.split("ReadSchema")[1][:400]
+    assert "l_partkey" not in read and "l_suppkey" not in read
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(REGISTRY["shipping_priority"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_exists_compiles_to_semi_join(spark):
+    plan = plan_of(REGISTRY["order_priority_check"].fn(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_six_way_join_has_no_cartesian(spark):
+    plan = plan_of(REGISTRY["local_supplier_volume"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_runs_without_exchange(spark, tmp_path):
+    # co-located big-big join: bucket both sides on the join key →
+    # SortMergeJoin with zero Exchange in the plan
+    orders = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", str(tmp_path / "bo"), buckets=8)
+    write_bucketed(li, "b_lineitem", "o_orderkey", str(tmp_path / "bl"), buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        n = joined.count()
+        assert n == load_table(spark, SF, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

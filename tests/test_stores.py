@@ -176,3 +176,33 @@ def test_store_meta_node_param(spark, store):
     assert got.count() == 2
     # absent keys are skipped, not stored as nulls
     assert store.search(meta={"text_absent": ""}).count() == 0
+
+
+def test_compact_folds_events(spark, tmp_path):
+    # compaction = plain-parquet OPTIMIZE: same query surface before/after
+    from pypeman_spark.store import FileMessageStore
+
+    store = FileMessageStore(spark, str(tmp_path / "audit"), channel="t")
+    msgs = messages_from_payloads(spark, [{"i": i} for i in range(6)])
+    store.store(msgs)
+    ids = sorted(r["id"] for r in store.current().select("id").collect())
+    store.change_message_state(ids[0], "processed")
+    store.change_message_state(ids[0], "error")     # later event wins
+    store.add_message_meta_infos(ids[1], "k", "v1")
+    store.add_message_meta_infos(ids[1], "k", "v2")  # list order preserved
+    store.add_sub_message_state(ids[2], "sub1", "rejected")
+    store.delete(ids[3])
+
+    before = {r["id"]: r for r in store.current().collect()}
+    store.compact()
+    after = {r["id"]: r for r in store.current().collect()}
+
+    assert sorted(after) == sorted(before) and len(after) == 5
+    assert after[ids[0]]["state"] == "error"
+    assert list(after[ids[1]]["store_meta"]["k"]) == ["v1", "v2"]
+    assert [s["state"] for s in after[ids[2]]["submessage_states"]] == ["rejected"]
+    assert ids[3] not in after
+    # post-compact mutations still work (fresh event log)
+    store.change_message_state(ids[4], "rejected")
+    assert store.get(ids[4])["state"] == "rejected"
+    assert store.search(meta={"k": "v2"}).count() == 1
