@@ -28,6 +28,8 @@ __all__ = [
     "hyperplanes",
     "lsh_bucket",
     "lsh_ann_topk",
+    "ivf_assign",
+    "ivf_ann_topk",
 ]
 
 
@@ -123,6 +125,76 @@ def lsh_ann_topk(
         F.col(vec_col).alias("__qvec"),
     ).withColumn("__bucket", lsh_bucket(F.col("__qvec"), planes))
     scored = c.join(F.broadcast(q), "__bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Column:
+    """Cell assignment: each corpus vector → its max-cosine centroid
+    (ties → lowest ``cid``). Centroids are broadcast (C ≪ N); the
+    assignment is a narrow map over the corpus — no corpus shuffle."""
+    w = Window.partitionBy(id_col).orderBy(F.col("__s").desc(), F.col("cid"))
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .withColumn("__s", cosine(F.col(vec_col), F.col("cv")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into centroid cells, probe
+    only the ``nprobe`` closest cells per query, exact re-rank inside.
+
+    Scale shape: the expensive exact scoring touches ~``nprobe/C`` of the
+    corpus instead of all of it; the assignment is computed once and in
+    production is persisted partitioned BY cell so a probe is a partition
+    -pruned scan. Centroids here are the ``n_centroids`` lowest-id
+    vectors — deterministic for oracle comparison; swap in
+    ``pyspark.ml.clustering.KMeans`` fitted centers for real recall (the
+    probe/re-rank plumbing is identical).
+    """
+    cent = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    )
+    assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    wp = Window.partitionBy(query_id_col).orderBy(F.col("__s").desc(), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__s", cosine(F.col("__qvec"), F.col("cv")))
+        .withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id_col, "__qvec", "cid")
+    )
+    scored = assigned.join(F.broadcast(probes), "cid").select(
         query_id_col,
         id_col,
         F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),

@@ -1412,3 +1412,57 @@ def salted_user_event_join(spark, sf_dir):
         .groupBy("user_id", F.col("n_events").alias("user_total"))
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_IVF_ORACLE = f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+    asg AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT c.vec_id, c.v, cent.cid,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                 {_COS.format(a='c.v', b='cent.cv')} DESC, cent.cid) AS rn
+        FROM c, cent) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    probe AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, cent.cid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {_COS.format(a='q.qv', b='cent.cv')} DESC, cent.cid) AS rn
+        FROM q, cent) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT probe.query_id, asg.vec_id,
+             round({_COS.format(a='asg.v', b='probe.qv')}, 6) AS score
+      FROM asg JOIN probe ON asg.cid = probe.cid
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@q("ivf_ann_topk", _IVF_ORACLE)
+def ivf_ann_topk_q(spark, sf_dir):
+    """IVF-cell ANN (functions/similarity.py:ivf_ann_topk): 8 cells,
+    probe 2, exact cosine re-rank — the partition-pruned scale path next
+    to the LSH variant."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_ann_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
