@@ -199,3 +199,39 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 0,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a < id_b, cosine)``
+    with cosine ≥ ``threshold``.
+
+    ``num_planes=0`` is the exact O(N²) verifier (use on bounded
+    subsets or LSH candidates). With ``num_planes>0`` the pair space is
+    restricted to vectors sharing a random-hyperplane bucket
+    (similarity.hyperplanes — deterministic) — the scale path: the join
+    is an equi-join on bucket, never a cross join.
+    """
+    from .similarity import cosine, hyperplanes, lsh_bucket
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if num_planes > 0:
+        planes = hyperplanes(num_planes, dim)
+        a = a.withColumn("__bucket", lsh_bucket(F.col("__va"), planes))
+        b = b.withColumn("__bucket", lsh_bucket(F.col("__vb"), planes))
+        pairs = a.join(b, "__bucket")
+    else:
+        pairs = a.crossJoin(b)
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

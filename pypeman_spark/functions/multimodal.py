@@ -23,6 +23,8 @@ __all__ = [
     "MEDIA_META_TYPE",
     "attach_media_meta",
     "decode_image_features",
+    "resize_media",
+    "audio_resample",
     "sample_video_frames",
 ]
 
@@ -116,3 +118,87 @@ def sample_video_frames(df: DataFrame, binary_col: str = "content",
         F.md5(F.hex(F.col(binary_col))).alias("frame_fingerprint"),
     )
     return frames
+
+
+def resize_media(df: DataFrame, width: int, height: int,
+                 binary_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    """Resize plumbing: binary in → binary out + updated media_meta.
+
+    STUB CODEC — the fake "resize" emits a deterministic byte string of
+    length ``width*height//256`` derived from the input bytes; a real
+    deployment swaps ``_fake_resize`` for PIL ``Image.resize`` with the
+    same Arrow batch shape. Output rows carry the new dimensions in
+    ``media_meta`` so downstream filters prune on real columns.
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(binary_col, T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_TYPE),
+        ]
+    )
+
+    def _fake_resize(payload: bytes) -> bytes:
+        if not payload:
+            return b""
+        n = max(1, width * height // 256)
+        return bytes(payload[i % len(payload)] for i in range(n))
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [_fake_resize(b) for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    binary_col: resized,
+                    "media_meta": [
+                        {
+                            "media_type": "image",
+                            "format": "raw",
+                            "width": width,
+                            "height": height,
+                            "duration_ms": None,
+                            "size_bytes": len(b),
+                        }
+                        for b in resized
+                    ],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_resize, out_schema)
+
+
+def audio_resample(df: DataFrame, target_hz: int = 16000,
+                   binary_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    """Audio resample plumbing (STUB CODEC — swap for torchaudio/librosa).
+
+    The fake keeps every ``k``-th byte as if decimating samples; schema
+    ``(id, content binary, sample_rate int)``. Real and fake share batch
+    shape, so the Spark plan (partitioning, Arrow transfer, pruning) is
+    exercised for real."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(binary_col, T.BinaryType()),
+            T.StructField("sample_rate", T.IntegerType()),
+        ]
+    )
+    k = max(1, 44100 // target_hz)
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    binary_col: [
+                        bytes((b or b"")[::k]) for b in pdf[binary_col]
+                    ],
+                    "sample_rate": target_hz,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_resample, out_schema)

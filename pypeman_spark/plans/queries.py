@@ -1466,3 +1466,27 @@ def ivf_ann_topk_q(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.ivf_ann_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+
+
+@q(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS.format(a='a.v', b='b.v')}, 6) AS cosine
+    FROM c a, c b
+    WHERE a.vec_id < b.vec_id
+      AND {_COS.format(a='a.v', b='b.v')} >= 0.4
+    """,
+)
+def embedding_near_dup_pairs_q(spark, sf_dir):
+    """Embedding-cosine near-dup (functions/dedup.py:
+    embedding_near_dup_pairs), exact verifier form on a bounded slice;
+    num_planes>0 is the LSH-bucketed scale path."""
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    return D.embedding_near_dup_pairs(emb, threshold=0.4)
