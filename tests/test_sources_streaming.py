@@ -192,3 +192,63 @@ def test_admin_streaming_lifecycle(spark, tmp_path):
         assert store.total() == 1
     finally:
         assert reg.stop_channel("adm_s")["status"] == "STOPPED"
+
+
+def test_dirwatch_batch_read(spark, tmp_path):
+    # Spark 4 Python DataSource, batch form: one partition per file
+    from pypeman_spark.sources.dirwatch_datasource import DirWatchDataSource
+
+    spark.dataSource.register(DirWatchDataSource)
+    d = tmp_path / "watch"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha")
+    (d / "b.txt").write_text("beta")
+    (d / "skip.log").write_text("no")
+    df = spark.read.format("dirwatch").option("path", str(d)).option(
+        "regex", r".*\.txt$"
+    ).load()
+    rows = {r["filename"]: r["content"] for r in df.collect()}
+    assert rows == {"a.txt": "alpha", "b.txt": "beta"}
+
+
+def test_dirwatch_stream_repicks_modified_files(spark, tmp_path):
+    # SURVEY §7.4: modified-file re-pickup — the semantic the native file
+    # source cannot express; the mtime snapshot is the stream offset
+    import os, time as _time
+    from pypeman_spark.sources.dirwatch_datasource import DirWatchDataSource
+
+    spark.dataSource.register(DirWatchDataSource)
+    d = tmp_path / "watch"
+    d.mkdir()
+    f = d / "a.txt"
+    f.write_text("v1")
+    got = []
+    src = (
+        spark.readStream.format("dirwatch")
+        .option("path", str(d))
+        .option("regex", r".*\.txt$")
+        .load()
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            lambda df, _e: got.extend(
+                (r["filename"], r["content"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 30
+        while ("a.txt", "v1") not in got and _time.time() < deadline:
+            _time.sleep(0.2)
+        assert ("a.txt", "v1") in got
+        # rewrite the SAME file with a bumped mtime → must be re-emitted
+        f.write_text("v2")
+        os.utime(f, (_time.time() + 5, _time.time() + 5))
+        while ("a.txt", "v2") not in got and _time.time() < deadline:
+            _time.sleep(0.2)
+        assert ("a.txt", "v2") in got
+    finally:
+        q.stop()
