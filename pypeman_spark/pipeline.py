@@ -58,6 +58,13 @@ def _as_stage(obj: Node | StageFn) -> tuple[str, StageFn]:
     return name, obj
 
 
+def _slice_from(handlers: list[tuple[str, StageFn]], name: str) -> list:
+    names = [n for n, _ in handlers]
+    if name not in names:
+        raise KeyError(f"unknown node {name!r}; have {names}")
+    return handlers[names.index(name):]
+
+
 @dataclass
 class PipelineResult:
     """Outcome-partitioned result of one pipeline run.
@@ -251,11 +258,15 @@ class Pipeline:
         df: DataFrame,
         from_stage: str | None = None,
         to_stage: str | None = None,
+        skip_init: bool = False,
+        init_from: str | None = None,
     ) -> PipelineResult:
         """Run the chain on a (message) DataFrame.
 
         ``from_stage`` — inject/replay parity (``channels.py:551-662``):
-        start at the named stage, skipping earlier ones.
+        start at the named stage, skipping earlier ones. ``skip_init``
+        is the reference's ``"_initial"`` entry point (bypass init
+        nodes); ``init_from`` enters the init chain at a named node.
         """
         df = ensure_message_columns(df, channel=self.channel)
         stages = self.stages
@@ -269,6 +280,9 @@ class Pipeline:
         if to_stage is not None:
             idx = [s for s, _ in stages].index(to_stage)
             stages = stages[: idx + 1]
+        init_nodes = [] if skip_init else self.init_nodes
+        if init_from is not None:
+            init_nodes = _slice_from(self.init_nodes, init_from)
 
         out = self._apply_stages(
             self._apply_stages(
@@ -276,7 +290,7 @@ class Pipeline:
                     "state",
                     F.when(active_cond(), F.lit(PROCESSING)).otherwise(F.col("state")),
                 ),
-                self.init_nodes,
+                init_nodes,
             ),
             stages,
         )
@@ -314,6 +328,38 @@ class Pipeline:
             errors=errors,
             all=allrows,
         )
+
+    def inject(self, df: DataFrame, at: str | None = None):
+        """Generalized re-entry (``channels.py:551-662``): ``at`` may name
+        ANY node — main chain, init chain, or an outcome-handler chain.
+
+        * ``None`` — full handle; ``"_initial"`` — bypass init nodes;
+        * a main-stage name — start there (``run(from_stage=...)``);
+        * an init-node name — run init from there, then the full chain;
+        * a join/drop/reject/fail node name — run that handler chain
+          from the named node, then the final chain (the reference calls
+          final nodes after any end-chain injection); returns a
+          DataFrame, not a PipelineResult, mirroring the reference's
+          no-return end-chain injections;
+        * a final-node name — run the final chain from there.
+        """
+        if at is None:
+            return self.run(df)
+        if at == "_initial":
+            return self.run(df, skip_init=True)
+        if at in [n for n, _ in self.stages]:
+            return self.run(df, from_stage=at)
+        if at in [n for n, _ in self.init_nodes]:
+            return self.run(df, init_from=at)
+        df = ensure_message_columns(df, channel=self.channel)
+        for chain in (self.join_nodes, self.drop_nodes,
+                      self.reject_nodes, self.fail_nodes):
+            if at in [n for n, _ in chain]:
+                out = self._run_handlers(df, _slice_from(chain, at))
+                return self._run_handlers(out, self.final_nodes)
+        if at in [n for n, _ in self.final_nodes]:
+            return self._run_handlers(df, _slice_from(self.final_nodes, at))
+        raise KeyError(f"node {at!r} not found in any chain of {self.name!r}")
 
     # convenience: single-payload synchronous run (handle_and_wait parity,
     # channels.py:399-405)

@@ -192,3 +192,38 @@ def test_error_skips_downstream(spark):
     row = res.errors.collect()[0]
     assert row["payload"] == '{"x": 1}'
     assert row["err_msg"] == "always"
+
+
+def test_inject_all_entry_points(spark):
+    # channels.py:551-662: inject into init / main / end-node chains
+    seen = []
+
+    def tag(label):
+        def fn(d, _l=label):
+            return {**d, "via": d.get("via", []) + [_l]}
+        return fn
+
+    p = (
+        Pipeline("t")
+        .add(FuncNode(tag("main1"), name="main1"), FuncNode(tag("main2"), name="main2"))
+        .add_init_nodes(FuncNode(tag("init1"), name="init1"), FuncNode(tag("init2"), name="init2"))
+        .add_join_nodes(FuncNode(tag("join1"), name="join1"))
+        .add_final_nodes(FuncNode(tag("final1"), name="final1"))
+    )
+    msgs = messages_from_payloads(spark, [{}])
+
+    def via(out_df):
+        return json.loads(out_df.select("payload").collect()[0]["payload"])["via"]
+
+    # full handle: init → main → join → final
+    assert via(p.inject(msgs).all) == ["init1", "init2", "main1", "main2", "join1", "final1"]
+    # _initial bypasses init
+    assert via(p.inject(msgs, "_initial").all) == ["main1", "main2", "join1", "final1"]
+    # mid-main
+    assert via(p.inject(msgs, "main2").all) == ["init1", "init2", "main2", "join1", "final1"]
+    # mid-init
+    assert via(p.inject(msgs, "init2").all) == ["init2", "main1", "main2", "join1", "final1"]
+    # join-chain entry runs join then final, returns a DataFrame
+    assert via(p.inject(msgs, "join1")) == ["join1", "final1"]
+    # final-chain entry runs final only
+    assert via(p.inject(msgs, "final1")) == ["final1"]
