@@ -21,6 +21,8 @@ from .message import (  # noqa: F401
     STATES_PRIORITY,
     add_context,
     ensure_message_columns,
+    message_to_dict,
+    messages_from_dicts,
     messages_from_payloads,
 )
 from .pipeline import Pipeline, PipelineResult  # noqa: F401

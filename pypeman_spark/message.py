@@ -104,12 +104,20 @@ def ensure_message_columns(df: DataFrame, channel: str = "default") -> DataFrame
     now() timestamp, empty meta/ctx, state=pending. Uses only built-in
     expressions — no UDFs — so it costs nothing at scale.
     """
+    from datetime import datetime, timezone
+
     out = df
     cols = set(out.columns)
     if "uuid" not in cols:
         out = out.withColumn("uuid", F.regexp_replace(F.expr("uuid()"), "-", ""))
     if "timestamp" not in cols:
-        out = out.withColumn("timestamp", F.current_timestamp())
+        # literal, NOT current_timestamp(): the latter re-evaluates on
+        # every action, so `store(df)` and a later `run(df)` would stamp
+        # the same message with different ids. A plan-baked literal (and
+        # uuid()'s per-plan seed) make message identity stable across
+        # actions on the same DataFrame.
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        out = out.withColumn("timestamp", F.lit(now))
     if "id" not in cols:
         # store id format '<ts>_<uuid>' (msgstore.py:622)
         out = out.withColumn(
@@ -175,10 +183,14 @@ def messages_from_payloads(
 
 def renew(df: DataFrame) -> DataFrame:
     """New uuid + timestamp, everything else kept (``message.py:80-90``) —
-    the replay primitive."""
+    the replay primitive. Timestamp is a plan-baked literal for the same
+    action-stability reason as :func:`ensure_message_columns`."""
+    from datetime import datetime, timezone
+
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
     return (
         df.withColumn("uuid", F.regexp_replace(F.expr("uuid()"), "-", ""))
-        .withColumn("timestamp", F.current_timestamp())
+        .withColumn("timestamp", F.lit(now))
         .withColumn(
             "id",
             F.concat_ws(
@@ -204,3 +216,34 @@ def add_context(df: DataFrame, key: str) -> DataFrame:
         F.col("ctx").isNull(), F.create_map(F.lit(key), entry).cast(CTX_TYPE)
     ).otherwise(F.map_concat(F.col("ctx"), F.create_map(F.lit(key), entry)))
     return df.withColumn("ctx", new_ctx)
+
+
+def message_to_dict(row) -> dict:
+    """Row → plain JSON-able dict (``Message.to_dict``,
+    ``message.py:117-151``) — the interchange form for admin APIs,
+    webhooks and cross-engine hand-off. Payloads are already JSON
+    strings (never pickle, SURVEY §1.1), so the dict is fully portable."""
+    d = row.asDict(recursive=True)
+    ts = d.get("timestamp")
+    if ts is not None and not isinstance(ts, str):
+        d["timestamp"] = ts.isoformat()
+    return d
+
+
+def messages_from_dicts(spark, dicts) -> DataFrame:
+    """Inverse of :func:`message_to_dict` (``Message.from_dict``,
+    ``message.py:153-171``): rebuild a message DataFrame, filling any
+    missing columns with engine defaults."""
+    from datetime import datetime
+
+    rows = []
+    for d in dicts:
+        d = dict(d)
+        ts = d.get("timestamp")
+        if isinstance(ts, str):
+            d["timestamp"] = datetime.fromisoformat(ts)
+        rows.append(
+            tuple(d.get(f.name) for f in MESSAGE_SCHEMA.fields)
+        )
+    df = spark.createDataFrame(rows, MESSAGE_SCHEMA)
+    return ensure_message_columns(df)
