@@ -33,6 +33,10 @@ HEADLINE = [
     "returned_items_report",
     "customer_order_distribution",
     "nation_market_share",
+    "two_nation_volume",
+    "large_quantity_orders",
+    "promo_revenue_pct",
+    "disjunctive_predicate_revenue",
     "rollup_revenue",
     "pivot_event_values",
     "sessionize_events",
