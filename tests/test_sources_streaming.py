@@ -252,3 +252,47 @@ def test_dirwatch_stream_repicks_modified_files(spark, tmp_path):
         assert ("a.txt", "v2") in got
     finally:
         q.stop()
+
+
+def test_streaming_channel_auto_retry_sweep(spark, tmp_path):
+    # end-to-end DLQ topology: a flaky auto_retry node parks rows during
+    # the stream; run_retries_once drains them (retry.py:130-170)
+    from pypeman_spark.store import RetryStore
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i in range(3):
+        (landing / f"m{i}.txt").write_text(json.dumps({"n": i}))
+
+    def flaky(d):
+        if d["n"] == 1:
+            raise RuntimeError("transient")
+        return d
+
+    store = MemoryMessageStore(spark, channel="rt_s")
+    rs = RetryStore(spark, str(tmp_path / "rt"), channel="rt_s", retry_delay=0.0)
+    pipe = Pipeline("rt_s").add(
+        JsonToPython(),
+        FuncNode(flaky, name="flaky", auto_retry=True),
+    )
+    src = stream_files(spark, str(landing), glob="*.txt", channel="rt_s")
+    chan = StreamingChannel(
+        src, pipe, message_store=store, retry_store=rs,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    chan.start()
+    try:
+        chan.process_all_available()
+    finally:
+        chan.stop()
+    parked = rs.pending().collect()
+    assert [r["stage"] for r in parked] == ["flaky"]
+
+    # heal and sweep
+    healed = Pipeline("rt_s").add(
+        JsonToPython(), FuncNode(lambda d: d, name="flaky")
+    )
+    chan.pipeline = healed
+    counts = chan.run_retries_once()
+    assert counts == {"retried": 1, "succeeded": 1}
+    assert rs.is_empty()
