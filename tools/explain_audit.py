@@ -30,10 +30,11 @@ def main() -> None:
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
-        n_shuffle = len(
-            re.findall(r"Exchange (?:hash|range|Single)partitioning?", plan)
-        ) + len(re.findall(r"Exchange SinglePartition", plan))
-        n_bcast = len(re.findall(r"BroadcastExchange", plan))
+        # formatted mode prints "(N) Exchange" nodes with the
+        # partitioning in an Arguments: line — count node headers
+        n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        n_bcast = len(re.findall(r"^\(\d+\) BroadcastExchange", plan, re.M))
+        n_shuffle = n_exchange
         n_scan = len(re.findall(r"Scan parquet", plan))
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         pushed_nonempty = sum(1 for p in pushed if p.strip())
