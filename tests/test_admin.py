@@ -89,3 +89,19 @@ def test_push_msg(admin):
         body = json.loads(r.read())
     assert body == {"pushed": 1, "outcomes": ["processed"]}
     assert store.total() == 4
+
+
+def test_admin_shell_client(admin):
+    # remoteadmin.py:403-557 shell client verbs over the live server
+    from pypeman_spark.plans.admin_client import AdminClient
+
+    server, store = admin
+    c = AdminClient(f"http://127.0.0.1:{server.port}")
+    assert c.channels()["channels"][0]["name"] == "chan_a"
+    msgs = c.list_msgs("chan_a", count=3)
+    assert len(msgs["messages"]) == 3
+    mid = msgs["messages"][0]["id"]
+    assert c.view("chan_a", mid)["id"] == mid
+    assert c.preview("chan_a", mid)["preview"]
+    out = c.push("chan_a", '{"n": 99}')
+    assert out["outcomes"] == ["processed"]
