@@ -51,7 +51,33 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     return tuple(out)
 
 
+def _ensure_runtime_confs(spark: SparkSession) -> None:
+    """Make query plans correct in ANY SparkSession, not just ours.
+
+    Callers (e.g. an external harness) may hand us a session built
+    without the confs `session.get_spark` sets at build time. The ones
+    correctness depends on are all runtime-settable, so set them here:
+
+    * ``nanosAsLong`` — without it the vectorized reader rejects the
+      TIMESTAMP(NANOS) testdata parquet outright (PARQUET_TYPE_ILLEGAL).
+    * ``session.timeZone=UTC`` — timestamp→date/string derivations must
+      match the UTC-naive DuckDB oracle regardless of host timezone.
+    * ``mapKeyDedupPolicy=LAST_WIN`` — ctx snapshot overwrite semantics
+      (Message.add_context) rely on map_concat keeping the last key.
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked down (e.g. shared cluster) — keep going
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for col in _nanos_ts_columns(path):
