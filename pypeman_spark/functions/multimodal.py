@@ -60,14 +60,20 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
     """STUB CODEC — deterministic fake in place of a real image decode.
 
     Real deployment: replace with PIL/torchvision; signature and batch
-    shape stay identical. The fake derives ``dim`` floats from byte
-    statistics so tests get stable, content-dependent vectors.
+    shape stay identical. The fake is md5-derived so an external SQL
+    oracle can reproduce it exactly: feature ``i`` is hex chars
+    ``[4i, 4i+4)`` of ``md5(HEX(payload))`` scaled to [0, 1) —
+    ``md5(hex(encode(text)))`` + ``CAST('0x'||substr AS INT)`` in
+    DuckDB. Uppercase hex to match Spark's ``F.hex``/DuckDB's ``hex``;
+    4 hex chars per feature → dim ≤ 8 stays within one md5 (wraps after).
     """
+    import hashlib
+
     if payload is None:
         return [0.0] * dim
-    n = len(payload)
+    h = hashlib.md5(payload.hex().upper().encode("ascii")).hexdigest()
     return [
-        float(payload[i % n] if n else 0) / 255.0 + (i * 0.001)
+        int(h[(4 * i) % 32 : (4 * i) % 32 + 4], 16) / 65536.0
         for i in range(dim)
     ]
 

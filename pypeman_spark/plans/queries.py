@@ -850,13 +850,18 @@ def _docs_with_dups(spark, sf_dir):
     f"""
     WITH corpus AS ({_DOC_DUP_SQL_BASE})
     SELECT md5(text) AS content_hash, count(*) AS n_docs,
-           list_sort(list(doc_id)) AS doc_ids
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
     FROM corpus GROUP BY md5(text) HAVING count(*) > 1
     """,
 )
 def dedup_exact_groups(spark, sf_dir):
-    """Exact dedup: hash-groupBy duplicate groups (functions/dedup.py)."""
-    return D.exact_dup_groups(_docs_with_dups(spark, sf_dir))
+    """Exact dedup: hash-groupBy duplicate groups (functions/dedup.py).
+
+    The library API returns doc_ids as a sorted ARRAY; serialize it to a
+    CSV string here because hash-compare harnesses canonicalize through
+    pandas, which cannot sort list-valued columns."""
+    groups = D.exact_dup_groups(_docs_with_dups(spark, sf_dir))
+    return groups.withColumn("doc_ids", F.array_join(F.col("doc_ids"), ","))
 
 
 @q(
@@ -973,7 +978,9 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
     ),
     sums AS (SELECT doc_id, bit, sum(v) AS s FROM bits GROUP BY doc_id, bit)
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN CAST(2 AS BIGINT) ** bit ELSE 0 END) AS simhash
+           -- DuckDB's ** yields DOUBLE; Spark emits BIGINT — cast so the
+           -- harness's dtype-sensitive hash agrees (values identical)
+           CAST(sum(CASE WHEN s > 0 THEN 2 ** bit ELSE 0 END) AS BIGINT) AS simhash
     FROM sums GROUP BY doc_id
     """,
 )
@@ -1161,11 +1168,26 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
-@q("multimodal_decode_features", None)  # python fake codec — rows-only check
+@q(
+    "multimodal_decode_features",
+    """
+    WITH h AS (
+      SELECT doc_id, md5(hex(encode(text))) AS hh
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           round(CAST('0x' || substring(hh, 1, 4) AS INTEGER) / 65536.0, 6) AS f0,
+           round(CAST('0x' || substring(hh, 13, 4) AS INTEGER) / 65536.0, 6) AS f3,
+           round(CAST('0x' || substring(hh, 29, 4) AS INTEGER) / 65536.0, 6) AS f7
+    FROM h
+    """,
+)
 def multimodal_decode_features(spark, sf_dir):
     """Multimodal plumbing: documents' bytes as opaque binary → Arrow
     mapInPandas feature extraction (functions/multimodal.py). The codec
-    is a stub; schema/batching/partitioning are the real thing."""
+    is a stub, but a deterministic md5-derived one, so the oracle can
+    reproduce features exactly; schema/batching/partitioning are the
+    real thing."""
     from ..functions import multimodal as MM
 
     d = (
@@ -1174,8 +1196,14 @@ def multimodal_decode_features(spark, sf_dir):
         .select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
     )
     feats = MM.decode_image_features(d, binary_col="content", dim=8)
+
+    # k/65536 is exact in float32, so the cast to DOUBLE is lossless and
+    # the rounded value (and dtype) match the DOUBLE-typed oracle.
+    def f(i: int):
+        return F.round(F.element_at("features", i + 1).cast("double"), 6)
+
     return feats.select(
-        "doc_id", F.round(F.element_at("features", 1), 6).alias("f0")
+        "doc_id", f(0).alias("f0"), f(3).alias("f3"), f(7).alias("f7")
     )
 
 
