@@ -111,13 +111,21 @@ def ensure_message_columns(df: DataFrame, channel: str = "default") -> DataFrame
     if "uuid" not in cols:
         out = out.withColumn("uuid", F.regexp_replace(F.expr("uuid()"), "-", ""))
     if "timestamp" not in cols:
-        # literal, NOT current_timestamp(): the latter re-evaluates on
-        # every action, so `store(df)` and a later `run(df)` would stamp
-        # the same message with different ids. A plan-baked literal (and
-        # uuid()'s per-plan seed) make message identity stable across
-        # actions on the same DataFrame.
-        now = datetime.now(timezone.utc).replace(tzinfo=None)
-        out = out.withColumn("timestamp", F.lit(now))
+        if out.isStreaming:
+            # Structured Streaming resolves current_timestamp() to the
+            # micro-batch timestamp: each batch stamps arrival time (a
+            # plan-baked literal would stamp stream-DEFINITION time on
+            # every batch forever), and it's stable across the several
+            # foreachBatch actions within one batch.
+            out = out.withColumn("timestamp", F.current_timestamp())
+        else:
+            # literal, NOT current_timestamp(): the latter re-evaluates
+            # on every action, so `store(df)` and a later `run(df)` would
+            # stamp the same message with different ids. A plan-baked
+            # literal (and uuid()'s per-plan seed) make message identity
+            # stable across actions on the same DataFrame.
+            now = datetime.now(timezone.utc).replace(tzinfo=None)
+            out = out.withColumn("timestamp", F.lit(now))
     if "id" not in cols:
         # store id format '<ts>_<uuid>' (msgstore.py:622)
         out = out.withColumn(

@@ -21,6 +21,7 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from ..message import ERROR
 from .base import Node, active_cond
 
 __all__ = ["HttpRequest", "FileReader"]
@@ -129,25 +130,19 @@ class HttpRequest(Node):
                     [pdf.reset_index(drop=True), res.add_prefix("__http_")], axis=1
                 )
 
-        act = active_cond()
         schema = T.StructType(
             df.schema.fields
             + [T.StructField(f"__http_{f.name}", f.dataType) for f in _HTTP_RESULT.fields]
         )
         called = df.mapInPandas(_call, schema)
-        out = (
-            called.withColumn(
-                "err_msg",
-                F.when(
-                    act & F.col("__http_err").isNotNull(), F.col("__http_err")
-                ).otherwise(F.col("err_msg")),
-            )
-            .withColumn(
-                "state",
-                F.when(
-                    act & F.col("__http_err").isNotNull(), F.lit("error")
-                ).otherwise(F.col("state")),
-            )
+        # through set_state, not raw withColumn: auto_retry=True must
+        # rewrite transient HTTP failures to wait_retry + retry_stage so
+        # the DLQ re-entry path applies (nodes.py:194-204 parity)
+        out = self.set_state(
+            called,
+            F.col("__http_err").isNotNull(),
+            ERROR,
+            err_msg=F.col("__http_err"),
         )
         act2 = active_cond()
         out = (

@@ -90,25 +90,42 @@ def aggregate_substates(df: DataFrame) -> DataFrame:
     sub_state = F.when(F.col("state") == "dropped", F.lit("processed")).otherwise(
         F.col("state")
     )
-    df = df.withColumn("__sub_state", sub_state)
-    subs = F.collect_list(
-        F.struct(
-            F.col("uuid").alias("sub_id"),
-            F.col("__sub_state").alias("state"),
-            F.unix_timestamp("timestamp").cast("double").alias("ts"),
-        )
+    # Deterministic sub order: the Yielder suffixes each sub uuid with its
+    # explode position (`<parent>_<idx>`); recover it so first/last-sub
+    # semantics survive shuffles (F.first/F.last are any-row). A
+    # non-exploded row's uuid is 32 hex chars — try_cast (not cast: ANSI
+    # mode throws on malformed input) yields NULL → -1.
+    pos = F.coalesce(
+        F.element_at(F.split(F.col("uuid"), "_"), -1).try_cast("long"), F.lit(-1)
+    )
+    df = df.withColumn("__sub_state", sub_state).withColumn("__pos", pos)
+    entry = F.struct(
+        F.col("__pos").alias("pos"),
+        F.col("uuid").alias("sub_id"),
+        F.col("__sub_state").alias("state"),
+        F.unix_timestamp("timestamp").cast("double").alias("ts"),
+    )
+    # sort_array orders struct elements by leading field (pos), then strip it
+    subs = F.transform(
+        F.sort_array(F.collect_list(entry)),
+        lambda e: F.struct(
+            e["sub_id"].alias("sub_id"),
+            e["state"].alias("state"),
+            e["ts"].alias("ts"),
+        ),
     ).alias("submessage_states")
     agg = df.groupBy("id").agg(
-        F.first("timestamp").alias("timestamp"),
-        F.first("channel").alias("channel"),
-        F.first("content_type").alias("content_type"),
-        F.last("payload").alias("payload"),  # last-sub-message-wins (channels.py:783-786)
-        F.first("meta").alias("meta"),
-        F.first("ctx").alias("ctx"),
+        F.min_by("timestamp", "__pos").alias("timestamp"),
+        F.min_by("channel", "__pos").alias("channel"),
+        F.min_by("content_type", "__pos").alias("content_type"),
+        # last-sub-message-wins (channels.py:783-786), keyed on explode pos
+        F.max_by("payload", "__pos").alias("payload"),
+        F.min_by("meta", "__pos").alias("meta"),
+        F.min_by("ctx", "__pos").alias("ctx"),
         subs,
         F.collect_list("__sub_state").alias("__states"),
         F.max("err_msg").alias("err_msg"),
-        F.first("uuid").alias("uuid"),
+        F.min_by("uuid", "__pos").alias("uuid"),
     )
     return agg.withColumn("state", worst_state_expr(F.col("__states"))).drop(
         "__states"

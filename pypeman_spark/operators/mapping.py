@@ -191,23 +191,13 @@ class MsgFuncNode(Node):
             return pd.DataFrame({"payload": out_p, "meta": out_m, "err": out_e})
 
         res = _udf(F.col("payload"), F.col("meta"))
+        from ..message import ERROR
         from .base import active_cond
 
-        act = active_cond()
         out = df.withColumn("__r", res)
-        out = (
-            out.withColumn(
-                "err_msg",
-                F.when(act & F.col("__r.err").isNotNull(), F.col("__r.err")).otherwise(
-                    F.col("err_msg")
-                ),
-            )
-            .withColumn(
-                "state",
-                F.when(act & F.col("__r.err").isNotNull(), F.lit("error")).otherwise(
-                    F.col("state")
-                ),
-            )
+        # through set_state so auto_retry rewrites error → wait_retry
+        out = self.set_state(
+            out, F.col("__r.err").isNotNull(), ERROR, err_msg=F.col("__r.err")
         )
         act2 = active_cond()
         out = (

@@ -22,9 +22,10 @@ Spark-first translation:
   are addressable and testable.
 
 Scale notes: the entire chain is lazy; one pipeline = one Catalyst plan.
-``fork`` branches share the scan via an explicit ``persist`` only when a
-branch contains a sink (two actions); otherwise the plan is reused and
-Catalyst/AQE handle the rest.
+``when``/``case``/``fork`` persist the tagged frame before fan-out
+whenever a branch contains stages, so a K-arm branch never re-executes
+the upstream plan (scan + UDF stages) K+1 times; ``release()``
+unpersists when the run's outputs are consumed.
 """
 
 from __future__ import annotations
@@ -100,6 +101,36 @@ class Pipeline:
         self.fail_nodes: list[tuple[str, StageFn]] = []
         self.final_nodes: list[tuple[str, StageFn]] = []
         self.init_nodes: list[tuple[str, StageFn]] = []
+        self._persisted: list[DataFrame] = []
+
+    # -- branch-input sharing ---------------------------------------------
+    def _share(self, df: DataFrame) -> DataFrame:
+        """Persist a frame about to be consumed by >1 branch.
+
+        A K-arm ``case`` (or ``when``/``fork``) is filters + union over
+        the same upstream plan; without a persist, each branch — and any
+        eager sink inside one — re-executes the upstream (scan + UDF
+        stages) K+1 times. At 100 TB that's K redundant full scans, so
+        cache once and fan out. MEMORY_AND_DISK: spills instead of
+        recomputing. Call :meth:`release` (or let LRU eviction handle it)
+        when the run's outputs are consumed.
+        """
+        if df.isStreaming:
+            return df
+        from pyspark import StorageLevel
+
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self._persisted.append(cached)
+        return cached
+
+    def release(self) -> None:
+        """Unpersist frames cached by branch fan-outs (idempotent)."""
+        for cached in self._persisted:
+            try:
+                cached.unpersist()
+            except Exception:
+                pass
+        self._persisted.clear()
 
     # -- construction ----------------------------------------------------
     def add(self, *nodes: Node | StageFn) -> "Pipeline":
@@ -151,8 +182,16 @@ class Pipeline:
 
         def _when_stage(df: DataFrame, _sub=sub, _cond=cond) -> DataFrame:
             act = active_cond()
-            taken = df.filter(act & _cond)
-            rest = df.filter(~(act & _cond))
+            # NULL-normalize: a condition evaluating to SQL NULL (e.g.
+            # get_json_object on a missing key) must route the row to
+            # `rest`, not silently drop it from BOTH branches — filter(c)
+            # and filter(~c) each exclude NULL.
+            c = F.coalesce((act & _cond).cast("boolean"), F.lit(False))
+            src = df.withColumn("__take", c)
+            if _sub.stages:
+                src = self._share(src)
+            taken = src.filter(F.col("__take")).drop("__take")
+            rest = src.filter(~F.col("__take")).drop("__take")
             branch_out = _sub._apply_stages(taken, _sub.stages)
             # branch rows are terminal-success: mark processed
             branch_out = branch_out.withColumn(
@@ -181,11 +220,14 @@ class Pipeline:
 
         def _case_stage(df: DataFrame, _subs=subs) -> DataFrame:
             act = active_cond()
-            # first-match-wins arm tag
+            # first-match-wins arm tag; a NULL condition skips its
+            # F.when clause, so NULL ≡ no-match (arm -1, row continues)
             arm_col = F.lit(-1)
             for i in reversed(range(len(_subs))):
                 arm_col = F.when(_subs[i][0], F.lit(i)).otherwise(arm_col)
             tagged = df.withColumn("__arm", F.when(act, arm_col).otherwise(F.lit(-1)))
+            if any(s.stages for _c, s in _subs):
+                tagged = self._share(tagged)
             parts = [tagged.filter(F.col("__arm") == -1).drop("__arm")]
             for i, (_c, sub) in enumerate(_subs):
                 part = tagged.filter(F.col("__arm") == i).drop("__arm")
@@ -211,10 +253,13 @@ class Pipeline:
         def _fork_stage(df: DataFrame, _sub=sub) -> DataFrame:
             # Branch shares df's plan; run sub-chain eagerly so its sinks
             # fire (fire-and-forget semantics; wait_subchans ≙ this being
-            # synchronous in batch mode).
-            branch = _sub._apply_stages(df, _sub.stages)
+            # synchronous in batch mode). Persist first: the branch's
+            # sinks are separate actions, so without a cache the main
+            # chain re-executes the whole upstream.
+            src = self._share(df) if _sub.stages else df
+            branch = _sub._apply_stages(src, _sub.stages)
             _sub.last_fork_result = branch
-            return df
+            return src
 
         self.stages.append((sub.name, _fork_stage))
         self._forks.append(sub)

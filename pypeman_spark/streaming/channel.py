@@ -61,22 +61,27 @@ class StreamingChannel:
 
     # -- foreachBatch body ----------------------------------------------
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        if self.message_store is not None:
-            self.message_store.store(batch_df)
-        res = self.pipeline.run(batch_df)
-        out = res.all
-        if self.retry_store is not None:
-            retry_cond = F.col("state") == WAIT_RETRY
-            if self.retry_on_error:
-                retry_cond = retry_cond | (F.col("state") == "error")
-            to_retry = out.filter(retry_cond)
-            if not to_retry.isEmpty():
-                self.retry_store.store_until_retry(to_retry, None)
-                out = out.filter(~retry_cond)
-        if self.message_store is not None:
-            self.message_store.change_message_states(out)
-            self.message_store.add_meta_from_messages(out)
-        self.batches_processed += 1
+        try:
+            if self.message_store is not None:
+                self.message_store.store(batch_df)
+            res = self.pipeline.run(batch_df)
+            out = res.all
+            if self.retry_store is not None:
+                retry_cond = F.col("state") == WAIT_RETRY
+                if self.retry_on_error:
+                    retry_cond = retry_cond | (F.col("state") == "error")
+                to_retry = out.filter(retry_cond)
+                if not to_retry.isEmpty():
+                    self.retry_store.store_until_retry(to_retry, None)
+                    out = out.filter(~retry_cond)
+            if self.message_store is not None:
+                self.message_store.change_message_states(out)
+                self.message_store.add_meta_from_messages(out)
+            self.batches_processed += 1
+        finally:
+            # branch fan-outs persist per batch; release so a long-running
+            # stream doesn't accumulate cached frames across micro-batches
+            self.pipeline.release()
 
     # -- lifecycle (channels.py:206-247) --------------------------------
     def start(self, trigger: dict | None = None):

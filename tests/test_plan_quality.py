@@ -40,6 +40,63 @@ def test_six_way_join_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_case_fanout_scans_source_once(spark):
+    # pipeline.py:_share — a 3-arm case persists the tagged frame, so the
+    # union of arm branches reads the cache (InMemoryTableScan), not the
+    # parquet source once per arm
+    from pypeman_spark import Pipeline, ensure_message_columns
+    from pypeman_spark.operators import FuncNode
+
+    ev = load_table(spark, SF, "events")
+    msgs = ensure_message_columns(
+        ev.select(F.col("props").alias("payload"),
+                  F.col("event_type").alias("et")),
+        channel="t",
+    )
+    p = Pipeline("t")
+    p.case(
+        (F.col("et") == "click", [FuncNode(lambda d: d, name="a")]),
+        (F.col("et") == "view", [FuncNode(lambda d: d, name="b")]),
+        (F.col("et") == "purchase", [FuncNode(lambda d: d, name="c")]),
+    )
+    try:
+        res = p.run(msgs)
+        # the tagged frame was persisted exactly once for the fan-out...
+        assert len(p._persisted) == 1
+        assert p._persisted[0].storageLevel.useMemory
+        # ...and every arm + the fall-through branch reads the cache
+        # (the FileScan text under each InMemoryRelation is the cached
+        # relation's recipe, deduped by the CacheManager at execution)
+        plan = plan_of(res.all)
+        assert plan.count("InMemoryTableScan") >= 4, plan
+        # sanity: every row still routed exactly once
+        assert res.all.count() == msgs.count()
+    finally:
+        p.release()
+
+
+def test_when_null_condition_keeps_rows(spark):
+    # ADVICE r01 (high): a condition evaluating to SQL NULL must route the
+    # row to the continue-branch, not vanish from both
+    from pypeman_spark import Pipeline, messages_from_payloads
+    from pypeman_spark.operators import FuncNode
+
+    msgs = messages_from_payloads(
+        spark, [{"k": 1}, {"other": 9}, {"k": 3}]  # get_json_object → NULL on row 2
+    )
+    p = Pipeline("t")
+    p.when(
+        F.get_json_object(F.col("payload"), "$.k") > 1,
+        FuncNode(lambda d: d, name="branch"),
+    )
+    try:
+        res = p.run(msgs)
+        assert res.all.count() == 3
+        assert res.df.count() == 3  # both branches end processed
+    finally:
+        p.release()
+
+
 def test_bucketed_join_runs_without_exchange(spark, tmp_path):
     # co-located big-big join: bucket both sides on the join key →
     # SortMergeJoin with zero Exchange in the plan

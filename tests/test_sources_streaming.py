@@ -294,5 +294,5 @@ def test_streaming_channel_auto_retry_sweep(spark, tmp_path):
     )
     chan.pipeline = healed
     counts = chan.run_retries_once()
-    assert counts == {"retried": 1, "succeeded": 1}
+    assert counts == {"retried": 1, "succeeded": 1, "rejected": 0, "reparked": 0}
     assert rs.is_empty()

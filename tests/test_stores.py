@@ -101,7 +101,7 @@ def test_retry_store_cycle(spark, tmp_path):
 
     # sweep: re-enter at 'flaky', both succeed, store drains
     counts = rs.retry_once(p, now=time.time() + 1)
-    assert counts == {"retried": 2, "succeeded": 2}
+    assert counts == {"retried": 2, "succeeded": 2, "rejected": 0, "reparked": 0}
     assert rs.is_empty()
 
 
@@ -152,7 +152,41 @@ def test_auto_retry_node_parks_at_stage(spark, tmp_path):
         FuncNode(lambda d: d, name="flaky"),
     )
     counts = rs.retry_once(healed, now=time.time() + 1)
-    assert counts == {"retried": 1, "succeeded": 1}
+    assert counts == {"retried": 1, "succeeded": 1, "rejected": 0, "reparked": 0}
+    assert rs.is_empty()
+
+
+def test_retry_repark_doubles_backoff(spark, tmp_path):
+    # retry.py:103 sweep semantics: a still-failing row is re-parked as
+    # generation attempts+1 with retry_at = now + delay * 2**attempts;
+    # a rejected row is terminal and acked (never re-runs)
+    p = Pipeline("t").add(
+        FuncNode(lambda d: (_ for _ in ()).throw(RuntimeError("still down"))
+                 if d["n"] == 1 else d, name="flaky"),
+        Reject(condition=F.col("payload").contains('"n": 2'), name="rej"),
+    )
+    rs = RetryStore(spark, str(tmp_path), channel="t", retry_delay=10.0)
+    msgs = messages_from_payloads(spark, [{"n": 1}, {"n": 2}])
+    rs.store_until_retry(msgs, "flaky")
+
+    t0 = time.time() + 60
+    counts = rs.retry_once(p, now=t0)
+    assert counts == {"retried": 2, "succeeded": 0, "rejected": 1, "reparked": 1}
+
+    parked = rs.pending().collect()
+    assert len(parked) == 1                      # rejected row stayed acked
+    assert parked[0]["attempts"] == 2
+    assert parked[0]["retry_at"] == pytest.approx(t0 + 10.0 * 2, abs=0.1)
+    assert rs.retry_due(now=t0 + 1).count() == 0   # backoff respected
+    assert rs.retry_due(now=t0 + 30).count() == 1
+
+    # heal: the re-parked generation drains on the next sweep
+    healed = Pipeline("t").add(
+        FuncNode(lambda d: d, name="flaky"),
+        Reject(condition=F.lit(False), name="rej"),
+    )
+    counts = rs.retry_once(healed, now=t0 + 30)
+    assert counts == {"retried": 1, "succeeded": 1, "rejected": 0, "reparked": 0}
     assert rs.is_empty()
 
 
