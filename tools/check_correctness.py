@@ -60,9 +60,22 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entrymod
-    from pypeman_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("check_correctness", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    # Deliberately a BARE session, not get_spark(): the driver calls
+    # queries() with its own plain SparkSession, so every query must be
+    # self-sufficient (load_table sets runtime confs per-read). Round 1
+    # used get_spark() here, which masked a session-dependence bug that
+    # failed 21 driver checks.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .appName("check_correctness")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
