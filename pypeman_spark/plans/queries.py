@@ -424,13 +424,12 @@ def users_view_no_purchase(spark, sf_dir):
 )
 def value_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (both engines: linear
-    interpolation). The approximate variant at 100 TB is
-    ``percentile_approx`` — kept exact here for the oracle."""
+    interpolation). ``exact=False`` on the helper is the 100 TB path
+    (``percentile_approx`` sketch) — kept exact here for the oracle."""
+    from ..functions.stats import grouped_percentiles
+
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
-    )
+    return grouped_percentiles(ev, ["event_type"], "value", (0.5, 0.9), exact=True)
 
 
 @q(

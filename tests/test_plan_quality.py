@@ -119,3 +119,34 @@ def test_bucketed_join_runs_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_grouped_percentiles_exact_vs_approx(spark):
+    # VERDICT r01 item 7: the scale path (percentile_approx, bounded
+    # memory per group) must exist as a flag and agree with the exact
+    # sort-based form within sketch tolerance
+    from pypeman_spark.functions.stats import grouped_percentiles
+
+    ev = load_table(spark, SF, "events")
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in grouped_percentiles(
+            ev, ["event_type"], "value", (0.5, 0.9), exact=True
+        ).collect()
+    }
+    approx = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in grouped_percentiles(
+            ev, ["event_type"], "value", (0.5, 0.9), exact=False, accuracy=10000
+        ).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            # values range ~0-330; sketch picks a real sample near the rank
+            assert abs(e - a) < 5.0, (k, exact[k], approx[k])
+    # both are single-shuffle single-pass aggs
+    plan = plan_of(
+        grouped_percentiles(ev, ["event_type"], "value", (0.5, 0.9), exact=False)
+    )
+    assert plan.count("Exchange") <= 1

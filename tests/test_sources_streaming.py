@@ -5,8 +5,11 @@ streaming lifecycle (SURVEY §2.H)."""
 import json
 import os
 import time
+import urllib.error
 import urllib.request
 from datetime import datetime
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -296,3 +299,93 @@ def test_streaming_channel_auto_retry_sweep(spark, tmp_path):
     counts = chan.run_retries_once()
     assert counts == {"retried": 1, "succeeded": 1, "rejected": 0, "reparked": 0}
     assert rs.is_empty()
+
+
+def test_http_sidecar_sync_respond_and_routing(spark, tmp_path):
+    # VERDICT r01 items 1-2 (missing): synchronous request/response mode
+    # (contrib/http.py:159-182) + method/url routing with {match_info}
+    # path params (contrib/http.py:110-158)
+    from pypeman_spark.operators import JsonToPython, Drop, FuncNode
+
+    pipe = Pipeline("sync").add(
+        JsonToPython(),
+        Drop(condition=F.col("payload").contains('"skip": true'), name="d"),
+        FuncNode(lambda d: {**d, "seen": True}, name="f"),
+    )
+
+    def respond(payload, meta):
+        row = pipe.handle_and_wait(spark, payload or meta, meta=meta)
+        return row
+
+    landing = tmp_path / "sync_landing"
+    server = HttpLandingServer(
+        str(landing), url="/orders/{order_id}", method="POST", respond=respond,
+    )
+    server.start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        # happy path: response body is the TRANSFORMED payload, 200
+        req = urllib.request.Request(
+            f"{base}/orders/o42?src=web", data=json.dumps({"n": 1}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            body = json.loads(resp.read())
+            assert body["seen"] is True and body["n"] == 1
+
+        # dropped → 200 "Dropped" (contrib/http.py:176)
+        req = urllib.request.Request(
+            f"{base}/orders/o43", data=json.dumps({"skip": True}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            assert resp.read() == b"Dropped"
+
+        # route mismatches: wrong path → 404, wrong verb → 405
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                urllib.request.Request(f"{base}/other", data=b"{}", method="POST")
+            )
+        assert ei.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/orders/o1")
+        assert ei.value.code == 405
+    finally:
+        server.stop()
+
+    # match_info + query params landed in meta (contrib/http.py:143-150)
+    records = [json.loads(f.read_text()) for f in sorted(landing.glob("*.json"))]
+    assert len(records) == 2
+    assert records[0]["meta"]["order_id"] == "o42"
+    assert json.loads(records[0]["meta"]["get_params"]) == {"src": "web"}
+    assert records[0]["meta"]["method"] == "POST"
+
+
+def test_http_sidecar_get_routing(spark, tmp_path):
+    # GET endpoints: empty payload, query params in meta; pipeline result
+    # as the response body with meta-driven status_code
+    from pypeman_spark.operators import FuncNode
+
+    pipe = Pipeline("g").add(
+        FuncNode(lambda d: {"answer": 42}, name="lookup"),
+    )
+
+    def respond(payload, meta):
+        return pipe.handle_and_wait(spark, {"q": meta.get("get_params")}, meta=meta)
+
+    landing = tmp_path / "get_landing"
+    server = HttpLandingServer(str(landing), respond=respond)
+    server.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/lookup?id=9"
+        ) as resp:
+            assert resp.status == 200
+            assert json.loads(resp.read()) == {"answer": 42}
+    finally:
+        server.stop()
+    record = json.loads(next(iter(landing.glob("*.json"))).read_text())
+    assert record["payload"] == ""
+    assert json.loads(record["meta"]["get_params"]) == {"id": "9"}
