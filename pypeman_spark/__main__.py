@@ -1,0 +1,225 @@
+"""``python -m pypeman_spark`` — CLI entry points (reference
+``commands.py:229-400``: start / graph / startproject / shell /
+printsettings / test).
+
+The reference CLI loads ``project.py`` from the working directory at
+import time; here the convention is explicit: the project module
+exposes ``build_project(spark) -> ChannelRegistry``. ``start`` runs it,
+serves the REST + websocket admin endpoints, and starts every
+registered streaming channel; there is no daemon mode — process
+supervision belongs to the cluster scheduler at Spark scale
+(``--daemon`` is accepted and ignored for command-line parity).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import os
+import sys
+import time
+
+__all__ = ["main", "load_project", "graph_lines"]
+
+
+def load_project(project_dir: str = "."):
+    """Import ``project.py`` (reference ``commands.py:131-156``
+    load_project) and build the registry."""
+    sys.path.insert(0, os.path.abspath(project_dir))
+    try:
+        project = importlib.import_module("project")
+    finally:
+        sys.path.pop(0)
+    if not hasattr(project, "build_project"):
+        raise SystemExit(
+            "project.py must define build_project(spark) -> ChannelRegistry"
+        )
+    return project
+
+
+def _load_settings(project_dir: str = "."):
+    sys.path.insert(0, os.path.abspath(project_dir))
+    try:
+        return importlib.import_module("settings")
+    except ImportError:
+        return None
+    finally:
+        sys.path.pop(0)
+
+
+def graph_lines(registry, dot: bool = False):
+    """Channel graph (reference ``graph.py:81-98`` mk_graph /
+    ``channels.py:897-919`` ascii form)."""
+    if dot:
+        yield "digraph channelgraph{"
+        for name in registry.names():
+            yield '{node[shape=box]; "%s"; }' % name
+        for name in registry.names():
+            pipe, _store = registry.get(name)
+            prev = name
+            for stage, _fn in pipe.stages:
+                yield f'"{prev}" -> "{stage}";'
+                prev = stage
+        yield "}"
+    else:
+        for name in registry.names():
+            pipe, _store = registry.get(name)
+            yield f"{name} ({registry.channel_status(name)})"
+            for stage, _fn in pipe.stages:
+                yield f"|-{stage}"
+            yield ""
+
+
+def cmd_start(args) -> int:
+    from .plans.admin import AdminServer
+    from .plans.ws_admin import WsAdminServer
+    from .session import get_spark
+
+    settings = _load_settings(args.project_dir)
+    project = load_project(args.project_dir)
+    cpus = getattr(settings, "SPARK_CPUS", None) or int(
+        os.environ.get("SPARK_GRAFT_CPUS", "4")
+    )
+    spark = get_spark("pypeman-spark", cpus=cpus)
+    registry = project.build_project(spark)
+
+    servers = []
+    if args.remote_admin:
+        http_cfg = getattr(
+            settings, "REMOTE_ADMIN_HTTP_CONFIG",
+            {"host": "127.0.0.1", "port": 8090},
+        )
+        ws_cfg = getattr(
+            settings, "REMOTE_ADMIN_WEBSOCKET_CONFIG",
+            {"host": "127.0.0.1", "port": 8091},
+        )
+        rest = AdminServer(registry, host=http_cfg["host"], port=http_cfg["port"])
+        rest.start()
+        ws = WsAdminServer(registry, host=ws_cfg["host"], port=ws_cfg["port"])
+        ws.start()
+        servers = [rest, ws]
+        print(f"admin: http://{http_cfg['host']}:{rest.port} "
+              f"ws://{ws_cfg['host']}:{ws.port}")
+
+    started = []
+    for name in registry.names():
+        sc = registry._streams.get(name)
+        if sc is not None:
+            registry.start_channel(name)
+            started.append(name)
+            print(f"channel {name}: started")
+    if not started:
+        print("no streaming channels registered; admin-only mode")
+
+    try:
+        while True:
+            time.sleep(1)
+    except KeyboardInterrupt:
+        print("\nstopping...")
+    finally:
+        for name in started:
+            registry.stop_channel(name)
+        for srv in servers:
+            srv.stop()
+    return 0
+
+
+def cmd_graph(args) -> int:
+    from .session import get_spark
+
+    project = load_project(args.project_dir)
+    spark = get_spark("pypeman-spark-graph", cpus=2)
+    registry = project.build_project(spark)
+    for line in graph_lines(registry, dot=args.dot):
+        print(line)
+    return 0
+
+
+def cmd_startproject(args) -> int:
+    from .project_template import new_project
+
+    written = new_project(args.dirname)
+    for path in written:
+        print(f"created {path}")
+    return 0
+
+
+def cmd_shell(args) -> int:
+    from .plans.admin_client import AdminShell, client_for
+
+    settings = _load_settings(args.project_dir)
+    url = args.url
+    if url is None:
+        cfg = getattr(
+            settings, "REMOTE_ADMIN_WEBSOCKET_CONFIG",
+            {"host": "127.0.0.1", "port": 8091},
+        )
+        url = f"ws://{cfg['host']}:{cfg['port']}"
+    try:
+        AdminShell(client_for(url)).cmdloop()
+    except KeyboardInterrupt:
+        print("\nQuitting...")
+    return 0
+
+
+def cmd_printsettings(args) -> int:
+    settings = _load_settings(args.project_dir)
+    if settings is None:
+        print("no settings.py found", file=sys.stderr)
+        return 1
+    for name in sorted(dir(settings)):
+        if "A" <= name[0] <= "Z":
+            print(name, "=", repr(getattr(settings, name)))
+    return 0
+
+
+def cmd_test(args) -> int:
+    import unittest
+
+    sys.path.insert(0, os.path.abspath(args.project_dir))
+    suite = unittest.defaultTestLoader.loadTestsFromName(args.module)
+    runner = unittest.TextTestRunner(verbosity=2)
+    return 0 if runner.run(suite).wasSuccessful() else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="pypeman-spark",
+        description="Pypeman-spark: a PySpark-native ESB/ETL",
+    )
+    ap.add_argument("--project-dir", default=".", help="project directory")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("start", help="run the project's channels")
+    p.add_argument("--remote-admin", action="store_true",
+                   help="serve the REST + websocket admin endpoints")
+    p.add_argument("--daemon", action="store_true",
+                   help="accepted for reference-CLI parity (no-op)")
+
+    p = sub.add_parser("graph", help="show the channel graph")
+    p.add_argument("--dot", action="store_true", help="graphviz output")
+
+    p = sub.add_parser("startproject", help="scaffold a new project")
+    p.add_argument("dirname")
+
+    p = sub.add_parser("shell", help="interactive remote-admin shell")
+    p.add_argument("--url", default=None, help="http:// or ws:// admin URL")
+
+    sub.add_parser("printsettings", help="print the project settings")
+
+    p = sub.add_parser("test", help="run the project's tests")
+    p.add_argument("--module", "-m", default="tests")
+
+    args = ap.parse_args(argv)
+    return {
+        "start": cmd_start,
+        "graph": cmd_graph,
+        "startproject": cmd_startproject,
+        "shell": cmd_shell,
+        "printsettings": cmd_printsettings,
+        "test": cmd_test,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

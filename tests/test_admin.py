@@ -105,3 +105,62 @@ def test_admin_shell_client(admin):
     assert c.preview("chan_a", mid)["preview"]
     out = c.push("chan_a", '{"n": 99}')
     assert out["outcomes"] == ["processed"]
+
+
+@pytest.fixture()
+def ws_admin(spark):
+    store = MemoryMessageStore(spark, channel="chan_w")
+    pipe = Pipeline("chan_w").add(
+        JsonToPython(),
+        FuncNode(lambda d: {"n": d["n"] * 2}, name="double"),
+    )
+    store.store(messages_from_payloads(spark, [{"n": 1}, {"n": 2}]))
+    reg = ChannelRegistry(spark)
+    reg.register("chan_w", pipe, store)
+    from pypeman_spark.plans.ws_admin import WsAdminServer
+
+    server = WsAdminServer(reg)
+    server.start()
+    yield server, store
+    server.stop()
+    store.close()
+
+
+def test_ws_admin_rpc_verbs(ws_admin):
+    # remoteadmin.py:42-228 — websocket JSON-RPC transport over the same
+    # registry verb surface as REST
+    from pypeman_spark.plans.ws_admin import WsAdminClient
+
+    server, store = ws_admin
+    c = WsAdminClient(f"ws://127.0.0.1:{server.port}")
+    chans = c.channels()
+    assert chans == [{"name": "chan_w", "status": "BATCH"}]
+    out = c.list_msgs("chan_w", count=2)
+    assert len(out["messages"]) == 2 and out["total"] == 2
+    mid = out["messages"][0]["id"]
+    assert c.view("chan_w", mid)["id"] == mid
+    assert c.preview("chan_w", mid)["preview"]
+    pushed = c.push("chan_w", '{"n": 40}')
+    assert pushed["outcomes"] == ["processed"]
+    replayed = c.replay("chan_w", mid)
+    assert replayed["outcomes"] == ["processed"]
+    # RPC error surface: unknown method and unknown channel
+    with pytest.raises(RuntimeError):
+        c.send_command("nope")
+    with pytest.raises(RuntimeError):
+        c.start("chan_w")  # no streaming source → error result
+
+
+def test_ws_admin_named_params_and_shell(ws_admin):
+    from pypeman_spark.plans.admin_client import AdminShell, client_for
+
+    server, _ = ws_admin
+    c = client_for(f"ws://127.0.0.1:{server.port}")
+    # named-params dispatch (jsonrpcserver accepts both forms)
+    out = c.send_command("list_msgs", {"channel": "chan_w", "text": '"n"'})
+    assert out["total"] == 2
+    # the interactive shell runs the same verbs and survives errors
+    shell = AdminShell(c)
+    assert not shell.onecmd("channels")
+    assert not shell.onecmd("view chan_w missing_id")  # error printed, not raised
+    assert shell.onecmd("exit") is True

@@ -1,0 +1,61 @@
+"""CLI entry-point tests (reference commands.py:229-400 verb set)."""
+
+import os
+import subprocess
+import sys
+
+from pypeman_spark.__main__ import graph_lines, main
+from pypeman_spark.project_template import new_project
+
+
+def test_startproject_scaffold(tmp_path):
+    target = str(tmp_path / "proj")
+    written = new_project(target)
+    assert {os.path.basename(p) for p in written} == {
+        "project.py", "settings.py", "tests.py"
+    }
+    # template files are valid python
+    for p in written:
+        compile(open(p).read(), p, "exec")
+    # refuses to clobber an existing dir (reference pjt_templates behavior)
+    try:
+        new_project(target)
+        raise AssertionError("expected FileExistsError")
+    except FileExistsError:
+        pass
+
+
+def test_graph_lines(spark):
+    from pypeman_spark import Pipeline
+    from pypeman_spark.operators import FuncNode
+    from pypeman_spark.plans.admin import ChannelRegistry
+    from pypeman_spark.store import MemoryMessageStore
+
+    reg = ChannelRegistry(spark)
+    pipe = Pipeline("c1").add(FuncNode(lambda d: d, name="a"),
+                              FuncNode(lambda d: d, name="b"))
+    reg.register("c1", pipe, MemoryMessageStore(spark, channel="c1"))
+    ascii_out = list(graph_lines(reg))
+    assert ascii_out[0].startswith("c1 (BATCH)")
+    assert "|-a" in ascii_out and "|-b" in ascii_out
+    dot = "\n".join(graph_lines(reg, dot=True))
+    assert dot.startswith("digraph") and '"c1" -> "a";' in dot and '"a" -> "b";' in dot
+
+
+def test_cli_help_and_bad_project(tmp_path):
+    # argparse wiring: every verb registered
+    out = subprocess.run(
+        [sys.executable, "-m", "pypeman_spark", "--help"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0
+    for verb in ("start", "graph", "startproject", "shell", "printsettings", "test"):
+        assert verb in out.stdout
+    # graph against a dir with no project.py → clean SystemExit, not a traceback
+    (tmp_path / "project.py").write_text("x = 1\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "pypeman_spark", "--project-dir", str(tmp_path),
+         "startproject", str(tmp_path / "sub")],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0 and "created" in out.stdout
