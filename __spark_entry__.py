@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import pypeman_spark.plans.coverage_queries  # noqa: F401 — registers entries
 from pypeman_spark.plans.queries import REGISTRY
 
 

@@ -1,0 +1,770 @@
+"""Operator-exercising registry queries.
+
+Unlike the expression-level queries in :mod:`.queries`, every entry here
+drives the REAL operator / pipeline / store code paths — ``Pipeline.run``
+with actual ``Node`` subclasses, ``MessageStore`` round-trips,
+``RetryStore`` sweeps — over deterministic message frames derived from
+the parquet corpus, then projects a deterministic result the DuckDB
+oracle can reproduce. This is the driver-checked proof that the operator
+*implementations* (not just their SQL equivalents) compute the reference
+semantics (``/root/reference/pypeman/nodes.py``, ``channels.py``,
+``contrib/*.py``).
+
+Determinism rules: never output uuid/timestamp/id columns; bound inputs
+by key ranges; JSON produced by the Arrow UDF layer uses
+``json.dumps``'s default ``', '``/``': '`` separators, which the oracles
+reproduce with string concatenation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..message import MESSAGE_COLUMNS, ensure_message_columns, renew
+from ..operators import (
+    CSVstr2Python,
+    CombineCtx,
+    Drop,
+    Empty,
+    FileMover,
+    FileReader,
+    FileWriter,
+    FuncNode,
+    HL7ToPython,
+    HttpRequest,
+    Log,
+    MsgFuncNode,
+    Python2CSVstr,
+    PythonToHL7,
+    PythonToXML,
+    RaiseError,
+    Reject,
+    SaveContext,
+    Sleep,
+    XMLToPython,
+)
+from ..pipeline import Pipeline
+from ..sources.http_sidecar import hl7_ack_for_state
+from ..store.msgstore import FileMessageStore
+from ..store.retry import RetryStore
+from .queries import q, t
+
+
+def _event_msgs(spark: SparkSession, sf_dir: str, limit: int = 300) -> DataFrame:
+    """Message frame from events: payload = props JSON, meta.etype set,
+    event_id/value carried as extra columns (they survive every node —
+    nodes are pure column projections)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < limit)
+    msgs = ev.select(
+        "event_id",
+        "value",
+        F.col("props").alias("payload"),
+        F.create_map(F.lit("etype"), F.col("event_type")).alias("meta"),
+    )
+    return ensure_message_columns(msgs, channel="coverage")
+
+
+# =====================================================================
+# Parsers driven through real Node pipelines (SURVEY §2.B rows 13-19)
+# =====================================================================
+
+@q(
+    "csv_pipeline_roundtrip",
+    """
+    SELECT c_custkey,
+           '[["' || c_custkey || '", "' || c_name || '", "' || c_mktsegment
+             || '"]]' AS parsed,
+           c_custkey || ',' || c_name || ',' || c_mktsegment || chr(10) AS round
+    FROM customer WHERE c_custkey < 200
+    """,
+)
+def csv_pipeline_roundtrip(spark, sf_dir):
+    """Rows 13-15: CSVstr2Python → Python2CSVstr through Pipeline.run
+    (``contrib/csv.py:43-98``). ``parsed`` is the JSON row-list the
+    parser emits; ``round`` proves the serializer inverts it."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    msgs = c.select(
+        "c_custkey",
+        F.concat_ws(",", "c_custkey", "c_name", "c_mktsegment").alias("payload"),
+    )
+    p = Pipeline("csv_rt").add(
+        CSVstr2Python(headers=False, name="parse"),
+        SaveContext("parsed"),
+        Python2CSVstr(name="unparse"),
+    )
+    res = p.run(msgs)
+    return res.df.select(
+        "c_custkey",
+        F.col("ctx").getItem("parsed").getField("payload").alias("parsed"),
+        F.col("payload").alias("round"),
+    )
+
+
+@q(
+    "xml_pipeline_roundtrip",
+    """
+    SELECT n_nationkey,
+           '<nation key="' || n_nationkey || '"><name>' || n_name
+             || '</name><region>' || n_regionkey || '</region></nation>' AS xml,
+           '{"nation": {"@key": "' || n_nationkey || '", "name": "' || n_name
+             || '", "region": "' || n_regionkey || '"}}' AS back
+    FROM nation
+    """,
+)
+def xml_pipeline_roundtrip(spark, sf_dir):
+    """Rows 16-17: PythonToXML → XMLToPython (``contrib/xml.py:7-33``).
+    Attribute (``@key``) and child-element round-trip is exact."""
+    n = t(spark, sf_dir, "nation")
+    msgs = n.select(
+        "n_nationkey",
+        F.concat(
+            F.lit('{"nation": {"@key": "'), F.col("n_nationkey"),
+            F.lit('", "name": "'), F.col("n_name"),
+            F.lit('", "region": "'), F.col("n_regionkey"),
+            F.lit('"}}'),
+        ).alias("payload"),
+    )
+    p = Pipeline("xml_rt").add(
+        PythonToXML(name="to_xml"),
+        SaveContext("xml"),
+        XMLToPython(name="to_dict"),
+    )
+    res = p.run(msgs)
+    return res.df.select(
+        "n_nationkey",
+        F.col("ctx").getItem("xml").getField("payload").alias("xml"),
+        F.col("payload").alias("back"),
+    )
+
+
+@q(
+    "hl7_pipeline_roundtrip",
+    """
+    SELECT c_custkey,
+           '[["MSH", "PYPEMAN", "' || c_custkey || '"], ["PID", "1", "'
+             || c_custkey || '", ["' || c_name || '", "' || c_mktsegment
+             || '"]]]' AS parsed,
+           'MSH|PYPEMAN|' || c_custkey || chr(13) || 'PID|1|' || c_custkey
+             || '|' || c_name || '^' || c_mktsegment || chr(13) AS round
+    FROM customer WHERE c_custkey < 200
+    """,
+)
+def hl7_pipeline_roundtrip(spark, sf_dir):
+    """Rows 18-19: HL7ToPython → PythonToHL7 (``contrib/hl7.py:189-211``).
+    ``^`` components parse to nested lists and re-serialize exactly."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    msgs = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("MSH|PYPEMAN|"), F.col("c_custkey"), F.lit("\r"),
+            F.lit("PID|1|"), F.col("c_custkey"), F.lit("|"),
+            F.col("c_name"), F.lit("^"), F.col("c_mktsegment"),
+        ).alias("payload"),
+    )
+    p = Pipeline("hl7_rt").add(
+        HL7ToPython(name="parse"),
+        SaveContext("parsed"),
+        PythonToHL7(name="unparse"),
+    )
+    res = p.run(msgs)
+    return res.df.select(
+        "c_custkey",
+        F.col("ctx").getItem("parsed").getField("payload").alias("parsed"),
+        F.col("payload").alias("round"),
+    )
+
+
+@q(
+    "hl7_ack_mapping",
+    """
+    SELECT event_id,
+           'MSA|'
+             || CASE WHEN event_type = 'error' THEN 'AE'
+                     WHEN event_type = 'purchase' THEN 'AR'
+                     ELSE 'AA' END
+             || '|CID' || event_id || '|' AS msa
+    FROM events WHERE event_id < 300
+    """,
+)
+def hl7_ack_mapping(spark, sf_dir):
+    """Rows 4/48: outcome → MLLP HL7 ACK via the real
+    :func:`hl7_ack_for_state` (``contrib/hl7.py:173-186``). The MSH
+    segment embeds the wall clock, so the deterministic check targets
+    the MSA segment with the per-row control id substituted in."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    state = (
+        F.when(F.col("event_type") == "error", "error")
+        .when(F.col("event_type") == "purchase", "rejected")
+        .otherwise("processed")
+    )
+    rows = ev.select("event_id", state.alias("state"))
+
+    # build each state's ACK with the real function (control id slot is
+    # MSH-10), keep its MSA segment, substitute the id per row JVM-side
+    msh = ["MSH", "^~\\&", "APP", "FAC", "", "", "TS", "", "ACK", "CID$"]
+    msa = {
+        s: hl7_ack_for_state(s, msh_fields=msh).split("\r")[1]
+        for s in ("error", "rejected", "processed")
+    }
+
+    def tmpl(s):
+        head, tail = msa[s].split("CID$")
+        return F.concat(F.lit(head + "CID"), F.col("event_id"), F.lit(tail))
+
+    return rows.select(
+        "event_id",
+        F.when(F.col("state") == "error", tmpl("error"))
+        .when(F.col("state") == "rejected", tmpl("rejected"))
+        .otherwise(tmpl("processed"))
+        .alias("msa"),
+    )
+
+
+# =====================================================================
+# Generic python nodes (rows 10, 24, 25, 31, 49, 50)
+# =====================================================================
+
+@q(
+    "func_node_pipeline",
+    """
+    SELECT event_id,
+           2 * CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+                THEN 'even' ELSE 'odd' END AS parity
+    FROM events WHERE event_id < 300
+    """,
+)
+def func_node_pipeline(spark, sf_dir):
+    """Rows 24/31/49/50: FuncNode (Arrow-batched ``payload→payload``,
+    ``nodes.py:976-1007``) + Log and Sleep(0) passthroughs + a
+    ``passthrough=True`` FuncNode whose mutation is discarded
+    (``nodes.py:227-229``)."""
+    msgs = _event_msgs(spark, sf_dir)
+    p = Pipeline("fn").add(
+        Log(name="log"),
+        FuncNode(
+            lambda d: {"k2": d["k"] * 2,
+                       "parity": "even" if d["k"] % 2 == 0 else "odd"},
+            name="derive",
+        ),
+        FuncNode(lambda d: {"clobbered": True}, passthrough=True, name="shadow"),
+        Sleep(0.0, name="nap"),
+    )
+    res = p.run(msgs)
+    return res.df.select(
+        "event_id",
+        F.get_json_object("payload", "$.k2").cast("bigint").alias("k2"),
+        F.get_json_object("payload", "$.parity").alias("parity"),
+    )
+
+
+@q(
+    "msg_func_meta_pipeline",
+    """
+    SELECT event_id,
+           upper(event_type) AS tag,
+           event_type AS etype,
+           '1' AS seen
+    FROM events WHERE event_id < 300
+    """,
+)
+def msg_func_meta_pipeline(spark, sf_dir):
+    """Row 25: MsgFuncNode mutates payload AND meta from the whole
+    message (``nodes.py:943-973``)."""
+    msgs = _event_msgs(spark, sf_dir)
+    p = Pipeline("msgfn").add(
+        MsgFuncNode(
+            lambda d, m: ({"tag": m["etype"].upper()}, {**m, "seen": "1"}),
+            name="tagger",
+        )
+    )
+    res = p.run(msgs)
+    return res.df.select(
+        "event_id",
+        F.get_json_object("payload", "$.tag").alias("tag"),
+        F.col("meta").getItem("etype").alias("etype"),
+        F.col("meta").getItem("seen").alias("seen"),
+    )
+
+
+@q(
+    "empty_node_pipeline",
+    """
+    SELECT event_id, CAST(NULL AS VARCHAR) AS payload, 0 AS meta_n
+    FROM events WHERE event_id < 300
+    """,
+)
+def empty_node_pipeline(spark, sf_dir):
+    """Rows 10/29: Empty wipes payload+meta (``nodes.py:390-393``);
+    EmptyMeta semantics verified via ``size(meta)=0``."""
+    msgs = _event_msgs(spark, sf_dir)
+    res = Pipeline("empty").add(Empty(name="wipe")).run(msgs)
+    return res.df.select(
+        "event_id", "payload", F.size("meta").alias("meta_n")
+    )
+
+
+# =====================================================================
+# Context machinery (rows 26-30)
+# =====================================================================
+
+@q(
+    "ctx_combine_pipeline",
+    """
+    SELECT doc_id,
+           '{"a": ' || doc_id || ', "b": ' || (doc_id + n_chars) || '}' AS combined,
+           lang AS lang_restored
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def ctx_combine_pipeline(spark, sf_dir):
+    """Rows 26-28: SaveContext snapshots, a payload rewrite between them,
+    CombineCtx(flatten) dict-merge + ``meta_from`` restore
+    (``contrib/ctx.py:10-76``)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    msgs = ensure_message_columns(
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.concat(F.lit('{"a": '), F.col("doc_id"), F.lit("}")).alias("payload"),
+            F.create_map(F.lit("m"), F.col("lang")).alias("meta"),
+        ),
+        channel="ctx",
+    )
+    # the rewrite involves a second source column (b = doc_id + n_chars)
+    # to prove the two ctx snapshots are independent
+    p2 = Pipeline("ctx").add(
+        SaveContext("first"),
+        lambda df: df.withColumn(
+            "payload",
+            F.when(
+                F.col("state").isin("pending", "processing"),
+                F.concat(
+                    F.lit('{"b": '), F.col("doc_id") + F.col("n_chars"), F.lit("}")
+                ),
+            ).otherwise(F.col("payload")),
+        ),
+        SaveContext("second"),
+        CombineCtx(["first", "second"], flatten=True, meta_from="first",
+                   name="combine"),
+    )
+    res = p2.run(msgs)
+    return res.df.select(
+        "doc_id",
+        F.col("payload").alias("combined"),
+        F.col("meta").getItem("m").alias("lang_restored"),
+    )
+
+
+# =====================================================================
+# Routing through real nodes + end-node chains (rows 33-39, 51, 65)
+# =====================================================================
+
+@q(
+    "routing_nodes_end_chains",
+    """
+    WITH routed AS (
+      SELECT event_id, event_type, value,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE event_id < 300
+    )
+    SELECT event_id,
+           CASE WHEN k % 10 = 0 THEN 'dropped'
+                WHEN event_type = 'click' THEN 'dropped'
+                WHEN value > 250 THEN 'rejected'
+                WHEN event_type = 'error' THEN 'error'
+                ELSE 'processed' END AS state,
+           CASE WHEN k % 10 = 0 OR event_type = 'click' THEN 'drop'
+                WHEN value > 250 THEN 'reject'
+                WHEN event_type = 'error' THEN 'fail'
+                ELSE 'join' END AS chain,
+           '1' AS final,
+           CASE WHEN k % 10 = 0 THEN NULL
+                WHEN event_type = 'click' THEN 'clicked'
+                WHEN value > 250 THEN 'too big'
+                WHEN event_type = 'error' THEN 'boom'
+                ELSE NULL END AS err
+    FROM routed
+    """,
+)
+def routing_nodes_end_chains(spark, sf_dir):
+    """Rows 33/34/35/38/39/51/65: Drop with a *python-callable*
+    condition (``nodes.py:54-62``), Drop/Reject with Column conditions,
+    RaiseError inside a terminal ``when`` branch (``channels.py:354-369``),
+    and all four outcome chains + final chain tagging rows
+    (``channels.py:410-533``)."""
+    msgs = _event_msgs(spark, sf_dir)
+    tag = lambda name: MsgFuncNode(  # noqa: E731
+        lambda d, m, _n=name: (d, {**m, "chain": _n}), name=f"tag_{name}"
+    )
+    p = (
+        Pipeline("route")
+        .add(
+            Drop(condition=lambda payload: payload["k"] % 10 == 0,
+                 name="drop_k10"),
+            Drop(condition=F.col("meta").getItem("etype") == "click",
+                 message="clicked", name="drop_clicks"),
+            Reject(condition=F.col("value") > 250, message="too big",
+                   name="rej_big"),
+        )
+        .when(
+            F.col("meta").getItem("etype") == "error",
+            RaiseError(message="boom", name="raise"),
+            name="error_branch",
+        )
+    )
+    p.add_join_nodes(tag("join"))
+    p.add_drop_nodes(tag("drop"))
+    p.add_reject_nodes(tag("reject"))
+    p.add_fail_nodes(tag("fail"))
+    p.add_final_nodes(
+        MsgFuncNode(lambda d, m: (d, {**m, "final": "1"}), name="tag_final")
+    )
+    res = p.run(msgs)
+    return res.all.select(
+        "event_id",
+        "state",
+        F.col("meta").getItem("chain").alias("chain"),
+        F.col("meta").getItem("final").alias("final"),
+        F.col("err_msg").alias("err"),
+    )
+
+
+@q(
+    "inject_mid_chain",
+    """
+    SELECT event_id,
+           2 * CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_out
+    FROM events WHERE event_id < 300
+    """,
+)
+def inject_mid_chain(spark, sf_dir):
+    """Row 60: ``Pipeline.inject(at='double')`` enters the chain at a
+    named node, skipping ``add_ten`` (``channels.py:551-662``)."""
+    msgs = _event_msgs(spark, sf_dir)
+    p = Pipeline("inj").add(
+        FuncNode(lambda d: {"k": d["k"] + 10}, name="add_ten"),
+        FuncNode(lambda d: {"k": d["k"] * 2}, name="double"),
+    )
+    res = p.inject(msgs, at="double")
+    return res.df.select(
+        "event_id",
+        F.get_json_object("payload", "$.k").cast("bigint").alias("k_out"),
+    )
+
+
+# =====================================================================
+# File lifecycle: write → read → move → read (rows 7, 43, 45)
+# =====================================================================
+
+@q(
+    "file_write_read_move",
+    """
+    SELECT doc_id, text AS content_in, text AS content_moved
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def file_write_read_move(spark, sf_dir):
+    """Rows 7/43/45: FileWriter (templated path, safe rename,
+    ``nodes.py:660-701``) → FileReader via ``meta.filepath``
+    (``nodes.py:640-657``) → FileMover (``nodes.py:704-723``) → read
+    again from the moved location. ``localCheckpoint`` sequences the
+    lazy readers against the eager file side effects."""
+    tmp = tempfile.mkdtemp(prefix="pypeman_files_")
+    in_dir, moved_dir = os.path.join(tmp, "in"), os.path.join(tmp, "moved")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    msgs = ensure_message_columns(
+        d.select(
+            "doc_id",
+            F.col("text").alias("payload"),
+            F.create_map(
+                F.lit("name"), F.col("doc_id").cast("string"),
+                F.lit("filepath"),
+                F.concat(F.lit(in_dir + "/"), F.col("doc_id"), F.lit(".txt")),
+            ).alias("meta"),
+        ),
+        channel="files",
+    )
+    # write: FileWriter's foreachPartition runs eagerly inside run()
+    Pipeline("write").add(
+        FileWriter(os.path.join(in_dir, "%(meta.name)s.txt"), name="write")
+    ).run(msgs)
+
+    # read the written file into the payload, freeze before moving
+    read1 = Pipeline("read1").add(FileReader(name="read")).run(msgs)
+    frozen = read1.df.select(
+        "doc_id", F.col("payload").alias("content_in")
+    ).localCheckpoint()
+
+    # move, then re-read from the new location
+    Pipeline("move").add(FileMover(moved_dir, name="move")).run(msgs)
+    reread = ensure_message_columns(
+        frozen.select(
+            "doc_id",
+            "content_in",
+            F.create_map(
+                F.lit("filepath"),
+                F.concat(F.lit(moved_dir + "/"), F.col("doc_id"), F.lit(".txt")),
+            ).alias("meta"),
+        ),
+        channel="files",
+    )
+    res2 = Pipeline("read2").add(FileReader(name="reread")).run(reread)
+    return res2.df.select(
+        "doc_id", "content_in", F.col("payload").alias("content_moved")
+    )
+
+
+# =====================================================================
+# Store lifecycle: store / change-state / delete / current
+# (rows 32, 52, 57, 58)
+# =====================================================================
+
+@q(
+    "store_lifecycle",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           event_type AS etype,
+           CASE WHEN event_type = 'purchase' THEN 'processed'
+                ELSE 'pending' END AS state
+    FROM events WHERE event_id < 200 AND event_type <> 'click'
+    """,
+)
+def store_lifecycle(spark, sf_dir):
+    """Rows 32/52/58: FileMessageStore store → bulk
+    ``change_message_states`` (purchases → processed) → per-id
+    ``delete`` (clicks) → ``current()`` state reconstruction
+    (``msgstore.py:577-705``)."""
+    tmp = tempfile.mkdtemp(prefix="pypeman_store_")
+    store = FileMessageStore(spark, tmp, channel="cov")
+    msgs = _event_msgs(spark, sf_dir, limit=200)
+    store.store(msgs)
+
+    purchases = msgs.filter(F.col("meta").getItem("etype") == "purchase")
+    store.change_message_states(
+        purchases.withColumn("state", F.lit("processed"))
+    )
+    click_ids = [
+        r["id"]
+        for r in msgs.filter(F.col("meta").getItem("etype") == "click")
+        .select("id").collect()
+    ]
+    store.delete(click_ids[0])          # per-id tombstone (row 58)
+    store.delete_many(click_ids[1:])    # bulk path: one append for the rest
+
+    cur = store.current()
+    return cur.select(
+        F.get_json_object("payload", "$.k").cast("bigint").alias("k"),
+        F.col("meta").getItem("etype").alias("etype"),
+        "state",
+    )
+
+
+@q(
+    "replay_batch",
+    """
+    WITH base AS (
+      SELECT event_type FROM events WHERE event_id < 200
+    ),
+    replays AS (SELECT event_type FROM base WHERE event_type = 'error')
+    SELECT etype, count(*) AS n FROM (
+      SELECT event_type AS etype FROM base
+      UNION ALL
+      SELECT event_type AS etype FROM replays
+    ) GROUP BY etype
+    """,
+)
+def replay_batch(spark, sf_dir):
+    """Row 59: replay = ``get_for_replay``'s renew semantics
+    (``message.py:80-90``) run as ONE batch — re-enter the pipeline with
+    fresh ids, store the copies, count per etype (original + replayed)."""
+    tmp = tempfile.mkdtemp(prefix="pypeman_replay_")
+    store = FileMessageStore(spark, tmp, channel="cov")
+    msgs = _event_msgs(spark, sf_dir, limit=200)
+    p = Pipeline("replay").add(Log(name="log"))
+    res = p.run(msgs)
+    store.store(res.all, state="processed")
+
+    # batch replay of the error-typed messages: renewed ids, same payloads
+    errors = store.current().filter(F.col("meta").getItem("etype") == "error")
+    replayed = renew(errors.select(*MESSAGE_COLUMNS)).withColumn(
+        "state", F.lit("pending")
+    )
+    res2 = p.run(replayed)
+    store.store(res2.all, state="processed")
+
+    return (
+        store.current()
+        .groupBy(F.col("meta").getItem("etype").alias("etype"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =====================================================================
+# Auto-retry + retry store sweep (rows 62, 63)
+# =====================================================================
+
+@q(
+    "auto_retry_sweep",
+    """
+    SELECT event_id,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 = 0
+                THEN 'wait_retry' ELSE 'processed' END AS first_state,
+           'processed' AS final_state
+    FROM events WHERE event_id < 200
+    """,
+)
+def auto_retry_sweep(spark, sf_dir):
+    """Rows 62/63: ``auto_retry=True`` turns a transient failure into
+    ``wait_retry`` tagged with the re-entry stage (``nodes.py:194-204``);
+    ``RetryStore.retry_once`` re-runs the parked rows after the outage
+    heals (``retry.py:13-240``). The outage is a missing marker file the
+    sweep-time run can see."""
+    import time as _time
+
+    tmp = tempfile.mkdtemp(prefix="pypeman_retry_")
+    marker = os.path.join(tmp, "service_up")
+
+    def flaky(d, _marker=marker):
+        if d["k"] % 5 == 0 and not os.path.exists(_marker):
+            raise RuntimeError("service down")
+        return d
+
+    p = Pipeline("retry").add(FuncNode(flaky, auto_retry=True, name="flaky"))
+    msgs = _event_msgs(spark, sf_dir, limit=200)
+    res = p.run(msgs)
+    first = res.all.select("event_id", *MESSAGE_COLUMNS).localCheckpoint()
+
+    rs = RetryStore(spark, tmp, channel="coverage", retry_delay=0.0)
+    rs.store_until_retry(
+        first.filter(F.col("state") == "wait_retry").drop("event_id"), "flaky"
+    )
+
+    open(marker, "w").close()  # heal the service
+    counts = rs.retry_once(p, now=_time.time() + 1)
+    if counts["retried"] != counts["succeeded"] or not rs.is_empty():
+        raise RuntimeError(f"retry sweep did not drain: {counts}")
+
+    return first.select(
+        "event_id",
+        F.col("state").alias("first_state"),
+        F.when(F.col("state") == "wait_retry", "processed")
+        .otherwise(F.col("state"))
+        .alias("final_state"),
+    )
+
+
+# =====================================================================
+# Synchronous request/response (rows 9, 67)
+# =====================================================================
+
+@q(
+    "handle_and_wait_sync",
+    """
+    SELECT i AS n, i * 3 AS tripled FROM range(1, 6) t(i)
+    """,
+)
+def handle_and_wait_sync(spark, sf_dir):
+    """Row 67: ``Pipeline.handle_and_wait`` — submit one payload, block
+    for the terminal row (``channels.py:1050-1080`` handle() await)."""
+    p = Pipeline("sync").add(FuncNode(lambda d: {"n": d["n"], "tripled": d["n"] * 3}))
+    rows = []
+    for n in range(1, 6):
+        row = p.handle_and_wait(spark, {"n": n})
+        obj = json.loads(row["payload"])
+        rows.append((obj["n"], obj["tripled"]))
+    return spark.createDataFrame(rows, "n int, tripled int")
+
+
+@q(
+    "http_request_enrich",
+    """
+    SELECT event_id,
+           2 * CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2,
+           '200' AS status
+    FROM events WHERE event_id < 300
+    """,
+)
+def http_request_enrich(spark, sf_dir):
+    """Row 9: HttpRequest — Arrow-batched outbound calls with templated
+    query params, JSON response → payload, status into meta
+    (``contrib/http.py:185-374``). Target is a local deterministic
+    compute service (the container has no egress); in local mode
+    executor threads share the driver host."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qsl, urlsplit
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            params = dict(parse_qsl(urlsplit(self.path).query))
+            body = json.dumps({"k2": int(params["k"]) * 2}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    msgs = _event_msgs(spark, sf_dir)
+    p = Pipeline("http").add(
+        HttpRequest(
+            url=f"http://127.0.0.1:{srv.server_port}/double",
+            # params callables receive the RAW payload string + meta
+            params={"k": lambda payload, meta: json.loads(payload)["k"]},
+            json=True,
+            name="fetch",
+        )
+    )
+    res = p.run(msgs)
+    return res.df.select(
+        "event_id",
+        F.get_json_object("payload", "$.k2").cast("bigint").alias("k2"),
+        F.col("meta").getItem("status_code").alias("status"),
+    )
+
+
+# =====================================================================
+# Fork side-effect branch (rows 37, 43)
+# =====================================================================
+
+@q(
+    "fork_side_effects",
+    """
+    SELECT count(*) AS n_files, count(*) AS n_main
+    FROM events WHERE event_id < 200 AND event_type = 'purchase'
+    """,
+)
+def fork_side_effects(spark, sf_dir):
+    """Row 37: ``Pipeline.fork`` — a copy of the rows runs a parallel
+    sink chain while the main chain continues (``channels.py:339-352``).
+    The fork filters purchases and writes one file each; the main chain
+    count proves the originals were untouched."""
+    tmp = tempfile.mkdtemp(prefix="pypeman_fork_")
+    out_dir = os.path.join(tmp, "out")
+    msgs = _event_msgs(spark, sf_dir, limit=200)
+    p = (
+        Pipeline("forked")
+        .fork(
+            Drop(condition=F.col("meta").getItem("etype") != "purchase",
+                 name="keep_purchases"),
+            FileWriter(os.path.join(out_dir, "%(msg_uuid)s.json"), name="sink"),
+            name="side",
+        )
+        .add(Log(name="log"))
+    )
+    res = p.run(msgs)
+    n_main = res.df.filter(
+        F.col("meta").getItem("etype") == "purchase"
+    ).count()
+    n_files = len(os.listdir(out_dir)) if os.path.isdir(out_dir) else 0
+    return spark.createDataFrame([(n_files, n_main)], "n_files bigint, n_main bigint")

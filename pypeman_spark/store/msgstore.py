@@ -151,6 +151,17 @@ class MessageStore:
         view filters deleted ids (parquet is immutable; Delta: DELETE)."""
         self._append_events([(msg_id, "delete", None, None, None, None, time.time())])
 
+    def delete_many(self, msg_ids: list[str]) -> None:
+        """Bulk tombstone: ONE event-log append for any number of ids —
+        the scale path (per-id :meth:`delete` is a driver loop of tiny
+        writes)."""
+        if not msg_ids:
+            return
+        now = time.time()
+        self._append_events(
+            [(mid, "delete", None, None, None, None, now) for mid in msg_ids]
+        )
+
     def compact(self) -> None:
         """Fold the event log into the base table (the plain-parquet
         analogue of Delta OPTIMIZE + checkpoint).

@@ -82,6 +82,17 @@ def test_delete_tombstone(spark, store):
     assert store.total() == 2
 
 
+def test_delete_many_single_append(spark, store):
+    # bulk tombstone: one event-log append for N ids (scale path)
+    _store_n(spark, store, 5)
+    ids = sorted(r["id"] for r in store.current().select("id").collect())
+    store.delete_many(ids[:3])
+    store.delete_many([])  # no-op
+    assert store.total() == 2
+    left = sorted(r["id"] for r in store.current().select("id").collect())
+    assert left == ids[3:]
+
+
 def test_retry_store_cycle(spark, tmp_path):
     # test_retrystore.py:181 test_complete_retry — park, retry, drain
     flaky_state = {"fail": True}
