@@ -50,6 +50,13 @@ def t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def tp(spark, sf_dir, name):
+    """Parallelized load for compute-bound consumers (shingling /
+    hashing / vector math): fans a few-row-group file out across cores;
+    a no-op on splittable many-row-group layouts (see load_table)."""
+    return load_table(spark, sf_dir, name, parallelize=True)
+
+
 # =====================================================================
 # A. Relational core (SURVEY §2 note: joins/aggs/windows are pure
 # built-in Spark; these are the bench headliners)
@@ -837,6 +844,8 @@ _DOC_DUP_SQL_BASE = """
 def _docs_with_dups(spark, sf_dir):
     """Corpus + re-keyed copies of every 5th doc — gives exact-dup
     queries real duplicates to find (the corpus itself is all-distinct)."""
+    # exact dedup is shuffle-bound (md5 is map-side cheap; the groupBy
+    # parallelizes it) — a pre-repartition would just move the text twice
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     dups = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
@@ -908,7 +917,7 @@ _MINHASH_SQL = """
 def minhash_bands_q(spark, sf_dir):
     """MinHash+LSH banding (functions/dedup.py:minhash_bands): 16 md5
     hash functions, 4 bands × 4 rows."""
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return D.minhash_bands(d, num_hashes=16, bands=4, shingle_n=3)
 
 
@@ -923,7 +932,7 @@ def minhash_bands_q(spark, sf_dir):
 )
 def minhash_near_dup_pairs(spark, sf_dir):
     """LSH candidate pairs: docs sharing any band bucket."""
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return D.minhash_candidate_pairs(d, num_hashes=16, bands=4, shingle_n=3)
 
 
@@ -957,7 +966,7 @@ def minhash_near_dup_pairs(spark, sf_dir):
 def ngram_jaccard_pairs_q(spark, sf_dir):
     """Exact n-gram Jaccard verifier (threshold 0.2 exposes the corpus's
     synthetic near-dups)."""
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return D.ngram_jaccard_pairs(d, threshold=0.2)
 
 
@@ -986,7 +995,7 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
 def simhash_sketch(spark, sf_dir):
     """16-bit SimHash; bit b = sign of Σ ±1 over tokens, where ±1 is the
     parity of hex digit b of the token's md5 (portable, no int casts)."""
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return D.simhash(d, bits=16)
 
 
@@ -1015,7 +1024,7 @@ def simhash_sketch(spark, sf_dir):
 def embedding_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 (functions/similarity.py:cosine_topk):
     broadcast queries, JVM zip_with dot product."""
-    emb = t(spark, sf_dir, "embeddings").withColumn(
+    emb = tp(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -1028,7 +1037,7 @@ def embedding_cosine_topk(spark, sf_dir):
 def lsh_ann_topk_q(spark, sf_dir):
     """LSH-bucketed ANN (functions/similarity.py:lsh_ann_topk): 4
     deterministic hyperplanes over 64 dims, bucket join, exact re-rank."""
-    emb = t(spark, sf_dir, "embeddings").withColumn(
+    emb = tp(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -1100,7 +1109,7 @@ _STOP_SQL = {
 )
 def text_language_id(spark, sf_dir):
     """Stopword-hit language ID (functions/text.py:detect_language)."""
-    d = t(spark, sf_dir, "documents")
+    d = tp(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", TX.detect_language(F.col("text")).alias("detected"))
 
 
@@ -1125,7 +1134,7 @@ def text_language_id(spark, sf_dir):
 )
 def text_quality_score(spark, sf_dir):
     """Composite quality heuristic (functions/text.py:quality_score)."""
-    d = t(spark, sf_dir, "documents")
+    d = tp(spark, sf_dir, "documents")
     return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 
 
@@ -1140,7 +1149,7 @@ def text_quality_score(spark, sf_dir):
 )
 def token_counts(spark, sf_dir):
     """Whitespace + BPE-ish token counting (functions/text.py)."""
-    d = t(spark, sf_dir, "documents")
+    d = tp(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         TX.whitespace_token_count(F.col("text")).alias("ws_tokens"),
@@ -1161,7 +1170,7 @@ def token_counts(spark, sf_dir):
 )
 def doc_fingerprint(spark, sf_dir):
     """Bottom-k shingle-hash fingerprint (functions/text.py:fingerprint)."""
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return d.select(
         "doc_id", TX.fingerprint(F.col("text"), shingle_len=8, k=4).alias("fp")
     )
@@ -1190,7 +1199,7 @@ def multimodal_decode_features(spark, sf_dir):
     from ..functions import multimodal as MM
 
     d = (
-        t(spark, sf_dir, "documents")
+        tp(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 100)
         .select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
     )
@@ -1222,7 +1231,7 @@ def video_frame_sampling(spark, sf_dir):
     from ..functions import multimodal as MM
 
     d = (
-        t(spark, sf_dir, "documents")
+        tp(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 20)
         .select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
     )
@@ -1486,7 +1495,7 @@ def ivf_ann_topk_q(spark, sf_dir):
     """IVF-cell ANN (functions/similarity.py:ivf_ann_topk): 8 cells,
     probe 2, exact cosine re-rank — the partition-pruned scale path next
     to the LSH variant."""
-    emb = t(spark, sf_dir, "embeddings").withColumn(
+    emb = tp(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -1512,7 +1521,7 @@ def embedding_near_dup_pairs_q(spark, sf_dir):
     embedding_near_dup_pairs), exact verifier form on a bounded slice;
     num_planes>0 is the LSH-bucketed scale path."""
     emb = (
-        t(spark, sf_dir, "embeddings")
+        tp(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 200)
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
     )

@@ -51,6 +51,15 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     return tuple(out)
 
 
+@lru_cache(maxsize=256)
+def _parquet_chunk_stats(path: str) -> tuple[int, int]:
+    """(num_row_groups, num_rows) from the footer — metadata only."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    return md.num_row_groups, md.num_rows
+
+
 def _ensure_runtime_confs(spark: SparkSession) -> None:
     """Make query plans correct in ANY SparkSession, not just ours.
 
@@ -76,7 +85,20 @@ def _ensure_runtime_confs(spark: SparkSession) -> None:
             pass  # conf locked down (e.g. shared cluster) — keep going
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
+    """Load one corpus table.
+
+    ``parallelize=True`` — for compute-bound consumers (explode-heavy
+    shingling, Arrow UDF batches): if the file has fewer row groups than
+    the session's parallelism (parquet can't split inside a row group,
+    so such a scan — and everything codegen-fused into it — runs on that
+    few cores), repartition to spread the downstream compute. On a real
+    multi-file / many-row-group layout the condition is false and this
+    is a no-op, so plans at scale stay shuffle-minimal; tiny dims are
+    excluded by the row-count floor.
+    """
     _ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -87,6 +109,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
         )
+    if parallelize:
+        cores = spark.sparkContext.defaultParallelism
+        row_groups, rows = _parquet_chunk_stats(path)
+        if row_groups < cores and rows >= 2048:
+            df = df.repartition(cores)
     return df
 
 
