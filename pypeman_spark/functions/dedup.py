@@ -235,3 +235,67 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: ``(node, cluster_id)`` where
+    ``cluster_id`` is the minimum id reachable through the candidate-pair
+    graph (LSH/minhash output). Singletons from ``nodes`` map to
+    themselves.
+
+    Distributed min-label propagation: per round, every node adopts the
+    smallest label among itself and its neighbours — one equi-join + one
+    groupBy shuffle per round, converging in O(cluster diameter) rounds
+    (near-dup clusters are shallow: dups of one document link through
+    it, so 2-3 rounds is typical). ``localCheckpoint`` truncates lineage
+    each round so plans don't grow with iterations. At 100 TB this is
+    the standard alternating-star CC shape: no step ever materialises
+    more than |edges| rows, and the label table is 16 bytes/node.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct()
+    if nodes is not None:
+        labels = labels.unionByName(nodes.select(F.col("node"))).distinct()
+    labels = labels.withColumn("label", F.col("node")).localCheckpoint()
+
+    for _ in range(max_iters):
+        # label(node) <- min(label(node), min over neighbours' labels)
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

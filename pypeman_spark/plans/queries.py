@@ -937,6 +937,40 @@ def minhash_near_dup_pairs(spark, sf_dir):
 
 
 @q(
+    "dedup_clusters",
+    _MINHASH_SQL.replace("WITH words", "WITH RECURSIVE words", 1)
+    + """
+    , edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id <> b.doc_id
+    ),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER assignment: LSH candidate pairs → distributed
+    connected components (functions/dedup.py:connected_components, min-
+    label propagation — one equi-join+groupBy per round, O(diameter)
+    rounds). The canonical keep-one policy is then ``doc_id ==
+    cluster_id``; singletons map to themselves."""
+    d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = D.minhash_candidate_pairs(d, num_hashes=16, bands=4, shingle_n=3)
+    clusters = D.connected_components(
+        pairs, nodes=d.select(F.col("doc_id").alias("node"))
+    )
+    return clusters.select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+@q(
     "ngram_jaccard_pairs",
     """
     WITH words AS (

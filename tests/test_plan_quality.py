@@ -150,3 +150,21 @@ def test_grouped_percentiles_exact_vs_approx(spark):
         grouped_percentiles(ev, ["event_type"], "value", (0.5, 0.9), exact=False)
     )
     assert plan.count("Exchange") <= 1
+
+
+def test_connected_components_label_propagation(spark):
+    # dedup clustering: min-label propagation over candidate pairs;
+    # chains converge across rounds, singletons keep their own id
+    from pypeman_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 6), (1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 4, 5, 6, 42)], "node long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 42: 42}
