@@ -83,6 +83,17 @@ def cmd_start(args) -> int:
     spark = get_spark("pypeman-spark", cpus=cpus)
     registry = project.build_project(spark)
 
+    # settings.PLUGINS — dotted-path sidecar components run through the
+    # reference lifecycle (plugin_mgr.py): ready after graph build,
+    # start before channels, stop/destroy on shutdown
+    from .plugins import PluginManager
+
+    mgr = PluginManager(getattr(settings, "PLUGINS", []))
+    mgr.import_plugins()
+    mgr.init_plugins(registry)
+    mgr.ready_plugins()
+    mgr.start_plugins()
+
     servers = []
     if args.remote_admin:
         http_cfg = getattr(
@@ -121,6 +132,8 @@ def cmd_start(args) -> int:
             registry.stop_channel(name)
         for srv in servers:
             srv.stop()
+        mgr.stop_plugins()
+        mgr.destroy_plugins()
     return 0
 
 
