@@ -824,3 +824,91 @@ def streaming_window_counts(spark, sf_dir):
     )
     query.awaitTermination(120)
     return spark.table(sink)
+
+
+# =====================================================================
+# Composed training-data cleaning pipeline (C4-style)
+# =====================================================================
+
+from ..functions import dedup as _D  # noqa: E402
+from ..functions import text as _TX  # noqa: E402
+from .queries import _MINHASH_SQL, _STOP_SQL, tp  # noqa: E402
+
+@q(
+    "training_data_filter",
+    _MINHASH_SQL.replace("WITH words", "WITH RECURSIVE words", 1)
+    + f"""
+    , edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id <> b.doc_id
+    ),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+    ),
+    m AS (
+      SELECT doc_id,
+             length(text) AS n,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+             len(string_split_regex(trim(text), '\\s+')) AS toks,
+             len(regexp_extract_all(text, '(?i)\\b({_STOP_SQL["en"]})\\b')) AS s_en,
+             len(regexp_extract_all(text, '(?i)\\b({_STOP_SQL["fr"]})\\b')) AS s_fr,
+             len(regexp_extract_all(text, '(?i)\\b({_STOP_SQL["de"]})\\b')) AS s_de,
+             len(regexp_extract_all(text, '(?i)\\b({_STOP_SQL["es"]})\\b')) AS s_es
+      FROM documents WHERE doc_id < 200
+    ),
+    scored AS (
+      SELECT doc_id, toks AS ws_tokens,
+             round((least(n / 500.0, 1.0)
+                  + greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN punct::DOUBLE / n ELSE 0 END) * 4)
+                  + least((CASE WHEN toks > 0 THEN s_en::DOUBLE / toks ELSE 0 END) * 5, 1.0)
+                   ) / 3, 6) AS quality,
+             CASE WHEN s_en > 0 AND s_en >= greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+                  WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+                  WHEN s_de > 0 AND s_de >= greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+                  WHEN s_es > 0 AND s_es >= greatest(s_en, s_fr, s_de, s_es) THEN 'es'
+                  ELSE 'und' END AS detected
+      FROM m
+    )
+    SELECT s.doc_id, s.quality, s.ws_tokens
+    FROM scored s JOIN clusters c ON c.doc_id = s.doc_id
+    WHERE s.detected = 'en' AND s.quality >= 0.4
+      AND s.ws_tokens BETWEEN 20 AND 5000
+      AND s.doc_id = c.cluster_id
+    """,
+)
+def training_data_filter(spark, sf_dir):
+    """The composed LLM-corpus cleaning pipeline, C4-style: language ID
+    (keep en), quality threshold, token-count bounds, and near-dup
+    removal keeping only each cluster's canonical document. One
+    declarative plan: the metric stage is all codegen'd expressions over
+    a single scan; dedup reuses the LSH candidate graph + connected
+    components. At 100 TB every stage is shuffle-bounded by hash keys —
+    document text never moves except into its own metric computation."""
+    d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = _D.minhash_candidate_pairs(d, num_hashes=16, bands=4, shingle_n=3)
+    clusters = _D.connected_components(
+        pairs, nodes=d.select(F.col("doc_id").alias("node"))
+    )
+    m = d.select(
+        "doc_id",
+        _TX.quality_score(F.col("text")).alias("quality"),
+        _TX.detect_language(F.col("text")).alias("detected"),
+        _TX.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+    )
+    return (
+        m.join(clusters, m["doc_id"] == clusters["node"])
+        .filter(
+            (F.col("detected") == "en")
+            & (F.col("quality") >= 0.4)
+            & F.col("ws_tokens").between(20, 5000)
+            & (F.col("doc_id") == F.col("cluster_id"))
+        )
+        .select("doc_id", "quality", "ws_tokens")
+    )
