@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 import pypeman_spark.plans.coverage_queries  # noqa: F401 — registers entries
+import pypeman_spark.plans.scale_queries  # noqa: F401 — registers entries
 from pypeman_spark.plans.queries import REGISTRY
 
 

@@ -21,6 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pypeman_spark.plans.scale_queries  # noqa: E402,F401 — registers entries
 from pypeman_spark.plans.queries import REGISTRY  # noqa: E402
 from pypeman_spark.session import get_spark  # noqa: E402
 
@@ -55,6 +56,13 @@ HEADLINE = [
     "text_quality_score",
     "token_counts",
     "doc_fingerprint",
+    "pii_scrub",
+    "word_repetition_filter",
+    "duplicate_passages",
+    "greedy_pack_sequences",
+    "range_join_purchase_windows",
+    "cumulative_customer_revenue",
+    "session_window_user_counts",
 ]
 
 

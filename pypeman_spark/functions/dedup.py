@@ -31,6 +31,7 @@ __all__ = [
     "minhash_candidate_pairs",
     "simhash",
     "ngram_jaccard_pairs",
+    "duplicate_passages",
 ]
 
 
@@ -77,6 +78,44 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
     return df.select(
         F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def duplicate_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Sub-document exact dedup: find word-window passages repeated
+    anywhere in the corpus (the suffix-array substring-dedup signal of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", in its strided-window approximation — the form every
+    MapReduce-era corpus pipeline actually ships).
+
+    Slide a ``words``-word window with ``stride`` over each document,
+    md5 the passage, and aggregate: ``(passage_hash, n_occ, n_docs)``
+    for passages occurring more than once. One explode + one hash
+    groupBy; 16 B hashes shuffle, never the text. Downstream, a pipeline
+    joins back on the hash to cut or mask the repeated spans.
+    """
+    w = F.split(F.trim(F.col(text_col)), "\\s+")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(stride)),
+        lambda i: i + words <= F.size(w),
+    )
+    passages = F.transform(
+        starts, lambda i: F.md5(F.array_join(F.slice(w, i + 1, words), " "))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(passages).alias("passage_hash"))
+        .groupBy("passage_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+        )
+        .filter(F.col("n_occ") > 1)
     )
 
 

@@ -23,8 +23,12 @@ __all__ = [
     "quality_score",
     "detect_language",
     "fingerprint",
+    "scrub_pii",
+    "word_repetition_ratio",
     "STOPWORDS",
     "TOKEN_REGEX",
+    "EMAIL_REGEX",
+    "URL_REGEX",
 ]
 
 # Tiny per-language stopword marker sets (public common words).
@@ -89,6 +93,35 @@ def detect_language(col: Column) -> Column:
     for lang in reversed(list(STOPWORDS)):
         out = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
     return out
+
+
+#: RE2-compatible (works in Spark's Java regex AND DuckDB's RE2, so the
+#: oracle can reproduce the scrub exactly).
+EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_REGEX = "https?://[^\\s]+"
+
+
+def scrub_pii(
+    col: Column, email_token: str = "<EMAIL>", url_token: str = "<URL>"
+) -> Column:
+    """Replace URLs and email addresses with sentinel tokens — the
+    standard pre-training scrub pass. URLs first: an email-shaped
+    substring inside a URL must not survive as a partial match. Pure
+    ``regexp_replace`` (codegen'd, replace-all), so the scrub runs at
+    scan speed over the full corpus."""
+    out = F.regexp_replace(col, URL_REGEX, url_token)
+    return F.regexp_replace(out, EMAIL_REGEX, email_token)
+
+
+def word_repetition_ratio(col: Column) -> Column:
+    """Fraction of word occurrences that are repeats of an earlier word:
+    ``1 - |distinct words| / |words|``. The cheap Gopher-style repetition
+    signal — boilerplate and degenerate generations score high. Array
+    built-ins only; no explode, stays one row per document."""
+    w = F.split(F.trim(col), "\\s+")
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / F.size(w), 6
+    )
 
 
 def fingerprint(col: Column, shingle_len: int = 8, k: int = 4) -> Column:

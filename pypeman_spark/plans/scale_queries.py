@@ -1,0 +1,300 @@
+"""Round-2 registry additions: scale-path joins, sequence packing,
+sub-document dedup, corpus scrubbing, native session windows, and
+streaming dedup — each with an exact DuckDB oracle.
+
+These widen two axes the reference never had but a 100 TB training-data
+pipeline needs (SURVEY §7.3 "custom operators"): non-equi joins made
+shuffle-friendly, and sequential-semantics operators (packing) isolated
+into per-shard Arrow tasks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Window, functions as F
+
+from ..functions import dedup as D
+from ..functions import text as TX
+from ..functions.joins import range_join
+from ..functions.packing import greedy_pack
+from ..streaming.stateful import session_window_counts, stream_dedup
+from .queries import q, t, tp
+
+_WS = "\\s+"
+
+
+# =====================================================================
+# Corpus scrubbing / quality (LLM-pipeline text ops, round 2)
+# =====================================================================
+
+@q(
+    "pii_scrub",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or https://ex' || CAST(doc_id AS VARCHAR)
+                  || '.org/p?q=1 done' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(t, '{TX.URL_REGEX}', '<URL>', 'g'),
+             '{TX.EMAIL_REGEX}', '<EMAIL>', 'g') AS scrubbed,
+           len(regexp_extract_all(t, '{TX.URL_REGEX}')) AS n_urls,
+           len(regexp_extract_all(t, '{TX.EMAIL_REGEX}')) AS n_emails
+    FROM aug
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    """URL/email scrub pass (functions/text.py:scrub_pii). The corpus is
+    synthetic words-only, so each doc gets a deterministic injected email
+    + URL first — the scrub then has real work to do and the oracle can
+    reproduce it byte-for-byte (both regexes are RE2-and-Java safe)."""
+    d = tp(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex"),
+            F.col("doc_id").cast("string"),
+            F.lit(".org/p?q=1 done"),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        TX.scrub_pii(F.col("t")).alias("scrubbed"),
+        F.regexp_count(F.col("t"), F.lit(TX.URL_REGEX)).cast("long").alias("n_urls"),
+        F.regexp_count(F.col("t"), F.lit(TX.EMAIL_REGEX)).cast("long").alias("n_emails"),
+    )
+
+
+@q(
+    "word_repetition_filter",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             round(1.0 - len(list_distinct(string_split_regex(trim(text), '{_WS}')))::DOUBLE
+                       / len(string_split_regex(trim(text), '{_WS}')), 6) AS rep_ratio
+      FROM documents
+    )
+    SELECT doc_id, rep_ratio, rep_ratio <= 0.7 AS keep FROM m
+    """,
+)
+def word_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition signal (functions/text.py:
+    word_repetition_ratio) with the keep/cut decision materialized."""
+    d = tp(spark, sf_dir, "documents")
+    r = TX.word_repetition_ratio(F.col("text"))
+    return d.select(
+        "doc_id", r.alias("rep_ratio"), (r <= 0.7).alias("keep")
+    )
+
+
+@q(
+    "duplicate_passages",
+    f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS w FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, w,
+             unnest(list_filter(generate_series(0, greatest(len(w) - 1, 0), 4),
+                                i -> i + 8 <= len(w))) AS i
+      FROM words
+    ),
+    p AS (
+      SELECT doc_id, md5(array_to_string(w[i+1:i+8], ' ')) AS passage_hash FROM pos
+    )
+    SELECT passage_hash, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+    FROM p GROUP BY passage_hash HAVING count(*) > 1
+    """,
+)
+def duplicate_passages_q(spark, sf_dir):
+    """Sub-document exact dedup: strided 8-word windows repeated anywhere
+    in the corpus (functions/dedup.py:duplicate_passages)."""
+    return D.duplicate_passages(
+        tp(spark, sf_dir, "documents"), words=8, stride=4
+    )
+
+
+@q(
+    "greedy_pack_sequences",
+    """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk(shard, rn, doc_id, ws_tokens, pack_id, fill) AS (
+      SELECT shard, rn, doc_id, ws_tokens, CAST(0 AS BIGINT), ws_tokens
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.ws_tokens,
+             CASE WHEN w.fill + d.ws_tokens > 256 THEN w.pack_id + 1 ELSE w.pack_id END,
+             CASE WHEN w.fill + d.ws_tokens > 256 THEN d.ws_tokens ELSE w.fill + d.ws_tokens END
+      FROM docs d JOIN walk w ON d.shard = w.shard AND d.rn = w.rn + 1
+    )
+    SELECT doc_id, shard, ws_tokens, pack_id FROM walk
+    """,
+)
+def greedy_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (functions/packing.py:greedy_pack):
+    hash-shard the corpus, pack each shard greedily in doc order to a
+    256-token budget. The oracle is a per-shard recursive CTE — the same
+    inherently-sequential recurrence the Arrow task runs."""
+    d = tp(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        TX.whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+    )
+    return greedy_pack(
+        d, token_col="ws_tokens", budget=256, order_col="doc_id", shard_col="shard"
+    )
+
+
+# =====================================================================
+# Scale-path non-equi join + window analytics
+# =====================================================================
+
+@q(
+    "range_join_purchase_windows",
+    """
+    SELECT p.event_id AS purchase_id, count(*) AS n_views
+    FROM events p JOIN events v
+      ON v.event_type = 'view'
+     AND v.ts >= p.ts AND v.ts < p.ts + INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND p.event_id < 2000
+    GROUP BY p.event_id
+    """,
+)
+def range_join_purchase_windows(spark, sf_dir):
+    """Point-in-interval join via bucket quantization (functions/
+    joins.py:range_join): views falling in the 30 min after each
+    purchase. Vanilla Spark compiles the raw predicate to a nested-loop
+    join; the bucketed form is a plain equi-join shuffle — the 100 TB
+    path. The oracle runs the raw predicate, proving the rewrite exact."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("event_id") < 2000)
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select("ts")
+    joined = range_join(views, purchases, "ts", "lo", "hi", bucket_seconds=1800)
+    return joined.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_views"))
+
+
+@q(
+    "cumulative_customer_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend,
+           round(o_totalprice - coalesce(lag(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderkey), 0.0), 2) AS delta_prev
+    FROM orders WHERE o_custkey < 300
+    """,
+)
+def cumulative_customer_revenue(spark, sf_dir):
+    """Running-total + lag-delta window pair over one partitioning — a
+    single shuffle on o_custkey serves both frames."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(run), 2).alias("cum_spend"),
+        F.round(
+            F.col("o_totalprice")
+            - F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)),
+            2,
+        ).alias("delta_prev"),
+    )
+
+
+# =====================================================================
+# Native session windows + streaming dedup (rows 64 / §2.H widening)
+# =====================================================================
+
+@q(
+    "session_window_user_counts",
+    """
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 2 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    y AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM x
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 7200000000 AS session_end_us,
+           count(*) AS n
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def session_window_user_counts(spark, sf_dir):
+    """Native ``session_window`` aggregation (streaming/stateful.py:
+    session_window_counts) — the same operator runs on streams with a
+    watermark. A session extends while gaps are <= 2 h (boundary events
+    exactly 2 h apart merge — verified semantics); it closes gap after
+    the last event. Oracle: gaps-and-islands with a strict-> break."""
+    ev = t(spark, sf_dir, "events")
+    s = session_window_counts(ev, key_col="user_id", ts_col="ts", gap="2 hours")
+    return s.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end")).alias("session_end_us"),
+        "n",
+    )
+
+
+@q(
+    "streaming_dedup_keys",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_keys(spark, sf_dir):
+    """Streaming exact dedup (streaming/stateful.py:stream_dedup):
+    events replayed through readStream, dropDuplicates state across the
+    whole drain, availableNow termination. The watermarked bounded-state
+    variant (dropDuplicatesWithinWatermark) is the same helper with
+    ``within=`` — exactness over an availableNow backfill requires the
+    unbounded form, which is what the oracle checks."""
+    import uuid as _uuid
+
+    tmp = tempfile.mkdtemp(prefix="pypeman_dedup_")
+    src = os.path.join(tmp, "in")
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_dedup(
+        spark.readStream.schema(schema).parquet(src),
+        keys=["user_id", "event_type"],
+    ).select("user_id", "event_type")
+    sink = f"dedup_keys_{_uuid.uuid4().hex[:8]}"
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return spark.table(sink)

@@ -25,7 +25,12 @@ from typing import Any, Iterator, Tuple
 from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_counter", "watermarked_window_counts"]
+__all__ = [
+    "running_counter",
+    "watermarked_window_counts",
+    "session_window_counts",
+    "stream_dedup",
+]
 
 _COUNTER_OUT = T.StructType(
     [
@@ -72,6 +77,62 @@ def running_counter(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def session_window_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "timestamp",
+    gap: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-key session windows via the native ``session_window``
+    aggregation: a session extends while consecutive events arrive
+    within ``gap``; the window closes ``gap`` after the last event.
+    Works identically on batch frames (one-shot gaps-and-islands) and
+    streams (state-store sessions, evicted once the watermark passes
+    the session end — pass ``watermark`` on unbounded streams so state
+    stays bounded).
+
+    Returns ``(key, session_start, session_end, n)`` with real
+    TimestampType bounds.
+    """
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    return (
+        src.groupBy(
+            F.col(key_col), F.session_window(F.col(ts_col), gap).alias("win")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col(key_col),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            F.col("n"),
+        )
+    )
+
+
+def stream_dedup(
+    df: DataFrame, keys: list[str], ts_col: str | None = None,
+    within: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup on ``keys``.
+
+    ``within=None`` keeps every seen key in the state store — exact
+    forever, state grows with distinct keys (fine for bounded key
+    domains or ``availableNow`` backfills). Passing ``within`` (e.g.
+    ``"24 hours"``) switches to ``dropDuplicatesWithinWatermark``: a
+    watermark on ``ts_col`` bounds state by evicting keys older than
+    the delay — the 100 TB / unbounded-stream path, trading "duplicates
+    farther apart than the delay re-emit" for bounded memory.
+    """
+    if within is not None and df.isStreaming:
+        if ts_col is None:
+            raise ValueError("within= requires ts_col for the watermark")
+        return df.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(keys)
+    # batch frames: dropDuplicatesWithinWatermark is streaming-only, and
+    # a bounded frame needs no state bound — plain dedup IS the semantics
+    return df.dropDuplicates(keys)
 
 
 def watermarked_window_counts(

@@ -1,0 +1,146 @@
+"""Round-2 operators: range join, sequence packing, passage dedup,
+text scrubbing, session windows, streaming dedup."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pypeman_spark.functions import dedup as D
+from pypeman_spark.functions import text as TX
+from pypeman_spark.functions.joins import range_join
+from pypeman_spark.functions.packing import greedy_pack
+from pypeman_spark.streaming.stateful import session_window_counts, stream_dedup
+
+BASE = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+
+def _m(minutes=0, seconds=0):
+    return BASE + dt.timedelta(minutes=minutes, seconds=seconds)
+
+
+def test_range_join_boundaries(spark):
+    # hi is exclusive, lo inclusive; out-of-range points never appear
+    iv = spark.createDataFrame(
+        [(1, _m(0), _m(10))], "win_id long, lo timestamp, hi timestamp"
+    )
+    pts = spark.createDataFrame(
+        [(0, _m(0)), (1, _m(3)), (2, _m(10)), (3, _m(-1))],
+        "pid long, ts timestamp",
+    )
+    got = {
+        r["pid"]
+        for r in range_join(pts, iv, "ts", "lo", "hi", bucket_seconds=60).collect()
+    }
+    assert got == {0, 1}
+
+
+def test_range_join_matches_theta_join(spark, sf_dir):
+    from pypeman_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("win_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("hi"),
+    )
+    pts = ev.filter(F.col("event_type") == "view").select("event_id", "ts")
+    fast = range_join(pts, iv, "ts", "lo", "hi", bucket_seconds=900)
+    slow = pts.join(
+        iv, (pts["ts"] >= iv["lo"]) & (pts["ts"] < iv["hi"]), "inner"
+    )
+    assert fast.count() == slow.count()
+
+
+def test_range_join_plan_is_equi_join(spark, sf_dir):
+    from pypeman_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.limit(50).select(
+        F.col("event_id").alias("win_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("hi"),
+    )
+    plan = (
+        range_join(ev.select("ts"), iv, "ts", "lo", "hi")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_greedy_pack_respects_budget_and_order(spark):
+    rows = [(i, 0, tok) for i, tok in enumerate([50, 50, 50, 120, 10, 200, 30])]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, toks long")
+    out = {
+        r["doc_id"]: r["pack_id"]
+        for r in greedy_pack(
+            df, "toks", 128, order_col="doc_id", shard_col="shard"
+        ).collect()
+    }
+    # 50+50=100 fits; +50 overflows -> pack 1 gets 50+120? no: 50 fits,
+    # 120 overflows -> greedy walk: [50,50] [50] ... wait budget 128:
+    # d0=50,d1=50 (100), d2 would make 150 -> pack1: d2=50, d3 would make
+    # 170 -> pack2: d3=120, d4 10 makes 130 -> pack3: d4=10? 120+10=130 >
+    # 128 -> pack3: d4=10, d5=200 overflows -> pack4: d5=200 (oversized,
+    # own pack), d6=30 -> pack5
+    assert out == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5}
+
+
+def test_greedy_pack_shards_are_independent(spark):
+    rows = [(i, i % 2, 100) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, toks long")
+    out = greedy_pack(df, "toks", 250, order_col="doc_id", shard_col="shard")
+    per_shard = (
+        out.groupBy("shard").agg(F.max("pack_id").alias("mx")).collect()
+    )
+    assert {r["mx"] for r in per_shard} == {1}  # 3 docs of 100 -> packs [2,1]
+
+
+def test_scrub_pii_order_urls_first(spark):
+    df = spark.createDataFrame(
+        [(0, "x https://a.b/c?d=e@f.com y ok@ex.org z")], "i long, t string"
+    )
+    got = df.select(TX.scrub_pii(F.col("t")).alias("s")).first()["s"]
+    # the email-shaped substring inside the URL is consumed by <URL>
+    assert got == "x <URL> y <EMAIL> z"
+
+
+def test_word_repetition_ratio(spark):
+    df = spark.createDataFrame([(0, "a a a b")], "i long, t string")
+    assert df.select(
+        TX.word_repetition_ratio(F.col("t")).alias("r")
+    ).first()["r"] == 0.5
+
+
+def test_duplicate_passages_cross_and_within_doc(spark):
+    eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = spark.createDataFrame(
+        [(0, eight + " " + "x1 x2 x3 " + eight), (1, eight)],
+        "doc_id long, text string",
+    )
+    # stride 4 lands a window exactly on both copies in doc0 + doc1's copy
+    rows = D.duplicate_passages(df, words=8, stride=1).collect()
+    top = max(rows, key=lambda r: r["n_occ"])
+    assert top["n_occ"] == 3 and top["n_docs"] == 2
+
+
+def test_session_window_merges_boundary_gap(spark):
+    rows = [(1, _m(0)), (1, _m(5)), (1, _m(20)), (2, _m(0))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = session_window_counts(df, "user_id", "ts", "5 minutes").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r["n"])
+    # events exactly gap apart merge; the 20-min event starts a new session
+    assert sorted(by_user[1]) == [1, 2] and by_user[2] == [1]
+
+
+def test_stream_dedup_batch_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "a", _m(0)), (1, "a", _m(1)), (2, "a", _m(0))],
+        "k long, e string, ts timestamp",
+    )
+    assert stream_dedup(df, ["k", "e"]).count() == 2
+    assert stream_dedup(df, ["k", "e"], ts_col="ts", within="1 hour").count() == 2

@@ -19,6 +19,7 @@ ONLY = set(sys.argv[2:])
 
 
 def main() -> None:
+    import pypeman_spark.plans.scale_queries  # noqa: F401 — registers entries
     from pypeman_spark.plans.queries import REGISTRY
     from pypeman_spark.session import get_spark
 
