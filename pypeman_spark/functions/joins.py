@@ -17,9 +17,9 @@ belongs to exactly one bucket — no post-join dedup needed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["range_join"]
+__all__ = ["range_join", "asof_join"]
 
 
 def _bucket(ts: Column, bucket_seconds: int) -> Column:
@@ -65,3 +65,75 @@ def range_join(
         & (pt[point_ts] < iv[hi])
     )
     return pt.join(iv, cond, "inner").drop("__bucket")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool = True,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Distributed as-of join: for each left row, the latest right row
+    with ``right_ts < left_ts`` (``<=`` when ``strict=False``) and the
+    same ``by`` key; ``tolerance`` (an INTERVAL string, e.g.
+    ``"10 minutes"``) null-outs matches farther back than the bound.
+
+    The union-timeline formulation: tag both sides, union them into one
+    event stream, and carry the last right-side payload forward with a
+    running ``last(..., ignorenulls)`` window. ONE shuffle on the key —
+    no range explosion, no per-key loop — which is why every large-scale
+    engine compiles ASOF this way when it lacks a native operator. Ties
+    on the timestamp are broken deterministically: the side order
+    encodes strict/non-strict, and among right rows the highest
+    ``value_cols[0]`` wins.
+
+    Right-side payload columns come back prefixed ``asof_``.
+    """
+    # side-sort key: for strict '<' the left row must sort BEFORE
+    # same-timestamp right rows (so they fall outside its frame); for
+    # '<=' after them.
+    l_side, r_side = (0, 1) if strict else (1, 0)
+    lhs = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__s", F.lit(l_side)
+    ).withColumn("__val", F.lit(None).cast("string")).withColumn(
+        "__payload",
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+            ) + f",__rts:timestamp>"
+        ),
+    )
+    rhs = right.select(
+        F.col(by),
+        F.col(right_ts).alias("__ts"),
+        F.lit(r_side).alias("__s"),
+        F.lit("r").alias("__val"),
+        F.struct(
+            *[F.col(c) for c in value_cols],
+            F.col(right_ts).alias("__rts"),
+        ).alias("__payload"),
+    )
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by)
+        .orderBy("__ts", "__s", F.col("__payload").getField(value_cols[0]))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__val").isNull())
+    match = F.col("__match")
+    if tolerance is not None:
+        match = F.when(
+            F.col("__match").getField("__rts")
+            >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}"),
+            F.col("__match"),
+        )
+    for c in value_cols:
+        out = out.withColumn(f"asof_{c}", match.getField(c))
+    return out.drop("__ts", "__s", "__val", "__payload", "__match")

@@ -17,8 +17,9 @@ from pyspark.sql import Window, functions as F
 
 from ..functions import dedup as D
 from ..functions import text as TX
-from ..functions.joins import range_join
+from ..functions.joins import asof_join, range_join
 from ..functions.packing import greedy_pack
+from ..streaming.rollup import ContinuousRollup
 from ..streaming.stateful import session_window_counts, stream_dedup
 from .queries import q, t, tp
 
@@ -218,6 +219,82 @@ def cumulative_customer_revenue(spark, sf_dir):
             - F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)),
             2,
         ).alias("delta_prev"),
+    )
+
+
+@q(
+    "asof_join_tolerance",
+    """
+    SELECT p.event_id, p.user_id,
+           (SELECT v.event_id FROM events v
+             WHERE v.event_type = 'view' AND v.user_id = p.user_id
+               AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+             ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_view_id
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_join_tolerance(spark, sf_dir):
+    """Generic distributed as-of join (functions/joins.py:asof_join):
+    each purchase picks the latest strictly-earlier view by the same
+    user, but only within a 1 h tolerance. Union-timeline plan — one
+    shuffle on user_id, no range explosion. The oracle is the naive
+    correlated subquery, proving the rewrite exact (incl. the
+    deterministic (ts, id) tie-break)."""
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, views, by="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["view_id"], strict=True, tolerance="1 HOUR",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("asof_view_id").alias("asof_view_id")
+    )
+
+
+@q(
+    "continuous_rollup_hourly",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def continuous_rollup_hourly(spark, sf_dir):
+    """Hypertable-style continuous aggregate (streaming/rollup.py:
+    ContinuousRollup): events replayed as a stream in several
+    micro-batches (maxFilesPerTrigger), each batch's partials merged
+    into a day-partitioned store via dynamic partition overwrite. The
+    oracle is the one-shot batch rollup — associative count/sum partials
+    make the incremental result exactly equal regardless of batching."""
+    import uuid as _uuid
+
+    tmp = tempfile.mkdtemp(prefix="pypeman_rollup_")
+    src = os.path.join(tmp, "in")
+    store = os.path.join(tmp, f"agg_{_uuid.uuid4().hex[:8]}")
+    ev = t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    rollup = ContinuousRollup(
+        spark, store, bucket="1 hour", keys=("event_type",),
+        ts_col="ts", value_col="value",
+    )
+    query = rollup.start(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(src)
+    )
+    query.awaitTermination(180)
+    return rollup.read().select(
+        F.unix_micros(F.col("bucket_start")).alias("bucket_us"),
+        "event_type",
+        "n",
+        F.round(F.col("total"), 2).alias("total"),
     )
 
 

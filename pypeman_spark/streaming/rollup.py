@@ -1,0 +1,117 @@
+"""Continuous time-bucketed rollup (the "hypertable continuous
+aggregate" pattern): a streaming ``foreachBatch`` merges each
+micro-batch's partial aggregates into a date-partitioned parquet store.
+
+Why this shape at 100 TB:
+
+* The store keeps ONE row per (bucket, key) — mergeable partial state
+  (count + sum), never raw events. Readers get the rollup with a plain
+  scan; no re-aggregation of history.
+* Each micro-batch only rewrites the *day partitions it touches*:
+  the merge filters the store to affected days (partition-pruned scan),
+  unions the batch partials, re-aggregates, and rewrites just those
+  partitions via dynamic partition overwrite. Steady-state cost is
+  proportional to the batch's time spread, not to history size.
+* count/sum are associative, so merging partials is exact regardless of
+  how the stream is micro-batched; avg/rates derive at read time.
+
+This is the streaming twin of the batch ``hourly_event_rollup`` query —
+the registry drives both against the same oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["ContinuousRollup"]
+
+
+class ContinuousRollup:
+    """Incrementally-maintained ``(bucket_start, *keys) -> (n, total)``
+    aggregate over an event-time column.
+
+    :param path: parquet store directory (partitioned by ``day``)
+    :param bucket: time bucket width, e.g. ``"1 hour"``
+    :param keys: grouping key columns beside the bucket
+    :param ts_col: event-time column
+    :param value_col: summed metric column (count-only if None)
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        bucket: str = "1 hour",
+        keys: tuple[str, ...] = ("event_type",),
+        ts_col: str = "ts",
+        value_col: str | None = "value",
+    ):
+        self.spark = spark
+        self.path = path
+        self.bucket = bucket
+        self.keys = list(keys)
+        self.ts_col = ts_col
+        self.value_col = value_col
+
+    # -- aggregation pieces -------------------------------------------------
+    def _partials(self, df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if self.value_col:
+            aggs.append(F.sum(F.col(self.value_col)).alias("total"))
+        return (
+            df.groupBy(
+                F.window(F.col(self.ts_col), self.bucket)["start"].alias(
+                    "bucket_start"
+                ),
+                *[F.col(k) for k in self.keys],
+            )
+            .agg(*aggs)
+            .withColumn("day", F.to_date(F.col("bucket_start")))
+        )
+
+    def _merge_partials(self, df: DataFrame) -> DataFrame:
+        aggs = [F.sum("n").alias("n")]
+        if self.value_col:
+            aggs.append(F.sum("total").alias("total"))
+        return df.groupBy("bucket_start", *self.keys, "day").agg(*aggs)
+
+    # -- foreachBatch sink --------------------------------------------------
+    def merge_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
+        """Merge one (micro-)batch into the store. Exact for any batch
+        split because count/sum partials are associative."""
+        spark = batch_df.sparkSession
+        partials = self._partials(batch_df)
+        days = [r["day"] for r in partials.select("day").distinct().collect()]
+        if not days:
+            return
+        merged = partials
+        if os.path.isdir(self.path) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(self.path)
+        ):
+            existing = spark.read.parquet(self.path).filter(
+                F.col("day").isin(days)  # partition-pruned: touched days only
+            )
+            merged = existing.unionByName(partials)
+        # localCheckpoint truncates lineage so the write doesn't see its
+        # own input path ("cannot overwrite a path being read from") —
+        # it also materializes the merge once. On a real deployment a
+        # table format (Delta/Iceberg MERGE INTO) replaces this dance.
+        merged = self._merge_partials(merged).localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(self.path)
+        )
+
+    def start(self, stream_df: DataFrame, available_now: bool = True):
+        """Attach to a streaming DataFrame; returns the StreamingQuery."""
+        writer = stream_df.writeStream.foreachBatch(self.merge_batch)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)

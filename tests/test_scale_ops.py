@@ -137,6 +137,61 @@ def test_session_window_merges_boundary_gap(spark):
     assert sorted(by_user[1]) == [1, 2] and by_user[2] == [1]
 
 
+def test_asof_join_strict_and_tolerance(spark):
+    from pypeman_spark.functions.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _m(10), "L1"), (1, _m(5), "L2"), (2, _m(1), "L3")],
+        "k long, lts timestamp, lid string",
+    )
+    right = spark.createDataFrame(
+        [(1, _m(5), 100), (1, _m(9), 200), (2, _m(1), 300)],
+        "k long, rts timestamp, price long",
+    )
+    strict = {
+        r["lid"]: r["asof_price"]
+        for r in asof_join(left, right, "k", "lts", "rts", ["price"]).collect()
+    }
+    # L2 at 10:05 must NOT see the 10:05 right row (strict <)
+    assert strict == {"L1": 200, "L2": None, "L3": None}
+    loose = {
+        r["lid"]: r["asof_price"]
+        for r in asof_join(
+            left, right, "k", "lts", "rts", ["price"],
+            strict=False, tolerance="2 minutes",
+        ).collect()
+    }
+    assert loose == {"L1": 200, "L2": 100, "L3": 300}
+
+
+def test_continuous_rollup_matches_batch(spark, tmp_path):
+    from pypeman_spark.streaming.rollup import ContinuousRollup
+
+    rows = [
+        (_m(minutes=i * 7), "a" if i % 2 else "b", float(i)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    src = str(tmp_path / "in")
+    df.repartition(6).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    rollup = ContinuousRollup(
+        spark, str(tmp_path / "agg"), bucket="1 hour",
+        keys=("event_type",), ts_col="ts", value_col="value",
+    )
+    q = rollup.start(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(src)
+    )
+    q.awaitTermination(120)
+    inc = rollup.read().select(
+        F.col("bucket_start").alias("b"), "event_type", "n", "total"
+    )
+    exact = df.groupBy(
+        F.date_trunc("hour", "ts").alias("b"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    assert inc.exceptAll(exact).count() == 0
+    assert exact.exceptAll(inc).count() == 0
+
+
 def test_stream_dedup_batch_semantics(spark):
     df = spark.createDataFrame(
         [(1, "a", _m(0)), (1, "a", _m(1)), (2, "a", _m(0))],
