@@ -1,0 +1,65 @@
+"""Data-layout optimization: Z-order (Morton) clustering.
+
+Parquet scans prune row groups / files by min-max statistics. Sorting by
+a single key gives perfect pruning on that key and none on any other;
+interleaving the bits of two keys (the Morton curve) keeps BOTH keys
+locally clustered, so range predicates on either column skip most of the
+data. This is the same layout trick behind ``OPTIMIZE ZORDER BY`` in
+lakehouse engines, expressed here as a pure column expression + a
+repartition/sort — no engine extension needed.
+
+``zvalue`` is deliberately engine-portable (shift/and/or on int64), so
+the DuckDB oracle computes bit-identical values; ``zorder_sort`` applies
+the layout for writing (range-partition on the z-value so files tile the
+curve, then sort within partitions so row groups tile it too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["zvalue", "zvalue_sql", "zorder_sort"]
+
+
+def zvalue(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` bits of two non-negative
+    integer columns: bit i of ``a`` lands at position 2i, bit i of ``b``
+    at 2i+1. A 2*bits-bit z-value as LongType. The expression is a flat
+    OR tree — whole-stage codegen compiles it to straight-line JVM
+    bit math."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1).cast("long"))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1).cast("long"))
+        z = z.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i + 1)
+        )
+    return z
+
+
+def zvalue_sql(a: str, b: str, bits: int = 16) -> str:
+    """The same Morton interleave as ANSI-ish SQL text (DuckDB-ready) —
+    used by the registry oracle to prove ``zvalue`` engine-portable."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_sort(
+    df: DataFrame, a: str, b: str, bits: int = 16, partitions: int | None = None
+) -> DataFrame:
+    """Return ``df`` laid out along the Morton curve of (a, b): range-
+    partitioned on the z-value (files tile disjoint curve segments) and
+    sorted within partitions (row groups tile it too). Write the result
+    with plain ``df.write.parquet`` and scans filtered on EITHER column
+    prune most files via min-max stats."""
+    z = zvalue(F.col(a), F.col(b), bits).alias("__z")
+    out = df.withColumn("__z", z)
+    out = (
+        out.repartitionByRange(partitions, "__z")
+        if partitions
+        else out.repartitionByRange("__z")
+    )
+    return out.sortWithinPartitions("__z").drop("__z")

@@ -222,6 +222,28 @@ def cumulative_customer_revenue(spark, sf_dir):
     )
 
 
+from ..functions.layout import zvalue, zvalue_sql  # noqa: E402
+
+
+@q(
+    "zorder_values",
+    f"""
+    SELECT event_id,
+           {zvalue_sql('user_id', 'CAST(floor(value) AS BIGINT)', 16)} AS z
+    FROM events WHERE event_id < 2000
+    """,
+)
+def zorder_values(spark, sf_dir):
+    """Morton z-value computation (functions/layout.py:zvalue) — the
+    clustering key behind zorder_sort's two-dimensional file pruning.
+    Oracle proves the bit-interleave engine-portable."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        zvalue(F.col("user_id"), F.floor(F.col("value")).cast("long"), 16).alias("z"),
+    )
+
+
 @q(
     "asof_join_tolerance",
     """

@@ -192,6 +192,52 @@ def test_continuous_rollup_matches_batch(spark, tmp_path):
     assert exact.exceptAll(inc).count() == 0
 
 
+def test_zvalue_interleaves_bits(spark):
+    from pypeman_spark.functions.layout import zvalue
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    z = df.select(zvalue(F.col("a"), F.col("b"), 4).alias("z")).first()["z"]
+    # a bits -> even positions (1,0,1 -> 1+16), b bits -> odd (1,1 -> 2+8)
+    assert z == 0b011011
+
+
+def test_zorder_sort_tightens_minmax_stats(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pypeman_spark.functions.layout import zorder_sort
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 1024).alias("x"),
+        (F.col("id") * 40503 % 1024).alias("y"),
+    )
+
+    def spread(path):
+        tot_x = tot_y = files = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            t = pq.read_table(f)
+            xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+            tot_x += max(xs) - min(xs)
+            tot_y += max(ys) - min(ys)
+            files += 1
+        return tot_x / files, tot_y / files
+
+    base = str(tmp_path / "plain")
+    df.repartition(16).write.parquet(base)
+    zed = str(tmp_path / "zed")
+    zorder_sort(df, "x", "y", bits=10, partitions=16).write.parquet(zed)
+    px, py = spread(base)
+    zx, zy = spread(zed)
+    # hash layout: every file spans ~the full 0-1023 range on both dims;
+    # the Morton layout must tighten BOTH simultaneously
+    assert zx < px * 0.5 and zy < py * 0.5
+
+
 def test_stream_dedup_batch_semantics(spark):
     df = spark.createDataFrame(
         [(1, "a", _m(0)), (1, "a", _m(1)), (2, "a", _m(0))],
