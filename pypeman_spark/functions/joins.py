@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["range_join", "asof_join"]
+__all__ = ["range_join", "asof_join", "salted_join"]
 
 
 def _bucket(ts: Column, bucket_seconds: int) -> Column:
@@ -65,6 +65,38 @@ def range_join(
         & (pt[point_ts] < iv[hi])
     )
     return pt.join(iv, cond, "inner").drop("__bucket")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    n_salt: int = 8,
+    fact_salt: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (big, skewed) ``fact`` side
+    into ``n_salt`` sub-keys and explode the ``dim`` side ``n_salt``×,
+    so a single hot key spreads over ``n_salt`` tasks instead of one
+    straggler. Result rows are identical to the plain join.
+
+    ``fact_salt`` defaults to a hash of the whole fact row — any
+    deterministic expression works; pass e.g. ``F.pmod(F.col("id"), 8)``
+    to reproduce a specific spread. AQE's skew-join splitter handles
+    moderate skew adaptively; explicit salting is the belt-and-braces
+    form for extreme keys (one key >> one task's memory).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if fact_salt is None:
+        fact_salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
+    salted_fact = fact.withColumn("__salt", fact_salt.cast("int"))
+    salted_dim = dim.withColumn(
+        "__salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), F.lit(n_salt - 1).cast("int"))
+        ),
+    )
+    return salted_fact.join(salted_dim, [*keys, "__salt"], how).drop("__salt")
 
 
 def asof_join(

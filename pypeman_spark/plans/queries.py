@@ -1468,20 +1468,18 @@ def salted_user_event_join(spark, sf_dir):
     identical to the unsalted join — the oracle proves it. (AQE skew-join
     does this adaptively; explicit salting is the belt-and-braces form
     for extreme keys.)"""
-    n_salt = 8
+    from ..functions.joins import salted_join
+
     ev = t(spark, sf_dir, "events")
     dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    salted_dim = dim.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    fact = ev.filter(F.col("event_type") == "purchase")
+    joined = salted_join(
+        fact, dim, "user_id", n_salt=8,
+        fact_salt=F.pmod(F.col("event_id"), F.lit(8)),
     )
-    fact = ev.filter(F.col("event_type") == "purchase").withColumn(
-        "__salt", F.pmod(F.col("event_id"), F.lit(n_salt)).cast("int")
-    )
-    return (
-        fact.join(salted_dim, ["user_id", "__salt"])
-        .groupBy("user_id", F.col("n_events").alias("user_total"))
-        .agg(F.count(F.lit(1)).alias("n_purchases"))
-    )
+    return joined.groupBy(
+        "user_id", F.col("n_events").alias("user_total")
+    ).agg(F.count(F.lit(1)).alias("n_purchases"))
 
 
 _COS = (

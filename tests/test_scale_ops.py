@@ -192,6 +192,20 @@ def test_continuous_rollup_matches_batch(spark, tmp_path):
     assert exact.exceptAll(inc).count() == 0
 
 
+def test_salted_join_matches_plain_join(spark):
+    from pypeman_spark.functions.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 99)], "k long, v long"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "never")],
+                                "k long, name string")
+    plain = fact.join(dim, "k").select("k", "v", "name")
+    salted = salted_join(fact, dim, "k", n_salt=4).select("k", "v", "name")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
 def test_zvalue_interleaves_bits(spark):
     from pypeman_spark.functions.layout import zvalue
 
