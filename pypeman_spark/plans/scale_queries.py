@@ -223,6 +223,53 @@ def cumulative_customer_revenue(spark, sf_dir):
 
 
 from ..functions.layout import zvalue, zvalue_sql  # noqa: E402
+from ..functions.sampling import hash_sample, stratified_hash_sample  # noqa: E402
+
+_HB = (
+    "CAST('0x' || substring(md5('{salt}:' || CAST({id} AS VARCHAR)), 1, 8) "
+    "AS BIGINT) % 1000000"
+)
+
+
+@q(
+    "hash_sampled_docs",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_HB.format(salt='split1', id='doc_id')} < 300000
+    """,
+)
+def hash_sampled_docs(spark, sf_dir):
+    """Deterministic content-addressed 30% sample (functions/
+    sampling.py:hash_sample) — reproducible across engines/re-runs,
+    stable under data growth, nested across fractions. The oracle
+    computes the identical md5-bucket keep-set."""
+    return hash_sample(
+        t(spark, sf_dir, "documents"), "doc_id", 0.30, salt="split1"
+    ).select("doc_id", "lang")
+
+
+@q(
+    "stratified_sample_by_lang",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_HB.format(salt='bal', id='doc_id')} <
+          CASE WHEN lang = 'en' THEN 200000
+               WHEN lang = 'fr' THEN 1000000
+               ELSE 500000 END
+    """,
+)
+def stratified_sample_by_lang(spark, sf_dir):
+    """Per-stratum rebalancing sample (functions/sampling.py:
+    stratified_hash_sample): keep 20% of English, all French, half of
+    everything else — the language-rebalancing move of corpus builds."""
+    return stratified_hash_sample(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        {"en": 0.2, "fr": 1.0},
+        default=0.5,
+        salt="bal",
+    ).select("doc_id", "lang")
 
 
 @q(

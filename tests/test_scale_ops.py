@@ -192,6 +192,39 @@ def test_continuous_rollup_matches_batch(spark, tmp_path):
     assert exact.exceptAll(inc).count() == 0
 
 
+def test_hash_sample_nested_and_stable(spark):
+    from pypeman_spark.functions.sampling import hash_sample
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    small = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.05, "s").collect()}
+    big = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.5, "s").collect()}
+    assert small <= big  # nested fractions
+    assert 0.02 < len(small) / 2000 < 0.09 and 0.45 < len(big) / 2000 < 0.55
+    again = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.05, "s").collect()}
+    assert small == again  # reproducible
+    other = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.05, "t").collect()}
+    assert small != other  # salt independence
+
+
+def test_stratified_hash_sample_rates(spark):
+    from pypeman_spark.functions.sampling import stratified_hash_sample
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "fr")
+        .otherwise("de")
+        .alias("lang"),
+    )
+    out = stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 0.1, "fr": 1.0}, default=0.0
+    )
+    by_lang = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_lang.get("fr") == 1000 and "de" not in by_lang
+    assert 50 < by_lang.get("en", 0) < 160
+
+
 def test_salted_join_matches_plain_join(spark):
     from pypeman_spark.functions.joins import salted_join
 
