@@ -13,7 +13,7 @@ order-free formulation of a rolling-hash winnow).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "whitespace_token_count",
@@ -25,6 +25,7 @@ __all__ = [
     "fingerprint",
     "scrub_pii",
     "word_repetition_ratio",
+    "tfidf_top_terms",
     "STOPWORDS",
     "TOKEN_REGEX",
     "EMAIL_REGEX",
@@ -121,6 +122,48 @@ def word_repetition_ratio(col: Column) -> Column:
     w = F.split(F.trim(col), "\\s+")
     return F.round(
         F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / F.size(w), 6
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``): ``(id, term, score, rank)``.
+
+    Shuffle budget at corpus scale: one explode + groupBy(id, term) for
+    term frequencies, one groupBy(term) for document frequencies (both
+    map-side-combining on 16 B-ish keys), a broadcast of the bounded
+    corpus-size scalar, and one window shuffle on ``id`` for the top-k.
+    Ties rank deterministically (score desc, term asc).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("term"),
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "score", "rank")
     )
 
 

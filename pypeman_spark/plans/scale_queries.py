@@ -273,6 +273,39 @@ def stratified_sample_by_lang(spark, sf_dir):
 
 
 @q(
+    "tfidf_top_terms",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '{_WS}')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((n.nd + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS score
+      FROM tf JOIN dfreq USING (term), n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms_q(spark, sf_dir):
+    """Per-document characteristic terms by smoothed TF-IDF
+    (functions/text.py:tfidf_top_terms)."""
+    return TX.tfidf_top_terms(
+        tp(spark, sf_dir, "documents"), "text", "doc_id", k=3
+    )
+
+
+@q(
     "zorder_values",
     f"""
     SELECT event_id,
