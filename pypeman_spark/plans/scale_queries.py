@@ -160,6 +160,127 @@ def greedy_pack_sequences(spark, sf_dir):
 
 
 # =====================================================================
+# Additional TPC-H shapes (Q9 profit, Q21 multi-correlated exists)
+# =====================================================================
+
+@q(
+    "product_profit_by_nation_year",
+    """
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                     - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                       * CAST(l.l_quantity AS BIGINT) * 10
+                    ) / 10000.0, 4) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def product_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape: 5-way join with an expression-heavy profit
+    aggregate, grouped by supplier nation × order year (the corpus has
+    no partsupp table, so supply cost is modeled off p_retailprice).
+    Dims (part-filtered, supplier, nation) broadcast; the one shuffle is
+    the final groupBy.
+
+    The money math runs in exact integer 10^-4-dollar units (prices are
+    2 dp, quantities integral) so the big grouped sum is
+    order-independent and engine-exact — a float sum of 100k+ products
+    can land within 1e-8 of a half-cent and round differently per
+    engine; decimal-cents aggregation is also the right call at 100 TB
+    where partial-agg merge order is nondeterministic."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+
+    def cents(c):
+        return F.round(c * 100).cast("long")
+
+    profit_1e4 = cents(F.col("l_extendedprice")) * (
+        F.lit(100) - cents(F.col("l_discount"))
+    ) - cents(F.col("p_retailprice")) * F.col("l_quantity").cast("long") * 10
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate")).alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit_1e4) / 10000.0, 4).alias("profit"))
+    )
+
+
+@q(
+    "sole_returning_supplier",
+    """
+    WITH multi AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1
+    ),
+    returned AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_returnflag = 'R'
+    )
+    SELECT s.s_name AS s_name, count(*) AS numwait
+    FROM returned r
+    JOIN multi m ON m.l_orderkey = r.l_orderkey
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE NOT EXISTS (
+      SELECT 1 FROM returned r2
+      WHERE r2.l_orderkey = r.l_orderkey AND r2.l_suppkey <> r.l_suppkey
+    )
+    GROUP BY s.s_name
+    """,
+)
+def sole_returning_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: doubly-correlated existence test — suppliers who
+    were the ONLY returning supplier on a multi-supplier order (the
+    corpus lacks receipt/commit dates, so 'returned' stands in for
+    'late'). EXISTS compiles to a semi join on the multi-supplier order
+    set; NOT EXISTS to an anti join against other-supplier returns —
+    both equi-joins on l_orderkey, no correlated re-scan per row."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    multi = (
+        l.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .select("l_orderkey")
+    )
+    returned = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = returned.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    sole = (
+        returned.join(multi, "l_orderkey", "left_semi")
+        .join(
+            others,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_anti",
+        )
+    )
+    return (
+        sole.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("s_name").alias("s_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# =====================================================================
 # Scale-path non-equi join + window analytics
 # =====================================================================
 
