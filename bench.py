@@ -63,6 +63,12 @@ HEADLINE = [
     "range_join_purchase_windows",
     "cumulative_customer_revenue",
     "session_window_user_counts",
+    "product_profit_by_nation_year",
+    "sole_returning_supplier",
+    "asof_join_tolerance",
+    "tfidf_top_terms",
+    "hash_sampled_docs",
+    "zorder_values",
 ]
 
 

@@ -285,6 +285,95 @@ def test_zorder_sort_tightens_minmax_stats(spark, tmp_path):
     assert zx < px * 0.5 and zy < py * 0.5
 
 
+def test_asof_join_matches_python_reference_on_random_data(spark):
+    import random
+
+    from pypeman_spark.functions.joins import asof_join
+
+    rng = random.Random(42)
+    lrows = [
+        (rng.randrange(12), _m(seconds=rng.randrange(600)), i)
+        for i in range(250)
+    ]
+    rrows = [
+        (rng.randrange(12), _m(seconds=rng.randrange(600)), 1000 + i)
+        for i in range(250)
+    ]
+    left = spark.createDataFrame(lrows, "k long, lts timestamp, lid long")
+    right = spark.createDataFrame(rrows, "k long, rts timestamp, rid long")
+
+    def ref(strict):
+        out = {}
+        for k, lts, lid in lrows:
+            cands = [
+                (rts, rid)
+                for rk, rts, rid in rrows
+                if rk == k and (rts < lts if strict else rts <= lts)
+            ]
+            # engine tie-break: latest ts, then highest first value col
+            out[lid] = max(cands)[1] if cands else None
+        return out
+
+    for strict in (True, False):
+        got = {
+            r["lid"]: r["asof_rid"]
+            for r in asof_join(
+                left, right, "k", "lts", "rts", ["rid"], strict=strict
+            ).collect()
+        }
+        assert got == ref(strict), f"strict={strict}"
+
+
+def test_range_join_no_duplicate_pairs_on_random_data(spark):
+    import random
+
+    from pypeman_spark.functions.joins import range_join
+
+    rng = random.Random(7)
+    iv = spark.createDataFrame(
+        [
+            (i, _m(seconds=(s := rng.randrange(3000))), _m(seconds=s + rng.randrange(1, 900)))
+            for i in range(120)
+        ],
+        "win_id long, lo timestamp, hi timestamp",
+    )
+    pts = spark.createDataFrame(
+        [(i, _m(seconds=rng.randrange(3600))) for i in range(400)],
+        "pid long, ts timestamp",
+    )
+    fast = range_join(pts, iv, "ts", "lo", "hi", bucket_seconds=300)
+    slow = pts.join(iv, (pts["ts"] >= iv["lo"]) & (pts["ts"] < iv["hi"]))
+    fast_pairs = {(r["pid"], r["win_id"]) for r in fast.collect()}
+    slow_pairs = {(r["pid"], r["win_id"]) for r in slow.collect()}
+    assert fast_pairs == slow_pairs
+    assert fast.count() == len(fast_pairs)  # bucketing never duplicates
+
+
+def test_greedy_pack_matches_python_reference_on_random_data(spark):
+    import random
+
+    from pypeman_spark.functions.packing import greedy_pack
+
+    rng = random.Random(99)
+    rows = [(i, i % 5, rng.randrange(5, 300)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, toks long")
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in greedy_pack(
+            df, "toks", 512, order_col="doc_id", shard_col="shard"
+        ).collect()
+    }
+    ref = {}
+    for shard in range(5):
+        pid, fill = 0, 0
+        for doc_id, _s, tok in [r for r in rows if r[1] == shard]:
+            if fill > 0 and fill + tok > 512:
+                pid, fill = pid + 1, 0
+            fill += tok
+            ref[doc_id] = pid
+    assert got == ref
+
+
 def test_stream_dedup_batch_semantics(spark):
     df = spark.createDataFrame(
         [(1, "a", _m(0)), (1, "a", _m(1)), (2, "a", _m(0))],
