@@ -75,6 +75,35 @@ def test_case_fanout_scans_source_once(spark):
         p.release()
 
 
+def test_round2_queries_avoid_nested_loops(spark):
+    # asof/tfidf/Q9/Q21 must compile to equi-joins + windows — a
+    # refactor that reintroduces a theta join would NLJ at 100 TB
+    import pypeman_spark.plans.scale_queries  # noqa: F401
+
+    for name in (
+        "asof_join_tolerance",
+        "product_profit_by_nation_year",
+        "sole_returning_supplier",
+        "range_join_purchase_windows",
+    ):
+        plan = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # tfidf's one BNLJ is the deliberate 1-row corpus-size scalar
+    # broadcast (like Q22's avg-balance subquery) — bounded by design
+    plan = plan_of(REGISTRY["tfidf_top_terms"].fn(spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_broadcasts_dims_and_pushes_filter(spark):
+    import pypeman_spark.plans.scale_queries  # noqa: F401
+
+    plan = plan_of(REGISTRY["product_profit_by_nation_year"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert "PushedFilters: [" in plan
+
+
 def test_when_null_condition_keeps_rows(spark):
     # ADVICE r01 (high): a condition evaluating to SQL NULL must route the
     # row to the continue-branch, not vanish from both
