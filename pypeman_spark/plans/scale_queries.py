@@ -623,6 +623,70 @@ def session_window_user_counts(spark, sf_dir):
 
 
 @q(
+    "stream_stream_interval_join",
+    """
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_stream_interval_join(spark, sf_dir):
+    """Stream-stream inner join with event-time bounds (§2.H — pypeman
+    has nothing like it): purchases and views arrive as two independent
+    streams; each purchase joins the same user's views from the
+    preceding 30 minutes. Watermarks + the time-range condition bound
+    BOTH join states, so the operator runs indefinitely on unbounded
+    streams; an availableNow drain makes the result equal the batch
+    join, which is the oracle."""
+    import uuid as _uuid
+
+    tmp = tempfile.mkdtemp(prefix="pypeman_ssj_")
+    vsrc, psrc = os.path.join(tmp, "views"), os.path.join(tmp, "purch")
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    ev.filter(F.col("event_type") == "view").write.mode("overwrite").parquet(vsrc)
+    ev.filter(F.col("event_type") == "purchase").write.mode("overwrite").parquet(psrc)
+    schema = spark.read.parquet(vsrc).schema
+
+    views = (
+        spark.readStream.schema(schema).parquet(vsrc)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        spark.readStream.schema(schema).parquet(psrc)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = purchases.join(
+        views,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "view_id")
+    sink = f"ssj_{_uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    return spark.table(sink)
+
+
+@q(
     "streaming_dedup_keys",
     "SELECT DISTINCT user_id, event_type FROM events",
 )
