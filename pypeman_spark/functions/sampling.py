@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["hash_bucket", "hash_sample", "stratified_hash_sample"]
+__all__ = ["hash_bucket", "hash_sample", "stratified_hash_sample", "mixture_sample"]
 
 #: hash space resolution: fractions quantize to 1/1e6
 _BUCKETS = 1_000_000
@@ -61,3 +61,47 @@ def stratified_hash_sample(
     for k, v in fractions.items():
         rate = F.when(F.col(strata_col) == k, F.lit(int(v * _BUCKETS))).otherwise(rate)
     return df.filter(hash_bucket(F.col(id_col), salt) < rate)
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Largest deterministic subsample hitting a target domain mixture.
+
+    Training-corpus construction fixes the *mixture* (e.g. 50% web, 30%
+    books, 20% code) rather than per-domain rates; the per-domain keep
+    fraction must then be derived from the actual domain counts. With
+    target weight ``w_d`` and observed count ``n_d``, the largest total
+    ``T`` satisfying ``T*w_d <= n_d`` for every domain is ``T = min_d
+    (n_d / w_d)``; each domain keeps fraction ``T*w_d / n_d`` (the
+    binding domain keeps everything). Domains outside ``weights`` are
+    dropped. Keep rates are hit in expectation via the same
+    content-addressed hash filter as `hash_sample`, so the sample is
+    reproducible and stable under reruns.
+
+    Two jobs at scale: a map-side-combined count per domain (tiny
+    result), then one scan with the per-domain rates broadcast-joined
+    in — the 100 TB side is never shuffled.
+    """
+    w_rows = [(k, float(v)) for k, v in sorted(weights.items())]
+    wdf = df.sparkSession.createDataFrame(w_rows, f"{domain_col} string, wt double")
+    counts = (
+        df.filter(F.col(domain_col).isin([k for k, _ in w_rows]))
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(wdf, domain_col)
+    )
+    cap = counts.agg(F.min(F.col("n") / F.col("wt")).alias("cap"))
+    rates = counts.crossJoin(cap).select(
+        domain_col,
+        F.floor(F.col("cap") * F.col("wt") / F.col("n") * _BUCKETS)
+        .cast("long")
+        .alias("rate"),
+    )
+    return df.join(F.broadcast(rates), domain_col).filter(
+        hash_bucket(F.col(id_col), salt) < F.col("rate")
+    ).drop("rate")

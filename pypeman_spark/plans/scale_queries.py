@@ -719,3 +719,170 @@ def streaming_dedup_keys(spark, sf_dir):
     )
     query.awaitTermination(120)
     return spark.table(sink)
+
+
+# =====================================================================
+# Corpus hygiene round 2b: benchmark decontamination, mixture sampling,
+# end-to-end fuzzy dedup (functions/decontam.py, functions/sampling.py)
+# =====================================================================
+
+from ..functions.decontam import benchmark_overlap, decontaminate  # noqa: E402
+from ..functions.sampling import mixture_sample  # noqa: E402
+from .queries import _MINHASH_SQL  # noqa: E402
+
+_DECONTAM_SQL = """
+    WITH corpus_sh AS (
+      SELECT DISTINCT doc_id, md5(shingle) AS sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(0, greatest(len(w) - 3, 0)),
+                 i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents WHERE doc_id < 400)
+      )
+    ),
+    bench_sh AS (
+      SELECT DISTINCT bench_id, md5(shingle) AS sh FROM (
+        SELECT doc_id AS bench_id,
+               unnest(list_transform(
+                 generate_series(0, greatest(len(w) - 3, 0)),
+                 i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents WHERE doc_id >= 400)
+      )
+    ),
+    sizes AS (
+      SELECT bench_id, count(*) AS bench_sz FROM bench_sh GROUP BY bench_id
+    ),
+    hits AS (
+      SELECT c.doc_id, b.bench_id, count(*) AS overlap
+      FROM corpus_sh c JOIN bench_sh b ON c.sh = b.sh
+      GROUP BY c.doc_id, b.bench_id
+    ),
+    contam AS (
+      SELECT h.doc_id, h.bench_id, h.overlap, s.bench_sz,
+             round(h.overlap / s.bench_sz, 6) AS ratio
+      FROM hits h JOIN sizes s USING (bench_id)
+      WHERE h.overlap / s.bench_sz >= 0.5
+    )
+"""
+
+
+def _corpus_bench(spark, sf_dir):
+    d = tp(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    bench = d.filter(F.col("doc_id") >= 400)
+    return corpus, bench
+
+
+@q(
+    "decontam_overlap_pairs",
+    _DECONTAM_SQL
+    + "SELECT doc_id, bench_id, overlap, bench_sz, ratio FROM contam",
+)
+def decontam_overlap_pairs(spark, sf_dir):
+    """Benchmark-contamination detection (functions/decontam.py:
+    benchmark_overlap): training docs containing >=50% of an eval item's
+    3-gram shingles. The benchmark shingle set is broadcast, so the
+    corpus side is a map-side probe — no shuffle of the big side."""
+    corpus, bench = _corpus_bench(spark, sf_dir)
+    return benchmark_overlap(
+        corpus, bench, n=3, min_ratio=0.5, bench_id="bench_id"
+    )
+
+
+@q(
+    "decontaminated_corpus",
+    _DECONTAM_SQL
+    + """
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id < 400
+      AND doc_id NOT IN (SELECT DISTINCT doc_id FROM contam)
+    """,
+)
+def decontaminated_corpus(spark, sf_dir):
+    """The cleaned corpus: broadcast left-anti join against the
+    contaminated-id set (functions/decontam.py:decontaminate) — at
+    scale a single map-side filter over the corpus scan."""
+    corpus, bench = _corpus_bench(spark, sf_dir)
+    return decontaminate(
+        corpus, bench, n=3, min_ratio=0.5, bench_id="bench_id"
+    ).select("doc_id", "lang")
+
+
+@q(
+    "mixture_sample_by_source",
+    f"""
+    WITH w AS (
+      SELECT * FROM (VALUES
+        ('src0', CAST(0.5 AS DOUBLE)),
+        ('src1', CAST(0.3 AS DOUBLE)),
+        ('src2', CAST(0.2 AS DOUBLE))) AS t(source, wt)
+    ),
+    counts AS (
+      SELECT source, count(*) AS n FROM documents
+      WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+    ),
+    j AS (SELECT c.source, c.n, w.wt FROM counts c JOIN w USING (source)),
+    cap AS (SELECT min(n / wt) AS cap FROM j),
+    rates AS (
+      SELECT source, floor(cap * wt / n * 1000000) AS rate
+      FROM j CROSS JOIN cap
+    )
+    SELECT d.doc_id, d.source FROM documents d JOIN rates r USING (source)
+    WHERE {_HB.format(salt='mix', id='doc_id')} < r.rate
+    """,
+)
+def mixture_sample_by_source(spark, sf_dir):
+    """Target-mixture corpus sampling (functions/sampling.py:
+    mixture_sample): per-domain keep rates derived from observed counts
+    so the output hits 50/30/20 across three sources; content-addressed
+    hash filter keeps it deterministic and engine-portable."""
+    return mixture_sample(
+        t(spark, sf_dir, "documents"),
+        "source",
+        "doc_id",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        salt="mix",
+    ).select("doc_id", "source")
+
+
+@q(
+    "fuzzy_dedup_corpus",
+    _MINHASH_SQL.replace("WITH words", "WITH RECURSIVE words", 1)
+    + """
+    , edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id <> b.doc_id
+    ),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    keep AS (
+      SELECT node AS doc_id FROM reach GROUP BY node HAVING node = min(lab)
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN keep USING (doc_id)
+    """,
+)
+def fuzzy_dedup_corpus(spark, sf_dir):
+    """End-to-end fuzzy dedup: MinHash LSH candidate pairs → distributed
+    connected components → keep the min-id representative per cluster →
+    surviving corpus rows. The full composition a corpus build runs,
+    with every stage an equi-join/groupBy on hashes (never all-pairs,
+    never text through the shuffle)."""
+    d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = D.minhash_candidate_pairs(d, num_hashes=16, bands=4, shingle_n=3)
+    clusters = D.connected_components(
+        pairs, nodes=d.select(F.col("doc_id").alias("node"))
+    )
+    keep = clusters.filter(F.col("node") == F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.join(F.broadcast(keep), "doc_id", "left_semi").select(
+        "doc_id", "lang", "n_chars"
+    )

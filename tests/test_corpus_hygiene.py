@@ -1,0 +1,85 @@
+"""Decontamination, mixture sampling, and the composed fuzzy-dedup
+corpus (functions/decontam.py, functions/sampling.py:mixture_sample)."""
+
+from pyspark.sql import functions as F
+
+from pypeman_spark.functions.decontam import (
+    benchmark_overlap,
+    contaminated_ids,
+    decontaminate,
+)
+from pypeman_spark.functions.sampling import mixture_sample
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_benchmark_overlap_containment_not_jaccard(spark):
+    # Doc 1 embeds the whole benchmark item inside a much longer page:
+    # containment must flag it even though symmetric Jaccard is low.
+    bench = _docs(spark, [(100, "the quick brown fox jumps high")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "padding words here " + "the quick brown fox jumps high" + " more filler tail text beyond"),
+            (2, "totally unrelated content about spark plans"),
+        ],
+    )
+    out = benchmark_overlap(
+        corpus, bench, n=3, min_ratio=0.9, bench_id="bench_id"
+    ).collect()
+    assert [(r.doc_id, r.bench_id, r.ratio) for r in out] == [(1, 100, 1.0)]
+
+
+def test_decontaminate_drops_only_contaminated(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta copied verbatim"),
+            (2, "clean document with original words only"),
+            (3, "alpha beta unrelated gamma"),  # partial overlap, below 0.5
+        ],
+    )
+    kept = decontaminate(corpus, bench, n=3, min_ratio=0.5, bench_id="bench_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3]
+    bad = contaminated_ids(corpus, bench, n=3, min_ratio=0.5, bench_id="bench_id")
+    assert [r.doc_id for r in bad.collect()] == [1]
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    # 3 domains, deliberately unbalanced counts; 'b' (w=0.5, n=500) is
+    # the binding domain -> cap = 1000, expected keeps a:300, b:500(all), c:200.
+    rows = (
+        [(i, "a") for i in range(2000)]
+        + [(10_000 + i, "b") for i in range(500)]
+        + [(20_000 + i, "c") for i in range(3000)]
+        + [(30_000 + i, "drop_me") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = mixture_sample(df, "domain", "doc_id", {"a": 0.3, "b": 0.5, "c": 0.2})
+    counts = {r.domain: r.n for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert "drop_me" not in counts
+    assert counts["b"] == 500  # binding domain keeps everything
+    # hash sampling hits rates in expectation; ±20% at these sizes
+    assert abs(counts["a"] - 300) < 60
+    assert abs(counts["c"] - 200) < 40
+
+
+def test_mixture_sample_deterministic(spark):
+    rows = [(i, "x" if i % 3 else "y") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    a = sorted(r.doc_id for r in mixture_sample(df, "domain", "doc_id", {"x": 0.5, "y": 0.5}).collect())
+    b = sorted(r.doc_id for r in mixture_sample(df, "domain", "doc_id", {"x": 0.5, "y": 0.5}).collect())
+    assert a == b and len(a) > 0
+
+
+def test_decontaminate_plan_broadcasts_bench_side(spark):
+    bench = _docs(spark, [(100, "one two three four five six")])
+    corpus = _docs(spark, [(1, "one two three four five six seven")])
+    plan = decontaminate(
+        corpus, bench, n=3, min_ratio=0.5, bench_id="bench_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    # the contaminated-id anti join and the shingle probe are broadcasts
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
