@@ -69,6 +69,10 @@ HEADLINE = [
     "tfidf_top_terms",
     "hash_sampled_docs",
     "zorder_values",
+    "decontam_overlap_pairs",
+    "mixture_sample_by_source",
+    "cap_per_source",
+    "fuzzy_dedup_corpus",
 ]
 
 

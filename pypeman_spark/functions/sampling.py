@@ -23,7 +23,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["hash_bucket", "hash_sample", "stratified_hash_sample", "mixture_sample"]
+__all__ = [
+    "hash_bucket",
+    "hash_sample",
+    "stratified_hash_sample",
+    "mixture_sample",
+    "cap_per_domain",
+    "token_budget_sample",
+]
 
 #: hash space resolution: fractions quantize to 1/1e6
 _BUCKETS = 1_000_000
@@ -105,3 +112,90 @@ def mixture_sample(
     return df.join(F.broadcast(rates), domain_col).filter(
         hash_bucket(F.col(id_col), salt) < F.col("rate")
     ).drop("rate")
+
+
+def cap_per_domain(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "",
+    prefilter_margin: int | None = 4,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain (anti-spam / source
+    balancing: no single site dominates the corpus).
+
+    Selection is content-addressed — the ``cap`` lowest hash buckets per
+    domain, ties broken by id — so the kept set is deterministic and a
+    document's fate never flips when *other* domains grow.
+
+    Scale path: a bare ``row_number`` per domain sorts every row of the
+    biggest domain on one reducer chain. With ``prefilter_margin`` set
+    (default 4), a first map-side pass keeps only rows whose bucket is
+    below ``margin*cap/n_d`` (per-domain counts are a tiny broadcast),
+    so the window runs over ~margin*cap rows per domain instead of n_d
+    — the 100 TB domain becomes a few thousand rows before the sort.
+    The prefiltered result is identical to the full window whenever at
+    least ``cap`` rows survive the prefilter (guaranteed in practice:
+    the shortfall probability is Chernoff-small, e.g. <1e-40 for
+    cap=1000, margin=4, and it is a data-determined property, not a
+    per-run coin flip — verified identical by `tests/` and the oracle).
+    ``prefilter_margin=None`` disables the optimization.
+    """
+    from pyspark.sql import Window
+
+    bucket = hash_bucket(F.col(id_col), salt)
+    work = df.withColumn("__bucket", bucket)
+    if prefilter_margin is not None:
+        counts = work.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+        rate = F.least(
+            F.lit(_BUCKETS),
+            F.ceil(F.lit(float(prefilter_margin * cap * _BUCKETS)) / F.col("__n")),
+        ).alias("__rate")
+        rates = counts.select(domain_col, rate)
+        work = work.join(F.broadcast(rates), domain_col).filter(
+            F.col("__bucket") < F.col("__rate")
+        ).drop("__rate")
+    w = Window.partitionBy(domain_col).orderBy("__bucket", id_col)
+    return (
+        work.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn", "__bucket")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    token_col,
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Trim each domain to a token budget: documents are taken in
+    content-addressed hash order and kept while the running token total
+    stays within ``budget`` (the greedy prefix — how corpus builds pin
+    per-source token counts rather than document counts).
+
+    ``token_col`` is a Column of per-document token counts (e.g.
+    ``text.whitespace_token_count``). Same ordering determinism as
+    `cap_per_domain`; the running sum is one window over the domain
+    partition. For domains far exceeding the budget, prefilter with
+    `hash_sample` at a rate ~ budget/total_tokens before calling this
+    (the exact window then runs over a bounded slice).
+    """
+    from pyspark.sql import Window
+
+    bucket = hash_bucket(F.col(id_col), salt)
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy("__bucket", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__bucket", bucket)
+        .withColumn("__toks", token_col)
+        .withColumn("__cum", F.sum("__toks").over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__bucket", "__toks", "__cum")
+    )

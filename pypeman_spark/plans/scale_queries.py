@@ -886,3 +886,59 @@ def fuzzy_dedup_corpus(spark, sf_dir):
     return d.join(F.broadcast(keep), "doc_id", "left_semi").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+from ..functions.sampling import cap_per_domain, token_budget_sample  # noqa: E402
+from ..functions.text import whitespace_token_count  # noqa: E402
+
+
+@q(
+    "cap_per_source",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_HB.format(salt='cap', id='doc_id')}, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def cap_per_source(spark, sf_dir):
+    """Per-domain document cap (functions/sampling.py:cap_per_domain):
+    at most 10 docs per source, chosen content-addressed (lowest hash
+    first). Exercises the prefilter scale path — the window sees
+    ~margin*cap rows per domain, not the domain's full count — and the
+    oracle's bare window proves the prefilter changes nothing."""
+    return cap_per_domain(
+        t(spark, sf_dir, "documents"), "source", "doc_id", 10, salt="cap"
+    ).select("doc_id", "source")
+
+
+@q(
+    "token_budget_per_source",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             sum(len(string_split_regex(trim(text), '{_WS}'))) OVER (
+               PARTITION BY source
+               ORDER BY {_HB.format(salt='budget', id='doc_id')}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM documents
+    ) WHERE cum <= 800
+    """,
+)
+def token_budget_per_source(spark, sf_dir):
+    """Per-domain token budget (functions/sampling.py:
+    token_budget_sample): greedy hash-ordered prefix per source while
+    the running whitespace-token total stays within 800."""
+    return token_budget_sample(
+        t(spark, sf_dir, "documents"),
+        "source",
+        "doc_id",
+        whitespace_token_count(F.col("text")),
+        800,
+        salt="budget",
+    ).select("doc_id", "source")

@@ -83,3 +83,37 @@ def test_decontaminate_plan_broadcasts_bench_side(spark):
     )._jdf.queryExecution().executedPlan().toString()
     # the contaminated-id anti join and the shingle probe are broadcasts
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cap_per_domain_prefilter_matches_exact(spark):
+    from pypeman_spark.functions.sampling import cap_per_domain
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(850)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    fast = cap_per_domain(df, "domain", "doc_id", 20, salt="s")
+    exact = cap_per_domain(df, "domain", "doc_id", 20, salt="s", prefilter_margin=None)
+    fk = sorted((r.domain, r.doc_id) for r in fast.collect())
+    ek = sorted((r.domain, r.doc_id) for r in exact.collect())
+    assert fk == ek
+    per = {}
+    for d, _ in fk:
+        per[d] = per.get(d, 0) + 1
+    assert per["big"] == 20 and per["small"] == 20
+
+
+def test_token_budget_sample_greedy_prefix(spark):
+    from pypeman_spark.functions.sampling import token_budget_sample, hash_bucket
+
+    rows = [(i, "d", 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, toks long")
+    out = token_budget_sample(df, "domain", "doc_id", F.col("toks"), 95)
+    kept = [r.doc_id for r in out.collect()]
+    assert len(kept) == 9  # 9 * 10 = 90 <= 95 < 100
+    # kept set must be the prefix of the hash ordering
+    order = [
+        r.doc_id
+        for r in df.select("doc_id", hash_bucket(F.col("doc_id")).alias("b"))
+        .orderBy("b", "doc_id")
+        .collect()
+    ]
+    assert sorted(kept) == sorted(order[:9])
