@@ -30,6 +30,7 @@ __all__ = [
     "mixture_sample",
     "cap_per_domain",
     "token_budget_sample",
+    "upsample_mixture",
 ]
 
 #: hash space resolution: fractions quantize to 1/1e6
@@ -199,3 +200,41 @@ def token_budget_sample(
         .filter(F.col("__cum") <= budget)
         .drop("__bucket", "__toks", "__cum")
     )
+
+
+def upsample_mixture(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    factors: dict[str, float],
+    default: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Repeat each domain by a fractional factor (epoch weighting: e.g.
+    books 2.5x, web 1x, low-quality 0.5x in a fixed token-budget mix).
+
+    Every document gets ``floor(f)`` copies; the fractional remainder
+    comes from one extra copy for the deterministic ``hash_bucket <
+    frac(f)`` subset — so factors below 1 downsample and above 1
+    oversample through the same code path, reproducibly. Output gains a
+    ``copy_idx`` column (1..n) so downstream shuffling/packing can keep
+    copies apart.
+
+    Pure expressions: the factor lookup compiles to CASE literals
+    beside the scan (no counts pass, no shuffle); the repeat is a JVM
+    ``explode(sequence(...))`` whose fan-out is the output size itself.
+    """
+    base = F.lit(int(default))
+    extra = F.lit(int((default % 1) * _BUCKETS))
+    for k, v in factors.items():
+        base = F.when(F.col(domain_col) == k, F.lit(int(v))).otherwise(base)
+        extra = F.when(
+            F.col(domain_col) == k, F.lit(int((v % 1) * _BUCKETS))
+        ).otherwise(extra)
+    repeats = base + (hash_bucket(F.col(id_col), salt) < extra).cast("int")
+    # sequence(1, 0) would DESCEND ([1, 0]); zero-repeat rows must
+    # instead explode an empty array so they drop out entirely.
+    copies = F.when(repeats >= 1, F.sequence(F.lit(1), repeats)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("copy_idx", F.explode(copies))

@@ -942,3 +942,83 @@ def token_budget_per_source(spark, sf_dir):
         800,
         salt="budget",
     ).select("doc_id", "source")
+
+
+from ..functions.sampling import upsample_mixture  # noqa: E402
+from .queries import _COS  # noqa: E402
+
+
+@q(
+    "upsample_mixture_by_source",
+    f"""
+    SELECT doc_id, source, copy_idx FROM (
+      SELECT doc_id, source,
+             unnest(generate_series(1,
+               CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END
+               + CASE WHEN {_HB.format(salt='up', id='doc_id')} <
+                           CASE source WHEN 'src0' THEN 500000
+                                       WHEN 'src1' THEN 300000
+                                       ELSE 0 END
+                      THEN 1 ELSE 0 END)) AS copy_idx
+      FROM documents
+    )
+    """,
+)
+def upsample_mixture_by_source(spark, sf_dir):
+    """Epoch-weighted corpus mixing (functions/sampling.py:
+    upsample_mixture): src0 repeated 2.5x, src1 downsampled to 0.3x,
+    everything else kept 1x — fractional factors realized by a
+    deterministic hash subset, repeats by JVM explode(sequence)."""
+    return upsample_mixture(
+        t(spark, sf_dir, "documents"),
+        "source",
+        "doc_id",
+        {"src0": 2.5, "src1": 0.3},
+        salt="up",
+    ).select("doc_id", "source", "copy_idx")
+
+
+@q(
+    "semantic_dedup_corpus",
+    f"""
+    WITH RECURSIVE c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 200
+    ),
+    edges AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM c a, c b
+      WHERE a.vec_id <> b.vec_id
+        AND {_COS.format(a='a.v', b='b.v')} >= 0.4
+    ),
+    reach(node, lab) AS (
+      SELECT vec_id, vec_id FROM c
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    keep AS (
+      SELECT node AS vec_id FROM reach GROUP BY node HAVING node = min(lab)
+    )
+    SELECT e.vec_id, e.label FROM embeddings e JOIN keep USING (vec_id)
+    """,
+)
+def semantic_dedup_corpus(spark, sf_dir):
+    """SemDeDup-style semantic dedup end-to-end: embedding-cosine
+    near-dup pairs (exact verifier on the bounded slice; num_planes>0
+    is the LSH-bucketed scale path) → connected components → keep the
+    min-id representative per semantic cluster."""
+    emb = (
+        tp(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    pairs = D.embedding_near_dup_pairs(emb, threshold=0.4)
+    clusters = D.connected_components(
+        pairs, nodes=emb.select(F.col("vec_id").alias("node"))
+    )
+    keep = clusters.filter(F.col("node") == F.col("cluster_id")).select(
+        F.col("node").alias("vec_id")
+    )
+    return emb.join(F.broadcast(keep), "vec_id", "left_semi").select(
+        "vec_id", "label"
+    )

@@ -117,3 +117,29 @@ def test_token_budget_sample_greedy_prefix(spark):
         .collect()
     ]
     assert sorted(kept) == sorted(order[:9])
+
+
+def test_upsample_mixture_fractional_factors(spark):
+    from pypeman_spark.functions.sampling import upsample_mixture
+
+    rows = [(i, "a" if i < 1000 else ("b" if i < 2000 else "c")) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = upsample_mixture(df, "domain", "doc_id", {"a": 2.5, "b": 0.3})
+    counts = {r.domain: r.n for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["a"] - 2500) < 150  # 2x everyone + 0.5 hash subset
+    assert abs(counts["b"] - 300) < 90  # pure fractional downsample
+    assert counts["c"] == 1000  # default 1.0: exactly one copy each
+    # copy_idx distinguishes repeats of the same doc
+    m = out.filter(F.col("domain") == "a").groupBy("doc_id").agg(F.max("copy_idx").alias("m"))
+    assert {r.m for r in m.collect()} <= {2, 3}
+
+
+def test_upsample_mixture_deterministic_and_zero_drop(spark):
+    from pypeman_spark.functions.sampling import upsample_mixture
+
+    df = spark.createDataFrame([(i, "x") for i in range(200)], "doc_id long, domain string")
+    a = sorted((r.doc_id, r.copy_idx) for r in upsample_mixture(df, "domain", "doc_id", {"x": 0.4}).collect())
+    b = sorted((r.doc_id, r.copy_idx) for r in upsample_mixture(df, "domain", "doc_id", {"x": 0.4}).collect())
+    assert a == b
+    assert 0 < len(a) < 200  # fractional keep, zero-repeat rows dropped
+    assert all(c == 1 for _, c in a)
