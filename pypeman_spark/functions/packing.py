@@ -17,9 +17,9 @@ the semantics genuinely cannot be expressed with built-in operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
-__all__ = ["greedy_pack"]
+__all__ = ["greedy_pack", "chunk_documents"]
 
 
 def greedy_pack(
@@ -69,4 +69,58 @@ def greedy_pack(
         df.select(*dict.fromkeys(cols))
         .groupBy(shard_col)
         .applyInPandas(pack, out_schema)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-size token windows — the standard
+    pre-tokenization chunking step (long doc → training-length pieces,
+    optional ``overlap`` tokens of left context carried into each next
+    chunk so no boundary-spanning phrase is lost).
+
+    Tokens are whitespace words here; stride = ``max_tokens - overlap``.
+    Output: ``(id, chunk_idx, chunk_text, n_tokens)``, one row per
+    chunk, chunk 0 starting at token 0. Pure JVM expressions — the
+    window arithmetic is ``sequence``/``transform`` over the split
+    array and ONE explode; no Python, no shuffle. The fan-out ratio is
+    output/input size, the theoretical floor for this op.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    w = F.split(F.trim(F.col(text_col)), "\\s+")
+    # chunk starts: 0, stride, 2*stride, ... while start < len (at least
+    # one chunk even for empty text — slice handles the short tail)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((F.size(w) - F.lit(max_tokens)) / F.lit(stride)).cast("int"),
+            F.lit(0),
+        ),
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(
+                F.slice(w, i * stride + 1, max_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size(w) - i * stride, F.lit(max_tokens)
+            ).alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("__c")
+    ).select(
+        id_col,
+        F.col("__c.chunk_idx").alias("chunk_idx"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.n_tokens").alias("n_tokens"),
     )

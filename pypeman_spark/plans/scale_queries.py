@@ -1022,3 +1022,42 @@ def semantic_dedup_corpus(spark, sf_dir):
     return emb.join(F.broadcast(keep), "vec_id", "left_semi").select(
         "vec_id", "label"
     )
+
+
+from ..functions.packing import chunk_documents  # noqa: E402
+
+
+@q(
+    "chunk_documents_windows",
+    f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS w
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               greatest(CAST(ceil((len(w) - 32) / 24) AS INT), 0))) AS chunk_idx,
+             w
+      FROM words
+    )
+    SELECT doc_id, chunk_idx,
+           md5(array_to_string(w[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' '))
+             AS chunk_hash,
+           least(len(w) - chunk_idx*24, 32) AS n_tokens
+    FROM chunks
+    """,
+)
+def chunk_documents_windows(spark, sf_dir):
+    """Fixed-token chunking with overlap (functions/packing.py:
+    chunk_documents): 32-token windows, 8-token overlap (stride 24) —
+    the pre-tokenization split of long docs into training-length
+    pieces. One explode, no Python, no shuffle."""
+    return chunk_documents(
+        tp(spark, sf_dir, "documents"), max_tokens=32, overlap=8
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+        "n_tokens",
+    )

@@ -143,3 +143,32 @@ def test_upsample_mixture_deterministic_and_zero_drop(spark):
     assert a == b
     assert 0 < len(a) < 200  # fractional keep, zero-repeat rows dropped
     assert all(c == 1 for _, c in a)
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from pypeman_spark.functions.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, words), (2, "short text")], "doc_id long, text string")
+    out = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, max_tokens=4, overlap=1).collect()
+    }
+    # doc 1: stride 3 -> starts 0,3,6 cover tokens 0-3,3-6,6-9
+    assert out[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert out[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert out[(1, 2)][0] == "w6 w7 w8 w9"
+    # overlap: each chunk repeats the previous chunk's last token
+    assert out[(1, 1)][0].split()[0] == out[(1, 0)][0].split()[-1]
+    # short doc: single chunk, actual token count
+    assert out[(2, 0)] == ("short text", 2)
+    assert (2, 1) not in out
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from pypeman_spark.functions.packing import chunk_documents
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)

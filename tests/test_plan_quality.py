@@ -197,3 +197,44 @@ def test_connected_components_label_propagation(spark):
         for r in connected_components(pairs, nodes=nodes).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 42: 42}
+
+
+def test_corpus_hygiene_queries_scale_clean(spark):
+    # round-2b corpus ops: no cartesian/NLJ anywhere (semantic dedup's
+    # exact verifier slice excepted — its crossJoin is the documented
+    # bounded-verifier mode, checked separately below)
+    import pypeman_spark.plans.scale_queries  # noqa: F401
+
+    for name in (
+        "decontam_overlap_pairs",
+        "decontaminated_corpus",
+        "cap_per_source",
+        "token_budget_per_source",
+        "upsample_mixture_by_source",
+        "chunk_documents_windows",
+        "fuzzy_dedup_corpus",
+    ):
+        plan = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    # mixture: its single BNLJ is the 1-row `cap` scalar broadcast
+    # (same bounded shape as tfidf's corpus-size subquery)
+    plan = plan_of(REGISTRY["mixture_sample_by_source"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+    # decontamination: the bench-shingle probe and the anti join are
+    # broadcasts — the corpus side is never shuffled for a join
+    plan = plan_of(REGISTRY["decontaminated_corpus"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+    # mixture/cap: per-domain rates reach the big side via broadcast
+    for name in ("mixture_sample_by_source", "cap_per_source"):
+        plan = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+
+    # upsample/chunking: pure projection+explode — zero shuffles
+    for name in ("upsample_mixture_by_source", "chunk_documents_windows"):
+        plan = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "Exchange" not in plan.replace("BroadcastExchange", ""), name
