@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["zvalue", "zvalue_sql", "zorder_sort"]
+__all__ = ["zvalue", "zvalue_sql", "zorder_sort", "write_training_shards"]
 
 
 def zvalue(a: Column, b: Column, bits: int = 16) -> Column:
@@ -63,3 +63,41 @@ def zorder_sort(
         else out.repartitionByRange("__z")
     )
     return out.sortWithinPartitions("__z").drop("__z")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+    salt: str = "",
+    fmt: str = "parquet",
+) -> None:
+    """Write the finished corpus as deterministic training shards.
+
+    The last step of a corpus build: fix a global, reproducible document
+    order and cut it into ``n_shards`` equal-expectation pieces that a
+    data loader can stream independently. Shard assignment is the same
+    content-addressed hash as `functions.sampling` (``shard =
+    hash_bucket % n_shards``) so re-running the build — on any cluster
+    size, any input partitioning — produces byte-identical shard
+    membership; within a shard, rows are sorted by (bucket, id), which
+    doubles as the corpus-level deterministic shuffle (hash order is
+    uncorrelated with source order, so each shard is already "mixed").
+
+    One exchange total: ``repartition(n_shards, shard)`` then a
+    sort-within-partition (no global sort). Output directories are
+    ``shard=K/`` via ``partitionBy``, the layout every loader
+    understands.
+    """
+    from .sampling import hash_bucket
+
+    bucket = hash_bucket(F.col(id_col), salt)
+    out = (
+        df.withColumn("__bucket", bucket)
+        .withColumn("shard", (F.col("__bucket") % n_shards).cast("int"))
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__bucket", id_col)
+        .drop("__bucket")
+    )
+    out.write.mode("overwrite").partitionBy("shard").format(fmt).save(path)

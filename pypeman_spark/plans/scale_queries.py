@@ -1061,3 +1061,36 @@ def chunk_documents_windows(spark, sf_dir):
         F.md5(F.col("chunk_text")).alias("chunk_hash"),
         "n_tokens",
     )
+
+
+@q(
+    "corpus_stats_by_lang",
+    f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(string_split_regex(trim(text), '{_WS}'))) AS total_tokens,
+           count(DISTINCT md5(text)) AS distinct_texts,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def corpus_stats_by_lang(spark, sf_dir):
+    """Single-pass corpus summary per language: doc counts, token
+    totals, exact distinct texts (16 B md5 through the distinct, never
+    text), char stats. The everything-dashboard query a corpus build
+    runs first; at 100 TB swap ``count_distinct`` for
+    ``approx_count_distinct`` (HLL, no second shuffle) — exact kept
+    here for the oracle."""
+    from ..functions.text import whitespace_token_count
+
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(whitespace_token_count(F.col("text"))).alias("total_tokens"),
+            F.count_distinct(F.md5(F.col("text"))).alias("distinct_texts"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )

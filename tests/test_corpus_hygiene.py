@@ -172,3 +172,27 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_write_training_shards_deterministic_and_balanced(spark, tmp_path):
+    from pypeman_spark.functions.layout import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(2000)], "doc_id long, text string"
+    )
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(df, p1, 8, "doc_id", salt="v1")
+    # re-run from a different input partitioning: same shard membership
+    write_training_shards(df.repartition(17), p2, 8, "doc_id", salt="v1")
+    a = spark.read.parquet(p1)
+    b = spark.read.parquet(p2)
+    ka = sorted((r.shard, r.doc_id) for r in a.select("shard", "doc_id").collect())
+    kb = sorted((r.shard, r.doc_id) for r in b.select("shard", "doc_id").collect())
+    assert ka == kb and len(ka) == 2000
+    sizes = [n for _, n in
+             ((r.shard, r.n) for r in a.groupBy("shard").agg(F.count("*").alias("n")).collect())]
+    assert len(sizes) == 8
+    assert max(sizes) < 2 * min(sizes)  # equal in expectation
+    # hash order de-correlates from doc_id order: shard 0's ids aren't a prefix
+    s0 = sorted(r.doc_id for r in a.filter(F.col("shard") == 0).select("doc_id").collect())
+    assert s0 != list(range(len(s0)))
