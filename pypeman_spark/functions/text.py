@@ -27,6 +27,7 @@ __all__ = [
     "word_repetition_ratio",
     "tfidf_top_terms",
     "STOPWORDS",
+    "clean_lines",
     "TOKEN_REGEX",
     "EMAIL_REGEX",
     "URL_REGEX",
@@ -181,3 +182,32 @@ def fingerprint(col: Column, shingle_len: int = 8, k: int = 4) -> Column:
     offsets = F.sequence(F.lit(1), n_shingles)
     hashes = F.transform(offsets, lambda i: F.md5(col.substr(i, F.lit(shingle_len))))
     return F.array_join(F.slice(F.array_sort(hashes), 1, k), "")
+
+
+def clean_lines(
+    col: Column, min_words: int = 4, required_words: list[str] | None = None
+) -> Column:
+    """C4-style line-level structural cleaning: keep only lines with at
+    least ``min_words`` words and (if given) containing one of
+    ``required_words`` (C4 keeps lines ending in terminal punctuation;
+    for punctuation-free corpora a must-contain stopword list is the
+    standard stand-in). Returns the document rebuilt from surviving
+    lines, '\\n'-joined in original order.
+
+    Pure array expressions — split, ``filter`` with a per-line word
+    count, re-join — fully codegen'd, zero shuffle, order preserved
+    without any sort.
+    """
+    req = [w.lower() for w in (required_words or [])]
+
+    def keep(line: Column) -> Column:
+        words = F.split(F.trim(line), "\\s+")
+        ok = F.size(words) >= min_words
+        if req:
+            hit = F.arrays_overlap(
+                F.transform(words, F.lower), F.array(*[F.lit(w) for w in req])
+            )
+            ok = ok & hit
+        return ok
+
+    return F.array_join(F.filter(F.split(col, "\n"), keep), "\n")

@@ -1093,3 +1093,66 @@ def corpus_stats_by_lang(spark, sf_dir):
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
+
+
+@q(
+    "line_level_clean",
+    f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS w
+      FROM documents
+    ),
+    lined AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               generate_series(0, CAST(ceil(len(w) / 8.0) AS INT) - 1),
+               i -> array_to_string(w[i*8 + 1 : i*8 + 8], ' ')), chr(10)) AS t
+      FROM words
+    ),
+    kept AS (
+      SELECT doc_id,
+             coalesce(array_to_string(list_filter(
+               string_split(t, chr(10)),
+               l -> len(string_split_regex(trim(l), '{_WS}')) >= 4
+                    AND list_has_any(
+                          list_transform(string_split_regex(trim(l), '{_WS}'),
+                                         x -> lower(x)),
+                          ['the', 'a'])), chr(10)), '') AS cleaned
+      FROM lined
+    )
+    SELECT doc_id, md5(cleaned) AS cleaned_hash,
+           CASE WHEN cleaned = '' THEN 0
+                ELSE len(string_split(cleaned, chr(10))) END AS n_kept
+    FROM kept
+    """,
+)
+def line_level_clean(spark, sf_dir):
+    """C4-style line-level structural cleaning (functions/text.py:
+    clean_lines): docs are first cut into deterministic 8-word lines
+    (the corpus is punctuation-free word soup, so — like pii_scrub —
+    structure is injected reproducibly first), then lines with <4 words
+    or no required stopword are dropped and the doc is rebuilt in
+    order. Pure array expressions, zero shuffle."""
+    from ..functions.text import clean_lines
+
+    d = tp(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), _WS)
+    lined = F.array_join(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size(w) / F.lit(8.0)).cast("int") - 1
+            ),
+            lambda i: F.array_join(F.slice(w, i * 8 + 1, 8), " "),
+        ),
+        "\n",
+    )
+    cleaned = clean_lines(lined, min_words=4, required_words=["the", "a"])
+    out = d.select("doc_id", cleaned.alias("__cleaned"))
+    return out.select(
+        "doc_id",
+        F.md5(F.col("__cleaned")).alias("cleaned_hash"),
+        F.when(F.col("__cleaned") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("__cleaned"), "\n")))
+        .cast("long")
+        .alias("n_kept"),
+    )

@@ -196,3 +196,19 @@ def test_write_training_shards_deterministic_and_balanced(spark, tmp_path):
     # hash order de-correlates from doc_id order: shard 0's ids aren't a prefix
     s0 = sorted(r.doc_id for r in a.filter(F.col("shard") == 0).select("doc_id").collect())
     assert s0 != list(range(len(s0)))
+
+
+def test_clean_lines_keeps_order_and_filters(spark):
+    from pypeman_spark.functions.text import clean_lines
+
+    text = "the quick brown fox jumps\nshort one\nnothing matching here today\nthe tail stays here fine"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = df.select(
+        clean_lines(F.col("text"), min_words=4, required_words=["the"]).alias("c")
+    ).first()["c"]
+    # "short one" dropped (too few words); "nothing matching..." dropped
+    # (no required word); order of survivors preserved
+    assert out == "the quick brown fox jumps\nthe tail stays here fine"
+    # all dropped -> empty string, not null
+    df2 = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    assert df2.select(clean_lines(F.col("text"), 4, ["the"]).alias("c")).first()["c"] == ""
