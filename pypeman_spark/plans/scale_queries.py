@@ -1156,3 +1156,45 @@ def line_level_clean(spark, sf_dir):
         .cast("long")
         .alias("n_kept"),
     )
+
+
+@q(
+    "frequent_bigrams",
+    f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM words
+    )
+    SELECT bigram, count(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def frequent_bigrams(spark, sf_dir):
+    """Corpus-wide top-k frequent bigrams — the vocabulary/boilerplate
+    census every corpus build runs. One explode + map-side-combined
+    groupBy on the bigram, then TakeOrdered(20) (no global sort: each
+    partition keeps its own top 20 and the driver merges 20·P rows)."""
+    d = tp(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), _WS)
+    # guard: sequence(1, 0) would DESCEND for single-word docs
+    idx = F.when(F.size(w) > 1, F.sequence(F.lit(1), F.size(w) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -22,3 +22,32 @@ def test_example_project_ticks(spark, tmp_path):
     row = store.search(text="hi").collect()[0]
     assert row["state"] == "processed"
     assert row["meta"]["filename"] == "hello.txt"
+
+
+def test_corpus_pipeline_example_funnel(spark, tmp_path, sf_dir):
+    from pyspark.sql import functions as F
+    from pypeman_spark.sources.tables import load_table
+
+    sys.path.insert(0, "examples")
+    try:
+        import corpus_pipeline as cp
+    finally:
+        sys.path.pop(0)
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    out = str(tmp_path / "shards")
+    counts = cp.build_corpus(
+        corpus, bench, {"src0": 0.5, "src1": 0.5}, out, n_shards=2
+    )
+    # monotone funnel through the dedup/decontam stages
+    assert counts["input"] >= counts["quality"] >= counts["exact_dedup"]
+    assert counts["exact_dedup"] >= counts["fuzzy_dedup"] >= counts["decontaminated"]
+    assert counts["mixture"] <= counts["decontaminated"]
+    assert counts["chunks"] >= counts["mixture"] > 0
+    # shards read back complete and carry chunk metadata
+    back = spark.read.parquet(out)
+    assert back.count() == counts["chunks"]
+    assert {"chunk_text", "n_tokens", "shard", "source"} <= set(back.columns)
+    assert back.select("shard").distinct().count() == 2
