@@ -73,6 +73,10 @@ HEADLINE = [
     "mixture_sample_by_source",
     "cap_per_source",
     "fuzzy_dedup_corpus",
+    "chunk_documents_windows",
+    "line_level_clean",
+    "corpus_stats_by_lang",
+    "frequent_bigrams",
 ]
 
 

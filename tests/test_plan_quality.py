@@ -238,3 +238,22 @@ def test_corpus_hygiene_queries_scale_clean(spark):
     for name in ("upsample_mixture_by_source", "chunk_documents_windows"):
         plan = plan_of(REGISTRY[name].fn(spark, SF))
         assert "Exchange" not in plan.replace("BroadcastExchange", ""), name
+
+
+def test_bigram_census_is_take_ordered(spark):
+    # top-k must be TakeOrdered (per-partition heaps), never a global sort
+    import pypeman_spark.plans.scale_queries  # noqa: F401
+
+    plan = plan_of(REGISTRY["frequent_bigrams"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_line_clean_and_stats_stay_narrow(spark):
+    import pypeman_spark.plans.scale_queries  # noqa: F401
+
+    # line cleaning: pure projection, zero shuffles
+    plan = plan_of(REGISTRY["line_level_clean"].fn(spark, SF))
+    assert "Exchange" not in plan
+    # corpus stats: reads only the columns it aggregates
+    plan = plan_of(REGISTRY["corpus_stats_by_lang"].fn(spark, SF))
+    assert "text" in plan and "doc_id" not in plan.split("ReadSchema")[-1]
