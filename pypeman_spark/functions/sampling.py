@@ -94,6 +94,10 @@ def mixture_sample(
     Two jobs at scale: a map-side-combined count per domain (tiny
     result), then one scan with the per-domain rates broadcast-joined
     in — the 100 TB side is never shuffled.
+
+    A weighted domain absent from the data is ignored (dropped from the
+    feasibility minimum): the output then holds the target *ratios
+    among the present domains* rather than failing the whole build.
     """
     w_rows = [(k, float(v)) for k, v in sorted(weights.items())]
     wdf = df.sparkSession.createDataFrame(w_rows, f"{domain_col} string, wt double")

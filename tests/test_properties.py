@@ -62,3 +62,66 @@ def test_substate_agg_parent_state(spark, sub_outcomes):
     effective = ["processed" if s == "dropped" else s for s in sub_outcomes]
     assert agg["state"] == reference_worst(effective)
     assert len(agg["submessage_states"]) == len(sub_outcomes)
+
+
+_word = st.text(alphabet="abcdefg", min_size=1, max_size=5)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_word, min_size=1, max_size=40),
+    st.integers(min_value=2, max_value=8),
+)
+def test_chunking_reassembles_exactly(spark, words, max_tokens):
+    # overlap=0 chunking is a partition of the token stream: joining the
+    # chunks back in order reproduces the original text exactly, and
+    # token counts add up
+    from pypeman_spark.functions.packing import chunk_documents
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, max_tokens=max_tokens, overlap=0).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert " ".join(r.chunk_text for r in rows) == text
+    assert sum(r.n_tokens for r in rows) == len(words)
+    assert all(r.n_tokens <= max_tokens for r in rows)
+    assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=30, max_size=120),
+    st.integers(min_value=1, max_value=10),
+)
+def test_cap_per_domain_never_exceeds_cap_and_is_stable(spark, domains, cap):
+    # cap bound holds for every domain; adding MORE rows to other
+    # domains never changes a domain's kept set (growth stability)
+    from pypeman_spark.functions.sampling import cap_per_domain
+
+    rows = [(i, d) for i, d in enumerate(domains)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    kept = cap_per_domain(df, "domain", "doc_id", cap, salt="p")
+    per = {
+        r.domain: r.n
+        for r in kept.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n <= cap for n in per.values())
+    a_before = sorted(r.doc_id for r in kept.filter(F.col("domain") == "a").collect())
+    grown = df.union(
+        spark.createDataFrame(
+            [(10_000 + i, "b") for i in range(50)], "doc_id long, domain string"
+        )
+    )
+    kept2 = cap_per_domain(grown, "domain", "doc_id", cap, salt="p")
+    a_after = sorted(r.doc_id for r in kept2.filter(F.col("domain") == "a").collect())
+    assert a_before == a_after
