@@ -36,10 +36,15 @@ __all__ = ["benchmark_overlap", "contaminated_ids", "decontaminate"]
 def _hashed_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int, out_id: str
 ) -> DataFrame:
-    """(out_id, sh) — md5 of each distinct word n-gram."""
+    """(out_id, sh) — 64-bit hash of each distinct word n-gram.
+
+    xxhash64, not md5: the hash is an internal join key (it never
+    reaches the output), so an 8-byte long beats a 32-char hex string
+    through the broadcast and the groupBy — and a collision would need
+    ~2^32 distinct shingles per benchmark item to matter."""
     return (
         shingles(df, text_col=text_col, id_col=id_col, n=n)
-        .select(F.col(id_col).alias(out_id), F.md5(F.col("shingle")).alias("sh"))
+        .select(F.col(id_col).alias(out_id), F.xxhash64(F.col("shingle")).alias("sh"))
     )
 
 
