@@ -32,6 +32,7 @@ __all__ = [
     "simhash",
     "ngram_jaccard_pairs",
     "duplicate_passages",
+    "dedupe_against_reference",
 ]
 
 
@@ -338,3 +339,30 @@ def connected_components(
             break
 
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def dedupe_against_reference(
+    new_batch: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: drop new documents whose content already
+    exists in a reference corpus (the daily-refresh path — dedup the
+    new crawl against everything shipped before, without re-reading the
+    old corpus text).
+
+    ``seen`` is either previous raw documents (hashed here) or a
+    pre-computed one-column ``__h`` hash table — at 100 TB you persist
+    the 16 B/doc hash table once and reuse it per batch, so the
+    incremental cost is hash(new) + one anti join keyed on the hash.
+    """
+    if "__h" in seen.columns:
+        seen_h = seen.select("__h")
+    else:
+        seen_h = seen.select(F.md5(F.col(text_col)).alias("__h"))
+    return (
+        new_batch.withColumn("__h", F.md5(F.col(text_col)))
+        .join(seen_h, "__h", "left_anti")
+        .drop("__h")
+    )

@@ -31,6 +31,7 @@ __all__ = [
     "cap_per_domain",
     "token_budget_sample",
     "upsample_mixture",
+    "weighted_sample_per_group",
 ]
 
 #: hash space resolution: fractions quantize to 1/1e6
@@ -242,3 +243,36 @@ def upsample_mixture(
         F.array().cast("array<int>")
     )
     return df.withColumn("copy_idx", F.explode(copies))
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling without replacement, k per group — the
+    Efraimidis–Spirakis A-ES scheme (each row ranks by ``u^(1/w)`` for
+    uniform ``u``; the top-k are a correctly-weighted sample) with the
+    uniform drawn content-addressed from `hash_bucket`, so the sample
+    is deterministic and engine-reproducible.
+
+    Ranks by the equivalent ``ln(u)/w`` (monotone in u^(1/w), no
+    overflow for tiny u). Rows with weight <= 0 are excluded. Same
+    window shape as `cap_per_domain`; for very large groups apply its
+    prefilter idea first (keep rows with the largest u — hash bucket
+    above a count-derived threshold — before the exact window).
+    """
+    from pyspark.sql import Window
+
+    u = (hash_bucket(F.col(id_col), salt) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    key = F.log(u) / weight_col
+    work = df.filter(weight_col > 0).withColumn("__key", key)
+    w = Window.partitionBy(group_col).orderBy(F.desc("__key"), id_col)
+    return (
+        work.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__key")
+    )

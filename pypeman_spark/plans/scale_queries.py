@@ -1198,3 +1198,37 @@ def frequent_bigrams(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@q(
+    "dedup_new_batch_vs_corpus",
+    """
+    WITH new_batch AS (
+      SELECT doc_id + 2000000 AS doc_id, lang, text
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, lang, text FROM documents WHERE doc_id >= 250
+    ),
+    seen AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250
+    )
+    SELECT n.doc_id, n.lang FROM new_batch n
+    WHERE md5(n.text) NOT IN (SELECT h FROM seen)
+    """,
+)
+def dedup_new_batch_vs_corpus(spark, sf_dir):
+    """Incremental exact dedup (functions/dedup.py:
+    dedupe_against_reference): a 'new crawl' — fresh docs plus re-keyed
+    recrawls of every 3rd shipped doc — anti-joined on content hash
+    against the already-shipped corpus (doc_id < 250). Recrawled copies
+    of shipped content are dropped; 16 B hashes only, the old corpus
+    text is never re-read per batch."""
+    d = tp(spark, sf_dir, "documents")
+    recrawl = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "lang", "text"
+    )
+    new_batch = recrawl.unionByName(
+        d.filter(F.col("doc_id") >= 250).select("doc_id", "lang", "text")
+    )
+    seen = d.filter(F.col("doc_id") < 250)
+    return D.dedupe_against_reference(new_batch, seen).select("doc_id", "lang")

@@ -212,3 +212,25 @@ def test_clean_lines_keeps_order_and_filters(spark):
     # all dropped -> empty string, not null
     df2 = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
     assert df2.select(clean_lines(F.col("text"), 4, ["the"]).alias("c")).first()["c"] == ""
+
+
+def test_weighted_sample_is_weighted_and_deterministic(spark):
+    from pypeman_spark.functions.sampling import weighted_sample_per_group
+
+    # two strata of equal size; 'heavy' rows get 10x the weight -> they
+    # should dominate the sample
+    rows = [(i, "g", 10.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, wt double")
+    out = weighted_sample_per_group(df, "grp", "doc_id", F.col("wt"), 200, salt="w")
+    got = [r.doc_id for r in out.collect()]
+    assert len(got) == 200
+    heavy = sum(1 for i in got if i % 2 == 0)
+    assert heavy > 150  # E[heavy] ≈ 183 under A-ES with 10:1 weights
+    again = [r.doc_id for r in
+             weighted_sample_per_group(df, "grp", "doc_id", F.col("wt"), 200, salt="w").collect()]
+    assert sorted(got) == sorted(again)
+    # zero/negative weights never sampled
+    rows2 = rows + [(10_000 + i, "g", 0.0) for i in range(50)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, grp string, wt double")
+    out2 = weighted_sample_per_group(df2, "grp", "doc_id", F.col("wt"), 3000, salt="w")
+    assert all(r.doc_id < 10_000 for r in out2.collect())
