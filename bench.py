@@ -91,29 +91,36 @@ def main() -> None:
     from pypeman_spark.sources.tables import load_table
 
     load_table(spark, sf_dir, "lineitem").count()
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        spec = REGISTRY[name]
-        # one untimed run amortizes plan compilation/codegen (at target
-        # scale that cost is noise; steady-state is what matters), then
-        # the timed run measures execution
-        spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        t0 = time.time()
-        df = spec.fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+        # fault-isolated: one broken query records null and moves on —
+        # it must never zero out the whole run's perf signal
+        try:
+            spec = REGISTRY[name]
+            # one untimed run amortizes plan compilation/codegen (at
+            # target scale that cost is noise; steady-state is what
+            # matters), then the timed run measures execution
+            spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            t0 = time.time()
+            df = spec.fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

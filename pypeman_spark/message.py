@@ -106,7 +106,16 @@ def ensure_message_columns(df: DataFrame, channel: str = "default") -> DataFrame
     """
     from datetime import datetime, timezone
 
+    from pyspark.sql.types import TimestampNTZType
+
     out = df
+    # Event-time columns read from external parquet/json may surface as
+    # TIMESTAMP_NTZ (unadjusted parquet timestamps); watermarks and epoch
+    # ops reject NTZ, so normalize to TimestampType — identity under the
+    # engine's pinned UTC session timezone.
+    for f_ in out.schema.fields:
+        if isinstance(f_.dataType, TimestampNTZType):
+            out = out.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     cols = set(out.columns)
     if "uuid" not in cols:
         out = out.withColumn("uuid", F.regexp_replace(F.expr("uuid()"), "-", ""))

@@ -274,11 +274,14 @@ def pivot_event_values(spark, sf_dir):
 def sessionize_events(spark, sf_dir):
     """Sessionization: lag + gap>threshold (guide 'Common OLAP patterns').
     One shuffle on user_id serves both the window and the final agg."""
+    from ..functions.timeutils import epoch_seconds
+
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
     gap_new = (
-        F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 1800
-    ) | F.lag(F.col("ts")).over(w).isNull()
+        epoch_seconds(F.col("ts")) - epoch_seconds(prev) > 1800
+    ) | prev.isNull()
     return (
         ev.withColumn("new_session", F.when(gap_new, 1).otherwise(0))
         .groupBy("user_id")

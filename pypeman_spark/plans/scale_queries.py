@@ -19,6 +19,7 @@ from ..functions import dedup as D
 from ..functions import text as TX
 from ..functions.joins import asof_join, range_join
 from ..functions.packing import greedy_pack
+from ..functions.timeutils import epoch_us
 from ..streaming.rollup import ContinuousRollup
 from ..streaming.stateful import session_window_counts, stream_dedup
 from .queries import q, t, tp
@@ -570,7 +571,7 @@ def continuous_rollup_hourly(spark, sf_dir):
     )
     query.awaitTermination(180)
     return rollup.read().select(
-        F.unix_micros(F.col("bucket_start")).alias("bucket_us"),
+        epoch_us(F.col("bucket_start")).alias("bucket_us"),
         "event_type",
         "n",
         F.round(F.col("total"), 2).alias("total"),
@@ -615,8 +616,8 @@ def session_window_user_counts(spark, sf_dir):
     s = session_window_counts(ev, key_col="user_id", ts_col="ts", gap="2 hours")
     return s.select(
         "user_id",
-        F.unix_micros(F.col("session_start")).alias("session_start_us"),
-        F.unix_micros(F.col("session_end")).alias("session_end_us"),
+        epoch_us(F.col("session_start")).alias("session_start_us"),
+        epoch_us(F.col("session_end")).alias("session_end_us"),
         "n",
     )
 

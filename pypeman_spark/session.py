@@ -54,6 +54,13 @@ def get_spark(
         # testdata parquet carries TIMESTAMP(NANOS); read as long, the
         # table loader converts back to TimestampType (sources/tables.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=false) must
+        # surface as TimestampType, not TIMESTAMP_NTZ: event-time ops
+        # (withWatermark, unix_micros, epoch casts) reject NTZ, and under
+        # the pinned UTC session the two types denote the same instant.
+        # Done at scan level (vs a cast in the plan) so pushdown/stats
+        # on the timestamp column are untouched.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -78,6 +78,10 @@ def _ensure_runtime_confs(spark: SparkSession) -> None:
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),
+        # unadjusted parquet TIMESTAMP (micros/millis) must read as
+        # TimestampType, not TIMESTAMP_NTZ — watermarks and epoch ops
+        # reject NTZ; identical instants under the UTC session tz.
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
     ):
         try:
             spark.conf.set(k, v)
@@ -109,6 +113,15 @@ def load_table(
         df = df.withColumn(
             col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
         )
+    # Belt-and-braces for sessions where inferTimestampNTZ couldn't be
+    # set (locked conf): normalize any TIMESTAMP_NTZ column to
+    # TimestampType. Identity under the pinned UTC session timezone, and
+    # a no-op projection when the scan-level conf already applied.
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for col in ntz:
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     if parallelize:
         cores = spark.sparkContext.defaultParallelism
         row_groups, rows = _parquet_chunk_stats(path)
