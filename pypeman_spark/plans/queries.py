@@ -268,19 +268,25 @@ def pivot_event_values(spark, sf_dir):
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, sum(new_session) AS n_sessions FROM gaps GROUP BY user_id
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+    FROM gaps GROUP BY user_id
     """,
 )
 def sessionize_events(spark, sf_dir):
     """Sessionization: lag + gap>threshold (guide 'Common OLAP patterns').
-    One shuffle on user_id serves both the window and the final agg."""
-    from ..functions.timeutils import epoch_seconds
+    One shuffle on user_id serves both the window and the final agg.
 
+    The oracle casts ``sum(new_session)`` to BIGINT because DuckDB's
+    ``sum(INTEGER)`` is HUGEINT, which round-trips through Arrow as
+    ``decimal128(38,0)`` — same values, different hashed representation
+    (the rounds-1..3 driver hash mismatch). The gap test itself is a
+    native interval comparison on the timestamp column — no epoch
+    arithmetic, so no long/timestamp flavor sensitivity."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag(F.col("ts")).over(w)
     gap_new = (
-        epoch_seconds(F.col("ts")) - epoch_seconds(prev) > 1800
+        F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")
     ) | prev.isNull()
     return (
         ev.withColumn("new_session", F.when(gap_new, 1).otherwise(0))

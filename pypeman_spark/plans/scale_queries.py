@@ -1068,7 +1068,8 @@ def chunk_documents_windows(spark, sf_dir):
     f"""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(string_split_regex(trim(text), '{_WS}'))) AS total_tokens,
+           CAST(sum(len(string_split_regex(trim(text), '{_WS}'))) AS BIGINT)
+             AS total_tokens,
            count(DISTINCT md5(text)) AS distinct_texts,
            round(avg(n_chars), 4) AS avg_chars
     FROM documents

@@ -108,6 +108,26 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)
             continue
+        # DuckDB HUGEINT (e.g. sum(INTEGER)) round-trips through Arrow
+        # as decimal128(38,0); a driver that hashes Arrow/pandas values
+        # then sees Decimal('5') vs Spark's int 5 — hash mismatch with
+        # identical values (the rounds-1..3 sessionize_events red).
+        # fetchall() masks it (Python ints), so detect it structurally.
+        try:
+            dec = [
+                f"{f.name}:{f.type}"
+                for f in con.execute(oracles[name]).fetch_arrow_table().schema
+                if "decimal" in str(f.type)
+            ]
+        except Exception:
+            dec = []
+        if dec:
+            print(
+                f"FAIL  {name}: oracle exports DECIMAL columns {dec} "
+                "(driver-hash hazard: CAST to BIGINT/DOUBLE in the SQL)"
+            )
+            failures.append(name)
+            continue
         sc, sn, sh = frame_fingerprint(scols, srows)
         dc, dn, dh = frame_fingerprint(dcols, drows)
         if sc != dc:
