@@ -246,29 +246,37 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 0,
+    num_planes: int = 8,
     dim: int = 64,
+    exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: ``(id_a < id_b, cosine)``
     with cosine ≥ ``threshold``.
 
-    ``num_planes=0`` is the exact O(N²) verifier (use on bounded
-    subsets or LSH candidates). With ``num_planes>0`` the pair space is
-    restricted to vectors sharing a random-hyperplane bucket
-    (similarity.hyperplanes — deterministic) — the scale path: the join
-    is an equi-join on bucket, never a cross join.
+    The default is the scale path: the pair space is restricted to
+    vectors sharing a random-hyperplane bucket (similarity.hyperplanes
+    — deterministic), so the join is an equi-join on bucket, never a
+    cross join. Pass ``exact=True`` for the exact O(N²) verifier —
+    an explicit opt-in because a cartesian at corpus scale is a
+    scale-killer; use it only on bounded subsets or LSH candidates
+    (``num_planes`` is ignored when ``exact``).
     """
     from .similarity import cosine, hyperplanes, lsh_bucket
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    if num_planes > 0:
+    if exact:
+        pairs = a.crossJoin(b)
+    else:
+        if num_planes <= 0:
+            raise ValueError(
+                "num_planes must be > 0 for the bucketed path; "
+                "pass exact=True for the O(N^2) verifier"
+            )
         planes = hyperplanes(num_planes, dim)
         a = a.withColumn("__bucket", lsh_bucket(F.col("__va"), planes))
         b = b.withColumn("__bucket", lsh_bucket(F.col("__vb"), planes))
         pairs = a.join(b, "__bucket")
-    else:
-        pairs = a.crossJoin(b)
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(cosine(F.col("__va"), F.col("__vb")), 6))

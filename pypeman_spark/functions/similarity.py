@@ -139,23 +139,47 @@ def lsh_ann_topk(
     )
 
 
+def _centroid_array(centroids: DataFrame) -> Column:
+    """Collect the (tiny, C ≪ N) centroid set driver-side and inline it
+    as an ``array<struct<cid, cv>>`` literal — the Faiss-style shape:
+    centroids live with the planner, the corpus never shuffles for them."""
+    rows = centroids.select("cid", "cv").collect()
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r["cid"]).alias("cid"),
+                F.array(*[F.lit(float(v)) for v in r["cv"]]).alias("cv"),
+            )
+            for r in rows
+        ]
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> Column:
+) -> DataFrame:
     """Cell assignment: each corpus vector → its max-cosine centroid
-    (ties → lowest ``cid``). Centroids are broadcast (C ≪ N); the
-    assignment is a narrow map over the corpus — no corpus shuffle."""
-    w = Window.partitionBy(id_col).orderBy(F.col("__s").desc(), F.col("cid"))
-    return (
-        corpus.crossJoin(F.broadcast(centroids))
-        .withColumn("__s", cosine(F.col(vec_col), F.col("cv")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, "cid")
+    (ties → lowest ``cid``).
+
+    Centroids are inlined as an array literal and the argmax is
+    ``array_max`` over ``struct(score, -cid)`` — a pure narrow map:
+    no join, no window, no Exchange/Sort of the N×C expanded set
+    (rounds 1–3 used ``row_number`` over a crossJoin, which forced a
+    full shuffle+sort on ``vec_id``)."""
+    cent_arr = _centroid_array(centroids)
+    best = F.array_max(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                cosine(F.col(vec_col), c["cv"]).alias("s"),
+                (-c["cid"]).alias("ncid"),
+            ),
+        )
     )
+    return corpus.select(id_col, vec_col, (-best["ncid"]).alias("cid"))
 
 
 def ivf_ann_topk(
@@ -186,14 +210,27 @@ def ivf_ann_topk(
     )
     assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
     q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
-    wp = Window.partitionBy(query_id_col).orderBy(F.col("__s").desc(), F.col("cid"))
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("__s", cosine(F.col("__qvec"), F.col("cv")))
-        .withColumn("__rn", F.row_number().over(wp))
-        .filter(F.col("__rn") <= nprobe)
-        .select(query_id_col, "__qvec", "cid")
+    # Probe selection via the same inlined-centroid argtop: sort the
+    # per-query score array (ascending on (-score, cid) == score desc,
+    # cid asc), slice nprobe, explode. Narrow map + explode — no join,
+    # no window, no Exchange on the query side either.
+    cent_arr = _centroid_array(cent)
+    probe_structs = F.slice(
+        F.array_sort(
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(
+                    (-cosine(F.col("__qvec"), c["cv"])).alias("ns"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
     )
+    probes = q.select(
+        query_id_col, "__qvec", F.explode(probe_structs).alias("__p")
+    ).select(query_id_col, "__qvec", F.col("__p")["cid"].alias("cid"))
     scored = assigned.join(F.broadcast(probes), "cid").select(
         query_id_col,
         id_col,

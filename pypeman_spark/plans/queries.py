@@ -1545,28 +1545,40 @@ def ivf_ann_topk_q(spark, sf_dir):
     return S.ivf_ann_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
 
 
-@q(
-    "embedding_near_dup_pairs",
-    f"""
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
-               FROM embeddings WHERE vec_id < 200)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_COS.format(a='a.v', b='b.v')}, 6) AS cosine
-    FROM c a, c b
-    WHERE a.vec_id < b.vec_id
-      AND {_COS.format(a='a.v', b='b.v')} >= 0.4
-    """,
-)
+@q("embedding_near_dup_pairs", None)  # oracle added below (plane literals)
 def embedding_near_dup_pairs_q(spark, sf_dir):
     """Embedding-cosine near-dup (functions/dedup.py:
-    embedding_near_dup_pairs), exact verifier form on a bounded slice;
-    num_planes>0 is the LSH-bucketed scale path."""
-    emb = (
-        tp(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 200)
-        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    embedding_near_dup_pairs) in its default LSH-bucketed form: pairs
+    are generated only within deterministic hyperplane buckets (equi-
+    join, no cartesian — the 100 TB shape). ``exact=True`` is the
+    opt-in O(N²) verifier for bounded subsets."""
+    emb = tp(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
     )
-    return D.embedding_near_dup_pairs(emb, threshold=0.4)
+    return D.embedding_near_dup_pairs(emb, threshold=0.4, num_planes=4, dim=64)
+
+
+def _near_dup_oracle() -> str:
+    planes = S.hyperplanes(4, 64)
+    lits = [
+        "[" + ",".join(f"{v:.1f}" for v in p) + "]::DOUBLE[]" for p in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(lits)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (SELECT vec_id, v, {bucket} AS bucket FROM c)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS.format(a='a.v', b='b.v')}, 6) AS cosine
+    FROM cb a JOIN cb b ON a.bucket = b.bucket
+    WHERE a.vec_id < b.vec_id
+      AND {_COS.format(a='a.v', b='b.v')} >= 0.4
+    """
+
+
+REGISTRY["embedding_near_dup_pairs"].oracle = _near_dup_oracle()
 
 
 @q(

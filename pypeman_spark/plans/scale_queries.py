@@ -1012,7 +1012,9 @@ def semantic_dedup_corpus(spark, sf_dir):
         .filter(F.col("vec_id") < 200)
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
     )
-    pairs = D.embedding_near_dup_pairs(emb, threshold=0.4)
+    # exact=True: the slice is bounded (vec_id < 200) and the oracle's
+    # recursive-CTE CC is defined over the exact all-pairs graph.
+    pairs = D.embedding_near_dup_pairs(emb, threshold=0.4, exact=True)
     clusters = D.connected_components(
         pairs, nodes=emb.select(F.col("vec_id").alias("node"))
     )

@@ -257,3 +257,45 @@ def test_line_clean_and_stats_stay_narrow(spark):
     # corpus stats: reads only the columns it aggregates
     plan = plan_of(REGISTRY["corpus_stats_by_lang"].fn(spark, SF))
     assert "text" in plan and "doc_id" not in plan.split("ReadSchema")[-1]
+
+
+def test_embedding_near_dup_default_has_no_cartesian(spark):
+    # VERDICT r3 #2: the default path must be the bucketed equi-join;
+    # the O(N^2) cartesian is only reachable via explicit exact=True.
+    from pypeman_spark.functions import dedup as D
+
+    emb = load_table(spark, SF, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    plan = plan_of(D.embedding_near_dup_pairs(emb, threshold=0.4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError):
+        D.embedding_near_dup_pairs(emb, num_planes=0)
+    exact = plan_of(D.embedding_near_dup_pairs(emb, threshold=0.4, exact=True))
+    assert "CartesianProduct" in exact or "BroadcastNestedLoopJoin" in exact
+
+
+def test_ivf_assignment_is_sort_free_narrow_map(spark):
+    # VERDICT r3 #3: cell assignment must be an inlined-centroid argmax
+    # (narrow map), not a row_number window over the N x C crossJoin.
+    # The only Exchange+Sort allowed in the whole IVF plan is the final
+    # per-query top-k window.
+    from pypeman_spark.functions import similarity as S
+
+    emb = load_table(spark, SF, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent = emb.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    aplan = plan_of(S.ivf_assign(emb, cent))
+    assert "Exchange" not in aplan and "Sort" not in aplan
+    assert "Window" not in aplan and "Join" not in aplan
+
+    full = plan_of(S.ivf_ann_topk(emb, q, k=5, n_centroids=8, nprobe=2))
+    # one hash Exchange (the top-k window) + broadcast exchanges only
+    assert full.replace("BroadcastExchange", "").count("Exchange") <= 1
