@@ -6,9 +6,11 @@ The reference CLI loads ``project.py`` from the working directory at
 import time; here the convention is explicit: the project module
 exposes ``build_project(spark) -> ChannelRegistry``. ``start`` runs it,
 serves the REST + websocket admin endpoints, and starts every
-registered streaming channel; there is no daemon mode — process
-supervision belongs to the cluster scheduler at Spark scale
-(``--daemon`` is accepted and ignored for command-line parity).
+registered streaming channel. ``start --daemon`` detaches via the
+classic double-fork with a ``pypeman.pid`` pidfile and ``stop`` sends
+SIGTERM through it (reference ``commands.py:260-294`` DaemonLite
+semantics) — useful for single-node deployments; on a cluster the
+scheduler supervises the driver instead.
 """
 
 from __future__ import annotations
@@ -70,10 +72,84 @@ def graph_lines(registry, dot: bool = False):
             yield ""
 
 
+def _pidfile(project_dir: str) -> str:
+    return os.path.join(os.path.abspath(project_dir), "pypeman.pid")
+
+
+def _read_pid(pidfile: str) -> int | None:
+    try:
+        return int(open(pidfile).read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except (ProcessLookupError, PermissionError):
+        return False
+
+
+def _daemonize(pidfile: str, logfile: str) -> bool | None:
+    """Double-fork detach (reference ``commands.py:208-226`` mk_daemon /
+    DaemonLite). Returns True in the daemon process, False in the
+    parent, None if an instance is already running (error)."""
+    existing = _read_pid(pidfile)
+    if existing is not None and _pid_alive(existing):
+        print(f"already running (pid {existing})", file=sys.stderr)
+        return None
+    if os.fork() > 0:
+        return False
+    os.setsid()
+    if os.fork() > 0:
+        os._exit(0)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    devnull = os.open(os.devnull, os.O_RDONLY)
+    logfd = os.open(logfile, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
+    os.dup2(devnull, 0)
+    os.dup2(logfd, 1)
+    os.dup2(logfd, 2)
+    with open(pidfile, "w") as fh:
+        fh.write(str(os.getpid()))
+    import atexit
+
+    atexit.register(
+        lambda: os.path.exists(pidfile) and os.remove(pidfile)
+    )
+    return True
+
+
 def cmd_start(args) -> int:
+    import signal
+    import threading
+
     from .plans.admin import AdminServer
     from .plans.ws_admin import WsAdminServer
     from .session import get_spark
+
+    pidfile = _pidfile(args.project_dir)
+    if args.daemon:
+        state = _daemonize(
+            pidfile,
+            os.path.join(os.path.abspath(args.project_dir), "pypeman.log"),
+        )
+        if state is None:
+            return 1
+        if state is False:  # parent: reap the intermediate, report, leave
+            os.wait()
+            for _ in range(100):
+                pid = _read_pid(pidfile)
+                if pid is not None and _pid_alive(pid):
+                    print(f"started as daemon (pid {pid})")
+                    return 0
+                time.sleep(0.1)
+            print("daemon did not come up; see pypeman.log", file=sys.stderr)
+            return 1
+
+    stop_evt = threading.Event()
+    signal.signal(signal.SIGTERM, lambda *_a: stop_evt.set())
 
     settings = _load_settings(args.project_dir)
     project = load_project(args.project_dir)
@@ -123,8 +199,9 @@ def cmd_start(args) -> int:
         print("no streaming channels registered; admin-only mode")
 
     try:
-        while True:
-            time.sleep(1)
+        while not stop_evt.is_set():
+            time.sleep(0.5)
+        print("\nstopping (SIGTERM)...")
     except KeyboardInterrupt:
         print("\nstopping...")
     finally:
@@ -134,6 +211,35 @@ def cmd_start(args) -> int:
             srv.stop()
         mgr.stop_plugins()
         mgr.destroy_plugins()
+    return 0
+
+
+def cmd_stop(args) -> int:
+    """Stop a running daemon via its pidfile (reference
+    ``commands.py:290-294`` stop verb → DaemonLite.stop: SIGTERM)."""
+    import signal
+
+    pidfile = _pidfile(args.project_dir)
+    pid = _read_pid(pidfile)
+    if pid is None:
+        print("not running (no pidfile)", file=sys.stderr)
+        return 1
+    if not _pid_alive(pid):
+        os.remove(pidfile)
+        print(f"stale pidfile removed (pid {pid} not running)",
+              file=sys.stderr)
+        return 1
+    os.kill(pid, signal.SIGTERM)
+    for _ in range(300):  # up to 30 s for Spark teardown
+        if not _pid_alive(pid):
+            break
+        time.sleep(0.1)
+    else:
+        os.kill(pid, signal.SIGKILL)
+        print(f"killed unresponsive daemon (pid {pid})", file=sys.stderr)
+    if os.path.exists(pidfile):
+        os.remove(pidfile)
+    print(f"stopped (pid {pid})")
     return 0
 
 
@@ -207,7 +313,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--remote-admin", action="store_true",
                    help="serve the REST + websocket admin endpoints")
     p.add_argument("--daemon", action="store_true",
-                   help="accepted for reference-CLI parity (no-op)")
+                   help="detach and run in the background (pidfile: "
+                        "<project-dir>/pypeman.pid, log: pypeman.log)")
+
+    sub.add_parser("stop", help="stop a running daemon (via its pidfile)")
 
     p = sub.add_parser("graph", help="show the channel graph")
     p.add_argument("--dot", action="store_true", help="graphviz output")
@@ -226,6 +335,7 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     return {
         "start": cmd_start,
+        "stop": cmd_stop,
         "graph": cmd_graph,
         "startproject": cmd_startproject,
         "shell": cmd_shell,

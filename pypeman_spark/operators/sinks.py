@@ -139,51 +139,82 @@ class FileCleaner(Node):
 
 
 class Email(Node):
-    """SMTP send per row (``nodes.py:857-911``). ``dry_run`` (default)
-    appends rendered messages to a local spool dir instead of opening a
-    socket — the container has no SMTP relay; the Spark-side plumbing
-    (per-partition client, meta-driven subject/recipients) is real."""
+    """SMTP send per row (``nodes.py:857-911``).
+
+    Parity notes: like the reference, node params take precedence over
+    meta keys, then defaults (``'No subject'`` / ``'pypeman@example.com'``
+    / ``[]``); ``content`` overrides the payload; ``user``/``password``
+    log in, ``start_tls``/``ssl`` select the transport. One SMTP
+    connection per partition (the reference reconnects per message —
+    ``nodes.py:884``; per-partition reuse is the distributed-friendly
+    shape). ``dry_run_spool`` renders to ``.eml`` files instead of
+    opening a socket, for relayless environments."""
 
     def __init__(self, host: str = "localhost", port: int = 25,
+                 user: str | None = None, password: str | None = None,
+                 ssl: bool = False, start_tls: bool = False,
                  subject: str | None = None, sender: str | None = None,
-                 recipients: list[str] | None = None,
+                 recipients: list[str] | str | None = None,
+                 content: str | None = None,
                  dry_run_spool: str | None = None, **kw):
         super().__init__(**kw)
         self.host, self.port = host, port
+        self.user, self.password = user, password
+        self.ssl, self.start_tls = ssl, start_tls
         self.subject, self.sender = subject, sender
-        self.recipients = recipients or []
+        self.recipients = (
+            [recipients] if isinstance(recipients, str) else recipients
+        )
+        self.content = content
         self.dry_run_spool = dry_run_spool
 
     def transform(self, df: DataFrame) -> DataFrame:
-        cfg = (self.host, self.port, self.subject, self.sender,
-               self.recipients, self.dry_run_spool)
+        cfg = (self.host, self.port, self.user, self.password, self.ssl,
+               self.start_tls, self.subject, self.sender, self.recipients,
+               self.content, self.dry_run_spool)
+
+        def _first(*vals):
+            for v in vals:
+                if v is not None:
+                    return v
+            return None
 
         def _send(rows):
-            host, port, subject, sender, recipients, spool = cfg
+            (host, port, user, password, use_ssl, start_tls, subject,
+             sender, recipients, content, spool) = cfg
             from email.message import EmailMessage
 
             conn = None
             for row in rows:
                 meta = row["meta"] or {}
-                msg = EmailMessage()
-                msg["Subject"] = meta.get("subject", subject or "")
-                msg["From"] = meta.get("sender", sender or "")
-                msg["To"] = ", ".join(
-                    meta.get("recipients", "").split(",") if meta.get("recipients")
-                    else recipients
+                meta_rcpt = (
+                    meta.get("recipients", "").split(",")
+                    if meta.get("recipients") else None
                 )
-                msg.set_content(row["payload"] or "")
+                msg = EmailMessage()
+                msg["Subject"] = _first(
+                    subject, meta.get("subject"), "No subject")
+                msg["From"] = _first(
+                    sender, meta.get("sender"), "pypeman@example.com")
+                msg["To"] = ", ".join(
+                    _first(recipients, meta_rcpt, []))
+                msg.set_content(_first(content, row["payload"], ""))
                 if spool is not None:
                     os.makedirs(spool, exist_ok=True)
                     with open(os.path.join(spool, f"{row['uuid']}.eml"), "wb") as fh:
                         fh.write(bytes(msg))
-                else:  # pragma: no cover — needs a relay
+                else:
                     import smtplib
 
                     if conn is None:
-                        conn = smtplib.SMTP(host, port)
+                        cls = smtplib.SMTP_SSL if use_ssl else smtplib.SMTP
+                        conn = cls(host, port)
+                        if start_tls:  # pragma: no cover — needs TLS relay
+                            conn.starttls()
+                        if user and password:
+                            conn.login(user, password)
                     conn.send_message(msg)
-            if conn is not None:  # pragma: no cover
+            if conn is not None:
                 conn.quit()
 
         df.filter(active_cond()).select("payload", "uuid", "meta").foreachPartition(_send)

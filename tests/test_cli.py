@@ -59,3 +59,48 @@ def test_cli_help_and_bad_project(tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert out.returncode == 0 and "created" in out.stdout
+
+
+def test_daemon_start_stop(tmp_path):
+    # reference commands.py:260-294: start -d writes a pidfile via
+    # double-fork; stop SIGTERMs through it and cleans up.
+    proj = str(tmp_path / "dproj")
+    new_project(proj)
+    pidfile = os.path.join(proj, "pypeman.pid")
+
+    # stop with nothing running → clean error, not a traceback
+    out = subprocess.run(
+        [sys.executable, "-m", "pypeman_spark", "--project-dir", proj, "stop"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 1 and "no pidfile" in out.stderr
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pypeman_spark", "--project-dir", proj,
+         "start", "--daemon"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "started as daemon" in out.stdout
+    pid = int(open(pidfile).read())
+
+    # second start refuses while the first is alive
+    out = subprocess.run(
+        [sys.executable, "-m", "pypeman_spark", "--project-dir", proj,
+         "start", "--daemon"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert out.returncode == 1 and "already running" in out.stderr
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pypeman_spark", "--project-dir", proj, "stop"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=90,
+    )
+    assert out.returncode == 0 and f"stopped (pid {pid})" in out.stdout
+    assert not os.path.exists(pidfile)
+    # process actually gone
+    try:
+        os.kill(pid, 0)
+        raise AssertionError(f"daemon {pid} still alive")
+    except ProcessLookupError:
+        pass
