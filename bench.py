@@ -83,6 +83,10 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # optional argv subset (drift bisection: run an older round's query
+    # set in a fresh JVM for an apples-to-apples total)
+    only = [a for a in sys.argv[1:] if a in REGISTRY]
+    headline = only or HEADLINE
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -93,7 +97,7 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").count()
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         # fault-isolated: one broken query records null and moves on —
         # it must never zero out the whole run's perf signal
         try:
@@ -113,13 +117,19 @@ def main() -> None:
     total = round(sum(v for v in timings.values() if v is not None), 3)
     out = {
         "metric": "headline_queries_total",
-        "value": total,
+        # a partial sum is NOT comparable to a clean run's total — if any
+        # query errored, report null so consumers can't mistake a smaller
+        # partial total for a speedup; per-query timings carry the signal
+        "value": None if errors else total,
         "unit": "sec",
         "queries": timings,
+        "completed": sum(v is not None for v in timings.values()),
+        "attempted": len(timings),
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
+        out["partial_total"] = total
     print(json.dumps(out))
 
 

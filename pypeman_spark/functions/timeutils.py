@@ -1,14 +1,22 @@
 """Event-time helpers robust to timestamp flavor drift.
 
-The corpus parquet has shipped event time as TIMESTAMP(NANOS) (surfaces
-as long under ``nanosAsLong``), TIMESTAMP(MICROS, adjusted) (TimestampType)
-and TIMESTAMP(MICROS, unadjusted) (TIMESTAMP_NTZ) across regenerations.
-``F.unix_micros`` and ``cast("long")`` each reject at least one of those
-flavors, so every epoch derivation on an event-time column goes through
-these helpers: a leading ``cast("timestamp")`` is a no-op on TimestampType
+The corpus parquet has shipped event time as TIMESTAMP(NANOS),
+TIMESTAMP(MICROS, adjusted) (TimestampType) and TIMESTAMP(MICROS,
+unadjusted) (TIMESTAMP_NTZ) across regenerations. ``F.unix_micros``
+and ``cast("long")`` each reject at least one of those flavors, so
+every epoch derivation on an event-time column goes through these
+helpers: a leading ``cast("timestamp")`` is a no-op on TimestampType
 and legalizes TIMESTAMP_NTZ (identity under the engine's pinned UTC
 session timezone). Pure built-in expressions — Catalyst folds the cast,
 nothing here leaves the JVM.
+
+Scope: these helpers accept TimestampType and TIMESTAMP_NTZ **only**.
+The raw-long nanos flavor (LongType under ``nanosAsLong``) must be
+converted by ``sources.tables.load_table`` first — it detects the
+parquet footer's logical type and divides nanos to micros. Feeding a
+LongType column here would cast long→timestamp as epoch *seconds*,
+silently off by ~1e9× for nanos; ``load_table`` is the single place
+that conversion is allowed to happen.
 """
 
 from __future__ import annotations

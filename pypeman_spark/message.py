@@ -103,6 +103,13 @@ def ensure_message_columns(df: DataFrame, channel: str = "default") -> DataFrame
     Mirrors ``Message.__init__`` (``message.py:45-66``): fresh uuid,
     now() timestamp, empty meta/ctx, state=pending. Uses only built-in
     expressions — no UDFs — so it costs nothing at scale.
+
+    Note: EVERY ``TIMESTAMP_NTZ`` column in the frame is coerced to
+    ``TimestampType`` — deliberately blanket, not just ``timestamp``:
+    users point watermarks/windows at arbitrary event-time columns, and
+    those reject NTZ. The coercion is an identity under the engine's
+    pinned UTC session timezone; a column that must *stay* NTZ should
+    be re-cast after this call.
     """
     from datetime import datetime, timezone
 

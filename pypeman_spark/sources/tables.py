@@ -120,6 +120,23 @@ def load_table(
     from pyspark.sql.types import TimestampNTZType
 
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        # The cast below is only an identity when the session renders
+        # NTZ wall-clocks in UTC. session.timeZone is a runtime conf so
+        # _ensure_runtime_confs normally guarantees this — but if even
+        # that failed (fully locked session), the cast would SHIFT
+        # instants; surface that loudly instead of corrupting silently.
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            import warnings
+
+            warnings.warn(
+                f"load_table: session timeZone is {tz!r}, not UTC; "
+                f"TIMESTAMP_NTZ columns {ntz} will be interpreted as "
+                f"{tz!r} wall-clock and their instants shifted. Set "
+                "spark.sql.session.timeZone=UTC (it is a runtime conf).",
+                stacklevel=2,
+            )
     for col in ntz:
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     if parallelize:
