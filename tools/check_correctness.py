@@ -20,10 +20,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+_argv = list(sys.argv[1:])
+JSON_OUT = None
+if "--json" in _argv:
+    i = _argv.index("--json")
+    JSON_OUT = _argv[i + 1]
+    del _argv[i:i + 2]
+SF_DIR = _argv[0] if _argv else os.environ.get(
     "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
 )
-ONLY = set(sys.argv[2:])
+ONLY = set(_argv[1:])
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -85,6 +91,14 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
+
+    def rec(name, **kw):
+        results[name] = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None, **kw,
+        }
+
     for name, fn in queries.items():
         if ONLY and name not in ONLY:
             continue
@@ -96,9 +110,11 @@ def main() -> int:
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {exc}")
             failures.append(name)
+            rec(name, err=f"spark: {exc}"[:300])
             continue
         if name not in oracles:
             print(f"weak  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            rec(name, spark_rows=len(srows), weak="rows-only (no oracle)")
             continue
         try:
             cur = con.execute(oracles[name])
@@ -107,6 +123,7 @@ def main() -> int:
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)
+            rec(name, spark_rows=len(srows), err=f"duckdb: {exc}"[:300])
             continue
         # DuckDB HUGEINT (e.g. sum(INTEGER)) round-trips through Arrow
         # as decimal128(38,0); a driver that hashes Arrow/pandas values
@@ -127,9 +144,13 @@ def main() -> int:
                 "(driver-hash hazard: CAST to BIGINT/DOUBLE in the SQL)"
             )
             failures.append(name)
+            rec(name, spark_rows=len(srows), oracle_rows=len(drows),
+                err=f"oracle exports DECIMAL: {dec}")
             continue
         sc, sn, sh = frame_fingerprint(scols, srows)
         dc, dn, dh = frame_fingerprint(dcols, drows)
+        rec(name, rows_match=(sn == dn), schema_match=(sc == dc),
+            hash_match=(sh == dh), spark_rows=sn, oracle_rows=dn)
         if sc != dc:
             print(f"FAIL  {name}: columns {sc} vs {dc}")
             failures.append(name)
@@ -149,6 +170,21 @@ def main() -> int:
         else:
             print(f"ok    {name}: {sn} rows match ({time.time()-t0:.1f}s)")
     print(f"\n{len(failures)} failures / {len(queries)} queries")
+    if JSON_OUT:
+        import json
+
+        with open(JSON_OUT, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_queries": len(results),
+                    "n_failures": len(failures),
+                    "failures": failures,
+                    "queries": results,
+                },
+                fh, indent=1,
+            )
+        print(f"wrote {JSON_OUT}")
     return 1 if failures else 0
 
 
