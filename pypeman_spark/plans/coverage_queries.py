@@ -73,53 +73,64 @@ def _event_msgs(spark: SparkSession, sf_dir: str, limit: int = 300) -> DataFrame
 # =====================================================================
 
 @q(
-    "csv_pipeline_roundtrip",
+    "parser_pipeline_roundtrips",
     """
-    SELECT c_custkey,
+    SELECT 'csv' AS fmt, CAST(c_custkey AS BIGINT) AS key,
            '[["' || c_custkey || '", "' || c_name || '", "' || c_mktsegment
-             || '"]]' AS parsed,
-           c_custkey || ',' || c_name || ',' || c_mktsegment || chr(10) AS round
+             || '"]]' AS stage_a,
+           c_custkey || ',' || c_name || ',' || c_mktsegment || chr(10)
+             AS stage_b
+    FROM customer WHERE c_custkey < 200
+    UNION ALL
+    SELECT 'xml', CAST(n_nationkey AS BIGINT),
+           '<nation key="' || n_nationkey || '"><name>' || n_name
+             || '</name><region>' || n_regionkey || '</region></nation>',
+           '{"nation": {"@key": "' || n_nationkey || '", "name": "' || n_name
+             || '", "region": "' || n_regionkey || '"}}'
+    FROM nation
+    UNION ALL
+    SELECT 'hl7', CAST(c_custkey AS BIGINT),
+           '[["MSH", "PYPEMAN", "' || c_custkey || '"], ["PID", "1", "'
+             || c_custkey || '", ["' || c_name || '", "' || c_mktsegment
+             || '"]]]',
+           'MSH|PYPEMAN|' || c_custkey || chr(13) || 'PID|1|' || c_custkey
+             || '|' || c_name || '^' || c_mktsegment || chr(13)
     FROM customer WHERE c_custkey < 200
     """,
 )
-def csv_pipeline_roundtrip(spark, sf_dir):
-    """Rows 13-15: CSVstr2Python → Python2CSVstr through Pipeline.run
-    (``contrib/csv.py:43-98``). ``parsed`` is the JSON row-list the
-    parser emits; ``round`` proves the serializer inverts it."""
+def parser_pipeline_roundtrips(spark, sf_dir):
+    """Rows 13-19 in one labeled union (consolidated from the former
+    csv/xml/hl7_pipeline_roundtrip entries so one driver sample checks
+    all three parser families through real ``Pipeline.run`` chains):
+
+    * ``csv`` — CSVstr2Python → Python2CSVstr (``contrib/csv.py:43-98``);
+      ``stage_a`` is the parsed JSON row-list, ``stage_b`` the
+      re-serialized line proving inversion.
+    * ``xml`` — PythonToXML → XMLToPython (``contrib/xml.py:7-33``);
+      attribute (``@key``) and child elements round-trip exactly.
+    * ``hl7`` — HL7ToPython → PythonToHL7 (``contrib/hl7.py:189-211``);
+      ``^`` components parse to nested lists and re-serialize exactly.
+    """
     c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
-    msgs = c.select(
+    n = t(spark, sf_dir, "nation")
+
+    csv_msgs = c.select(
         "c_custkey",
         F.concat_ws(",", "c_custkey", "c_name", "c_mktsegment").alias("payload"),
     )
-    p = Pipeline("csv_rt").add(
+    csv_res = Pipeline("csv_rt").add(
         CSVstr2Python(headers=False, name="parse"),
         SaveContext("parsed"),
         Python2CSVstr(name="unparse"),
-    )
-    res = p.run(msgs)
-    return res.df.select(
-        "c_custkey",
-        F.col("ctx").getItem("parsed").getField("payload").alias("parsed"),
-        F.col("payload").alias("round"),
+    ).run(csv_msgs)
+    csv_out = csv_res.df.select(
+        F.lit("csv").alias("fmt"),
+        F.col("c_custkey").cast("bigint").alias("key"),
+        F.col("ctx").getItem("parsed").getField("payload").alias("stage_a"),
+        F.col("payload").alias("stage_b"),
     )
 
-
-@q(
-    "xml_pipeline_roundtrip",
-    """
-    SELECT n_nationkey,
-           '<nation key="' || n_nationkey || '"><name>' || n_name
-             || '</name><region>' || n_regionkey || '</region></nation>' AS xml,
-           '{"nation": {"@key": "' || n_nationkey || '", "name": "' || n_name
-             || '", "region": "' || n_regionkey || '"}}' AS back
-    FROM nation
-    """,
-)
-def xml_pipeline_roundtrip(spark, sf_dir):
-    """Rows 16-17: PythonToXML → XMLToPython (``contrib/xml.py:7-33``).
-    Attribute (``@key``) and child-element round-trip is exact."""
-    n = t(spark, sf_dir, "nation")
-    msgs = n.select(
+    xml_msgs = n.select(
         "n_nationkey",
         F.concat(
             F.lit('{"nation": {"@key": "'), F.col("n_nationkey"),
@@ -128,36 +139,19 @@ def xml_pipeline_roundtrip(spark, sf_dir):
             F.lit('"}}'),
         ).alias("payload"),
     )
-    p = Pipeline("xml_rt").add(
+    xml_res = Pipeline("xml_rt").add(
         PythonToXML(name="to_xml"),
         SaveContext("xml"),
         XMLToPython(name="to_dict"),
-    )
-    res = p.run(msgs)
-    return res.df.select(
-        "n_nationkey",
-        F.col("ctx").getItem("xml").getField("payload").alias("xml"),
-        F.col("payload").alias("back"),
+    ).run(xml_msgs)
+    xml_out = xml_res.df.select(
+        F.lit("xml").alias("fmt"),
+        F.col("n_nationkey").cast("bigint").alias("key"),
+        F.col("ctx").getItem("xml").getField("payload").alias("stage_a"),
+        F.col("payload").alias("stage_b"),
     )
 
-
-@q(
-    "hl7_pipeline_roundtrip",
-    """
-    SELECT c_custkey,
-           '[["MSH", "PYPEMAN", "' || c_custkey || '"], ["PID", "1", "'
-             || c_custkey || '", ["' || c_name || '", "' || c_mktsegment
-             || '"]]]' AS parsed,
-           'MSH|PYPEMAN|' || c_custkey || chr(13) || 'PID|1|' || c_custkey
-             || '|' || c_name || '^' || c_mktsegment || chr(13) AS round
-    FROM customer WHERE c_custkey < 200
-    """,
-)
-def hl7_pipeline_roundtrip(spark, sf_dir):
-    """Rows 18-19: HL7ToPython → PythonToHL7 (``contrib/hl7.py:189-211``).
-    ``^`` components parse to nested lists and re-serialize exactly."""
-    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
-    msgs = c.select(
+    hl7_msgs = c.select(
         "c_custkey",
         F.concat(
             F.lit("MSH|PYPEMAN|"), F.col("c_custkey"), F.lit("\r"),
@@ -165,17 +159,18 @@ def hl7_pipeline_roundtrip(spark, sf_dir):
             F.col("c_name"), F.lit("^"), F.col("c_mktsegment"),
         ).alias("payload"),
     )
-    p = Pipeline("hl7_rt").add(
+    hl7_res = Pipeline("hl7_rt").add(
         HL7ToPython(name="parse"),
         SaveContext("parsed"),
         PythonToHL7(name="unparse"),
+    ).run(hl7_msgs)
+    hl7_out = hl7_res.df.select(
+        F.lit("hl7").alias("fmt"),
+        F.col("c_custkey").cast("bigint").alias("key"),
+        F.col("ctx").getItem("parsed").getField("payload").alias("stage_a"),
+        F.col("payload").alias("stage_b"),
     )
-    res = p.run(msgs)
-    return res.df.select(
-        "c_custkey",
-        F.col("ctx").getItem("parsed").getField("payload").alias("parsed"),
-        F.col("payload").alias("round"),
-    )
+    return csv_out.unionByName(xml_out).unionByName(hl7_out)
 
 
 @q(
@@ -229,22 +224,35 @@ def hl7_ack_mapping(spark, sf_dir):
 # =====================================================================
 
 @q(
-    "func_node_pipeline",
+    "generic_nodes_pipeline",
     """
     SELECT event_id,
            2 * CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2,
            CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
-                THEN 'even' ELSE 'odd' END AS parity
+                THEN 'even' ELSE 'odd' END AS parity,
+           upper(event_type) AS tag,
+           event_type AS etype,
+           '1' AS seen,
+           CAST(NULL AS VARCHAR) AS wiped_payload,
+           0 AS wiped_meta_n
     FROM events WHERE event_id < 300
     """,
 )
-def func_node_pipeline(spark, sf_dir):
-    """Rows 24/31/49/50: FuncNode (Arrow-batched ``payload→payload``,
-    ``nodes.py:976-1007``) + Log and Sleep(0) passthroughs + a
-    ``passthrough=True`` FuncNode whose mutation is discarded
-    (``nodes.py:227-229``)."""
+def generic_nodes_pipeline(spark, sf_dir):
+    """Rows 10/24/25/29/31/49/50 in one chained pipeline + join
+    (consolidated from the former func_node_pipeline /
+    msg_func_meta_pipeline / empty_node_pipeline entries):
+
+    One ``Pipeline.run`` chains Log → FuncNode (Arrow-batched
+    ``payload→payload``, ``nodes.py:976-1007``) → a ``passthrough=True``
+    FuncNode whose mutation is discarded (``nodes.py:227-229``) →
+    Sleep(0) → MsgFuncNode mutating payload AND meta from the whole
+    message (``nodes.py:943-973``) — proving the nodes compose in one
+    chain, not just in isolation. A second run applies Empty
+    (``nodes.py:390-393``) to the same frame; the join brings its wiped
+    payload/meta alongside (size(meta)=0 ⇒ EmptyMeta semantics)."""
     msgs = _event_msgs(spark, sf_dir)
-    p = Pipeline("fn").add(
+    p = Pipeline("gn").add(
         Log(name="log"),
         FuncNode(
             lambda d: {"k2": d["k"] * 2,
@@ -253,59 +261,27 @@ def func_node_pipeline(spark, sf_dir):
         ),
         FuncNode(lambda d: {"clobbered": True}, passthrough=True, name="shadow"),
         Sleep(0.0, name="nap"),
+        MsgFuncNode(
+            lambda d, m: ({**d, "tag": m["etype"].upper()},
+                          {**m, "seen": "1"}),
+            name="tagger",
+        ),
     )
     res = p.run(msgs)
-    return res.df.select(
+    main = res.df.select(
         "event_id",
         F.get_json_object("payload", "$.k2").cast("bigint").alias("k2"),
         F.get_json_object("payload", "$.parity").alias("parity"),
-    )
-
-
-@q(
-    "msg_func_meta_pipeline",
-    """
-    SELECT event_id,
-           upper(event_type) AS tag,
-           event_type AS etype,
-           '1' AS seen
-    FROM events WHERE event_id < 300
-    """,
-)
-def msg_func_meta_pipeline(spark, sf_dir):
-    """Row 25: MsgFuncNode mutates payload AND meta from the whole
-    message (``nodes.py:943-973``)."""
-    msgs = _event_msgs(spark, sf_dir)
-    p = Pipeline("msgfn").add(
-        MsgFuncNode(
-            lambda d, m: ({"tag": m["etype"].upper()}, {**m, "seen": "1"}),
-            name="tagger",
-        )
-    )
-    res = p.run(msgs)
-    return res.df.select(
-        "event_id",
         F.get_json_object("payload", "$.tag").alias("tag"),
         F.col("meta").getItem("etype").alias("etype"),
         F.col("meta").getItem("seen").alias("seen"),
     )
-
-
-@q(
-    "empty_node_pipeline",
-    """
-    SELECT event_id, CAST(NULL AS VARCHAR) AS payload, 0 AS meta_n
-    FROM events WHERE event_id < 300
-    """,
-)
-def empty_node_pipeline(spark, sf_dir):
-    """Rows 10/29: Empty wipes payload+meta (``nodes.py:390-393``);
-    EmptyMeta semantics verified via ``size(meta)=0``."""
-    msgs = _event_msgs(spark, sf_dir)
-    res = Pipeline("empty").add(Empty(name="wipe")).run(msgs)
-    return res.df.select(
-        "event_id", "payload", F.size("meta").alias("meta_n")
+    wiped = Pipeline("empty").add(Empty(name="wipe")).run(msgs).df.select(
+        "event_id",
+        F.col("payload").alias("wiped_payload"),
+        F.size("meta").alias("wiped_meta_n"),
     )
+    return main.join(wiped, "event_id")
 
 
 # =====================================================================

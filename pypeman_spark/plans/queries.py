@@ -504,70 +504,69 @@ def merge_union(spark, sf_dir):
 
 
 @q(
-    "parse_json_payload",
+    "payload_codecs",
     """
-    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    SELECT 'json_parse' AS src, CAST(event_id AS BIGINT) AS key,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
+             AS out_a, CAST(NULL AS VARCHAR) AS out_b
     FROM events
-    """,
-)
-def parse_json_payload(spark, sf_dir):
-    """Row 11 JsonToPython = get_json_object (nodes.py:468)."""
-    ev = t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
-    )
-
-
-@q(
-    "serialize_json_payload",
-    """
-    SELECT event_id,
-           '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}'
-             AS payload
+    UNION ALL
+    SELECT 'json_ser', CAST(event_id AS BIGINT),
+           '{"event_id":' || event_id || ',"event_type":"' || event_type
+             || '"}', NULL
     FROM events
-    """,
-)
-def serialize_json_payload(spark, sf_dir):
-    """Row 12 PythonToJson = to_json(struct(...)) (nodes.py:482)."""
-    ev = t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.to_json(F.struct("event_id", "event_type")).alias("payload"),
-    )
-
-
-@q(
-    "csv_serialize",
-    """
-    SELECT concat_ws(',', c_custkey, c_name, c_mktsegment) AS line FROM customer
-    """,
-)
-def csv_serialize(spark, sf_dir):
-    """Row 15 Python2CSVstr = to_csv/concat_ws (contrib/csv.py:74)."""
-    c = t(spark, sf_dir, "customer")
-    return c.select(
-        F.concat_ws(",", "c_custkey", "c_name", "c_mktsegment").alias("line")
-    )
-
-
-@q(
-    "b64_roundtrip",
-    """
-    SELECT doc_id, to_base64(encode(source)) AS b64,
-           decode(from_base64(to_base64(encode(source)))) AS back
+    UNION ALL
+    SELECT 'csv', CAST(c_custkey AS BIGINT),
+           concat_ws(',', c_custkey, c_name, c_mktsegment), NULL
+    FROM customer
+    UNION ALL
+    SELECT 'b64', CAST(doc_id AS BIGINT), to_base64(encode(source)),
+           decode(from_base64(to_base64(encode(source))))
     FROM documents
     """,
 )
-def b64_roundtrip(spark, sf_dir):
-    """Rows 20-21 Encode/B64Encode/B64Decode (nodes.py:495-540)."""
+def payload_codecs(spark, sf_dir):
+    """Rows 11/12/15/20/21 composed in one labeled union (consolidated
+    from the former parse_json_payload / serialize_json_payload /
+    csv_serialize / b64_roundtrip entries so one driver sample checks
+    all four codec surfaces):
+
+    * ``json_parse`` — JsonToPython = get_json_object (nodes.py:468)
+    * ``json_ser``  — PythonToJson = to_json(struct) (nodes.py:482)
+    * ``csv``       — Python2CSVstr = concat_ws (contrib/csv.py:74)
+    * ``b64``       — Encode/B64Encode/B64Decode (nodes.py:495-540)
+    """
+    ev = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
     d = t(spark, sf_dir, "documents")
-    b64 = F.base64(F.encode(F.col("source"), "utf-8"))
-    return d.select(
-        "doc_id",
-        b64.alias("b64"),
-        F.decode(F.unbase64(b64), "utf-8").alias("back"),
+    nul = F.lit(None).cast("string")
+    jp = ev.select(
+        F.lit("json_parse").alias("src"),
+        F.col("event_id").cast("bigint").alias("key"),
+        F.get_json_object("props", "$.k").cast("bigint").cast("string")
+        .alias("out_a"),
+        nul.alias("out_b"),
     )
+    js = ev.select(
+        F.lit("json_ser").alias("src"),
+        F.col("event_id").cast("bigint").alias("key"),
+        F.to_json(F.struct("event_id", "event_type")).alias("out_a"),
+        nul.alias("out_b"),
+    )
+    cs = c.select(
+        F.lit("csv").alias("src"),
+        F.col("c_custkey").cast("bigint").alias("key"),
+        F.concat_ws(",", "c_custkey", "c_name", "c_mktsegment").alias("out_a"),
+        nul.alias("out_b"),
+    )
+    b64 = F.base64(F.encode(F.col("source"), "utf-8"))
+    bb = d.select(
+        F.lit("b64").alias("src"),
+        F.col("doc_id").cast("bigint").alias("key"),
+        b64.alias("out_a"),
+        F.decode(F.unbase64(b64), "utf-8").alias("out_b"),
+    )
+    return jp.unionByName(js).unionByName(cs).unionByName(bb)
 
 
 @q(
@@ -1220,25 +1219,47 @@ def doc_fingerprint(spark, sf_dir):
 
 
 @q(
-    "multimodal_decode_features",
-    """
+    "multimodal_pipeline",
+    r"""
     WITH h AS (
-      SELECT doc_id, md5(hex(encode(text))) AS hh
+      SELECT doc_id, text, md5(hex(encode(text))) AS hh
       FROM documents WHERE doc_id < 100
+    ),
+    frames AS (
+      SELECT doc_id, count(*) AS n_frames, max(offset_ms) AS max_offset_ms
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 20),
+           (SELECT unnest(generate_series(0, 4)) * 1000 AS offset_ms)
+      GROUP BY doc_id
     )
-    SELECT doc_id,
+    SELECT h.doc_id,
            round(CAST('0x' || substring(hh, 1, 4) AS INTEGER) / 65536.0, 6) AS f0,
            round(CAST('0x' || substring(hh, 13, 4) AS INTEGER) / 65536.0, 6) AS f3,
-           round(CAST('0x' || substring(hh, 29, 4) AS INTEGER) / 65536.0, 6) AS f7
-    FROM h
+           round(CAST('0x' || substring(hh, 29, 4) AS INTEGER) / 65536.0, 6) AS f7,
+           md5(substring(text, 1, 16)) AS resized_md5,
+           CAST(16 AS BIGINT) AS size_bytes,
+           md5(regexp_replace(text, '(.).', '\1', 'g')) AS resampled_md5,
+           CAST(22050 AS INTEGER) AS sample_rate,
+           f.n_frames, f.max_offset_ms
+    FROM h LEFT JOIN frames f USING (doc_id)
     """,
 )
-def multimodal_decode_features(spark, sf_dir):
-    """Multimodal plumbing: documents' bytes as opaque binary → Arrow
-    mapInPandas feature extraction (functions/multimodal.py). The codec
-    is a stub, but a deterministic md5-derived one, so the oracle can
-    reproduce features exactly; schema/batching/partitioning are the
-    real thing."""
+def multimodal_pipeline(spark, sf_dir):
+    """The whole multimodal surface in one per-doc frame (consolidated
+    from the former multimodal_decode_features / multimodal_resize /
+    multimodal_audio_resample / video_frame_sampling entries so one
+    driver sample checks all four):
+
+    * image decode → 8-dim features (``decode_image_features``)
+    * image resize 64×64 (``resize_media``, stub codec: 16-byte cycle)
+    * audio resample 44100→22050 (``audio_resample``, stub: decimate 2×)
+    * video frame sampling (``sample_video_frames``) aggregated to
+      per-doc ``n_frames``/``max_offset_ms`` (docs ≥ 20 stay NULL via
+      the left join — proving the fan-out is keyed, not cartesian)
+
+    All four run the real Arrow ``mapInPandas`` plumbing with
+    deterministic stub codecs the oracle reproduces (schema, batching
+    and partitioning are the production shape; only the codec bytes are
+    fake — see functions/multimodal.py)."""
     from ..functions import multimodal as MM
 
     d = (
@@ -1253,32 +1274,31 @@ def multimodal_decode_features(spark, sf_dir):
     def f(i: int):
         return F.round(F.element_at("features", i + 1).cast("double"), 6)
 
-    return feats.select(
+    img = feats.select(
         "doc_id", f(0).alias("f0"), f(3).alias("f3"), f(7).alias("f7")
     )
-
-
-@q(
-    "video_frame_sampling",
-    """
-    SELECT doc_id, frame_idx, offset_ms, md5(hex(encode(text))) AS frame_fingerprint
-    FROM documents,
-         (SELECT unnest(generate_series(0, 4)) AS frame_idx,
-                 unnest(generate_series(0, 4)) * 1000 AS offset_ms)
-    WHERE doc_id < 20
-    """,
-)
-def video_frame_sampling(spark, sf_dir):
-    """Frame-sampling fan-out plumbing (functions/multimodal.py:
-    sample_video_frames) — JVM explode over sequence."""
-    from ..functions import multimodal as MM
-
-    d = (
-        tp(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 20)
-        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
+    rez = MM.resize_media(d, width=64, height=64).select(
+        "doc_id",
+        F.md5(F.col("content")).alias("resized_md5"),
+        F.col("media_meta.size_bytes").alias("size_bytes"),
     )
-    return MM.sample_video_frames(d, every_ms=1000, fake_duration_ms=5000)
+    aud = MM.audio_resample(d, target_hz=22050).select(
+        "doc_id",
+        F.md5(F.col("content")).alias("resampled_md5"),
+        "sample_rate",
+    )
+    frm = (
+        MM.sample_video_frames(
+            d.filter(F.col("doc_id") < 20), every_ms=1000,
+            fake_duration_ms=5000,
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("offset_ms").cast("bigint").alias("max_offset_ms"),
+        )
+    )
+    return img.join(rez, "doc_id").join(aud, "doc_id").join(frm, "doc_id", "left")
 
 
 # =====================================================================

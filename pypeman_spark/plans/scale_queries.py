@@ -160,61 +160,10 @@ def greedy_pack_sequences(spark, sf_dir):
     )
 
 
-@q(
-    "multimodal_resize",
-    """
-    SELECT doc_id, md5(substring(text, 1, 16)) AS resized_md5,
-           CAST(16 AS BIGINT) AS size_bytes
-    FROM documents WHERE doc_id < 200
-    """,
-)
-def multimodal_resize(spark, sf_dir):
-    """Image-resize plumbing (functions/multimodal.py:resize_media):
-    binary column through Arrow mapInPandas, typed media_meta struct
-    out. The stub codec cycles payload bytes to width*height/256 = 16
-    bytes (every corpus doc is >=48 chars, so that's the 16-byte
-    prefix); the oracle reproduces it with substring+md5."""
-    from ..functions import multimodal as MM
-
-    d = (
-        tp(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
-    )
-    r = MM.resize_media(d, width=64, height=64)
-    return r.select(
-        "doc_id",
-        F.md5(F.col("content")).alias("resized_md5"),
-        F.col("media_meta.size_bytes").alias("size_bytes"),
-    )
-
-
-@q(
-    "multimodal_audio_resample",
-    """
-    SELECT doc_id,
-           md5(regexp_replace(text, '(.).', '\\1', 'g')) AS resampled_md5,
-           CAST(22050 AS INTEGER) AS sample_rate
-    FROM documents WHERE doc_id < 200
-    """,
-)
-def multimodal_audio_resample(spark, sf_dir):
-    """Audio-resample plumbing (functions/multimodal.py:audio_resample):
-    the stub decimates to every 2nd byte (44100 -> 22050); the oracle
-    reproduces the decimation with a pair-collapsing regex."""
-    from ..functions import multimodal as MM
-
-    d = (
-        tp(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
-    )
-    r = MM.audio_resample(d, target_hz=22050)
-    return r.select(
-        "doc_id",
-        F.md5(F.col("content")).alias("resampled_md5"),
-        "sample_rate",
-    )
+# (multimodal_resize / multimodal_audio_resample were consolidated into
+# queries.py:multimodal_pipeline in round 4 — one registry entry now
+# drives all four multimodal surfaces, so a fixed-size driver sample
+# attests more distinct machinery.)
 
 
 # =====================================================================
