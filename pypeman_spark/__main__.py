@@ -121,6 +121,77 @@ def _daemonize(pidfile: str, logfile: str) -> bool | None:
     return True
 
 
+RELOAD_EXIT = 3  # child's "restart me" code (reference reloader.py:62,91)
+
+
+def _reload_parent_loop(raw_argv: list[str], interval: float = 1.0) -> int:
+    """Supervisor half of dev auto-reload (reference
+    ``helpers/reloader.py:46-70``): respawn the child while the lockfile
+    exists, heartbeat the lockfile so the child can detect a dead
+    parent, restart on exit code 3, propagate any other exit code."""
+    import subprocess
+    import tempfile
+
+    fd, lockfile = tempfile.mkstemp(prefix="pypeman.", suffix=".lock")
+    os.close(fd)
+    child = None
+    try:
+        while os.path.exists(lockfile):
+            env = os.environ.copy()
+            env["PYPEMAN_RELOAD_CHILD"] = "1"
+            env["PYPEMAN_RELOAD_LOCKFILE"] = lockfile
+            child = subprocess.Popen(
+                [sys.executable, "-m", "pypeman_spark"] + raw_argv, env=env
+            )
+            while child.poll() is None:
+                os.utime(lockfile, None)  # I am alive!
+                time.sleep(interval)
+            if child.returncode != RELOAD_EXIT:
+                return child.returncode
+            print("reloading...")
+    except KeyboardInterrupt:
+        return 0
+    finally:
+        if child is not None and child.poll() is None:
+            child.terminate()
+            try:
+                child.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                child.kill()
+        if os.path.exists(lockfile):
+            os.unlink(lockfile)
+    return 0
+
+
+def _watch_loaded_files(stop_evt, reload_flag, interval: float = 1.0):
+    """Watcher half (reference ``helpers/reloader.py:10-43``): snapshot
+    mtimes of every loaded module file; on any change (or a stale/gone
+    parent lockfile) request shutdown. Runs as a daemon thread — the
+    main loop owns the actual teardown."""
+    lockfile = os.environ.get("PYPEMAN_RELOAD_LOCKFILE")
+    files = {}
+    for module in list(sys.modules.values()):
+        path = getattr(module, "__file__", "") or ""
+        if path.endswith((".pyc", ".pyo")):
+            path = path[:-1]
+        if path and os.path.exists(path):
+            files[path] = os.stat(path).st_mtime
+    while not stop_evt.is_set():
+        time.sleep(interval)
+        if lockfile and (
+            not os.path.exists(lockfile)
+            or os.stat(lockfile).st_mtime < time.time() - interval - 5
+        ):
+            stop_evt.set()  # parent died; plain shutdown, no restart
+            return
+        for path, t0 in files.items():
+            if not os.path.exists(path) or os.stat(path).st_mtime > t0:
+                print(f"change detected: {path}; pending reload...")
+                reload_flag.append(True)
+                stop_evt.set()
+                return
+
+
 def cmd_start(args) -> int:
     import signal
     import threading
@@ -129,8 +200,13 @@ def cmd_start(args) -> int:
     from .plans.ws_admin import WsAdminServer
     from .session import get_spark
 
+    if args.reload and not os.environ.get("PYPEMAN_RELOAD_CHILD"):
+        # reload runs in the foreground (reference commands.py:279-281:
+        # reload wins over daemon)
+        return _reload_parent_loop(getattr(args, "_raw_argv", ["start", "--reload"]))
+
     pidfile = _pidfile(args.project_dir)
-    if args.daemon:
+    if args.daemon and not args.reload:
         state = _daemonize(
             pidfile,
             os.path.join(os.path.abspath(args.project_dir), "pypeman.log"),
@@ -150,6 +226,7 @@ def cmd_start(args) -> int:
 
     stop_evt = threading.Event()
     signal.signal(signal.SIGTERM, lambda *_a: stop_evt.set())
+    reload_flag: list[bool] = []
 
     settings = _load_settings(args.project_dir)
     project = load_project(args.project_dir)
@@ -198,10 +275,16 @@ def cmd_start(args) -> int:
     if not started:
         print("no streaming channels registered; admin-only mode")
 
+    if args.reload:
+        threading.Thread(
+            target=_watch_loaded_files, args=(stop_evt, reload_flag),
+            daemon=True,
+        ).start()
+
     try:
         while not stop_evt.is_set():
             time.sleep(0.5)
-        print("\nstopping (SIGTERM)...")
+        print("\nstopping (shutdown requested)...")
     except KeyboardInterrupt:
         print("\nstopping...")
     finally:
@@ -211,7 +294,7 @@ def cmd_start(args) -> int:
             srv.stop()
         mgr.stop_plugins()
         mgr.destroy_plugins()
-    return 0
+    return RELOAD_EXIT if reload_flag else 0
 
 
 def cmd_stop(args) -> int:
@@ -315,6 +398,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--daemon", action="store_true",
                    help="detach and run in the background (pidfile: "
                         "<project-dir>/pypeman.pid, log: pypeman.log)")
+    p.add_argument("--reload", action="store_true",
+                   help="dev auto-reload: restart on source change "
+                        "(foreground; wins over --daemon)")
 
     sub.add_parser("stop", help="stop a running daemon (via its pidfile)")
 
@@ -333,6 +419,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--module", "-m", default="tests")
 
     args = ap.parse_args(argv)
+    args._raw_argv = list(argv) if argv is not None else sys.argv[1:]
     return {
         "start": cmd_start,
         "stop": cmd_stop,

@@ -28,8 +28,11 @@ __all__ = [
     "hyperplanes",
     "lsh_bucket",
     "lsh_ann_topk",
+    "lsh_ann_topk_multi",
     "ivf_assign",
     "ivf_ann_topk",
+    "ivf_index_write",
+    "ivf_probe",
 ]
 
 
@@ -80,15 +83,16 @@ def cosine_topk(
     )
 
 
-def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+def hyperplanes(num_planes: int, dim: int, seed: str = "") -> list[list[float]]:
     """Deterministic ±1 hyperplanes: coefficient (p, d) is +1 iff the
-    first hex digit of md5(f"{p}:{d}") is even. Reproducible in any
-    engine/language — the oracle SQL inlines the same literals."""
+    first hex digit of md5(f"{seed}{p}:{d}") is even. Reproducible in
+    any engine/language — the oracle SQL inlines the same literals.
+    ``seed`` derives independent plane sets for multi-table LSH."""
     planes = []
     for p in range(num_planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            h = hashlib.md5(f"{seed}{p}:{d}".encode()).hexdigest()
             row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
         planes.append(row)
     return planes
@@ -139,6 +143,55 @@ def lsh_ann_topk(
     )
 
 
+def lsh_ann_topk_multi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 32,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-table LSH ANN (OR-amplification): a candidate needs to
+    share a bucket with the query in ANY of ``num_tables`` independent
+    hyperplane tables — recall grows with T at ~T× candidate cost while
+    staying sub-linear in corpus size.
+
+    Scale shape: each table is a broadcast bucket equi-join of the
+    corpus signature against the (small) query side — the corpus is
+    scanned T times but never shuffled; the only exchange is the
+    candidate dedup groupBy, which carries (query_id, id, score) — a
+    few bytes/row over the candidate set only, never vectors."""
+    cand = None
+    for t in range(num_tables):
+        planes = hyperplanes(num_planes, dim, seed=f"t{t}:")
+        c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+        q = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        ).withColumn("__bucket", lsh_bucket(F.col("__qvec"), planes))
+        pairs = c.join(F.broadcast(q), "__bucket").select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    # dedup pairs found by several tables (score identical across
+    # tables, so any agg works; max keeps it associative/partial)
+    dedup = cand.groupBy(query_id_col, id_col).agg(
+        F.max("score").alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        dedup.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 def _centroid_array(centroids: DataFrame) -> Column:
     """Collect the (tiny, C ≪ N) centroid set driver-side and inline it
     as an ``array<struct<cid, cv>>`` literal — the Faiss-style shape:
@@ -182,6 +235,37 @@ def ivf_assign(
     return corpus.select(id_col, vec_col, (-best["ncid"]).alias("cid"))
 
 
+def _probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query nprobe closest cells via the inlined-centroid argtop:
+    sort the per-query score array (ascending on (-score, cid) ==
+    score desc, cid asc), slice nprobe, explode. Narrow map + explode —
+    no join, no window, no Exchange on the query side."""
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    cent_arr = _centroid_array(centroids)
+    probe_structs = F.slice(
+        F.array_sort(
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(
+                    (-cosine(F.col("__qvec"), c["cv"])).alias("ns"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    return q.select(
+        query_id_col, "__qvec", F.explode(probe_structs).alias("__p")
+    ).select(query_id_col, "__qvec", F.col("__p")["cid"].alias("cid"))
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -209,29 +293,74 @@ def ivf_ann_topk(
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
     )
     assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
-    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
-    # Probe selection via the same inlined-centroid argtop: sort the
-    # per-query score array (ascending on (-score, cid) == score desc,
-    # cid asc), slice nprobe, explode. Narrow map + explode — no join,
-    # no window, no Exchange on the query side either.
-    cent_arr = _centroid_array(cent)
-    probe_structs = F.slice(
-        F.array_sort(
-            F.transform(
-                cent_arr,
-                lambda c: F.struct(
-                    (-cosine(F.col("__qvec"), c["cv"])).alias("ns"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        ),
-        1,
-        nprobe,
-    )
-    probes = q.select(
-        query_id_col, "__qvec", F.explode(probe_structs).alias("__p")
-    ).select(query_id_col, "__qvec", F.col("__p")["cid"].alias("cid"))
+    probes = _probe_cells(queries, cent, nprobe, query_id_col, vec_col)
     scored = assigned.join(F.broadcast(probes), "cid").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Persist the IVF index the way a 100 TB deployment would: the
+    assigned corpus written ``partitionBy("cid")`` so each centroid
+    cell is its own parquet partition, plus the centroid table beside
+    it. A probe then reads only the ``nprobe`` relevant partitions —
+    partition pruning at the file-listing level, before a single byte
+    of vector data is scanned (see :func:`ivf_probe`).
+
+    Centroids are the ``n_centroids`` lowest-id vectors (deterministic
+    for oracle comparison; swap in KMeans centers for real recall)."""
+    cent = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    )
+    assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    cent.write.mode("overwrite").parquet(path + "_centroids")
+    return path
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query a persisted IVF index (:func:`ivf_index_write`).
+
+    The probed cell ids are collected driver-side (bounded by the
+    centroid count, which is tiny by construction) and pushed into the
+    scan as an ``IN`` filter on the partition column — the physical
+    plan prunes unprobed cells at file-listing time (``PartitionFilters``
+    in .explain), so scan cost is ~``nprobe/C`` of the index regardless
+    of corpus size. Exact cosine re-rank inside the probed cells only."""
+    cent = spark.read.parquet(path + "_centroids")
+    probes = _probe_cells(queries, cent, nprobe, query_id_col, vec_col)
+    probe_cids = sorted(
+        r["cid"] for r in probes.select("cid").distinct().collect()
+    )
+    index = spark.read.parquet(path).filter(F.col("cid").isin(probe_cids))
+    scored = index.join(F.broadcast(probes), "cid").select(
         query_id_col,
         id_col,
         F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),

