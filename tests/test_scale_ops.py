@@ -381,3 +381,51 @@ def test_stream_dedup_batch_semantics(spark):
     )
     assert stream_dedup(df, ["k", "e"]).count() == 2
     assert stream_dedup(df, ["k", "e"], ts_col="ts", within="1 hour").count() == 2
+
+
+def _emb(spark, sf_dir):
+    from pypeman_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+def test_ivf_probe_equals_in_memory_ivf(spark, sf_dir, tmp_path):
+    # the persisted index round-trips through partitioned parquet and
+    # must return EXACTLY what the in-memory variant computes (same
+    # deterministic centroids, probes, tie-breaks)
+    from pypeman_spark.functions import similarity as S
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    mem = {tuple(r) for r in
+           S.ivf_ann_topk(emb, q, k=5, n_centroids=8, nprobe=2).collect()}
+    path = str(tmp_path / "idx")
+    S.ivf_index_write(emb, path, n_centroids=8)
+    disk = {tuple(r) for r in
+            S.ivf_probe(spark, path, q, k=5, nprobe=2).collect()}
+    assert mem == disk and len(mem) == 25
+
+
+def test_multi_table_lsh_recall_at_least_single_table(spark, sf_dir):
+    # OR-amplification: for each query, the multi-table candidate set
+    # contains table 0's candidates, so rank-1 score (vs exact top-1)
+    # can only improve or stay equal; self-match must be found (its
+    # bucket always matches in every table)
+    from pypeman_spark.functions import similarity as S
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    multi = S.lsh_ann_topk_multi(
+        emb, q, k=1, num_planes=4, dim=64, num_tables=2
+    ).collect()
+    assert {r["query_id"] for r in multi} == {0, 1, 2, 3, 4}
+    for r in multi:
+        # self is always a candidate (identical signature in all tables)
+        # and cosine(self, self)=1.0 wins every tie-break
+        assert r["vec_id"] == r["query_id"] and abs(r["score"] - 1.0) < 1e-6
