@@ -52,6 +52,8 @@ HEADLINE = [
     "simhash_sketch",
     "embedding_cosine_topk",
     "lsh_ann_topk",
+    "lsh_ann_multi_topk",
+    "ivf_index_probe",
     "text_language_id",
     "text_quality_score",
     "token_counts",
