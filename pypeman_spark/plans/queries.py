@@ -1186,6 +1186,7 @@ def ivf_index_probe_q(spark, sf_dir):
     partition pruning (ivf_probe — PartitionFilters on cid at file-
     listing time). Same deterministic centroids/probes as ivf_ann_topk,
     so the same oracle verifies the round-trip through storage."""
+    import hashlib
     import os
     import tempfile
 
@@ -1197,7 +1198,13 @@ def ivf_index_probe_q(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "index")
+    # deterministic per-sf_dir location: repeated runs (bench warmup +
+    # timed pass, repeated correctness checks) overwrite in place
+    # instead of accumulating mkdtemp garbage
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"pypeman_ivf_idx_{tag}", "index"
+    )
     S2.ivf_index_write(emb, path, n_centroids=8)
     return S2.ivf_probe(spark, path, queries, k=5, nprobe=2)
 
