@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Measure recall@k and candidate cost for every ANN path vs exact.
+
+The scale argument for LSH/IVF is only honest with a measured recall
+curve: each approximate method trades candidate-generation cost
+(fraction of the corpus scored per query) against recall of the exact
+top-k. This prints one JSON line per configuration over the test
+embeddings so the trade-off is a committed, reproducible number, not a
+claim.
+
+Usage: python tools/ann_recall.py [sf_dir] [k]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pypeman_spark.functions import similarity as S  # noqa: E402
+from pypeman_spark.session import get_spark  # noqa: E402
+from pypeman_spark.sources.tables import load_table  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+N_QUERIES = 20
+DIM = 64
+
+
+def topk_sets(df):
+    """{query_id: frozenset(vec_id of its top-k)}"""
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def recall(approx, exact):
+    per_q = [
+        len(approx.get(qid, set()) & hits) / len(hits)
+        for qid, hits in exact.items()
+    ]
+    return round(sum(per_q) / len(per_q), 4)
+
+
+def main() -> int:
+    spark = get_spark("ann_recall", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    emb = load_table(spark, SF_DIR, "embeddings", parallelize=True).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    n_corpus = emb.count()
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    exact = topk_sets(S.cosine_topk(emb, queries, k=K))
+
+    def report(name, df, cand_per_query, **cfg):
+        r = recall(topk_sets(df), exact)
+        print(json.dumps({
+            "method": name, "recall_at_k": r, "k": K,
+            "corpus": n_corpus, "n_queries": N_QUERIES,
+            "candidates_per_query": round(cand_per_query, 1),
+            "corpus_fraction_scored": round(cand_per_query / n_corpus, 4),
+            **cfg,
+        }))
+
+    report("exact", S.cosine_topk(emb, queries, k=K), n_corpus)
+
+    for planes in (4, 6, 8):
+        p = S.hyperplanes(planes, DIM)
+        c = emb.withColumn("b", S.lsh_bucket(F.col("embedding"), p))
+        q = queries.withColumn("b", S.lsh_bucket(F.col("embedding"), p))
+        cand = (
+            c.join(q.select("query_id", "b"), "b")
+            .groupBy("query_id").count().agg(F.avg("count")).collect()[0][0]
+        )
+        report(
+            "lsh", S.lsh_ann_topk(emb, queries, k=K, num_planes=planes, dim=DIM),
+            cand or 0.0, num_planes=planes,
+        )
+
+    for tables in (2, 4):
+        # candidate count = distinct (query, vec) pairs across tables
+        pair_union = None
+        for tt in range(tables):
+            p = S.hyperplanes(4, DIM, seed=f"t{tt}:")
+            c = emb.withColumn("b", S.lsh_bucket(F.col("embedding"), p))
+            q = queries.withColumn("b", S.lsh_bucket(F.col("embedding"), p))
+            pairs = c.join(q.select("query_id", "b"), "b").select(
+                "query_id", "vec_id"
+            )
+            pair_union = pairs if pair_union is None else pair_union.unionByName(pairs)
+        cand = (
+            pair_union.distinct().groupBy("query_id").count()
+            .agg(F.avg("count")).collect()[0][0]
+        )
+        report(
+            "lsh_multi",
+            S.lsh_ann_topk_multi(
+                emb, queries, k=K, num_planes=4, dim=DIM, num_tables=tables
+            ),
+            cand or 0.0, num_planes=4, num_tables=tables,
+        )
+
+    for nprobe in (1, 2, 4):
+        # cost = rows in probed cells
+        cent = (
+            emb.orderBy("vec_id").limit(8)
+            .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        )
+        assigned = S.ivf_assign(emb, cent)
+        probes = S._probe_cells(queries, cent, nprobe, "query_id", "embedding")
+        cand = (
+            assigned.join(probes.select("query_id", "cid"), "cid")
+            .groupBy("query_id").count().agg(F.avg("count")).collect()[0][0]
+        )
+        report(
+            "ivf",
+            S.ivf_ann_topk(emb, queries, k=K, n_centroids=8, nprobe=nprobe),
+            cand or 0.0, n_centroids=8, nprobe=nprobe,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
