@@ -125,3 +125,50 @@ def test_cap_per_domain_never_exceeds_cap_and_is_stable(spark, domains, cap):
     kept2 = cap_per_domain(grown, "domain", "doc_id", cap, salt="p")
     a_after = sorted(r.doc_id for r in kept2.filter(F.col("domain") == "a").collect())
     assert a_before == a_after
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=2, max_value=32),
+    st.text(alphabet="abcxyz:0123456789", max_size=8),
+)
+def test_hyperplanes_deterministic_and_signed(num_planes, dim, seed):
+    # plane coefficients must be exactly ±1 and identical across calls
+    # (the oracle SQL inlines the same literals — any drift breaks every
+    # ANN oracle); different seeds must give independent tables
+    from pypeman_spark.functions.similarity import hyperplanes
+
+    a = hyperplanes(num_planes, dim, seed=seed)
+    b = hyperplanes(num_planes, dim, seed=seed)
+    assert a == b
+    assert len(a) == num_planes and all(len(p) == dim for p in a)
+    assert all(v in (1.0, -1.0) for p in a for v in p)
+    other = hyperplanes(num_planes, dim, seed=seed + "X")
+    if num_planes * dim >= 16:  # tiny tables can collide by chance
+        assert other != a
+
+
+def test_lsh_bucket_range_and_self_consistency(spark):
+    # bucket ids must lie in [0, 2^planes) and equal vectors must always
+    # land in the same bucket (the property every candidate join relies on)
+    from pypeman_spark.functions.similarity import hyperplanes, lsh_bucket
+    from pypeman_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    planes = hyperplanes(6, 64)
+    b = emb.select(
+        "vec_id", lsh_bucket(F.col("embedding"), planes).alias("bucket")
+    )
+    mn, mx = b.agg(F.min("bucket"), F.max("bucket")).first()
+    assert 0 <= mn and mx < 2 ** 6
+    # same vector twice -> same bucket
+    dup = emb.limit(5).unionByName(emb.limit(5))
+    db = dup.select(
+        "vec_id", lsh_bucket(F.col("embedding"), planes).alias("bucket")
+    )
+    assert db.groupBy("vec_id").agg(
+        F.count_distinct("bucket").alias("n")
+    ).filter(F.col("n") > 1).count() == 0
