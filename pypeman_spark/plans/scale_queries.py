@@ -927,16 +927,20 @@ def upsample_mixture_by_source(spark, sf_dir):
     ).select("doc_id", "source", "copy_idx")
 
 
-@q(
-    "semantic_dedup_corpus",
-    f"""
+def _semantic_dedup_oracle() -> str:
+    from ..functions import similarity as S
+    from .queries import _bucket_expr
+
+    bucket = _bucket_expr(S.hyperplanes(4, 64), "v")
+    return f"""
     WITH RECURSIVE c AS (
       SELECT vec_id, embedding::DOUBLE[] AS v
       FROM embeddings WHERE vec_id < 200
     ),
+    cb AS (SELECT vec_id, v, {bucket} AS bucket FROM c),
     edges AS (
       SELECT a.vec_id AS src, b.vec_id AS dst
-      FROM c a, c b
+      FROM cb a JOIN cb b ON a.bucket = b.bucket
       WHERE a.vec_id <> b.vec_id
         AND {_COS.format(a='a.v', b='b.v')} >= 0.4
     ),
@@ -949,21 +953,24 @@ def upsample_mixture_by_source(spark, sf_dir):
       SELECT node AS vec_id FROM reach GROUP BY node HAVING node = min(lab)
     )
     SELECT e.vec_id, e.label FROM embeddings e JOIN keep USING (vec_id)
-    """,
-)
+    """
+
+
+@q("semantic_dedup_corpus", None)  # oracle attached below (plane literals)
 def semantic_dedup_corpus(spark, sf_dir):
-    """SemDeDup-style semantic dedup end-to-end: embedding-cosine
-    near-dup pairs (exact verifier on the bounded slice; num_planes>0
-    is the LSH-bucketed scale path) → connected components → keep the
-    min-id representative per semantic cluster."""
+    """SemDeDup-style semantic dedup end-to-end, on the SCALE path:
+    LSH-bucketed embedding-cosine near-dup pairs (the default — bucket
+    equi-join, no cartesian) → connected components → keep the min-id
+    representative per semantic cluster. The oracle's recursive-CTE CC
+    runs over the same bucket-restricted edge set (plane literals), so
+    the whole scale shape is value-verified, not just the exact
+    verifier on a bounded slice."""
     emb = (
         tp(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 200)
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
     )
-    # exact=True: the slice is bounded (vec_id < 200) and the oracle's
-    # recursive-CTE CC is defined over the exact all-pairs graph.
-    pairs = D.embedding_near_dup_pairs(emb, threshold=0.4, exact=True)
+    pairs = D.embedding_near_dup_pairs(emb, threshold=0.4, num_planes=4, dim=64)
     clusters = D.connected_components(
         pairs, nodes=emb.select(F.col("vec_id").alias("node"))
     )
@@ -973,6 +980,11 @@ def semantic_dedup_corpus(spark, sf_dir):
     return emb.join(F.broadcast(keep), "vec_id", "left_semi").select(
         "vec_id", "label"
     )
+
+
+from .queries import REGISTRY  # noqa: E402
+
+REGISTRY["semantic_dedup_corpus"].oracle = _semantic_dedup_oracle()
 
 
 from ..functions.packing import chunk_documents  # noqa: E402
