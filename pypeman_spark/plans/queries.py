@@ -540,19 +540,30 @@ def payload_codecs(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     d = t(spark, sf_dir, "documents")
     nul = F.lit(None).cast("string")
-    jp = ev.select(
-        F.lit("json_parse").alias("src"),
-        F.col("event_id").cast("bigint").alias("key"),
-        F.get_json_object("props", "$.k").cast("bigint").cast("string")
-        .alias("out_a"),
-        nul.alias("out_b"),
-    )
-    js = ev.select(
-        F.lit("json_ser").alias("src"),
-        F.col("event_id").cast("bigint").alias("key"),
-        F.to_json(F.struct("event_id", "event_type")).alias("out_a"),
-        nul.alias("out_b"),
-    )
+    # both events-derived probes come out of ONE scan: explode an array
+    # of per-probe structs instead of unioning two scans of the table
+    # (at corpus scale a union of same-table branches is a double read)
+    key = F.col("event_id").cast("bigint")
+    jp_js = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("json_parse").alias("src"),
+                    key.alias("key"),
+                    F.get_json_object("props", "$.k").cast("bigint")
+                    .cast("string").alias("out_a"),
+                    nul.alias("out_b"),
+                ),
+                F.struct(
+                    F.lit("json_ser").alias("src"),
+                    key.alias("key"),
+                    F.to_json(F.struct("event_id", "event_type"))
+                    .alias("out_a"),
+                    nul.alias("out_b"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
     cs = c.select(
         F.lit("csv").alias("src"),
         F.col("c_custkey").cast("bigint").alias("key"),
@@ -566,7 +577,7 @@ def payload_codecs(spark, sf_dir):
         b64.alias("out_a"),
         F.decode(F.unbase64(b64), "utf-8").alias("out_b"),
     )
-    return jp.unionByName(js).unionByName(cs).unionByName(bb)
+    return jp_js.unionByName(cs).unionByName(bb)
 
 
 @q(
