@@ -63,6 +63,15 @@ def frame_fingerprint(cols: list[str], rows: list[tuple]):
 
 
 def main() -> int:
+    # PySpark's collect() materializes TimestampType via
+    # datetime.fromtimestamp — PROCESS-local time — while DuckDB returns
+    # naive UTC wall-clocks, so a non-UTC TZ env var shifts every
+    # timestamp-returning query into a spurious hash mismatch. Pin the
+    # process to UTC (same environment the driver runs) before the JVM
+    # or any datetime is created.
+    os.environ["TZ"] = "UTC"
+    time.tzset()
+
     import duckdb
 
     import __spark_entry__ as entrymod
