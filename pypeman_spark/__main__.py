@@ -375,6 +375,67 @@ def cmd_printsettings(args) -> int:
     return 0
 
 
+def _tools_frame(args):
+    """Shared loader for the store tools: MessageStore → filtered frame
+    of (id, payload). ``--filter k=v`` matches top-level payload JSON
+    fields by value (reference ``tools/view_store.py`` Filter semantics:
+    ``payload.get(name) == literal_eval(val)``)."""
+    import ast
+
+    from pyspark.sql import functions as F
+
+    from .session import get_spark
+    from .store.msgstore import MessageStore
+
+    spark = get_spark("pypeman-tools", cpus=int(
+        os.environ.get("SPARK_GRAFT_CPUS", "4")
+    ))
+    store = MessageStore(spark, args.store_path, channel=args.channel)
+    df = store.search(count=args.count)
+    for fstr in args.filter or []:
+        name, val = fstr.split("=", 1)
+        want = ast.literal_eval(val)
+        cond = F.get_json_object(F.col("payload"), f"$.{name}")
+        if isinstance(want, bool):
+            df = df.filter(cond == F.lit("true" if want else "false"))
+        else:
+            df = df.filter(cond == F.lit(str(want)))
+    return df.select("id", "payload")
+
+
+def cmd_tools(args) -> int:
+    """``pypeman tools view_store|send_from_store`` parity (reference
+    ``tool_commands.py:11-14``, ``tools/view_store.py``,
+    ``tools/send_from_store.py``)."""
+    if args.tool == "send_from_store" and not args.dest:
+        print("send_from_store requires --dest URL", file=sys.stderr)
+        return 1
+    df = _tools_frame(args)
+    if args.tool == "view_store":
+        for r in df.collect():
+            print(r["id"], r["payload"])
+        return 0
+    # send_from_store: POST each payload to the destination (reference
+    # http_send, tools/send_from_store.py:12-20) — stdlib client, the
+    # collected batch is bounded by --count
+    import urllib.request
+
+    sent = 0
+    for r in df.collect():
+        req = urllib.request.Request(
+            args.dest,
+            data=(r["payload"] or "").encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            resp.read()
+        print(f"send {r['id']} to {args.dest}")
+        sent += 1
+    print(f"sent {sent} messages")
+    return 0
+
+
 def cmd_test(args) -> int:
     import unittest
 
@@ -415,6 +476,17 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("printsettings", help="print the project settings")
 
+    p = sub.add_parser("tools", help="store utilities (view / re-send)")
+    p.add_argument("tool", choices=["view_store", "send_from_store"])
+    p.add_argument("store_path", help="MessageStore base path")
+    p.add_argument("--channel", default="default")
+    p.add_argument("--filter", "-f", action="append",
+                   help="payload field filter, e.g. -f k=9 (repeatable)")
+    p.add_argument("--count", type=int, default=100,
+                   help="max messages (default %(default)s)")
+    p.add_argument("--dest", default=None,
+                   help="destination URL for send_from_store")
+
     p = sub.add_parser("test", help="run the project's tests")
     p.add_argument("--module", "-m", default="tests")
 
@@ -427,6 +499,7 @@ def main(argv: list[str] | None = None) -> int:
         "startproject": cmd_startproject,
         "shell": cmd_shell,
         "printsettings": cmd_printsettings,
+        "tools": cmd_tools,
         "test": cmd_test,
     }[args.cmd](args)
 

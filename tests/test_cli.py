@@ -150,3 +150,56 @@ def test_reload_restarts_on_change(tmp_path):
             p.kill()
     # no orphaned child: the lockfile cleanup path ran
     assert p.returncode is not None
+
+
+def test_tools_view_and_send_from_store(spark, tmp_path, capsys):
+    # reference tool_commands.py verbs: view_store (filtered print) and
+    # send_from_store (POST payloads to an endpoint)
+    import http.server
+    import json
+    import threading
+
+    from pypeman_spark import messages_from_payloads
+    from pypeman_spark.store.msgstore import MessageStore
+
+    store_dir = str(tmp_path / "store")
+    store = MessageStore(spark, store_dir, channel="t")
+    store.store(messages_from_payloads(
+        spark, [{"k": 9, "tag": "a"}, {"k": 9, "tag": "b"}, {"k": 3}],
+        channel="t",
+    ))
+
+    rc = main(["tools", "view_store", store_dir, "--channel", "t",
+               "-f", "k=9"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [ln for ln in out.strip().splitlines() if ln]
+    assert len(lines) == 2 and all('"k": 9' in ln for ln in lines)
+
+    # send_from_store → tiny HTTP sink
+    received = []
+
+    class Sink(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            received.append(json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Sink)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rc = main(["tools", "send_from_store", store_dir, "--channel", "t",
+                   "-f", "k=3", "--dest",
+                   f"http://127.0.0.1:{srv.server_port}/in"])
+        out = capsys.readouterr().out
+        assert rc == 0 and "sent 1 messages" in out
+        assert received == [{"k": 3}]
+    finally:
+        srv.shutdown()
+
+    # missing --dest is a clean error
+    assert main(["tools", "send_from_store", store_dir]) == 1
