@@ -37,6 +37,8 @@ HEADLINE = [
     "two_nation_volume",
     "large_quantity_orders",
     "promo_revenue_pct",
+    "forecast_revenue_change",
+    "top_supplier_revenue",
     "disjunctive_predicate_revenue",
     "rollup_revenue",
     "pivot_event_values",

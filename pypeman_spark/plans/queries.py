@@ -1760,6 +1760,82 @@ def two_nation_volume(spark, sf_dir):
 
 
 @q(
+    "forecast_revenue_change",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-and-aggregate — every predicate pushes
+    to the parquet scan and the whole query is one map-side partial agg
+    + a 1-row final agg; the canonical 'no shuffle of data, only of one
+    accumulator' plan."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("revenue_delta")
+    )
+
+
+@q(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape (view + correlated max, without the view): one
+    shuffle computes per-supplier quarterly revenue; the max is a 1-row
+    aggregate broadcast back over the tiny revenue frame (never over
+    lineitem), then the supplier dim joins in. The 'keep all ties at
+    the max' semantic is preserved exactly."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    # materialize the tiny per-supplier frame once: without this, the
+    # max-subquery branch would re-scan lineitem (AQE does not reuse the
+    # exchange across the agg) — a full second pass at 100 TB
+    rev = rev.localCheckpoint()
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    sup = t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx"))
+        .join(sup, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
     "promo_revenue_pct",
     """
     SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'TYPE_1%'

@@ -343,3 +343,23 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path):
     assert {r["query_id"] for r in rows} == {0, 1}
     top = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
     assert top == {0: 0, 1: 1}
+
+
+def test_q6_is_pure_scan_aggregate(spark):
+    # TPC-H Q6: every predicate must reach the parquet scan and the
+    # plan must contain no join and only the 1-row final-agg exchange
+    plan = plan_of(REGISTRY["forecast_revenue_change"].fn(spark, SF))
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed and "l_discount" in pushed \
+        and "l_quantity" in pushed
+    assert "Join" not in plan
+    assert plan.replace("BroadcastExchange", "").count("Exchange") == 1
+
+
+def test_q15_scans_lineitem_once(spark):
+    # the max-revenue subquery must read the materialized per-supplier
+    # frame, not re-scan lineitem (AQE does not reuse the exchange
+    # across the agg — verified r4); max comes back as a broadcast
+    plan = plan_of(REGISTRY["top_supplier_revenue"].fn(spark, SF))
+    assert plan.count("lineitem.parquet") <= 1
+    assert "BroadcastHashJoin" in plan
