@@ -5,9 +5,12 @@ DuckDB oracle.
 Conventions (the driver hash-compares after sorting columns by name):
 
 * every computed column is aliased identically on both sides;
-* float aggregates are ``round``-ed on both sides (decimal-exact where
-  money matters is a Delta-era refinement; rounding to 2/6 dp makes the
-  double sums order-insensitive in practice);
+* money sums aggregate exact integer cents (``_cents`` /
+  ``_sql_cents_sum``): per-row ``CAST(round(x*100) AS BIGINT)`` then an
+  integer sum, so results are bit-identical under any partial-agg order
+  — double sums are not, once partitioning varies at 100x scale.
+  Ratios/averages derive from the exact integer sums; remaining float
+  aggregates (non-money doubles) are ``round``-ed on both sides;
 * pagination/limit queries order by a unique key so LIMIT is
   deterministic in both engines;
 * hashing primitives are md5-hex (byte-identical across engines).
@@ -57,6 +60,27 @@ def tp(spark, sf_dir, name):
     return load_table(spark, sf_dir, name, parallelize=True)
 
 
+def _cents(col):
+    """Per-row exact integer cents. Money inputs are exact 2-dp values;
+    ``round(x*100)`` recovers the integer deterministically, and integer
+    sums are order-insensitive — unlike double sums, whose partial-agg
+    order varies with partitioning at 100x scale. Both engines round
+    doubles half-away-from-zero, so the per-row value is identical."""
+    return F.round(col * 100).cast("long")
+
+
+def _sql_cents_sum(expr: str) -> str:
+    """DuckDB side of :func:`_cents`: per-row integer cents, summed, with
+    the sum cast back to BIGINT (DuckDB sum(BIGINT) is HUGEINT, which
+    exports via Arrow as decimal128 and would hash-mismatch)."""
+    return f"CAST(sum(CAST(round(({expr}) * 100) AS BIGINT)) AS BIGINT)"
+
+
+def _sql_int_sum(expr: str) -> str:
+    """Integer-valued double column summed exactly (BIGINT out)."""
+    return f"CAST(sum(CAST(round({expr}) AS BIGINT)) AS BIGINT)"
+
+
 # =====================================================================
 # A. Relational core (SURVEY §2 note: joins/aggs/windows are pure
 # built-in Spark; these are the bench headliners)
@@ -64,15 +88,15 @@ def tp(spark, sf_dir, name):
 
 @q(
     "pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                   AS avg_qty,
-           round(avg(l_extendedprice), 4)                              AS avg_price,
-           round(avg(l_discount), 4)                                   AS avg_disc,
+           {_sql_int_sum('l_quantity')}                                AS sum_qty,
+           {_sql_cents_sum('l_extendedprice')}                         AS sum_base_price_cents,
+           {_sql_cents_sum('l_extendedprice * (1 - l_discount)')}      AS sum_disc_price_cents,
+           {_sql_cents_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge_cents,
+           round({_sql_int_sum('l_quantity')} / count(*), 4)           AS avg_qty,
+           round({_sql_cents_sum('l_extendedprice')} / 100.0 / count(*), 4) AS avg_price,
+           round({_sql_cents_sum('l_discount')} / 100.0 / count(*), 4) AS avg_disc,
            count(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -81,30 +105,46 @@ def tp(spark, sf_dir, name):
 )
 def pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape. Scale: single scan + partial agg; no join; AQE
-    coalesces the 6-group output."""
+    coalesces the 6-group output. Money sums aggregate exact integer
+    cents (see _cents) so the result is bit-identical under any
+    partial-agg order; averages derive from the exact sums."""
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+            F.sum(_cents(disc_price)).alias("sum_disc_price_cents"),
+            F.sum(_cents(disc_price * (1 + F.col("l_tax")))).alias("sum_charge_cents"),
+            F.sum(_cents(F.col("l_discount"))).alias("__disc_cents"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price_cents",
+            "sum_disc_price_cents",
+            "sum_charge_cents",
+            F.round(F.col("sum_qty") / F.col("count_order"), 4).alias("avg_qty"),
+            F.round(
+                F.col("sum_base_price_cents") / 100.0 / F.col("count_order"), 4
+            ).alias("avg_price"),
+            F.round(
+                F.col("__disc_cents") / 100.0 / F.col("count_order"), 4
+            ).alias("avg_disc"),
+            "count_order",
         )
     )
 
 
 @q(
     "shipping_priority",
-    """
+    f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {_sql_cents_sum('l_extendedprice * (1 - l_discount)')} AS revenue_cents,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -112,7 +152,7 @@ def pricing_summary(spark, sf_dir):
       AND o_orderdate < TIMESTAMP '1998-03-15'
       AND l_shipdate  > TIMESTAMP '1998-03-15'
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, l_orderkey
+    ORDER BY revenue_cents DESC, l_orderkey
     LIMIT 10
     """,
 )
@@ -133,20 +173,20 @@ def shipping_priority(spark, sf_dir):
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .select("l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey"))
         .limit(10)
     )
 
 
 @q(
     "local_supplier_volume",
-    """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    f"""
+    SELECT n_name, {_sql_cents_sum('l_extendedprice * (1 - l_discount)')} AS revenue_cents
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -184,9 +224,9 @@ def local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
         )
     )
 
@@ -218,27 +258,30 @@ def top_orders_per_priority(spark, sf_dir):
 
 @q(
     "rollup_revenue",
-    """
+    f"""
     SELECT o_orderpriority, o_orderstatus,
-           round(sum(o_totalprice), 2) AS total, count(*) AS n
+           {_sql_cents_sum('o_totalprice')} AS total_cents, count(*) AS n
     FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
     """,
 )
 def rollup_revenue(spark, sf_dir):
     orders = t(spark, sf_dir, "orders")
     return orders.rollup("o_orderpriority", "o_orderstatus").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 @q(
     "pivot_event_values",
-    """
+    f"""
     SELECT user_id,
-           round(coalesce(sum(value) FILTER (event_type = 'click'), 0), 2)    AS click_sum,
-           round(coalesce(sum(value) FILTER (event_type = 'view'), 0), 2)     AS view_sum,
-           round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 2) AS purchase_sum
+           CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                         FILTER (event_type = 'click'), 0) AS BIGINT)    AS click_sum_cents,
+           CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                         FILTER (event_type = 'view'), 0) AS BIGINT)     AS view_sum_cents,
+           CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                         FILTER (event_type = 'purchase'), 0) AS BIGINT) AS purchase_sum_cents
     FROM events GROUP BY user_id
     """,
 )
@@ -247,12 +290,10 @@ def pivot_event_values(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
 
     def cs(kind):
-        return F.round(
-            F.coalesce(
-                F.sum(F.when(F.col("event_type") == kind, F.col("value"))), F.lit(0)
-            ),
-            2,
-        ).alias(f"{kind}_sum")
+        return F.coalesce(
+            F.sum(F.when(F.col("event_type") == kind, _cents(F.col("value")))),
+            F.lit(0).cast("long"),
+        ).alias(f"{kind}_sum_cents")
 
     return ev.groupBy("user_id").agg(cs("click"), cs("view"), cs("purchase"))
 
@@ -330,9 +371,9 @@ def asof_last_view_before_purchase(spark, sf_dir):
 
 @q(
     "hourly_event_rollup",
-    """
+    f"""
     SELECT date_trunc('hour', ts) AS hour, event_type,
-           count(*) AS n, round(sum(value), 2) AS total_value
+           count(*) AS n, {_sql_cents_sum('value')} AS total_value_cents
     FROM events GROUP BY 1, 2
     """,
 )
@@ -346,7 +387,7 @@ def hourly_event_rollup(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(_cents(F.col("value"))).alias("total_value_cents"),
         )
     )
 
@@ -450,8 +491,9 @@ def value_percentiles(spark, sf_dir):
 
 @q(
     "grouping_sets_revenue",
-    """
-    SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {_sql_cents_sum('o_totalprice')} AS total_cents
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -463,7 +505,7 @@ def grouping_sets_revenue(spark, sf_dir):
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               round(sum(o_totalprice), 2) AS total
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
         FROM __orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -1440,9 +1482,9 @@ def order_priority_check(spark, sf_dir):
 
 @q(
     "returned_items_report",
-    """
+    f"""
     SELECT c_custkey, c_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {_sql_cents_sum('l_extendedprice * (1 - l_discount)')} AS revenue_cents
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -1451,7 +1493,7 @@ def order_priority_check(spark, sf_dir):
       AND o_orderdate <  TIMESTAMP '1997-04-01'
       AND l_returnflag = 'R'
     GROUP BY c_custkey, c_name, n_name
-    ORDER BY revenue DESC, c_custkey
+    ORDER BY revenue_cents DESC, c_custkey
     LIMIT 20
     """,
 )
@@ -1472,19 +1514,19 @@ def returned_items_report(spark, sf_dir):
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
         )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey"))
         .limit(20)
     )
 
 
 @q(
     "small_quantity_revenue",
-    """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    f"""
+    SELECT CAST(round({_sql_cents_sum('l_extendedprice')} / 7.0) AS BIGINT) AS avg_yearly_cents
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#4'
       AND l_quantity < (SELECT 0.2 * avg(l_quantity)
@@ -1503,17 +1545,22 @@ def small_quantity_revenue(spark, sf_dir):
     return (
         flagged.join(part, flagged.l_partkey == part.p_partkey)
         .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(F.sum(_cents(F.col("l_extendedprice"))) / 7.0)
+            .cast("long")
+            .alias("avg_yearly_cents")
+        )
     )
 
 
 @q(
     "nation_market_share",
-    """
+    f"""
     SELECT year(o_orderdate) AS o_year,
-           round(sum(CASE WHEN n_name = 'NATION_3'
-                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+           round(CAST(sum(CASE WHEN n_name = 'NATION_3'
+                          THEN CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT)
+                 / {_sql_cents_sum('l_extendedprice * (1 - l_discount)')}, 6) AS mkt_share
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -1529,7 +1576,7 @@ def nation_market_share(spark, sf_dir):
     orders = t(spark, sf_dir, "orders")
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -1537,8 +1584,11 @@ def nation_market_share(spark, sf_dir):
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("n_name") == "NATION_3", rev).otherwise(0))
-                / F.sum(rev),
+                F.sum(
+                    F.when(F.col("n_name") == "NATION_3", rev_cents)
+                    .otherwise(F.lit(0).cast("long"))
+                )
+                / F.sum(rev_cents),
                 6,
             ).alias("mkt_share")
         )
@@ -1707,11 +1757,11 @@ REGISTRY["embedding_near_dup_pairs"].oracle = _near_dup_oracle()
     "two_nation_volume",
     """
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           CAST(sum(volume_cents) AS BIGINT) AS revenue_cents
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(o_orderdate) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS volume_cents
       FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -1751,9 +1801,9 @@ def two_nation_volume(spark, sf_dir):
         )
         .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("l_year"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -1761,8 +1811,8 @@ def two_nation_volume(spark, sf_dir):
 
 @q(
     "forecast_revenue_change",
-    """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta
+    f"""
+    SELECT {_sql_cents_sum('l_extendedprice * l_discount')} AS revenue_delta_cents
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -1783,26 +1833,26 @@ def forecast_revenue_change(spark, sf_dir):
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-        ).alias("revenue_delta")
+        F.sum(
+            _cents(F.col("l_extendedprice") * F.col("l_discount"))
+        ).alias("revenue_delta_cents")
     )
 
 
 @q(
     "top_supplier_revenue",
-    """
+    f"""
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             {_sql_cents_sum('l_extendedprice * (1 - l_discount)')} AS total_revenue_cents
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate <  TIMESTAMP '1997-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name, total_revenue_cents
     FROM supplier JOIN rev ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
     ORDER BY s_suppkey
     """,
 )
@@ -1817,31 +1867,32 @@ def top_supplier_revenue(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_revenue")
+        F.sum(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("total_revenue_cents")
     )
     # materialize the tiny per-supplier frame once: without this, the
     # max-subquery branch would re-scan lineitem (AQE does not reuse the
     # exchange across the agg) — a full second pass at 100 TB
     rev = rev.localCheckpoint()
-    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    mx = rev.agg(F.max("total_revenue_cents").alias("__mx"))
     sup = t(spark, sf_dir, "supplier")
+    # ties-at-the-max equality is now on exact BIGINT cents, not doubles
     return (
-        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx"))
+        rev.join(F.broadcast(mx), rev.total_revenue_cents == F.col("__mx"))
         .join(sup, F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", "total_revenue_cents")
         .orderBy("s_suppkey")
     )
 
 
 @q(
     "promo_revenue_pct",
-    """
-    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'TYPE_1%'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    f"""
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'TYPE_1%'
+                                  THEN CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                                  ELSE 0 END) AS BIGINT)
+                 / {_sql_cents_sum('l_extendedprice * (1 - l_discount)')}, 4) AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1997-02-01'
@@ -1855,12 +1906,15 @@ def promo_revenue_pct(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
     )
     part = t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return li.join(part, li.l_partkey == part.p_partkey).agg(
         F.round(
             100.0
-            * F.sum(F.when(F.col("p_type").like("TYPE_1%"), rev).otherwise(0))
-            / F.sum(rev),
+            * F.sum(
+                F.when(F.col("p_type").like("TYPE_1%"), rev_cents)
+                .otherwise(F.lit(0).cast("long"))
+            )
+            / F.sum(rev_cents),
             4,
         ).alias("promo_pct")
     )
@@ -1868,9 +1922,9 @@ def promo_revenue_pct(spark, sf_dir):
 
 @q(
     "large_quantity_orders",
-    """
+    f"""
     SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
-           round(sum(l_quantity), 2) AS total_qty
+           {_sql_int_sum('l_quantity')} AS total_qty
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (
@@ -1899,7 +1953,9 @@ def large_quantity_orders(spark, sf_dir):
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty")
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
     )
@@ -1907,8 +1963,8 @@ def large_quantity_orders(spark, sf_dir):
 
 @q(
     "disjunctive_predicate_revenue",
-    """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    f"""
+    SELECT {_sql_cents_sum('l_extendedprice * (1 - l_discount)')} AS revenue_cents
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 20)
@@ -1934,20 +1990,21 @@ def disjunctive_predicate_revenue(spark, sf_dir):
         & F.col("l_quantity").between(10, 40)
     )
     return joined.filter(c1 | c2).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        F.sum(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue_cents")
     )
 
 
 @q(
     "rich_inactive_customers",
-    """
+    f"""
     SELECT c_nationkey, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           {_sql_cents_sum('c_acctbal')} AS totacctbal_cents
     FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                       WHERE c_acctbal > 0.0)
+    WHERE c_acctbal > (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                              / 100.0 / count(*)
+                       FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                       AND o_orderdate >= TIMESTAMP '2000-06-01')
     GROUP BY c_nationkey
@@ -1963,8 +2020,12 @@ def rich_inactive_customers(spark, sf_dir):
     orders = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
     )
+    # the avg threshold derives from the exact cents sum so the boundary
+    # comparison is deterministic across partial-agg orders
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("__avg")
+        (
+            F.sum(_cents(F.col("c_acctbal"))) / 100.0 / F.count(F.lit(1))
+        ).alias("__avg")
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
@@ -1973,7 +2034,7 @@ def rich_inactive_customers(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("totacctbal_cents"),
         )
         .orderBy("c_nationkey")
     )

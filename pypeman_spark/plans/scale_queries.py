@@ -324,28 +324,32 @@ def range_join_purchase_windows(spark, sf_dir):
     "cumulative_customer_revenue",
     """
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend,
-           round(o_totalprice - coalesce(lag(o_totalprice) OVER (
-                 PARTITION BY o_custkey ORDER BY o_orderkey), 0.0), 2) AS delta_prev
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_spend_cents,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             - coalesce(lag(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderkey), 0) AS delta_prev_cents
     FROM orders WHERE o_custkey < 300
     """,
 )
 def cumulative_customer_revenue(spark, sf_dir):
     """Running-total + lag-delta window pair over one partitioning — a
-    single shuffle on o_custkey serves both frames."""
+    single shuffle on o_custkey serves both frames. Money in exact
+    integer cents (see queries._cents): the running sum is
+    order-pinned by the frame, but integer accumulation also kills the
+    double rounding drift on long customer histories."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(run), 2).alias("cum_spend"),
-        F.round(
-            F.col("o_totalprice")
-            - F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)),
-            2,
-        ).alias("delta_prev"),
+        F.sum(cents).over(run).alias("cum_spend_cents"),
+        (
+            cents - F.coalesce(F.lag(cents).over(w), F.lit(0).cast("long"))
+        ).alias("delta_prev_cents"),
     )
 
 
