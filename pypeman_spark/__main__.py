@@ -364,6 +364,59 @@ def cmd_shell(args) -> int:
     return 0
 
 
+def cmd_pyshell(args) -> int:
+    """Local Python REPL with a connected admin ``client`` in scope
+    (reference ``commands.py:329-340``: RemoteAdminClient + IPython
+    embed). IPython is optional; stdlib ``code.interact`` is the
+    fallback. The client is lazy — constructing it needs no live
+    server, each call opens its own connection."""
+    from .plans.admin_client import client_for
+
+    settings = _load_settings(args.project_dir)
+    url = args.url
+    if url is None:
+        cfg = getattr(
+            settings, "REMOTE_ADMIN_WEBSOCKET_CONFIG",
+            {"host": "127.0.0.1", "port": 8091},
+        )
+        url = f"ws://{cfg['host']}:{cfg['port']}"
+    client = client_for(url)
+    banner = (
+        f"pypeman-spark pyshell — `client` targets {url}\n"
+        "try: client.channels(), client.list_msgs('<chan>'), "
+        "client.push('<chan>', '{...}')"
+    )
+    try:
+        from IPython import embed
+
+        embed(banner1=banner, user_ns={"client": client})
+    except ImportError:
+        import code
+
+        try:
+            code.interact(banner=banner, local={"client": client}, exitmsg="")
+        except EOFError:
+            pass
+    return 0
+
+
+def cmd_debug(args) -> int:
+    """Development-mode start (reference ``commands.py:363-367`` reserves
+    the ``debug`` verb as a dev hook): DEBUG logging on the driver — the
+    Spark-era analogue of the asyncio debug flag — then the normal
+    foreground start."""
+    import logging
+
+    logging.basicConfig(
+        level=logging.DEBUG,
+        format="%(asctime)s %(levelname)s %(name)s %(message)s",
+        force=True,
+    )
+    logging.getLogger("pypeman_spark").setLevel(logging.DEBUG)
+    print("debug mode: DEBUG logging enabled")
+    return cmd_start(args)
+
+
 def cmd_printsettings(args) -> int:
     settings = _load_settings(args.project_dir)
     if settings is None:
@@ -474,6 +527,14 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("shell", help="interactive remote-admin shell")
     p.add_argument("--url", default=None, help="http:// or ws:// admin URL")
 
+    p = sub.add_parser("pyshell", help="local Python REPL with an admin client")
+    p.add_argument("--url", default=None, help="http:// or ws:// admin URL")
+
+    p = sub.add_parser("debug", help="start in the foreground with DEBUG logging")
+    p.add_argument("--remote-admin", action="store_true",
+                   help="serve the REST + websocket admin endpoints")
+    p.set_defaults(daemon=False, reload=False)
+
     sub.add_parser("printsettings", help="print the project settings")
 
     p = sub.add_parser("tools", help="store utilities (view / re-send)")
@@ -498,6 +559,8 @@ def main(argv: list[str] | None = None) -> int:
         "graph": cmd_graph,
         "startproject": cmd_startproject,
         "shell": cmd_shell,
+        "pyshell": cmd_pyshell,
+        "debug": cmd_debug,
         "printsettings": cmd_printsettings,
         "tools": cmd_tools,
         "test": cmd_test,

@@ -49,7 +49,8 @@ def test_cli_help_and_bad_project(tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert out.returncode == 0
-    for verb in ("start", "graph", "startproject", "shell", "printsettings", "test"):
+    for verb in ("start", "graph", "startproject", "shell", "pyshell",
+                 "debug", "printsettings", "test"):
         assert verb in out.stdout
     # graph against a dir with no project.py → clean SystemExit, not a traceback
     (tmp_path / "project.py").write_text("x = 1\n")
@@ -59,6 +60,39 @@ def test_cli_help_and_bad_project(tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert out.returncode == 0 and "created" in out.stdout
+
+
+def test_pyshell_local_repl(tmp_path):
+    # reference commands.py:329-340: local REPL with a connected admin
+    # client in scope. EOF on stdin exits the REPL immediately; the
+    # lazy client needs no live server.
+    proj = str(tmp_path / "pyproj")
+    new_project(proj)
+    out = subprocess.run(
+        [sys.executable, "-m", "pypeman_spark", "--project-dir", proj,
+         "pyshell", "--url", "ws://127.0.0.1:19991"],
+        capture_output=True, text=True, cwd="/root/repo",
+        input="", timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    combined = out.stdout + out.stderr
+    assert "pyshell" in combined and "ws://127.0.0.1:19991" in combined
+
+
+def test_debug_verb_delegates_to_start(tmp_path, monkeypatch):
+    # reference commands.py:363-367 dev hook: here it turns on DEBUG
+    # logging and runs the normal foreground start.
+    import logging
+
+    from pypeman_spark import __main__ as M
+
+    called = {}
+    monkeypatch.setattr(M, "cmd_start", lambda args: called.setdefault("rc", 0))
+    proj = str(tmp_path / "dbgproj")
+    new_project(proj)
+    rc = M.main(["--project-dir", proj, "debug"])
+    assert rc == 0 and called == {"rc": 0}
+    assert logging.getLogger("pypeman_spark").level == logging.DEBUG
 
 
 def test_daemon_start_stop(tmp_path):
