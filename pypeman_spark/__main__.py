@@ -431,14 +431,14 @@ def cmd_printsettings(args) -> int:
 def _tools_frame(args):
     """Shared loader for the store tools: MessageStore → filtered frame
     of (id, payload). ``--filter k=v`` matches top-level payload JSON
-    fields by value (reference ``tools/view_store.py`` Filter semantics:
-    ``payload.get(name) == literal_eval(val)``)."""
-    import ast
-
-    from pyspark.sql import functions as F
-
+    fields with TYPED equality — the shared ``tools.view_store.Filter``
+    predicate (reference semantics:
+    ``payload.get(name) == literal_eval(val)``: a JSON string ``"9"``
+    does not match ``-f k=9``, while ``-f k=9.0`` matches an
+    int-encoded ``9``)."""
     from .session import get_spark
     from .store.msgstore import MessageStore
+    from .tools.view_store import Filter
 
     spark = get_spark("pypeman-tools", cpus=int(
         os.environ.get("SPARK_GRAFT_CPUS", "4")
@@ -446,13 +446,7 @@ def _tools_frame(args):
     store = MessageStore(spark, args.store_path, channel=args.channel)
     df = store.search(count=args.count)
     for fstr in args.filter or []:
-        name, val = fstr.split("=", 1)
-        want = ast.literal_eval(val)
-        cond = F.get_json_object(F.col("payload"), f"$.{name}")
-        if isinstance(want, bool):
-            df = df.filter(cond == F.lit("true" if want else "false"))
-        else:
-            df = df.filter(cond == F.lit(str(want)))
+        df = df.filter(Filter(fstr).column())
     return df.select("id", "payload")
 
 

@@ -277,11 +277,16 @@ def embedding_near_dup_pairs(
         a = a.withColumn("__bucket", lsh_bucket(F.col("__va"), planes))
         b = b.withColumn("__bucket", lsh_bucket(F.col("__vb"), planes))
         pairs = a.join(b, "__bucket")
+    # threshold on the UNROUNDED cosine (matching the SQL oracles);
+    # rounding only in the projection — otherwise a pair at e.g.
+    # 0.3999996 would pass here but fail the oracle's WHERE
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            "id_a", "id_b", F.round(F.col("__cos"), 6).alias("cosine")
+        )
     )
 
 

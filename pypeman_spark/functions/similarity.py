@@ -85,14 +85,16 @@ def cosine_topk(
 
 def hyperplanes(num_planes: int, dim: int, seed: str = "") -> list[list[float]]:
     """Deterministic ±1 hyperplanes: coefficient (p, d) is +1 iff the
-    first hex digit of md5(f"{seed}{p}:{d}") is even. Reproducible in
+    first hex digit of md5(f"{seed}|{p}:{d}") is even. Reproducible in
     any engine/language — the oracle SQL inlines the same literals.
-    ``seed`` derives independent plane sets for multi-table LSH."""
+    ``seed`` derives independent plane sets for multi-table LSH; the
+    ``|`` separator makes the encoding unambiguous (seed "1" plane 2
+    can never collide with seed "" plane 12)."""
     planes = []
     for p in range(num_planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"{seed}{p}:{d}".encode()).hexdigest()
+            h = hashlib.md5(f"{seed}|{p}:{d}".encode()).hexdigest()
             row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
         planes.append(row)
     return planes

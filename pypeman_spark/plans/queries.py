@@ -1251,10 +1251,12 @@ def ivf_index_probe_q(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # deterministic per-sf_dir location: repeated runs (bench warmup +
-    # timed pass, repeated correctness checks) overwrite in place
-    # instead of accumulating mkdtemp garbage
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # deterministic per-(sf_dir, process) location: same-process reruns
+    # (bench warmup + timed pass) overwrite in place instead of
+    # accumulating mkdtemp garbage, while the pid suffix keeps two
+    # concurrent runs against one sf_dir (bench + correctness gate)
+    # from overwriting each other's partitions mid-probe
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"_{os.getpid()}"
     path = os.path.join(
         tempfile.gettempdir(), f"pypeman_ivf_idx_{tag}", "index"
     )

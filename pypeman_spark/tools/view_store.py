@@ -28,7 +28,11 @@ __all__ = ["Filter", "filtered_messages", "main", "mk_parser"]
 class Filter:
     """``name=value`` payload filter (``view_store.py:Filter``); value is
     a python literal (``3``, ``"bob"``, ``True``), compared against the
-    JSON payload field at the (dotted) path."""
+    JSON payload field at the (dotted) path with TYPED equality —
+    matching the reference's ``payload.get(name) == literal_eval(val)``:
+    a JSON string ``"9"`` does not match ``-f k=9``, while ``-f k=9.0``
+    matches an int-encoded ``9``. Implemented over VARIANT so the JSON
+    type is known per row; still a distributed column predicate."""
 
     def __init__(self, filter_str: str):
         self.filter_str = filter_str
@@ -38,12 +42,28 @@ class Filter:
 
     def column(self) -> F.Column:
         path = "$." + self.name
-        field = F.get_json_object(F.col("payload"), path)
+        v = F.try_parse_json(F.col("payload"))
+        fld = F.try_variant_get(v, path, "variant")
+        ty = F.schema_of_variant(fld)
+        if self.val is None:
+            # dict.get semantics: JSON null and missing key both match
+            return fld.isNull() | (ty == "VOID")
         if isinstance(self.val, bool):
-            return field.cast("boolean") == self.val
+            return (ty == "BOOLEAN") & (
+                F.try_variant_get(v, path, "boolean") == F.lit(self.val)
+            )
         if isinstance(self.val, (int, float)):
-            return field.cast("double") == float(self.val)
-        return field == str(self.val)
+            # any JSON numeric type (BIGINT / DECIMAL / DOUBLE), never a
+            # string or boolean masquerading as one
+            return ~ty.isin("STRING", "BOOLEAN", "VOID") & (
+                F.try_variant_get(v, path, "double") == F.lit(float(self.val))
+            )
+        if isinstance(self.val, str):
+            return (ty == "STRING") & (
+                F.try_variant_get(v, path, "string") == F.lit(self.val)
+            )
+        # non-scalar literal (list/dict): text compare fallback
+        return F.get_json_object(F.col("payload"), path) == F.lit(str(self.val))
 
     def __repr__(self) -> str:  # pragma: no cover
         return self.filter_str

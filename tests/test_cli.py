@@ -86,13 +86,23 @@ def test_debug_verb_delegates_to_start(tmp_path, monkeypatch):
 
     from pypeman_spark import __main__ as M
 
+    root = logging.getLogger()
+    saved = (root.level, root.handlers[:],
+             logging.getLogger("pypeman_spark").level)
     called = {}
     monkeypatch.setattr(M, "cmd_start", lambda args: called.setdefault("rc", 0))
     proj = str(tmp_path / "dbgproj")
     new_project(proj)
-    rc = M.main(["--project-dir", proj, "debug"])
-    assert rc == 0 and called == {"rc": 0}
-    assert logging.getLogger("pypeman_spark").level == logging.DEBUG
+    try:
+        rc = M.main(["--project-dir", proj, "debug"])
+        assert rc == 0 and called == {"rc": 0}
+        assert logging.getLogger("pypeman_spark").level == logging.DEBUG
+    finally:
+        # basicConfig(force=True) is process-wide — restore so later
+        # tests don't run at DEBUG verbosity
+        root.handlers[:] = saved[1]
+        root.setLevel(saved[0])
+        logging.getLogger("pypeman_spark").setLevel(saved[2])
 
 
 def test_daemon_start_stop(tmp_path):

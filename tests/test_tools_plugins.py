@@ -40,6 +40,33 @@ def test_view_store_filters_distributed(spark, store):
     assert filtered_messages(store, [Filter("i=99")]).count() == 0
 
 
+def test_view_store_filter_typed_equality(spark):
+    # reference Filter semantics are Python ==: "9" != 9, 9.0 == 9,
+    # True is boolean-typed, None matches null AND missing
+    s = MemoryMessageStore(spark, channel="ty")
+    s.store(
+        messages_from_payloads(
+            spark,
+            [{"k": 9}, {"k": "9"}, {"k": 9.0}, {"k": True},
+             {"k": None}, {"other": 1}],
+            channel="ty",
+        )
+    )
+
+    def ks(flt):
+        rows = filtered_messages(s, [Filter(flt)]).collect()
+        return sorted(
+            repr(json.loads(r["payload"]).get("k")) for r in rows
+        )
+
+    assert ks("k=9") == ["9", "9.0"]          # int matches 9 and 9.0, not "9"
+    assert ks("k=9.0") == ["9", "9.0"]        # float matches int-encoded 9
+    assert ks('k="9"') == ["'9'"]             # string matches only the string
+    assert ks("k=True") == ["True"]           # bool is not 1
+    assert ks("k=None") == ["None", "None"]   # null + missing key
+    s.close()
+
+
 def test_send_from_store_posts_payloads(spark, store):
     got = []
 
