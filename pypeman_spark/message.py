@@ -24,7 +24,7 @@ at sink time.
 from __future__ import annotations
 
 import json
-from typing import Any, Iterable
+from typing import Any, Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -97,19 +97,27 @@ def worst_state_expr(states_col: F.Column) -> F.Column:
     return F.element_at(prio, idx.cast("int"))
 
 
-def ensure_message_columns(df: DataFrame, channel: str = "default") -> DataFrame:
+def ensure_message_columns(
+    df: DataFrame,
+    channel: str = "default",
+    *,
+    coerce_ntz: bool | Sequence[str] = True,
+) -> DataFrame:
     """Add any missing message columns with engine defaults.
 
     Mirrors ``Message.__init__`` (``message.py:45-66``): fresh uuid,
     now() timestamp, empty meta/ctx, state=pending. Uses only built-in
     expressions — no UDFs — so it costs nothing at scale.
 
-    Note: EVERY ``TIMESTAMP_NTZ`` column in the frame is coerced to
-    ``TimestampType`` — deliberately blanket, not just ``timestamp``:
-    users point watermarks/windows at arbitrary event-time columns, and
-    those reject NTZ. The coercion is an identity under the engine's
-    pinned UTC session timezone; a column that must *stay* NTZ should
-    be re-cast after this call.
+    ``coerce_ntz`` scopes the ``TIMESTAMP_NTZ`` → ``TimestampType``
+    normalization (watermarks/windows/epoch ops reject NTZ; the cast is
+    an identity under the engine's pinned UTC session timezone):
+
+    * ``True`` (default) — every NTZ column, because users point
+      watermarks at arbitrary event-time columns;
+    * a sequence of column names — only those columns are coerced,
+      for frames where other NTZ columns must keep their flavor;
+    * ``False`` — no coercion.
     """
     from datetime import datetime, timezone
 
@@ -117,12 +125,15 @@ def ensure_message_columns(df: DataFrame, channel: str = "default") -> DataFrame
 
     out = df
     # Event-time columns read from external parquet/json may surface as
-    # TIMESTAMP_NTZ (unadjusted parquet timestamps); watermarks and epoch
-    # ops reject NTZ, so normalize to TimestampType — identity under the
-    # engine's pinned UTC session timezone.
-    for f_ in out.schema.fields:
-        if isinstance(f_.dataType, TimestampNTZType):
-            out = out.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
+    # TIMESTAMP_NTZ (unadjusted parquet timestamps); normalize per
+    # coerce_ntz — identity under the pinned UTC session timezone.
+    if coerce_ntz:
+        targets = None if coerce_ntz is True else set(coerce_ntz)
+        for f_ in out.schema.fields:
+            if isinstance(f_.dataType, TimestampNTZType) and (
+                targets is None or f_.name in targets
+            ):
+                out = out.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     cols = set(out.columns)
     if "uuid" not in cols:
         out = out.withColumn("uuid", F.regexp_replace(F.expr("uuid()"), "-", ""))

@@ -118,3 +118,26 @@ def test_streaming_queries_run(spark, variant_dirs, flavor):
     for name in sorted(STREAMING):
         df = REGISTRY[name].fn(spark, variant_dirs[flavor])
         assert df.count() >= 0, name
+
+
+def test_ensure_message_columns_ntz_scoping(spark):
+    """coerce_ntz: True = blanket (default), list = only those columns,
+    False = keep every NTZ flavor untouched."""
+    from datetime import datetime
+
+    from pypeman_spark.message import ensure_message_columns
+
+    df = spark.createDataFrame(
+        [("{}", datetime(2024, 1, 1), datetime(2024, 1, 2))],
+        "payload string, ev_time timestamp_ntz, audit_time timestamp_ntz",
+    )
+    blanket = dict(ensure_message_columns(df).dtypes)
+    assert blanket["ev_time"] == "timestamp"
+    assert blanket["audit_time"] == "timestamp"
+
+    scoped = dict(ensure_message_columns(df, coerce_ntz=["ev_time"]).dtypes)
+    assert scoped["ev_time"] == "timestamp"
+    assert scoped["audit_time"] == "timestamp_ntz"
+
+    off = dict(ensure_message_columns(df, coerce_ntz=False).dtypes)
+    assert off["ev_time"] == off["audit_time"] == "timestamp_ntz"
