@@ -363,3 +363,32 @@ def test_q15_scans_lineitem_once(spark):
     plan = plan_of(REGISTRY["top_supplier_revenue"].fn(spark, SF))
     assert plan.count("lineitem.parquet") <= 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_dim_broadcasts_survive_threshold_off(spark):
+    # VERDICT r4 #6: at 100 TB the size estimator won't pick broadcast
+    # joins for you — autoBroadcastJoinThreshold=-1 simulates that.
+    # Bounded dims (nation/region/1-row aggregates) must STILL compile
+    # to BroadcastHashJoin through the explicit F.broadcast hints, and
+    # nothing may degrade to a cartesian.
+    import pypeman_spark.plans.scale_queries  # noqa: F401
+
+    expected = {
+        "local_supplier_volume": 2,          # nation + region
+        "returned_items_report": 1,          # nation
+        "nation_market_share": 1,            # nation
+        "two_nation_volume": 2,              # nation x2
+        "top_supplier_revenue": 1,           # 1-row max frame
+        "product_profit_by_nation_year": 3,  # part + supplier + nation
+        "sole_returning_supplier": 1,        # supplier
+    }
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, n in expected.items():
+            plan = plan_of(REGISTRY[name].fn(spark, SF))
+            got = plan.count("BroadcastHashJoin")
+            assert got >= n, f"{name}: {got} broadcast joins, need >= {n}"
+            assert "CartesianProduct" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
