@@ -268,6 +268,53 @@ def _probe_cells(
     ).select(query_id_col, "__qvec", F.col("__p")["cid"].alias("cid"))
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """KMeans-fitted IVF centroids ``(cid, cv)`` via ``pyspark.ml``.
+
+    Distributed Lloyd iterations over the corpus (``array_to_vector``
+    bridges the ``array<double>`` column into MLlib); the result is a
+    C-row frame, driver-bounded by construction. KMeans minimizes
+    Euclidean distance — on L2-normalized embeddings that ordering is
+    monotone with cosine, so the fitted cells align with the cosine
+    probe. Fitted centroids adapt to the data distribution; against the
+    deterministic lowest-id centroids (the oracle-friendly default of
+    :func:`ivf_ann_topk`) they buy materially higher recall at equal
+    nprobe on clustered corpora — measured in ``ANN_RECALL.md``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        schema="cid bigint, cv array<double>",
+    )
+
+
+def _default_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """The ``n_centroids`` lowest-id vectors — deterministic for oracle
+    comparison (an ANSI-SQL oracle can re-derive them exactly)."""
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -277,6 +324,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into centroid cells, probe
     only the ``nprobe`` closest cells per query, exact re-rank inside.
@@ -284,15 +332,15 @@ def ivf_ann_topk(
     Scale shape: the expensive exact scoring touches ~``nprobe/C`` of the
     corpus instead of all of it; the assignment is computed once and in
     production is persisted partitioned BY cell so a probe is a partition
-    -pruned scan. Centroids here are the ``n_centroids`` lowest-id
-    vectors — deterministic for oracle comparison; swap in
-    ``pyspark.ml.clustering.KMeans`` fitted centers for real recall (the
-    probe/re-rank plumbing is identical).
+    -pruned scan. Default centroids are the ``n_centroids`` lowest-id
+    vectors — deterministic for oracle comparison; pass
+    ``centroids=kmeans_centroids(corpus, C)`` for fitted centers and
+    real recall (the probe/re-rank plumbing is identical).
     """
     cent = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        centroids
+        if centroids is not None
+        else _default_centroids(corpus, n_centroids, id_col, vec_col)
     )
     assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
     probes = _probe_cells(queries, cent, nprobe, query_id_col, vec_col)
@@ -317,6 +365,7 @@ def ivf_index_write(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> str:
     """Persist the IVF index the way a 100 TB deployment would: the
     assigned corpus written ``partitionBy("cid")`` so each centroid
@@ -325,12 +374,13 @@ def ivf_index_write(
     partition pruning at the file-listing level, before a single byte
     of vector data is scanned (see :func:`ivf_probe`).
 
-    Centroids are the ``n_centroids`` lowest-id vectors (deterministic
-    for oracle comparison; swap in KMeans centers for real recall)."""
+    Default centroids are the ``n_centroids`` lowest-id vectors
+    (deterministic for oracle comparison); pass
+    ``centroids=kmeans_centroids(...)`` for fitted centers."""
     cent = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        centroids
+        if centroids is not None
+        else _default_centroids(corpus, n_centroids, id_col, vec_col)
     )
     assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path)

@@ -429,3 +429,29 @@ def test_multi_table_lsh_recall_at_least_single_table(spark, sf_dir):
         # self is always a candidate (identical signature in all tables)
         # and cosine(self, self)=1.0 wins every tie-break
         assert r["vec_id"] == r["query_id"] and abs(r["score"] - 1.0) < 1e-6
+
+
+def test_kmeans_centroids_ivf_path(spark, sf_dir, tmp_path):
+    # fitted-centroid override: same probe/re-rank plumbing, centroid
+    # table swapped. Self-query must rank itself first (its own cell is
+    # always the closest probe), and the persisted index round-trips.
+    from pypeman_spark.functions import similarity as S
+
+    emb = _emb(spark, sf_dir)
+    cent = S.kmeans_centroids(emb, n_centroids=4, max_iter=5)
+    rows = cent.collect()
+    assert len(rows) == 4
+    assert sorted(r["cid"] for r in rows) == [0, 1, 2, 3]
+    assert all(len(r["cv"]) == len(rows[0]["cv"]) for r in rows)
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    mem = S.ivf_ann_topk(emb, q, k=5, nprobe=2, centroids=cent).collect()
+    top = {r["query_id"]: r["vec_id"] for r in mem if r["rank"] == 1}
+    assert top == {0: 0, 1: 1, 2: 2}
+
+    path = str(tmp_path / "kidx")
+    S.ivf_index_write(emb, path, centroids=cent)
+    disk = S.ivf_probe(spark, path, q, k=5, nprobe=2).collect()
+    assert {tuple(r) for r in disk} == {tuple(r) for r in mem}
