@@ -60,25 +60,21 @@ HEADLINE = [
     "text_quality_score",
     "token_counts",
     "doc_fingerprint",
-    "pii_scrub",
-    "word_repetition_filter",
+    "clean_scrub_repetition",
     "duplicate_passages",
     "greedy_pack_sequences",
     "range_join_purchase_windows",
     "cumulative_customer_revenue",
-    "session_window_user_counts",
     "product_profit_by_nation_year",
     "sole_returning_supplier",
     "asof_join_tolerance",
     "tfidf_top_terms",
     "hash_sampled_docs",
     "zorder_values",
-    "decontam_overlap_pairs",
-    "mixture_sample_by_source",
-    "cap_per_source",
+    "decontam_report",
+    "mixture_cap_budget_sample",
     "fuzzy_dedup_corpus",
     "chunk_documents_windows",
-    "line_level_clean",
     "corpus_stats_by_lang",
     "frequent_bigrams",
 ]

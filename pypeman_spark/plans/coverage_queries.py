@@ -224,9 +224,10 @@ def hl7_ack_mapping(spark, sf_dir):
 # =====================================================================
 
 @q(
-    "generic_nodes_pipeline",
+    "generic_nodes_ctx_pipeline",
     """
     SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            2 * CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2,
            CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
                 THEN 'even' ELSE 'odd' END AS parity,
@@ -238,22 +239,29 @@ def hl7_ack_mapping(spark, sf_dir):
     FROM events WHERE event_id < 300
     """,
 )
-def generic_nodes_pipeline(spark, sf_dir):
-    """Rows 10/24/25/29/31/49/50 in one chained pipeline + join
-    (consolidated from the former func_node_pipeline /
-    msg_func_meta_pipeline / empty_node_pipeline entries):
+def generic_nodes_ctx_pipeline(spark, sf_dir):
+    """Rows 10/24/25/26-28/29/31/49/50 in one chained pipeline + join
+    (consolidates the former generic_nodes_pipeline /
+    ctx_combine_pipeline entries — the ctx machinery now snapshots the
+    REAL node chain instead of a bespoke rewrite):
 
-    One ``Pipeline.run`` chains Log → FuncNode (Arrow-batched
+    One ``Pipeline.run`` chains Log → SaveContext("orig") (payload+meta
+    snapshot, ``nodes.py:114-115``) → FuncNode (Arrow-batched
     ``payload→payload``, ``nodes.py:976-1007``) → a ``passthrough=True``
     FuncNode whose mutation is discarded (``nodes.py:227-229``) →
     Sleep(0) → MsgFuncNode mutating payload AND meta from the whole
-    message (``nodes.py:943-973``) — proving the nodes compose in one
-    chain, not just in isolation. A second run applies Empty
+    message (``nodes.py:943-973``) → SaveContext("tagged") →
+    CombineCtx(flatten, meta_from="tagged") dict-merging both snapshots
+    (``contrib/ctx.py:10-76``): the original ``k`` survives only
+    through the FIRST snapshot (the FuncNode replaced the payload) and
+    ``k2``/``parity``/``tag`` only through the SECOND — proving the two
+    snapshots are independent. A second run applies Empty
     (``nodes.py:390-393``) to the same frame; the join brings its wiped
     payload/meta alongside (size(meta)=0 ⇒ EmptyMeta semantics)."""
     msgs = _event_msgs(spark, sf_dir)
     p = Pipeline("gn").add(
         Log(name="log"),
+        SaveContext("orig"),
         FuncNode(
             lambda d: {"k2": d["k"] * 2,
                        "parity": "even" if d["k"] % 2 == 0 else "odd"},
@@ -266,10 +274,14 @@ def generic_nodes_pipeline(spark, sf_dir):
                           {**m, "seen": "1"}),
             name="tagger",
         ),
+        SaveContext("tagged"),
+        CombineCtx(["orig", "tagged"], flatten=True, meta_from="tagged",
+                   name="combine"),
     )
     res = p.run(msgs)
     main = res.df.select(
         "event_id",
+        F.get_json_object("payload", "$.k").cast("bigint").alias("k"),
         F.get_json_object("payload", "$.k2").cast("bigint").alias("k2"),
         F.get_json_object("payload", "$.parity").alias("parity"),
         F.get_json_object("payload", "$.tag").alias("tag"),
@@ -282,58 +294,6 @@ def generic_nodes_pipeline(spark, sf_dir):
         F.size("meta").alias("wiped_meta_n"),
     )
     return main.join(wiped, "event_id")
-
-
-# =====================================================================
-# Context machinery (rows 26-30)
-# =====================================================================
-
-@q(
-    "ctx_combine_pipeline",
-    """
-    SELECT doc_id,
-           '{"a": ' || doc_id || ', "b": ' || (doc_id + n_chars) || '}' AS combined,
-           lang AS lang_restored
-    FROM documents WHERE doc_id < 200
-    """,
-)
-def ctx_combine_pipeline(spark, sf_dir):
-    """Rows 26-28: SaveContext snapshots, a payload rewrite between them,
-    CombineCtx(flatten) dict-merge + ``meta_from`` restore
-    (``contrib/ctx.py:10-76``)."""
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    msgs = ensure_message_columns(
-        d.select(
-            "doc_id",
-            "n_chars",
-            F.concat(F.lit('{"a": '), F.col("doc_id"), F.lit("}")).alias("payload"),
-            F.create_map(F.lit("m"), F.col("lang")).alias("meta"),
-        ),
-        channel="ctx",
-    )
-    # the rewrite involves a second source column (b = doc_id + n_chars)
-    # to prove the two ctx snapshots are independent
-    p2 = Pipeline("ctx").add(
-        SaveContext("first"),
-        lambda df: df.withColumn(
-            "payload",
-            F.when(
-                F.col("state").isin("pending", "processing"),
-                F.concat(
-                    F.lit('{"b": '), F.col("doc_id") + F.col("n_chars"), F.lit("}")
-                ),
-            ).otherwise(F.col("payload")),
-        ),
-        SaveContext("second"),
-        CombineCtx(["first", "second"], flatten=True, meta_from="first",
-                   name="combine"),
-    )
-    res = p2.run(msgs)
-    return res.df.select(
-        "doc_id",
-        F.col("payload").alias("combined"),
-        F.col("meta").getItem("m").alias("lang_restored"),
-    )
 
 
 # =====================================================================
@@ -438,19 +398,27 @@ def inject_mid_chain(spark, sf_dir):
 # =====================================================================
 
 @q(
-    "file_write_read_move",
+    "fork_write_read_move",
     """
-    SELECT doc_id, text AS content_in, text AS content_moved
-    FROM documents WHERE doc_id < 100
+    SELECT doc_id, text AS content_in, text AS content_moved, 100 AS n_main
+    FROM documents WHERE doc_id < 100 AND doc_id % 2 = 0
     """,
 )
-def file_write_read_move(spark, sf_dir):
-    """Rows 7/43/45: FileWriter (templated path, safe rename,
-    ``nodes.py:660-701``) → FileReader via ``meta.filepath``
-    (``nodes.py:640-657``) → FileMover (``nodes.py:704-723``) → read
-    again from the moved location. ``localCheckpoint`` sequences the
-    lazy readers against the eager file side effects."""
-    tmp = tempfile.mkdtemp(prefix="pypeman_files_")
+def fork_write_read_move(spark, sf_dir):
+    """Rows 7/37/43/45 in one file lifecycle (consolidates the former
+    fork_side_effects / file_write_read_move entries — the fork's sink
+    branch now PRODUCES the files the read/move chain consumes):
+
+    ``Pipeline.fork`` (``channels.py:339-352``) sends a copy of the
+    rows down a parallel sink chain — Drop(odd doc_ids) → FileWriter
+    (templated path, safe rename, ``nodes.py:660-701``) — while the
+    main chain continues with ALL rows untouched (``n_main`` proves the
+    fork's Drop did not leak back). The even docs' files are then read
+    via ``meta.filepath`` (FileReader, ``nodes.py:640-657``), moved
+    (FileMover, ``nodes.py:704-723``), and re-read from the new
+    location. ``localCheckpoint`` sequences the lazy readers against
+    the eager file side effects."""
+    tmp = tempfile.mkdtemp(prefix="pypeman_forkfiles_")
     in_dir, moved_dir = os.path.join(tmp, "in"), os.path.join(tmp, "moved")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     msgs = ensure_message_columns(
@@ -465,19 +433,29 @@ def file_write_read_move(spark, sf_dir):
         ),
         channel="files",
     )
-    # write: FileWriter's foreachPartition runs eagerly inside run()
-    Pipeline("write").add(
-        FileWriter(os.path.join(in_dir, "%(meta.name)s.txt"), name="write")
-    ).run(msgs)
 
-    # read the written file into the payload, freeze before moving
-    read1 = Pipeline("read1").add(FileReader(name="read")).run(msgs)
+    # fork: the side chain drops odd ids and writes one file per even
+    # doc (eager inside run()); the main chain keeps every row
+    p = (
+        Pipeline("forked")
+        .fork(
+            Drop(condition=F.col("doc_id") % 2 == 1, name="keep_even"),
+            FileWriter(os.path.join(in_dir, "%(meta.name)s.txt"), name="write"),
+            name="side",
+        )
+        .add(Log(name="log"))
+    )
+    res = p.run(msgs)
+    n_main = res.df.count()
+
+    evens = msgs.filter(F.col("doc_id") % 2 == 0)
+    read1 = Pipeline("read1").add(FileReader(name="read")).run(evens)
     frozen = read1.df.select(
         "doc_id", F.col("payload").alias("content_in")
     ).localCheckpoint()
 
     # move, then re-read from the new location
-    Pipeline("move").add(FileMover(moved_dir, name="move")).run(msgs)
+    Pipeline("move").add(FileMover(moved_dir, name="move")).run(evens)
     reread = ensure_message_columns(
         frozen.select(
             "doc_id",
@@ -491,7 +469,10 @@ def file_write_read_move(spark, sf_dir):
     )
     res2 = Pipeline("read2").add(FileReader(name="reread")).run(reread)
     return res2.df.select(
-        "doc_id", "content_in", F.col("payload").alias("content_moved")
+        "doc_id",
+        "content_in",
+        F.col("payload").alias("content_moved"),
+        F.lit(n_main).cast("int").alias("n_main"),
     )
 
 
@@ -501,21 +482,40 @@ def file_write_read_move(spark, sf_dir):
 # =====================================================================
 
 @q(
-    "store_lifecycle",
+    "store_lifecycle_replay",
     """
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           event_type AS etype,
-           CASE WHEN event_type = 'purchase' THEN 'processed'
-                ELSE 'pending' END AS state
-    FROM events WHERE event_id < 200 AND event_type <> 'click'
+    WITH base AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CASE WHEN event_type = 'purchase' THEN 'processed'
+                  ELSE 'pending' END AS state
+      FROM events WHERE event_id < 200 AND event_type <> 'click'
+    ),
+    replays AS (
+      SELECT event_type, k, 'processed' AS state
+      FROM base WHERE event_type = 'error'
+    )
+    SELECT event_type AS etype, state, count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM replays)
+    GROUP BY event_type, state
     """,
 )
-def store_lifecycle(spark, sf_dir):
-    """Rows 32/52/58: FileMessageStore store → bulk
-    ``change_message_states`` (purchases → processed) → per-id
-    ``delete`` (clicks) → ``current()`` state reconstruction
-    (``msgstore.py:577-705``)."""
-    tmp = tempfile.mkdtemp(prefix="pypeman_store_")
+def store_lifecycle_replay(spark, sf_dir):
+    """Rows 32/52/57/58/59 in one store lifecycle (consolidates the
+    former store_lifecycle / replay_batch entries — the same machinery,
+    run as the sequence an operator actually performs):
+
+    FileMessageStore store → bulk ``change_message_states`` (purchases
+    → processed) → per-id ``delete`` + bulk ``delete_many`` (clicks,
+    ``msgstore.py:577-705``) → batch replay of the error-typed rows via
+    ``get_for_replay``'s renew semantics (``message.py:80-90``): fresh
+    ids, same payloads, re-entered through a pipeline and stored
+    processed → ``current()`` state reconstruction aggregated per
+    (etype, state) with a payload-fidelity checksum (sum of the JSON
+    ``k`` field — a replay that corrupted payloads or re-used ids would
+    break it)."""
+    tmp = tempfile.mkdtemp(prefix="pypeman_storelr_")
     store = FileMessageStore(spark, tmp, channel="cov")
     msgs = _event_msgs(spark, sf_dir, limit=200)
     store.store(msgs)
@@ -532,51 +532,27 @@ def store_lifecycle(spark, sf_dir):
     store.delete(click_ids[0])          # per-id tombstone (row 58)
     store.delete_many(click_ids[1:])    # bulk path: one append for the rest
 
-    cur = store.current()
-    return cur.select(
-        F.get_json_object("payload", "$.k").cast("bigint").alias("k"),
-        F.col("meta").getItem("etype").alias("etype"),
-        "state",
-    )
-
-
-@q(
-    "replay_batch",
-    """
-    WITH base AS (
-      SELECT event_type FROM events WHERE event_id < 200
-    ),
-    replays AS (SELECT event_type FROM base WHERE event_type = 'error')
-    SELECT etype, count(*) AS n FROM (
-      SELECT event_type AS etype FROM base
-      UNION ALL
-      SELECT event_type AS etype FROM replays
-    ) GROUP BY etype
-    """,
-)
-def replay_batch(spark, sf_dir):
-    """Row 59: replay = ``get_for_replay``'s renew semantics
-    (``message.py:80-90``) run as ONE batch — re-enter the pipeline with
-    fresh ids, store the copies, count per etype (original + replayed)."""
-    tmp = tempfile.mkdtemp(prefix="pypeman_replay_")
-    store = FileMessageStore(spark, tmp, channel="cov")
-    msgs = _event_msgs(spark, sf_dir, limit=200)
-    p = Pipeline("replay").add(Log(name="log"))
-    res = p.run(msgs)
-    store.store(res.all, state="processed")
-
-    # batch replay of the error-typed messages: renewed ids, same payloads
+    # batch replay of the error-typed messages: renewed ids, same
+    # payloads, re-run through a pipeline, stored as processed copies
     errors = store.current().filter(F.col("meta").getItem("etype") == "error")
     replayed = renew(errors.select(*MESSAGE_COLUMNS)).withColumn(
         "state", F.lit("pending")
     )
-    res2 = p.run(replayed)
-    store.store(res2.all, state="processed")
+    res = Pipeline("replay").add(Log(name="log")).run(replayed)
+    store.store(res.all, state="processed")
 
     return (
         store.current()
-        .groupBy(F.col("meta").getItem("etype").alias("etype"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(
+            F.col("meta").getItem("etype").alias("etype"),
+            "state",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.get_json_object("payload", "$.k").cast("bigint")
+            ).alias("sum_k"),
+        )
     )
 
 
@@ -707,43 +683,6 @@ def http_request_enrich(spark, sf_dir):
         F.get_json_object("payload", "$.k2").cast("bigint").alias("k2"),
         F.col("meta").getItem("status_code").alias("status"),
     )
-
-
-# =====================================================================
-# Fork side-effect branch (rows 37, 43)
-# =====================================================================
-
-@q(
-    "fork_side_effects",
-    """
-    SELECT count(*) AS n_files, count(*) AS n_main
-    FROM events WHERE event_id < 200 AND event_type = 'purchase'
-    """,
-)
-def fork_side_effects(spark, sf_dir):
-    """Row 37: ``Pipeline.fork`` — a copy of the rows runs a parallel
-    sink chain while the main chain continues (``channels.py:339-352``).
-    The fork filters purchases and writes one file each; the main chain
-    count proves the originals were untouched."""
-    tmp = tempfile.mkdtemp(prefix="pypeman_fork_")
-    out_dir = os.path.join(tmp, "out")
-    msgs = _event_msgs(spark, sf_dir, limit=200)
-    p = (
-        Pipeline("forked")
-        .fork(
-            Drop(condition=F.col("meta").getItem("etype") != "purchase",
-                 name="keep_purchases"),
-            FileWriter(os.path.join(out_dir, "%(msg_uuid)s.json"), name="sink"),
-            name="side",
-        )
-        .add(Log(name="log"))
-    )
-    res = p.run(msgs)
-    n_main = res.df.filter(
-        F.col("meta").getItem("etype") == "purchase"
-    ).count()
-    n_files = len(os.listdir(out_dir)) if os.path.isdir(out_dir) else 0
-    return spark.createDataFrame([(n_files, n_main)], "n_files bigint, n_main bigint")
 
 
 # =====================================================================

@@ -32,72 +32,6 @@ _WS = "\\s+"
 # =====================================================================
 
 @q(
-    "pii_scrub",
-    f"""
-    WITH aug AS (
-      SELECT doc_id,
-             text || ' contact user' || CAST(doc_id AS VARCHAR)
-                  || '@example.com or https://ex' || CAST(doc_id AS VARCHAR)
-                  || '.org/p?q=1 done' AS t
-      FROM documents
-    )
-    SELECT doc_id,
-           regexp_replace(
-             regexp_replace(t, '{TX.URL_REGEX}', '<URL>', 'g'),
-             '{TX.EMAIL_REGEX}', '<EMAIL>', 'g') AS scrubbed,
-           len(regexp_extract_all(t, '{TX.URL_REGEX}')) AS n_urls,
-           len(regexp_extract_all(t, '{TX.EMAIL_REGEX}')) AS n_emails
-    FROM aug
-    """,
-)
-def pii_scrub(spark, sf_dir):
-    """URL/email scrub pass (functions/text.py:scrub_pii). The corpus is
-    synthetic words-only, so each doc gets a deterministic injected email
-    + URL first — the scrub then has real work to do and the oracle can
-    reproduce it byte-for-byte (both regexes are RE2-and-Java safe)."""
-    d = tp(spark, sf_dir, "documents")
-    aug = d.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com or https://ex"),
-            F.col("doc_id").cast("string"),
-            F.lit(".org/p?q=1 done"),
-        ).alias("t"),
-    )
-    return aug.select(
-        "doc_id",
-        TX.scrub_pii(F.col("t")).alias("scrubbed"),
-        F.regexp_count(F.col("t"), F.lit(TX.URL_REGEX)).cast("long").alias("n_urls"),
-        F.regexp_count(F.col("t"), F.lit(TX.EMAIL_REGEX)).cast("long").alias("n_emails"),
-    )
-
-
-@q(
-    "word_repetition_filter",
-    f"""
-    WITH m AS (
-      SELECT doc_id,
-             round(1.0 - len(list_distinct(string_split_regex(trim(text), '{_WS}')))::DOUBLE
-                       / len(string_split_regex(trim(text), '{_WS}')), 6) AS rep_ratio
-      FROM documents
-    )
-    SELECT doc_id, rep_ratio, rep_ratio <= 0.7 AS keep FROM m
-    """,
-)
-def word_repetition_filter(spark, sf_dir):
-    """Gopher-style repetition signal (functions/text.py:
-    word_repetition_ratio) with the keep/cut decision materialized."""
-    d = tp(spark, sf_dir, "documents")
-    r = TX.word_repetition_ratio(F.col("text"))
-    return d.select(
-        "doc_id", r.alias("rep_ratio"), (r <= 0.7).alias("keep")
-    )
-
-
-@q(
     "duplicate_passages",
     f"""
     WITH words AS (
@@ -490,53 +424,7 @@ def asof_join_tolerance(spark, sf_dir):
 
 
 @q(
-    "continuous_rollup_hourly",
-    """
-    SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
-           count(*) AS n, round(sum(value), 2) AS total
-    FROM events GROUP BY 1, 2
-    """,
-)
-def continuous_rollup_hourly(spark, sf_dir):
-    """Hypertable-style continuous aggregate (streaming/rollup.py:
-    ContinuousRollup): events replayed as a stream in several
-    micro-batches (maxFilesPerTrigger), each batch's partials merged
-    into a day-partitioned store via dynamic partition overwrite. The
-    oracle is the one-shot batch rollup — associative count/sum partials
-    make the incremental result exactly equal regardless of batching."""
-    import uuid as _uuid
-
-    tmp = tempfile.mkdtemp(prefix="pypeman_rollup_")
-    src = os.path.join(tmp, "in")
-    store = os.path.join(tmp, f"agg_{_uuid.uuid4().hex[:8]}")
-    ev = t(spark, sf_dir, "events").select("ts", "event_type", "value")
-    ev.repartition(8).write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
-
-    rollup = ContinuousRollup(
-        spark, store, bucket="1 hour", keys=("event_type",),
-        ts_col="ts", value_col="value",
-    )
-    query = rollup.start(
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "3")
-        .parquet(src)
-    )
-    query.awaitTermination(180)
-    return rollup.read().select(
-        epoch_us(F.col("bucket_start")).alias("bucket_us"),
-        "event_type",
-        "n",
-        F.round(F.col("total"), 2).alias("total"),
-    )
-
-
-# =====================================================================
-# Native session windows + streaming dedup (rows 64 / §2.H widening)
-# =====================================================================
-
-@q(
-    "session_window_user_counts",
+    "streaming_dedup_session_rollup",
     """
     WITH x AS (
       SELECT user_id, ts,
@@ -551,29 +439,111 @@ def continuous_rollup_hourly(spark, sf_dir):
              sum(brk) OVER (PARTITION BY user_id ORDER BY ts
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM x
+    ),
+    sess AS (
+      SELECT user_id, min(ts) AS session_start,
+             epoch_us(min(ts)) AS session_start_us,
+             epoch_us(max(ts)) + 7200000000 AS session_end_us,
+             count(*) AS n
+      FROM y GROUP BY user_id, sid
+    ),
+    hours AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS hour_n,
+             round(sum(value), 2) AS hour_total
+      FROM events GROUP BY 1
     )
-    SELECT user_id,
-           epoch_us(min(ts)) AS session_start_us,
-           epoch_us(max(ts)) + 7200000000 AS session_end_us,
-           count(*) AS n
-    FROM y GROUP BY user_id, sid
+    SELECT s.user_id, s.session_start_us, s.session_end_us, s.n,
+           h.hour_n, h.hour_total
+    FROM sess s JOIN hours h ON date_trunc('hour', s.session_start) = h.h
     """,
 )
-def session_window_user_counts(spark, sf_dir):
-    """Native ``session_window`` aggregation (streaming/stateful.py:
-    session_window_counts) — the same operator runs on streams with a
-    watermark. A session extends while gaps are <= 2 h (boundary events
-    exactly 2 h apart merge — verified semantics); it closes gap after
-    the last event. Oracle: gaps-and-islands with a strict-> break."""
-    ev = t(spark, sf_dir, "events")
-    s = session_window_counts(ev, key_col="user_id", ts_col="ts", gap="2 hours")
-    return s.select(
-        "user_id",
-        epoch_us(F.col("session_start")).alias("session_start_us"),
-        epoch_us(F.col("session_end")).alias("session_end_us"),
-        "n",
+def streaming_dedup_session_rollup(spark, sf_dir):
+    """Composed streaming pipeline (consolidates the former
+    streaming_dedup_keys / session_window_user_counts /
+    continuous_rollup_hourly entries into the stream-dedup → session →
+    rollup chain a real deployment runs, so one driver check covers all
+    three stateful operators):
+
+    The events table is written TWICE to the source directory, then
+    replayed through ``readStream`` and exact streaming dedup on
+    event_id (streaming/stateful.py:stream_dedup — dropDuplicates
+    state across the availableNow drain); if dedup leaked a duplicate,
+    every downstream count would double and the oracle would catch it.
+    The deduped stream lands in parquet, from which (a) native
+    ``session_window`` per-user sessions with a 2 h gap are computed
+    (streaming/stateful.py:session_window_counts — identical operator
+    batch or streaming), and (b) a ContinuousRollup
+    (streaming/rollup.py) replays the deduped events in micro-batches
+    (maxFilesPerTrigger) merging hourly partials into a day-partitioned
+    store. Each session row joins the rollup's totals for its start
+    hour — session counts prove dedup+session, hour_n/hour_total prove
+    dedup+incremental rollup, and the oracle is the one-shot batch
+    formulation of all three over the ORIGINAL (un-doubled) events."""
+    import uuid as _uuid
+
+    tmp = tempfile.mkdtemp(prefix="pypeman_sdsr_")
+    src = os.path.join(tmp, "in")
+    dst = os.path.join(tmp, "dedup")
+    ckpt = os.path.join(tmp, "ckpt")
+    store = os.path.join(tmp, f"agg_{_uuid.uuid4().hex[:8]}")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    # doubled input: the streaming dedup must restore exactness
+    ev.unionAll(ev).repartition(8).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q1 = (
+        stream_dedup(
+            spark.readStream.schema(schema).parquet(src), keys=["event_id"]
+        )
+        .writeStream.format("parquet")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(180)
+    deduped = spark.read.parquet(dst)
+
+    sessions = session_window_counts(
+        deduped, key_col="user_id", ts_col="ts", gap="2 hours"
     )
 
+    rollup = ContinuousRollup(
+        spark, store, bucket="1 hour", keys=("event_type",),
+        ts_col="ts", value_col="value",
+    )
+    q2 = rollup.start(
+        spark.readStream.schema(deduped.schema)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(dst)
+    )
+    q2.awaitTermination(180)
+    hourly = rollup.read().groupBy("bucket_start").agg(
+        F.sum("n").alias("hour_n"),
+        F.round(F.sum("total"), 2).alias("hour_total"),
+    )
+
+    return (
+        sessions.withColumn(
+            "h", F.date_trunc("hour", F.col("session_start"))
+        )
+        .join(F.broadcast(hourly), F.col("h") == F.col("bucket_start"))
+        .select(
+            "user_id",
+            epoch_us(F.col("session_start")).alias("session_start_us"),
+            epoch_us(F.col("session_end")).alias("session_end_us"),
+            "n",
+            "hour_n",
+            "hour_total",
+        )
+    )
+
+
+# =====================================================================
+# Native session windows + streaming dedup (rows 64 / §2.H widening)
+# =====================================================================
 
 @q(
     "stream_stream_interval_join",
@@ -639,41 +609,6 @@ def stream_stream_interval_join(spark, sf_dir):
     return spark.table(sink)
 
 
-@q(
-    "streaming_dedup_keys",
-    "SELECT DISTINCT user_id, event_type FROM events",
-)
-def streaming_dedup_keys(spark, sf_dir):
-    """Streaming exact dedup (streaming/stateful.py:stream_dedup):
-    events replayed through readStream, dropDuplicates state across the
-    whole drain, availableNow termination. The watermarked bounded-state
-    variant (dropDuplicatesWithinWatermark) is the same helper with
-    ``within=`` — exactness over an availableNow backfill requires the
-    unbounded form, which is what the oracle checks."""
-    import uuid as _uuid
-
-    tmp = tempfile.mkdtemp(prefix="pypeman_dedup_")
-    src = os.path.join(tmp, "in")
-    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    ev.write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
-
-    stream = stream_dedup(
-        spark.readStream.schema(schema).parquet(src),
-        keys=["user_id", "event_type"],
-    ).select("user_id", "event_type")
-    sink = f"dedup_keys_{_uuid.uuid4().hex[:8]}"
-    query = (
-        stream.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(120)
-    return spark.table(sink)
-
-
 # =====================================================================
 # Corpus hygiene round 2b: benchmark decontamination, mixture sampling,
 # end-to-end fuzzy dedup (functions/decontam.py, functions/sampling.py)
@@ -729,75 +664,60 @@ def _corpus_bench(spark, sf_dir):
 
 
 @q(
-    "decontam_overlap_pairs",
-    _DECONTAM_SQL
-    + "SELECT doc_id, bench_id, overlap, bench_sz, ratio FROM contam",
-)
-def decontam_overlap_pairs(spark, sf_dir):
-    """Benchmark-contamination detection (functions/decontam.py:
-    benchmark_overlap): training docs containing >=50% of an eval item's
-    3-gram shingles. The benchmark shingle set is broadcast, so the
-    corpus side is a map-side probe — no shuffle of the big side."""
-    corpus, bench = _corpus_bench(spark, sf_dir)
-    return benchmark_overlap(
-        corpus, bench, n=3, min_ratio=0.5, bench_id="bench_id"
-    )
-
-
-@q(
-    "decontaminated_corpus",
+    "decontam_report",
     _DECONTAM_SQL
     + """
-    SELECT doc_id, lang FROM documents
-    WHERE doc_id < 400
-      AND doc_id NOT IN (SELECT DISTINCT doc_id FROM contam)
-    """,
-)
-def decontaminated_corpus(spark, sf_dir):
-    """The cleaned corpus: broadcast left-anti join against the
-    contaminated-id set (functions/decontam.py:decontaminate) — at
-    scale a single map-side filter over the corpus scan."""
-    corpus, bench = _corpus_bench(spark, sf_dir)
-    return decontaminate(
-        corpus, bench, n=3, min_ratio=0.5, bench_id="bench_id"
-    ).select("doc_id", "lang")
-
-
-@q(
-    "mixture_sample_by_source",
-    f"""
-    WITH w AS (
-      SELECT * FROM (VALUES
-        ('src0', CAST(0.5 AS DOUBLE)),
-        ('src1', CAST(0.3 AS DOUBLE)),
-        ('src2', CAST(0.2 AS DOUBLE))) AS t(source, wt)
-    ),
-    counts AS (
-      SELECT source, count(*) AS n FROM documents
-      WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
-    ),
-    j AS (SELECT c.source, c.n, w.wt FROM counts c JOIN w USING (source)),
-    cap AS (SELECT min(n / wt) AS cap FROM j),
-    rates AS (
-      SELECT source, floor(cap * wt / n * 1000000) AS rate
-      FROM j CROSS JOIN cap
+    , stats AS (
+      SELECT doc_id, count(*) AS n_hits, max(ratio) AS max_ratio
+      FROM contam GROUP BY doc_id
     )
-    SELECT d.doc_id, d.source FROM documents d JOIN rates r USING (source)
-    WHERE {_HB.format(salt='mix', id='doc_id')} < r.rate
+    SELECT d.doc_id, d.lang,
+           coalesce(s.n_hits, 0) AS n_hits,
+           s.max_ratio,
+           s.n_hits IS NULL AS kept
+    FROM (SELECT doc_id, lang FROM documents WHERE doc_id < 400) d
+    LEFT JOIN stats s USING (doc_id)
     """,
 )
-def mixture_sample_by_source(spark, sf_dir):
-    """Target-mixture corpus sampling (functions/sampling.py:
-    mixture_sample): per-domain keep rates derived from observed counts
-    so the output hits 50/30/20 across three sources; content-addressed
-    hash filter keeps it deterministic and engine-portable."""
-    return mixture_sample(
-        t(spark, sf_dir, "documents"),
-        "source",
-        "doc_id",
-        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
-        salt="mix",
-    ).select("doc_id", "source")
+def decontam_report(spark, sf_dir):
+    """Composed benchmark-decontamination report (consolidates the
+    former decontam_overlap_pairs / decontaminated_corpus entries —
+    both functions in one output, so one driver check covers both):
+
+    benchmark_overlap (functions/decontam.py:51) finds training docs
+    containing >=50% of an eval item's 3-gram shingles — the benchmark
+    shingle set is broadcast, so the corpus side is a map-side probe
+    with no shuffle of the big side — aggregated per doc into
+    (n_hits, max_ratio). decontaminate (:98) independently computes the
+    surviving corpus via a broadcast left-anti join; its verdict is the
+    ``kept`` flag, which the oracle cross-checks against the overlap
+    stats (kept <=> no contaminating pair). At 100 TB both passes are
+    map-side filters over the corpus scan."""
+    corpus, bench = _corpus_bench(spark, sf_dir)
+    overlap = benchmark_overlap(
+        corpus, bench, n=3, min_ratio=0.5, bench_id="bench_id"
+    )
+    stats = overlap.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.max("ratio").alias("max_ratio"),
+    )
+    kept = (
+        decontaminate(corpus, bench, n=3, min_ratio=0.5, bench_id="bench_id")
+        .select("doc_id")
+        .withColumn("__kept", F.lit(True))
+    )
+    return (
+        corpus.select("doc_id", "lang")
+        .join(F.broadcast(stats), "doc_id", "left")
+        .join(F.broadcast(kept), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            "max_ratio",
+            F.coalesce("__kept", F.lit(False)).alias("kept"),
+        )
+    )
 
 
 @q(
@@ -846,32 +766,39 @@ from ..functions.text import whitespace_token_count  # noqa: E402
 
 
 @q(
-    "cap_per_source",
+    "mixture_cap_budget_sample",
     f"""
-    SELECT doc_id, source FROM (
-      SELECT doc_id, source,
-             row_number() OVER (
-               PARTITION BY source
-               ORDER BY {_HB.format(salt='cap', id='doc_id')}, doc_id
-             ) AS rn
-      FROM documents
-    ) WHERE rn <= 10
-    """,
-)
-def cap_per_source(spark, sf_dir):
-    """Per-domain document cap (functions/sampling.py:cap_per_domain):
-    at most 10 docs per source, chosen content-addressed (lowest hash
-    first). Exercises the prefilter scale path — the window sees
-    ~margin*cap rows per domain, not the domain's full count — and the
-    oracle's bare window proves the prefilter changes nothing."""
-    return cap_per_domain(
-        t(spark, sf_dir, "documents"), "source", "doc_id", 10, salt="cap"
-    ).select("doc_id", "source")
-
-
-@q(
-    "token_budget_per_source",
-    f"""
+    WITH w AS (
+      SELECT * FROM (VALUES
+        ('src0', CAST(0.5 AS DOUBLE)),
+        ('src1', CAST(0.3 AS DOUBLE)),
+        ('src2', CAST(0.2 AS DOUBLE))) AS t(source, wt)
+    ),
+    counts AS (
+      SELECT source, count(*) AS n FROM documents
+      WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+    ),
+    j AS (SELECT c.source, c.n, w.wt FROM counts c JOIN w USING (source)),
+    cap AS (SELECT min(n / wt) AS cap FROM j),
+    rates AS (
+      SELECT source, floor(cap * wt / n * 1000000) AS rate
+      FROM j CROSS JOIN cap
+    ),
+    mixed AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d JOIN rates r USING (source)
+      WHERE {_HB.format(salt='mix', id='doc_id')} < r.rate
+    ),
+    capped AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY {_HB.format(salt='cap', id='doc_id')}, doc_id
+               ) AS rn
+        FROM mixed
+      ) WHERE rn <= 12
+    )
     SELECT doc_id, source FROM (
       SELECT doc_id, source,
              sum(len(string_split_regex(trim(text), '{_WS}'))) OVER (
@@ -879,16 +806,34 @@ def cap_per_source(spark, sf_dir):
                ORDER BY {_HB.format(salt='budget', id='doc_id')}, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS cum
-      FROM documents
+      FROM capped
     ) WHERE cum <= 800
     """,
 )
-def token_budget_per_source(spark, sf_dir):
-    """Per-domain token budget (functions/sampling.py:
-    token_budget_sample): greedy hash-ordered prefix per source while
-    the running whitespace-token total stays within 800."""
-    return token_budget_sample(
+def mixture_cap_budget_sample(spark, sf_dir):
+    """Composed corpus-sampling pipeline (consolidates the former
+    mixture_sample_by_source / cap_per_source / token_budget_per_source
+    entries — same three functions, chained the way a corpus build runs
+    them, so one driver check covers all three):
+
+    mixture_sample (functions/sampling.py:75) derives per-domain keep
+    rates hitting a 50/30/20 mixture across the three sources →
+    cap_per_domain (:123) keeps the 12 content-addressed-lowest docs
+    per surviving source through the prefiltered window →
+    token_budget_sample (:173) greedily trims each source to an
+    800-whitespace-token budget in hash order. At 100 TB: one tiny
+    counts agg + broadcast per stage; the corpus is never shuffled for
+    a join, and the only sort windows run over ~margin*cap rows."""
+    mixed = mixture_sample(
         t(spark, sf_dir, "documents"),
+        "source",
+        "doc_id",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        salt="mix",
+    )
+    capped = cap_per_domain(mixed, "source", "doc_id", 12, salt="cap")
+    return token_budget_sample(
+        capped,
         "source",
         "doc_id",
         whitespace_token_count(F.col("text")),
@@ -1065,7 +1010,7 @@ def corpus_stats_by_lang(spark, sf_dir):
 
 
 @q(
-    "line_level_clean",
+    "clean_scrub_repetition",
     f"""
     WITH words AS (
       SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS w
@@ -1088,20 +1033,54 @@ def corpus_stats_by_lang(spark, sf_dir):
                                          x -> lower(x)),
                           ['the', 'a'])), chr(10)), '') AS cleaned
       FROM lined
+    ),
+    aug AS (
+      SELECT doc_id, cleaned,
+             cleaned || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or https://ex' || CAST(doc_id AS VARCHAR)
+                     || '.org/p?q=1 done' AS t
+      FROM kept
+    ),
+    scr AS (
+      SELECT doc_id,
+             CASE WHEN cleaned = '' THEN 0
+                  ELSE len(string_split(cleaned, chr(10))) END AS n_kept,
+             len(regexp_extract_all(t, '{TX.URL_REGEX}')) AS n_urls,
+             len(regexp_extract_all(t, '{TX.EMAIL_REGEX}')) AS n_emails,
+             regexp_replace(
+               regexp_replace(t, '{TX.URL_REGEX}', '<URL>', 'g'),
+               '{TX.EMAIL_REGEX}', '<EMAIL>', 'g') AS s
+      FROM aug
+    ),
+    rep AS (
+      SELECT doc_id, n_kept, n_urls, n_emails, md5(s) AS scrubbed_hash,
+             round(1.0 - len(list_distinct(string_split_regex(trim(s), '{_WS}')))::DOUBLE
+                       / len(string_split_regex(trim(s), '{_WS}')), 6) AS rep_ratio
+      FROM scr
     )
-    SELECT doc_id, md5(cleaned) AS cleaned_hash,
-           CASE WHEN cleaned = '' THEN 0
-                ELSE len(string_split(cleaned, chr(10))) END AS n_kept
-    FROM kept
+    SELECT doc_id, n_kept, n_urls, n_emails, scrubbed_hash,
+           rep_ratio, rep_ratio <= 0.7 AS keep
+    FROM rep
     """,
 )
-def line_level_clean(spark, sf_dir):
-    """C4-style line-level structural cleaning (functions/text.py:
-    clean_lines): docs are first cut into deterministic 8-word lines
-    (the corpus is punctuation-free word soup, so — like pii_scrub —
-    structure is injected reproducibly first), then lines with <4 words
-    or no required stopword are dropped and the doc is rebuilt in
-    order. Pure array expressions, zero shuffle."""
+def clean_scrub_repetition(spark, sf_dir):
+    """Composed text-hygiene pipeline (consolidates the former
+    line_level_clean / pii_scrub / word_repetition_filter entries —
+    the same three functions, chained the way a corpus cleanup runs
+    them, so one driver check covers all three):
+
+    clean_lines (functions/text.py:187) — docs are first cut into
+    deterministic 8-word lines (the corpus is punctuation-free word
+    soup, so structure is injected reproducibly), then lines with <4
+    words or no required stopword are dropped and the doc rebuilt in
+    order → a deterministic contact string is appended and scrub_pii
+    (:106) replaces the URL/email with placeholders (count columns
+    prove the regexes matched) → word_repetition_ratio (:118) scores
+    the scrubbed text and materializes the keep/cut decision.
+
+    Pure Column expressions end to end — split/filter/re-join arrays,
+    regexp_replace, array_distinct — zero shuffle, zero UDFs; at 100 TB
+    this is a single narrow map over the corpus scan."""
     from ..functions.text import clean_lines
 
     d = tp(spark, sf_dir, "documents")
@@ -1116,14 +1095,37 @@ def line_level_clean(spark, sf_dir):
         "\n",
     )
     cleaned = clean_lines(lined, min_words=4, required_words=["the", "a"])
-    out = d.select("doc_id", cleaned.alias("__cleaned"))
-    return out.select(
+    aug = d.select("doc_id", cleaned.alias("__cleaned")).select(
         "doc_id",
-        F.md5(F.col("__cleaned")).alias("cleaned_hash"),
+        "__cleaned",
+        F.concat(
+            F.col("__cleaned"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex"),
+            F.col("doc_id").cast("string"),
+            F.lit(".org/p?q=1 done"),
+        ).alias("t"),
+    )
+    scr = aug.select(
+        "doc_id",
         F.when(F.col("__cleaned") == "", F.lit(0))
         .otherwise(F.size(F.split(F.col("__cleaned"), "\n")))
         .cast("long")
         .alias("n_kept"),
+        F.regexp_count(F.col("t"), F.lit(TX.URL_REGEX)).cast("long").alias("n_urls"),
+        F.regexp_count(F.col("t"), F.lit(TX.EMAIL_REGEX)).cast("long").alias("n_emails"),
+        TX.scrub_pii(F.col("t")).alias("__scrubbed"),
+    )
+    r = TX.word_repetition_ratio(F.col("__scrubbed"))
+    return scr.select(
+        "doc_id",
+        "n_kept",
+        "n_urls",
+        "n_emails",
+        F.md5(F.col("__scrubbed")).alias("scrubbed_hash"),
+        r.alias("rep_ratio"),
+        (r <= 0.7).alias("keep"),
     )
 
 

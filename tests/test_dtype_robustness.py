@@ -43,9 +43,8 @@ FLAVORS = {
 # accept a few seconds each at sf0.001.
 STREAMING = {
     "streaming_window_counts",
-    "continuous_rollup_hourly",
     "stream_stream_interval_join",
-    "streaming_dedup_keys",
+    "streaming_dedup_session_rollup",
 }
 
 

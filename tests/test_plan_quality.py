@@ -206,10 +206,7 @@ def test_corpus_hygiene_queries_scale_clean(spark):
     import pypeman_spark.plans.scale_queries  # noqa: F401
 
     for name in (
-        "decontam_overlap_pairs",
-        "decontaminated_corpus",
-        "cap_per_source",
-        "token_budget_per_source",
+        "decontam_report",
         "upsample_mixture_by_source",
         "chunk_documents_windows",
         "fuzzy_dedup_corpus",
@@ -218,21 +215,21 @@ def test_corpus_hygiene_queries_scale_clean(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
 
-    # mixture: its single BNLJ is the 1-row `cap` scalar broadcast
-    # (same bounded shape as tfidf's corpus-size subquery)
-    plan = plan_of(REGISTRY["mixture_sample_by_source"].fn(spark, SF))
+    # composed mixture→cap→budget: every BNLJ is the 1-row `cap` scalar
+    # broadcast (same bounded shape as tfidf's corpus-size subquery).
+    # It appears twice because cap_per_domain's prefilter count pass
+    # re-evaluates the mixture subtree — the standard counts-pass +
+    # main-pass two-job shape, each side bounded to one row; per-domain
+    # rates reach the big side via broadcast
+    plan = plan_of(REGISTRY["mixture_cap_budget_sample"].fn(spark, SF))
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in plan
 
     # decontamination: the bench-shingle probe and the anti join are
     # broadcasts — the corpus side is never shuffled for a join
-    plan = plan_of(REGISTRY["decontaminated_corpus"].fn(spark, SF))
+    plan = plan_of(REGISTRY["decontam_report"].fn(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2
-
-    # mixture/cap: per-domain rates reach the big side via broadcast
-    for name in ("mixture_sample_by_source", "cap_per_source"):
-        plan = plan_of(REGISTRY[name].fn(spark, SF))
-        assert "BroadcastHashJoin" in plan, name
 
     # upsample/chunking: pure projection+explode — zero shuffles
     for name in ("upsample_mixture_by_source", "chunk_documents_windows"):
@@ -251,8 +248,8 @@ def test_bigram_census_is_take_ordered(spark):
 def test_line_clean_and_stats_stay_narrow(spark):
     import pypeman_spark.plans.scale_queries  # noqa: F401
 
-    # line cleaning: pure projection, zero shuffles
-    plan = plan_of(REGISTRY["line_level_clean"].fn(spark, SF))
+    # composed clean→scrub→repetition: pure projection, zero shuffles
+    plan = plan_of(REGISTRY["clean_scrub_repetition"].fn(spark, SF))
     assert "Exchange" not in plan
     # corpus stats: reads only the columns it aggregates
     plan = plan_of(REGISTRY["corpus_stats_by_lang"].fn(spark, SF))
