@@ -63,20 +63,18 @@ HEADLINE = [
     "clean_scrub_repetition",
     "duplicate_passages",
     "greedy_pack_sequences",
-    "range_join_purchase_windows",
+    "asof_range_join_purchases",
     "cumulative_customer_revenue",
     "product_profit_by_nation_year",
     "sole_returning_supplier",
-    "asof_join_tolerance",
     "tfidf_top_terms",
-    "hash_sampled_docs",
+    "hash_stratified_sample",
     "zorder_values",
     "decontam_report",
     "mixture_cap_budget_sample",
     "fuzzy_dedup_corpus",
     "chunk_documents_windows",
-    "corpus_stats_by_lang",
-    "frequent_bigrams",
+    "corpus_stats_and_bigrams",
 ]
 
 

@@ -96,6 +96,17 @@ def _event_msgs(spark: SparkSession, sf_dir: str, limit: int = 300) -> DataFrame
            'MSH|PYPEMAN|' || c_custkey || chr(13) || 'PID|1|' || c_custkey
              || '|' || c_name || '^' || c_mktsegment || chr(13)
     FROM customer WHERE c_custkey < 200
+    UNION ALL
+    SELECT 'ack', CAST(event_id AS BIGINT),
+           CASE WHEN event_type = 'error' THEN 'error'
+                WHEN event_type = 'purchase' THEN 'rejected'
+                ELSE 'processed' END,
+           'MSA|'
+             || CASE WHEN event_type = 'error' THEN 'AE'
+                     WHEN event_type = 'purchase' THEN 'AR'
+                     ELSE 'AA' END
+             || '|CID' || event_id || '|'
+    FROM events WHERE event_id < 300
     """,
 )
 def parser_pipeline_roundtrips(spark, sf_dir):
@@ -110,6 +121,12 @@ def parser_pipeline_roundtrips(spark, sf_dir):
       attribute (``@key``) and child elements round-trip exactly.
     * ``hl7`` — HL7ToPython → PythonToHL7 (``contrib/hl7.py:189-211``);
       ``^`` components parse to nested lists and re-serialize exactly.
+    * ``ack`` — rows 4/48 (consolidates the former hl7_ack_mapping
+      entry): outcome state → MLLP HL7 ACK via the real
+      :func:`hl7_ack_for_state` (``contrib/hl7.py:173-186``). The MSH
+      segment embeds the wall clock, so the deterministic check targets
+      the MSA segment with the per-row control id substituted in;
+      ``stage_a`` carries the state, ``stage_b`` the MSA segment.
     """
     c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
     n = t(spark, sf_dir, "nation")
@@ -170,26 +187,6 @@ def parser_pipeline_roundtrips(spark, sf_dir):
         F.col("ctx").getItem("parsed").getField("payload").alias("stage_a"),
         F.col("payload").alias("stage_b"),
     )
-    return csv_out.unionByName(xml_out).unionByName(hl7_out)
-
-
-@q(
-    "hl7_ack_mapping",
-    """
-    SELECT event_id,
-           'MSA|'
-             || CASE WHEN event_type = 'error' THEN 'AE'
-                     WHEN event_type = 'purchase' THEN 'AR'
-                     ELSE 'AA' END
-             || '|CID' || event_id || '|' AS msa
-    FROM events WHERE event_id < 300
-    """,
-)
-def hl7_ack_mapping(spark, sf_dir):
-    """Rows 4/48: outcome → MLLP HL7 ACK via the real
-    :func:`hl7_ack_for_state` (``contrib/hl7.py:173-186``). The MSH
-    segment embeds the wall clock, so the deterministic check targets
-    the MSA segment with the per-row control id substituted in."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
     state = (
         F.when(F.col("event_type") == "error", "error")
@@ -197,25 +194,29 @@ def hl7_ack_mapping(spark, sf_dir):
         .otherwise("processed")
     )
     rows = ev.select("event_id", state.alias("state"))
-
     # build each state's ACK with the real function (control id slot is
     # MSH-10), keep its MSA segment, substitute the id per row JVM-side
     msh = ["MSH", "^~\\&", "APP", "FAC", "", "", "TS", "", "ACK", "CID$"]
     msa = {
-        s: hl7_ack_for_state(s, msh_fields=msh).split("\r")[1]
-        for s in ("error", "rejected", "processed")
+        st: hl7_ack_for_state(st, msh_fields=msh).split("\r")[1]
+        for st in ("error", "rejected", "processed")
     }
 
-    def tmpl(s):
-        head, tail = msa[s].split("CID$")
+    def tmpl(st):
+        head, tail = msa[st].split("CID$")
         return F.concat(F.lit(head + "CID"), F.col("event_id"), F.lit(tail))
 
-    return rows.select(
-        "event_id",
+    ack_out = rows.select(
+        F.lit("ack").alias("fmt"),
+        F.col("event_id").cast("bigint").alias("key"),
+        F.col("state").alias("stage_a"),
         F.when(F.col("state") == "error", tmpl("error"))
         .when(F.col("state") == "rejected", tmpl("rejected"))
         .otherwise(tmpl("processed"))
-        .alias("msa"),
+        .alias("stage_b"),
+    )
+    return (
+        csv_out.unionByName(xml_out).unionByName(hl7_out).unionByName(ack_out)
     )
 
 
@@ -371,26 +372,46 @@ def routing_nodes_end_chains(spark, sf_dir):
 
 
 @q(
-    "inject_mid_chain",
+    "inject_and_wait",
     """
-    SELECT event_id,
+    SELECT 'batch' AS src, event_id AS key,
            2 * CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_out
     FROM events WHERE event_id < 300
+    UNION ALL
+    SELECT 'sync', i, (i + 10) * 2 FROM range(1, 6) t(i)
     """,
 )
-def inject_mid_chain(spark, sf_dir):
-    """Row 60: ``Pipeline.inject(at='double')`` enters the chain at a
-    named node, skipping ``add_ten`` (``channels.py:551-662``)."""
+def inject_and_wait(spark, sf_dir):
+    """Rows 60/67 (consolidates the former inject_mid_chain /
+    handle_and_wait_sync entries — both entry-point surfaces of the
+    same two-node chain, so the contrast is itself the check):
+
+    ``Pipeline.inject(at='double')`` enters the chain at a named node,
+    skipping ``add_ten`` (``channels.py:551-662``) — batch rows come
+    out as ``k*2``. ``Pipeline.handle_and_wait`` submits one payload
+    through the FULL chain and blocks for the terminal row
+    (``channels.py:1050-1080`` handle() await) — sync rows come out as
+    ``(k+10)*2``. If inject failed to skip the head node (or wait
+    entered mid-chain) the two arms would collide."""
     msgs = _event_msgs(spark, sf_dir)
     p = Pipeline("inj").add(
         FuncNode(lambda d: {"k": d["k"] + 10}, name="add_ten"),
         FuncNode(lambda d: {"k": d["k"] * 2}, name="double"),
     )
     res = p.inject(msgs, at="double")
-    return res.df.select(
-        "event_id",
+    batch = res.df.select(
+        F.lit("batch").alias("src"),
+        F.col("event_id").cast("bigint").alias("key"),
         F.get_json_object("payload", "$.k").cast("bigint").alias("k_out"),
     )
+    rows = []
+    for n in range(1, 6):
+        row = p.handle_and_wait(spark, {"k": n})
+        rows.append((n, json.loads(row["payload"])["k"]))
+    sync = spark.createDataFrame(rows, "key bigint, k_out bigint").select(
+        F.lit("sync").alias("src"), "key", "k_out"
+    )
+    return batch.unionByName(sync)
 
 
 # =====================================================================
@@ -613,24 +634,6 @@ def auto_retry_sweep(spark, sf_dir):
 # =====================================================================
 # Synchronous request/response (rows 9, 67)
 # =====================================================================
-
-@q(
-    "handle_and_wait_sync",
-    """
-    SELECT i AS n, i * 3 AS tripled FROM range(1, 6) t(i)
-    """,
-)
-def handle_and_wait_sync(spark, sf_dir):
-    """Row 67: ``Pipeline.handle_and_wait`` — submit one payload, block
-    for the terminal row (``channels.py:1050-1080`` handle() await)."""
-    p = Pipeline("sync").add(FuncNode(lambda d: {"n": d["n"], "tripled": d["n"] * 3}))
-    rows = []
-    for n in range(1, 6):
-        row = p.handle_and_wait(spark, {"n": n})
-        obj = json.loads(row["payload"])
-        rows.append((obj["n"], obj["tripled"]))
-    return spark.createDataFrame(rows, "n int, tripled int")
-
 
 @q(
     "http_request_enrich",

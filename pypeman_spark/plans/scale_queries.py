@@ -225,33 +225,77 @@ def sole_returning_supplier(spark, sf_dir):
 # =====================================================================
 
 @q(
-    "range_join_purchase_windows",
+    "asof_range_join_purchases",
     """
-    SELECT p.event_id AS purchase_id, count(*) AS n_views
-    FROM events p JOIN events v
-      ON v.event_type = 'view'
-     AND v.ts >= p.ts AND v.ts < p.ts + INTERVAL 30 MINUTE
-    WHERE p.event_type = 'purchase' AND p.event_id < 2000
-    GROUP BY p.event_id
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND event_id < 2000
+    ),
+    nv AS (
+      SELECT p.event_id AS pid, count(*) AS n_views
+      FROM p JOIN events v
+        ON v.event_type = 'view'
+       AND v.ts >= p.ts AND v.ts < p.ts + INTERVAL 30 MINUTE
+      GROUP BY p.event_id
+    )
+    SELECT p.event_id, p.user_id,
+           (SELECT v.event_id FROM events v
+             WHERE v.event_type = 'view' AND v.user_id = p.user_id
+               AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+             ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_view_id,
+           CAST(coalesce(nv.n_views, 0) AS BIGINT) AS n_views
+    FROM p LEFT JOIN nv ON nv.pid = p.event_id
     """,
 )
-def range_join_purchase_windows(spark, sf_dir):
-    """Point-in-interval join via bucket quantization (functions/
-    joins.py:range_join): views falling in the 30 min after each
-    purchase. Vanilla Spark compiles the raw predicate to a nested-loop
-    join; the bucketed form is a plain equi-join shuffle — the 100 TB
-    path. The oracle runs the raw predicate, proving the rewrite exact."""
+def asof_range_join_purchases(spark, sf_dir):
+    """Composed non-equi-join pair (consolidates the former
+    asof_join_tolerance / range_join_purchase_windows entries — both
+    shuffle-friendly rewrites over the same purchase set, so one driver
+    check covers both):
+
+    asof_join (functions/joins.py: union-timeline plan, one shuffle on
+    user_id, no range explosion) picks each purchase's latest
+    strictly-earlier view by the same user within a 1 h tolerance;
+    range_join (bucket quantization — the raw point-in-interval
+    predicate would compile to a nested-loop join, the bucketed form is
+    a plain equi-join) counts the views in the 30 min AFTER the
+    purchase. The oracle runs the naive correlated subquery + raw
+    interval predicate, proving both rewrites exact (incl. the
+    deterministic (ts, id) tie-break)."""
     ev = t(spark, sf_dir, "events")
     purchases = ev.filter(
         (F.col("event_type") == "purchase") & (F.col("event_id") < 2000)
-    ).select(
+    ).select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    a = asof_join(
+        purchases, views, by="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["view_id"], strict=True, tolerance="1 HOUR",
+    ).select("event_id", "user_id", "asof_view_id")
+
+    windows = purchases.select(
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("lo"),
         (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
     )
-    views = ev.filter(F.col("event_type") == "view").select("ts")
-    joined = range_join(views, purchases, "ts", "lo", "hi", bucket_seconds=1800)
-    return joined.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_views"))
+    counts = (
+        range_join(
+            ev.filter(F.col("event_type") == "view").select("ts"),
+            windows, "ts", "lo", "hi", bucket_seconds=1800,
+        )
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    return (
+        a.join(counts, a["event_id"] == counts["purchase_id"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            "asof_view_id",
+            F.coalesce("n_views", F.lit(0)).cast("bigint").alias("n_views"),
+        )
+    )
 
 
 @q(
@@ -297,43 +341,35 @@ _HB = (
 
 
 @q(
-    "hash_sampled_docs",
+    "hash_stratified_sample",
     f"""
     SELECT doc_id, lang FROM documents
     WHERE {_HB.format(salt='split1', id='doc_id')} < 300000
-    """,
-)
-def hash_sampled_docs(spark, sf_dir):
-    """Deterministic content-addressed 30% sample (functions/
-    sampling.py:hash_sample) — reproducible across engines/re-runs,
-    stable under data growth, nested across fractions. The oracle
-    computes the identical md5-bucket keep-set."""
-    return hash_sample(
-        t(spark, sf_dir, "documents"), "doc_id", 0.30, salt="split1"
-    ).select("doc_id", "lang")
-
-
-@q(
-    "stratified_sample_by_lang",
-    f"""
-    SELECT doc_id, lang FROM documents
-    WHERE {_HB.format(salt='bal', id='doc_id')} <
+      AND {_HB.format(salt='bal', id='doc_id')} <
           CASE WHEN lang = 'en' THEN 200000
                WHEN lang = 'fr' THEN 1000000
                ELSE 500000 END
     """,
 )
-def stratified_sample_by_lang(spark, sf_dir):
-    """Per-stratum rebalancing sample (functions/sampling.py:
-    stratified_hash_sample): keep 20% of English, all French, half of
-    everything else — the language-rebalancing move of corpus builds."""
+def hash_stratified_sample(spark, sf_dir):
+    """Composed deterministic sampling (consolidates the former
+    hash_sampled_docs / stratified_sample_by_lang entries — nested the
+    way corpus builds actually use them, which also proves the
+    "nestable across fractions" property for real):
+
+    hash_sample (functions/sampling.py:hash_sample) takes a
+    content-addressed 30% split — reproducible across engines/re-runs,
+    stable under data growth — then stratified_hash_sample
+    (:stratified_hash_sample) rebalances languages WITHIN the split
+    (keep 20% of English, all French, half of everything else) under an
+    independent salt. Both filters compile to pure CASE+hash
+    expressions beside the scan: zero shuffle, zero joins."""
+    sampled = hash_sample(
+        t(spark, sf_dir, "documents"), "doc_id", 0.30, salt="split1"
+    )
     return stratified_hash_sample(
-        t(spark, sf_dir, "documents"),
-        "doc_id",
-        "lang",
-        {"en": 0.2, "fr": 1.0},
-        default=0.5,
-        salt="bal",
+        sampled, "doc_id", "lang", {"en": 0.2, "fr": 1.0},
+        default=0.5, salt="bal",
     ).select("doc_id", "lang")
 
 
@@ -386,40 +422,6 @@ def zorder_values(spark, sf_dir):
     return ev.select(
         "event_id",
         zvalue(F.col("user_id"), F.floor(F.col("value")).cast("long"), 16).alias("z"),
-    )
-
-
-@q(
-    "asof_join_tolerance",
-    """
-    SELECT p.event_id, p.user_id,
-           (SELECT v.event_id FROM events v
-             WHERE v.event_type = 'view' AND v.user_id = p.user_id
-               AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
-             ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_view_id
-    FROM events p WHERE p.event_type = 'purchase'
-    """,
-)
-def asof_join_tolerance(spark, sf_dir):
-    """Generic distributed as-of join (functions/joins.py:asof_join):
-    each purchase picks the latest strictly-earlier view by the same
-    user, but only within a 1 h tolerance. Union-timeline plan — one
-    shuffle on user_id, no range explosion. The oracle is the naive
-    correlated subquery, proving the rewrite exact (incl. the
-    deterministic (ts, id) tie-break)."""
-    ev = t(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("event_id").alias("view_id")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    out = asof_join(
-        purchases, views, by="user_id", left_ts="ts", right_ts="ts",
-        value_cols=["view_id"], strict=True, tolerance="1 HOUR",
-    )
-    return out.select(
-        "event_id", "user_id", F.col("asof_view_id").alias("asof_view_id")
     )
 
 
@@ -976,28 +978,61 @@ def chunk_documents_windows(spark, sf_dir):
 
 
 @q(
-    "corpus_stats_by_lang",
+    "corpus_stats_and_bigrams",
     f"""
-    SELECT lang,
-           count(*) AS n_docs,
-           CAST(sum(len(string_split_regex(trim(text), '{_WS}'))) AS BIGINT)
-             AS total_tokens,
-           count(DISTINCT md5(text)) AS distinct_texts,
-           round(avg(n_chars), 4) AS avg_chars
-    FROM documents
-    GROUP BY lang
+    WITH stats AS (
+      SELECT lang,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), '{_WS}'))) AS BIGINT)
+               AS total_tokens,
+             count(DISTINCT md5(text)) AS distinct_texts,
+             round(avg(n_chars), 4) AS avg_chars
+      FROM documents
+      GROUP BY lang
+    ),
+    words AS (
+      SELECT lang, string_split_regex(trim(text), '{_WS}') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT lang, unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM words
+    ),
+    cnt AS (
+      SELECT lang, bigram, count(*) AS bigram_n FROM bg GROUP BY lang, bigram
+    ),
+    top AS (
+      SELECT lang, bigram, bigram_n,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY bigram_n DESC, bigram
+             ) AS INT) AS rank
+      FROM cnt
+    )
+    SELECT t.lang, t.rank, t.bigram, t.bigram_n,
+           s.n_docs, s.total_tokens, s.distinct_texts, s.avg_chars
+    FROM top t JOIN stats s USING (lang) WHERE t.rank <= 3
     """,
 )
-def corpus_stats_by_lang(spark, sf_dir):
-    """Single-pass corpus summary per language: doc counts, token
-    totals, exact distinct texts (16 B md5 through the distinct, never
-    text), char stats. The everything-dashboard query a corpus build
-    runs first; at 100 TB swap ``count_distinct`` for
+def corpus_stats_and_bigrams(spark, sf_dir):
+    """Composed corpus census (consolidates the former
+    corpus_stats_by_lang / frequent_bigrams entries into the per-lang
+    dashboard a corpus build runs first):
+
+    One single-pass agg per language — doc counts, token totals, exact
+    distinct texts (16 B md5 through the distinct, never text), char
+    stats — joined with each language's top-3 bigrams. The per-group
+    top-k is a rank window that Spark executes as WindowGroupLimit
+    (per-partition partial top-k before the shuffle — the grouped
+    analogue of TakeOrdered, no global sort); the tiny stats frame is
+    broadcast. At 100 TB swap ``count_distinct`` for
     ``approx_count_distinct`` (HLL, no second shuffle) — exact kept
     here for the oracle."""
     from ..functions.text import whitespace_token_count
 
-    return (
+    d = tp(spark, sf_dir, "documents")
+    stats = (
         t(spark, sf_dir, "documents")
         .groupBy("lang")
         .agg(
@@ -1006,6 +1041,30 @@ def corpus_stats_by_lang(spark, sf_dir):
             F.count_distinct(F.md5(F.col("text"))).alias("distinct_texts"),
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
+    )
+    w = F.split(F.trim(F.col("text")), _WS)
+    # guard: sequence(1, 0) would DESCEND for single-word docs
+    idx = F.when(F.size(w) > 1, F.sequence(F.lit(1), F.size(w) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    cnt = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("bigram_n"))
+    )
+    win = Window.partitionBy("lang").orderBy(
+        F.desc("bigram_n"), F.asc("bigram")
+    )
+    top = cnt.withColumn("rank", F.row_number().over(win)).filter(
+        F.col("rank") <= 3
+    )
+    return top.join(F.broadcast(stats), "lang").select(
+        "lang", "rank", "bigram", "bigram_n",
+        "n_docs", "total_tokens", "distinct_texts", "avg_chars",
     )
 
 
@@ -1126,48 +1185,6 @@ def clean_scrub_repetition(spark, sf_dir):
         F.md5(F.col("__scrubbed")).alias("scrubbed_hash"),
         r.alias("rep_ratio"),
         (r <= 0.7).alias("keep"),
-    )
-
-
-@q(
-    "frequent_bigrams",
-    f"""
-    WITH words AS (
-      SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS w
-      FROM documents
-    ),
-    bg AS (
-      SELECT unnest(list_transform(
-               generate_series(1, len(w) - 1),
-               i -> w[i] || ' ' || w[i+1])) AS bigram
-      FROM words
-    )
-    SELECT bigram, count(*) AS n
-    FROM bg GROUP BY bigram
-    ORDER BY n DESC, bigram LIMIT 20
-    """,
-)
-def frequent_bigrams(spark, sf_dir):
-    """Corpus-wide top-k frequent bigrams — the vocabulary/boilerplate
-    census every corpus build runs. One explode + map-side-combined
-    groupBy on the bigram, then TakeOrdered(20) (no global sort: each
-    partition keeps its own top 20 and the driver merges 20·P rows)."""
-    d = tp(spark, sf_dir, "documents")
-    w = F.split(F.trim(F.col("text")), _WS)
-    # guard: sequence(1, 0) would DESCEND for single-word docs
-    idx = F.when(F.size(w) > 1, F.sequence(F.lit(1), F.size(w) - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    bigrams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-    )
-    return (
-        d.select(F.explode(bigrams).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("bigram"))
-        .limit(20)
     )
 
 

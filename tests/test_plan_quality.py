@@ -81,10 +81,9 @@ def test_round2_queries_avoid_nested_loops(spark):
     import pypeman_spark.plans.scale_queries  # noqa: F401
 
     for name in (
-        "asof_join_tolerance",
+        "asof_range_join_purchases",
         "product_profit_by_nation_year",
         "sole_returning_supplier",
-        "range_join_purchase_windows",
     ):
         plan = plan_of(REGISTRY[name].fn(spark, SF))
         assert "CartesianProduct" not in plan, name
@@ -237,12 +236,16 @@ def test_corpus_hygiene_queries_scale_clean(spark):
         assert "Exchange" not in plan.replace("BroadcastExchange", ""), name
 
 
-def test_bigram_census_is_take_ordered(spark):
-    # top-k must be TakeOrdered (per-partition heaps), never a global sort
+def test_bigram_census_is_group_limited(spark):
+    # per-lang top-k must push a partial top-k below the shuffle
+    # (WindowGroupLimit — the grouped analogue of TakeOrdered), never
+    # rank the full bigram census on one reducer chain
     import pypeman_spark.plans.scale_queries  # noqa: F401
 
-    plan = plan_of(REGISTRY["frequent_bigrams"].fn(spark, SF))
-    assert "TakeOrderedAndProject" in plan
+    plan = plan_of(REGISTRY["corpus_stats_and_bigrams"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[1][:200] or \
+        plan.count("WindowGroupLimit") >= 2
 
 
 def test_line_clean_and_stats_stay_narrow(spark):
@@ -251,8 +254,8 @@ def test_line_clean_and_stats_stay_narrow(spark):
     # composed clean→scrub→repetition: pure projection, zero shuffles
     plan = plan_of(REGISTRY["clean_scrub_repetition"].fn(spark, SF))
     assert "Exchange" not in plan
-    # corpus stats: reads only the columns it aggregates
-    plan = plan_of(REGISTRY["corpus_stats_by_lang"].fn(spark, SF))
+    # corpus stats+bigrams: reads only the columns it aggregates
+    plan = plan_of(REGISTRY["corpus_stats_and_bigrams"].fn(spark, SF))
     assert "text" in plan and "doc_id" not in plan.split("ReadSchema")[-1]
 
 
