@@ -40,6 +40,11 @@ HEADLINE = [
     "forecast_revenue_change",
     "top_supplier_revenue",
     "disjunctive_predicate_revenue",
+    "min_cost_supplier",
+    "important_part_stock",
+    "priority_by_return_flag",
+    "supplier_count_by_part",
+    "excess_stock_suppliers",
     "rollup_revenue",
     "pivot_event_values",
     "sessionize_events",

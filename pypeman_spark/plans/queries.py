@@ -2040,3 +2040,305 @@ def rich_inactive_customers(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+# =====================================================================
+# TPC-H completion: Q2 / Q11 / Q12 / Q16 / Q20 shapes (the corpus has
+# no partsupp table, so supplier-part supply facts are derived from
+# lineitem — the join/agg/argmin shapes are the point, and money runs
+# in exact integer cents throughout)
+# =====================================================================
+
+@q(
+    "min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eur AS (
+      SELECT s.s_suppkey, s.s_name, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    j AS (
+      SELECT p.p_partkey, p.p_name, e.s_name, e.n_name, ps.cost_cents
+      FROM ps
+      JOIN eur e ON e.s_suppkey = ps.l_suppkey
+      JOIN part p ON p.p_partkey = ps.l_partkey
+      WHERE p.p_type = 'SMALL' AND p.p_size <= 15
+    )
+    SELECT p_partkey, p_name, s_name, n_name, cost_cents FROM j
+    WHERE cost_cents = (SELECT min(cost_cents) FROM j j2
+                        WHERE j2.p_partkey = j.p_partkey)
+    """,
+)
+def min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (reference has nothing comparable — §2.I analytic
+    surface): for each small part, the EUROPE supplier(s) with the
+    minimum observed supply cost. Supply cost is derived from lineitem
+    (min line total in cents per (part, supplier) — no partsupp table),
+    so the plan is: one map-side-combined groupBy over lineitem, the
+    supplier→nation→region chain and the filtered part table broadcast,
+    then the per-part argmin as a window min over the part key — the
+    oracle keeps Q2's correlated-subquery formulation, proving the
+    window rewrite exact. Ties keep every minimal supplier, as in Q2."""
+    l = t(spark, sf_dir, "lineitem")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_cents(F.col("l_extendedprice"))).alias("cost_cents")
+    )
+    eur = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    parts = t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_name")
+    j = (
+        ps.join(F.broadcast(eur), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("__min", F.min("cost_cents").over(w))
+        .filter(F.col("cost_cents") == F.col("__min"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "cost_cents")
+    )
+
+
+@q(
+    "important_part_stock",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM val)
+    SELECT v.l_partkey, v.value_cents
+    FROM val v CROSS JOIN tot
+    WHERE v.value_cents > 0.001 * tot.total_cents
+    """,
+)
+def important_part_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose supplied value through NATION_3's
+    suppliers exceeds 0.1% of that nation's total. One groupBy over the
+    supplier-filtered lineitem (the nation filter reaches the scan via
+    a broadcast semi join), then the global threshold as a 1-row
+    broadcast scalar — the same bounded crossJoin shape as Q22's
+    avg-balance subquery. Value sums are exact integer cents, so the
+    HAVING boundary cannot flip with partial-agg order at 100 TB."""
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
+    )
+    tot = val.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") > 0.001 * F.col("total_cents"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+@q(
+    "priority_by_return_flag",
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def priority_by_return_flag(spark, sf_dir):
+    """TPC-H Q12 shape (the corpus lacks l_shipmode/commit/receipt
+    dates, so the return flag stands in for the ship mode and the
+    shipdate year for the receipt window): conditional priority
+    counting across a fact-fact join. The shipdate predicate is pushed
+    to the lineitem scan; orders joins shuffle-to-shuffle (both sides
+    are facts — the honest big-big plan, SMJ/shuffled-hash under AQE at
+    100 TB, never a broadcast)."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@q(
+    "supplier_count_by_part",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#11' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def supplier_count_by_part(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct suppliers can provide each
+    (brand, type, size) bucket, excluding blacklisted suppliers
+    (negative account balance stands in for the complaints-comment
+    filter — the corpus has no s_comment). Supplier-part pairs derive
+    from lineitem; the part filter and the tiny exclusion list are
+    broadcast (hash + anti join), so lineitem shuffles once for the
+    distinct-pairs dedup and the count-distinct rides the same keys."""
+    pairs = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    parts = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excl = t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(excl),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@q(
+    "excess_stock_suppliers",
+    """
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS total_qty,
+             CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                            AND l_shipdate < TIMESTAMP '1997-01-01'
+                           THEN CAST(round(l_quantity) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS qty96
+      FROM lineitem
+      WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+      )
+      GROUP BY l_partkey, l_suppkey
+    ),
+    excess AS (
+      SELECT l_suppkey, count(*) AS n_parts FROM pq
+      WHERE qty96 > 0 AND total_qty > 2 * qty96
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_name, e.n_parts
+    FROM excess e
+    JOIN supplier s ON s.s_suppkey = e.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_1'
+    """,
+)
+def excess_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: NATION_1 suppliers who supplied a 'small%' part
+    in volumes more than twice what they shipped of it in 1996 (excess
+    stock — availqty is derived from total lineitem quantity, no
+    partsupp). The part-name filter is a broadcast semi join pushed
+    below the one groupBy; the surviving supplier set is tiny, so the
+    supplier/nation qualification is a broadcast chain on top.
+    Quantities are integral doubles summed as exact BIGINTs."""
+    parts = t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    in96 = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    pq = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(parts),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(qty).alias("total_qty"),
+            F.sum(F.when(in96, qty).otherwise(F.lit(0))).alias("qty96"),
+        )
+    )
+    excess = (
+        pq.filter(
+            (F.col("qty96") > 0)
+            & (F.col("total_qty") > 2 * F.col("qty96"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    nat = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_1"
+                )
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return excess.join(
+        F.broadcast(nat), F.col("s_suppkey") == F.col("l_suppkey")
+    ).select("s_name", "n_parts")

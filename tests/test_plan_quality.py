@@ -392,3 +392,33 @@ def test_dim_broadcasts_survive_threshold_off(spark):
             assert "CartesianProduct" not in plan, name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_tpch_completion_shapes_are_scale_clean(spark):
+    # Q2/Q12/Q16/Q20 shapes: equi-joins + windows only; Q11's single
+    # BNLJ is the 1-row total-value scalar broadcast (bounded by design)
+    import pypeman_spark.plans.scale_queries  # noqa: F401
+
+    for name in (
+        "min_cost_supplier",
+        "priority_by_return_flag",
+        "supplier_count_by_part",
+        "excess_stock_suppliers",
+    ):
+        plan = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    plan = plan_of(REGISTRY["important_part_stock"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+    # Q2: dims broadcast; the per-part argmin must not re-shuffle the
+    # ps aggregate more than once (groupBy + window share the part key)
+    plan = plan_of(REGISTRY["min_cost_supplier"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # Q16: the blacklist is a broadcast ANTI join, never a shuffle
+    plan = plan_of(REGISTRY["supplier_count_by_part"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # Q20: part-name prefilter reaches lineitem as a broadcast semi join
+    plan = plan_of(REGISTRY["excess_stock_suppliers"].fn(spark, SF))
+    assert "LeftSemi" in plan
