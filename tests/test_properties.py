@@ -172,3 +172,162 @@ def test_lsh_bucket_range_and_self_consistency(spark):
     assert db.groupBy("vec_id").agg(
         F.count_distinct("bucket").alias("n")
     ).filter(F.col("n") > 1).count() == 0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=1, max_value=40),
+        ),
+        min_size=10,
+        max_size=60,
+    ),
+    st.integers(min_value=20, max_value=120),
+)
+def test_token_budget_is_maximal_greedy_prefix(spark, rows, budget):
+    # kept set must equal the reference greedy: take docs in
+    # (hash_bucket, id) order per domain while cumsum(tokens) <= budget
+    from pypeman_spark.functions.sampling import (
+        hash_bucket, token_budget_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d, t) for i, (d, t) in enumerate(rows)],
+        "doc_id long, domain string, toks long",
+    )
+    got = sorted(
+        r.doc_id
+        for r in token_budget_sample(
+            df, "domain", "doc_id", F.col("toks"), budget, salt="p"
+        ).collect()
+    )
+    buckets = {
+        r.doc_id: r.b
+        for r in df.select(
+            "doc_id", hash_bucket(F.col("doc_id"), "p").alias("b")
+        ).collect()
+    }
+    want = []
+    by_domain: dict = {}
+    for i, (d, t) in enumerate(rows):
+        by_domain.setdefault(d, []).append((buckets[i], i, t))
+    for d, docs in by_domain.items():
+        cum = 0
+        for _, i, t in sorted(docs):
+            cum += t
+            if cum > budget:
+                break
+            want.append(i)
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=25,
+    ),
+)
+def test_asof_join_tolerance_matches_bruteforce(spark, lrows, rrows):
+    # the union-timeline rewrite == the per-row brute force: latest
+    # strictly-earlier right ts within the tolerance window, ties by
+    # highest value id
+    from pypeman_spark.functions.joins import asof_join
+
+    TOL = 100  # seconds
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lrows)],
+        "lid long, k long, ts_s long",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(rrows)],
+        "vid long, k long, ts_s long",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    got = {
+        r.lid: r.asof_vid
+        for r in asof_join(
+            left.select("lid", "k", "ts"),
+            right.select("k", "ts", "vid"),
+            by="k", left_ts="ts", right_ts="ts",
+            value_cols=["vid"], strict=True, tolerance="100 seconds",
+        ).collect()
+    }
+    for i, (k, ts) in enumerate(lrows):
+        cands = [
+            (rts, j)
+            for j, (rk, rts) in enumerate(rrows)
+            if rk == k and rts < ts and rts >= ts - TOL
+        ]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, ts, cands)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=20, max_size=80),
+    st.integers(min_value=1, max_value=6),
+)
+def test_cap_prefilter_equals_bare_window(spark, domains, cap):
+    # the margin-4 prefilter must be a pure optimization: identical kept
+    # set to the unfiltered window on every input
+    from pypeman_spark.functions.sampling import cap_per_domain
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(domains)], "doc_id long, domain string"
+    )
+    fast = sorted(
+        (r.domain, r.doc_id)
+        for r in cap_per_domain(
+            df, "domain", "doc_id", cap, salt="p", prefilter_margin=4
+        ).collect()
+    )
+    bare = sorted(
+        (r.domain, r.doc_id)
+        for r in cap_per_domain(
+            df, "domain", "doc_id", cap, salt="p", prefilter_margin=None
+        ).collect()
+    )
+    assert fast == bare
+
+
+def test_mixture_binding_domain_keeps_everything(spark):
+    # the domain with min(n_d / w_d) pins the feasible total; its keep
+    # rate is exactly 1.0 so every one of its docs must survive
+    from pypeman_spark.functions.sampling import mixture_sample
+
+    rows = (
+        [(i, "web") for i in range(60)]
+        + [(1000 + i, "books") for i in range(10)]
+        + [(2000 + i, "code") for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    kept = mixture_sample(
+        df, "src", "doc_id", {"web": 0.5, "books": 0.3, "code": 0.2}, salt="m"
+    )
+    per = {
+        r.src: r.n for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    # books is binding (10/0.3 = 33.3 < 60/0.5 = 120, 30/0.2 = 150)
+    assert per.get("books") == 10
+    # and no domain exceeds its feasible share: n_kept <= T * w_d + 1
+    T = 10 / 0.3
+    assert per.get("web", 0) <= int(T * 0.5) + 1
+    assert per.get("code", 0) <= int(T * 0.2) + 1
