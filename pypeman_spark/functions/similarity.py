@@ -388,6 +388,34 @@ def ivf_index_write(
     return path
 
 
+def ivf_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Incrementally ingest new vectors into a persisted IVF index
+    (:func:`ivf_index_write`) — the operation a production embedding
+    pipeline runs as new documents arrive, where rewriting a 100 TB
+    index per batch is not an option.
+
+    New vectors are assigned against the index's PERSISTED centroid
+    table (standard IVF behavior: the coarse quantizer is fixed at
+    build time; drift is handled by periodic re-fits, not per-batch),
+    then appended into the same ``partitionBy("cid")`` layout with an
+    append-mode write. Only the touched cells gain files; existing
+    partitions are untouched, and :func:`ivf_probe` picks the new rows
+    up with zero further work because partition pruning operates on the
+    directory layout, not a manifest. The append itself is a narrow map
+    (per-row argmax over the broadcast centroid literals) plus the
+    write — no shuffle of existing index data."""
+    cent = spark.read.parquet(path + "_centroids")
+    assigned = ivf_assign(new_vectors, cent, id_col=id_col, vec_col=vec_col)
+    assigned.write.mode("append").partitionBy("cid").parquet(path)
+    return path
+
+
 def ivf_probe(
     spark,
     path: str,

@@ -455,3 +455,29 @@ def test_kmeans_centroids_ivf_path(spark, sf_dir, tmp_path):
     S.ivf_index_write(emb, path, centroids=cent)
     disk = S.ivf_probe(spark, path, q, k=5, nprobe=2).collect()
     assert {tuple(r) for r in disk} == {tuple(r) for r in mem}
+
+
+def test_ivf_index_append_equals_bulk_build(spark, sf_dir, tmp_path):
+    # incremental ingestion: build the index from the first half, append
+    # the second half against the PERSISTED centroids, and the probe
+    # must equal an index built in one shot with the same centroid set
+    from pypeman_spark.functions import similarity as S
+
+    emb = _emb(spark, sf_dir)
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    cent = S._default_centroids(first, 8, "vec_id", "embedding")
+
+    inc = str(tmp_path / "inc")
+    S.ivf_index_write(first, inc, centroids=cent)
+    S.ivf_index_append(spark, inc, second)
+
+    bulk = str(tmp_path / "bulk")
+    S.ivf_index_write(emb, bulk, centroids=cent)
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {tuple(r) for r in S.ivf_probe(spark, inc, q, k=5, nprobe=2).collect()}
+    want = {tuple(r) for r in S.ivf_probe(spark, bulk, q, k=5, nprobe=2).collect()}
+    assert got == want and len(got) == 25
