@@ -66,6 +66,7 @@ HEADLINE = [
     "token_counts",
     "doc_fingerprint",
     "clean_scrub_repetition",
+    "gopher_repetition_signals",
     "duplicate_passages",
     "greedy_pack_sequences",
     "asof_range_join_purchases",

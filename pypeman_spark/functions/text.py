@@ -25,6 +25,10 @@ __all__ = [
     "fingerprint",
     "scrub_pii",
     "word_repetition_ratio",
+    "word_ngrams",
+    "top_ngram_stats",
+    "top_ngram_char_fraction",
+    "duplicate_line_stats",
     "tfidf_top_terms",
     "STOPWORDS",
     "clean_lines",
@@ -123,6 +127,100 @@ def word_repetition_ratio(col: Column) -> Column:
     w = F.split(F.trim(col), "\\s+")
     return F.round(
         F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / F.size(w), 6
+    )
+
+
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-grams of a document as ``array<string>`` (space-joined),
+    built with ``transform`` over an index sequence — no explode, one
+    row per document."""
+    w = F.split(F.trim(col), "\\s+")
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        ),
+    )
+
+
+def top_ngram_stats(col: Column, n: int) -> Column:
+    """``struct(ngram, cnt)`` of the document's most frequent word
+    n-gram, ties broken toward the lexicographically smallest.
+
+    Zero shuffle: instead of explode + groupBy (which would shuffle
+    every n-gram of a 100 TB corpus), the n-gram array is sorted
+    per-row and the longest run extracted with one ``aggregate`` pass —
+    fully codegen'd, cost O(G log G) per document in-memory. The
+    explode formulation is kept as the independent DuckDB oracle."""
+    s = F.array_sort(word_ngrams(col, n))
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit("").alias("best_ng"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["best_ng"]).alias("best_ng"),
+        )
+
+    res = F.aggregate(s, init, step)
+    return F.struct(
+        res["best_ng"].alias("ngram"), res["best"].alias("cnt")
+    )
+
+
+def top_ngram_char_fraction(col: Column, n: int) -> Column:
+    """Gopher repetition signal: fraction of the document's characters
+    contained in occurrences of its most frequent word n-gram
+    (``cnt * len(ngram) / len(doc)``). High values flag boilerplate and
+    degenerate generations; the Gopher cut-offs are 0.20 for 2-grams
+    and 0.18 for 3-grams."""
+    st = top_ngram_stats(col, n)
+    total = F.length(F.trim(col))
+    return F.when(
+        total > 0,
+        F.round(
+            st["cnt"] * F.length(st["ngram"]) / total.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def duplicate_line_stats(col: Column) -> Column:
+    """``struct(dup_line_frac, dup_line_char_frac)`` over a
+    newline-separated document: the fraction of lines that repeat an
+    earlier line, and the fraction of characters inside those repeats —
+    the other half of the Gopher repetition suite (cut-offs 0.30 /
+    0.20). Pure array expressions, one row per document."""
+    lines = F.split(col, "\n")
+    dis = F.array_distinct(lines)
+    zero = F.lit(0).cast("long")
+    total_chars = F.aggregate(lines, zero, lambda a, x: a + F.length(x))
+    dis_chars = F.aggregate(dis, zero, lambda a, x: a + F.length(x))
+    frac = F.round(
+        F.lit(1.0) - F.size(dis).cast("double") / F.size(lines), 6
+    )
+    char_frac = F.when(
+        total_chars > 0,
+        F.round(
+            F.lit(1.0) - dis_chars.cast("double") / total_chars, 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        frac.alias("dup_line_frac"), char_frac.alias("dup_line_char_frac")
     )
 
 

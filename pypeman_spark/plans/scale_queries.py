@@ -978,6 +978,118 @@ def chunk_documents_windows(spark, sf_dir):
 
 
 @q(
+    "gopher_repetition_signals",
+    f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS w
+      FROM documents
+    ),
+    lined AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(ceil(len(w) / 8.0) AS INT) - 1),
+               i -> array_to_string(w[i*8 + 1 : i*8 + 8], ' ')) AS ls
+      FROM words
+    ),
+    aug AS (
+      SELECT doc_id, list_concat(ls, ls[1:least(2, len(ls))]) AS ls
+      FROM lined
+    ),
+    txt AS (
+      SELECT doc_id, array_to_string(ls, chr(10)) AS t, ls FROM aug
+    ),
+    linestats AS (
+      SELECT doc_id,
+             round(1.0 - len(list_distinct(ls))::DOUBLE / len(ls), 6)
+               AS dup_line_frac,
+             CASE WHEN list_aggregate(list_transform(ls, x -> len(x)), 'sum') > 0
+                  THEN round(1.0
+                    - list_aggregate(list_transform(list_distinct(ls),
+                                                    x -> len(x)), 'sum')::DOUBLE
+                    / list_aggregate(list_transform(ls, x -> len(x)), 'sum'), 6)
+                  ELSE 0.0 END AS dup_line_char_frac
+      FROM txt
+    ),
+    tw AS (
+      SELECT doc_id, t, string_split_regex(trim(t), '{_WS}') AS tw FROM txt
+    ),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(tw) - 1, 0)),
+               i -> tw[i] || ' ' || tw[i+1])) AS g
+      FROM tw
+    ),
+    top2 AS (
+      SELECT doc_id, g, count(*) AS c,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY count(*) DESC, g) AS rn
+      FROM g2 GROUP BY doc_id, g
+    ),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(tw) - 2, 0)),
+               i -> tw[i] || ' ' || tw[i+1] || ' ' || tw[i+2])) AS g
+      FROM tw
+    ),
+    top3 AS (
+      SELECT doc_id, g, count(*) AS c,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY count(*) DESC, g) AS rn
+      FROM g3 GROUP BY doc_id, g
+    )
+    SELECT l.doc_id, l.dup_line_frac, l.dup_line_char_frac,
+           round(coalesce(t2.c * len(t2.g), 0)::DOUBLE / len(x.t), 6)
+             AS top2_char_frac,
+           round(coalesce(t3.c * len(t3.g), 0)::DOUBLE / len(x.t), 6)
+             AS top3_char_frac
+    FROM linestats l
+    JOIN txt x USING (doc_id)
+    LEFT JOIN (SELECT doc_id, g, c FROM top2 WHERE rn = 1) t2 USING (doc_id)
+    LEFT JOIN (SELECT doc_id, g, c FROM top3 WHERE rn = 1) t3 USING (doc_id)
+    """,
+)
+def gopher_repetition_signals(spark, sf_dir):
+    """The full Gopher repetition-signal suite (functions/text.py:
+    duplicate_line_stats, top_ngram_char_fraction — public Gopher paper
+    thresholds): per-doc duplicate-line fraction, duplicate-line
+    CHARACTER fraction, and the character fraction of the most frequent
+    2-/3-gram. Docs are cut into deterministic 8-word lines with the
+    first two lines repeated (word-soup corpus carries no natural line
+    duplication, so the signal is injected reproducibly and the oracle
+    rebuilds the identical text).
+
+    The scale story is the implementation: the per-doc top n-gram is
+    NOT explode + groupBy (that would shuffle every n-gram of a 100 TB
+    corpus) but a per-row ``array_sort`` + single ``aggregate`` pass
+    extracting the longest run — zero shuffle, fully codegen'd, ties
+    to the lexicographically smallest n-gram. The DuckDB oracle uses
+    the explode/groupBy/row_number formulation, so the two independent
+    algorithms must agree exactly."""
+    from ..functions.text import duplicate_line_stats, top_ngram_char_fraction
+
+    d = tp(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), _WS)
+    lines8 = F.transform(
+        F.sequence(
+            F.lit(0), F.ceil(F.size(w) / F.lit(8.0)).cast("int") - 1
+        ),
+        lambda i: F.array_join(F.slice(w, i * 8 + 1, 8), " "),
+    )
+    aug = F.concat(
+        lines8, F.slice(lines8, 1, F.least(F.lit(2), F.size(lines8)))
+    )
+    df = d.select("doc_id", F.array_join(aug, "\n").alias("__t"))
+    ls = duplicate_line_stats(F.col("__t"))
+    return df.select(
+        "doc_id",
+        ls["dup_line_frac"].alias("dup_line_frac"),
+        ls["dup_line_char_frac"].alias("dup_line_char_frac"),
+        top_ngram_char_fraction(F.col("__t"), 2).alias("top2_char_frac"),
+        top_ngram_char_fraction(F.col("__t"), 3).alias("top3_char_frac"),
+    )
+
+
+@q(
     "corpus_stats_and_bigrams",
     f"""
     WITH stats AS (

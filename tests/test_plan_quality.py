@@ -422,3 +422,13 @@ def test_tpch_completion_shapes_are_scale_clean(spark):
     # Q20: part-name prefilter reaches lineitem as a broadcast semi join
     plan = plan_of(REGISTRY["excess_stock_suppliers"].fn(spark, SF))
     assert "LeftSemi" in plan
+
+
+def test_gopher_signals_zero_shuffle(spark):
+    # per-doc top-ngram must be the sorted-run-length expression, never
+    # explode + groupBy: zero Exchange of any kind in the whole plan
+    import pypeman_spark.plans.scale_queries  # noqa: F401
+
+    plan = plan_of(REGISTRY["gopher_repetition_signals"].fn(spark, SF))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode either

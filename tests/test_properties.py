@@ -331,3 +331,34 @@ def test_mixture_binding_domain_keeps_everything(spark):
     T = 10 / 0.3
     assert per.get("web", 0) <= int(T * 0.5) + 1
     assert per.get("code", 0) <= int(T * 0.2) + 1
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=3),
+)
+def test_top_ngram_stats_matches_bruteforce(spark, words, n):
+    # the sorted-run-length expression == Python Counter brute force,
+    # including the smallest-ngram tie-break
+    from collections import Counter
+
+    from pypeman_spark.functions.text import top_ngram_stats
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "t string")
+    row = df.select(top_ngram_stats(F.col("t"), n).alias("s")).collect()[0]["s"]
+    grams = [
+        " ".join(words[i:i + n]) for i in range(len(words) - n + 1)
+    ]
+    if not grams:
+        assert row["cnt"] == 0 and row["ngram"] == ""
+    else:
+        c = Counter(grams)
+        best = max(c.values())
+        want = min(g for g, k in c.items() if k == best)
+        assert (row["ngram"], row["cnt"]) == (want, best)
