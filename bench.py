@@ -77,7 +77,7 @@ HEADLINE = [
     "hash_stratified_sample",
     "zorder_values",
     "decontam_report",
-    "mixture_cap_budget_sample",
+    "corpus_sampling_pipeline",
     "fuzzy_dedup_corpus",
     "chunk_documents_windows",
     "corpus_stats_and_bigrams",

@@ -768,7 +768,7 @@ from ..functions.text import whitespace_token_count  # noqa: E402
 
 
 @q(
-    "mixture_cap_budget_sample",
+    "corpus_sampling_pipeline",
     f"""
     WITH w AS (
       SELECT * FROM (VALUES
@@ -800,57 +800,18 @@ from ..functions.text import whitespace_token_count  # noqa: E402
                ) AS rn
         FROM mixed
       ) WHERE rn <= 12
+    ),
+    budgeted AS (
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               sum(len(string_split_regex(trim(text), '{_WS}'))) OVER (
+                 PARTITION BY source
+                 ORDER BY {_HB.format(salt='budget', id='doc_id')}, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM capped
+      ) WHERE cum <= 800
     )
-    SELECT doc_id, source FROM (
-      SELECT doc_id, source,
-             sum(len(string_split_regex(trim(text), '{_WS}'))) OVER (
-               PARTITION BY source
-               ORDER BY {_HB.format(salt='budget', id='doc_id')}, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS cum
-      FROM capped
-    ) WHERE cum <= 800
-    """,
-)
-def mixture_cap_budget_sample(spark, sf_dir):
-    """Composed corpus-sampling pipeline (consolidates the former
-    mixture_sample_by_source / cap_per_source / token_budget_per_source
-    entries — same three functions, chained the way a corpus build runs
-    them, so one driver check covers all three):
-
-    mixture_sample (functions/sampling.py:75) derives per-domain keep
-    rates hitting a 50/30/20 mixture across the three sources →
-    cap_per_domain (:123) keeps the 12 content-addressed-lowest docs
-    per surviving source through the prefiltered window →
-    token_budget_sample (:173) greedily trims each source to an
-    800-whitespace-token budget in hash order. At 100 TB: one tiny
-    counts agg + broadcast per stage; the corpus is never shuffled for
-    a join, and the only sort windows run over ~margin*cap rows."""
-    mixed = mixture_sample(
-        t(spark, sf_dir, "documents"),
-        "source",
-        "doc_id",
-        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
-        salt="mix",
-    )
-    capped = cap_per_domain(mixed, "source", "doc_id", 12, salt="cap")
-    return token_budget_sample(
-        capped,
-        "source",
-        "doc_id",
-        whitespace_token_count(F.col("text")),
-        800,
-        salt="budget",
-    ).select("doc_id", "source")
-
-
-from ..functions.sampling import upsample_mixture  # noqa: E402
-from .queries import _COS  # noqa: E402
-
-
-@q(
-    "upsample_mixture_by_source",
-    f"""
     SELECT doc_id, source, copy_idx FROM (
       SELECT doc_id, source,
              unnest(generate_series(1,
@@ -860,22 +821,52 @@ from .queries import _COS  # noqa: E402
                                        WHEN 'src1' THEN 300000
                                        ELSE 0 END
                       THEN 1 ELSE 0 END)) AS copy_idx
-      FROM documents
+      FROM budgeted
     )
     """,
 )
-def upsample_mixture_by_source(spark, sf_dir):
-    """Epoch-weighted corpus mixing (functions/sampling.py:
-    upsample_mixture): src0 repeated 2.5x, src1 downsampled to 0.3x,
-    everything else kept 1x — fractional factors realized by a
-    deterministic hash subset, repeats by JVM explode(sequence)."""
-    return upsample_mixture(
+def corpus_sampling_pipeline(spark, sf_dir):
+    """Composed corpus-sampling pipeline (consolidates the former
+    mixture_sample_by_source / cap_per_source / token_budget_per_source
+    / upsample_mixture_by_source entries — the same four functions,
+    chained the way a corpus build runs them, so one driver check
+    covers all four):
+
+    mixture_sample (functions/sampling.py:75) derives per-domain keep
+    rates hitting a 50/30/20 mixture across the three sources →
+    cap_per_domain (:123) keeps the 12 content-addressed-lowest docs
+    per surviving source through the prefiltered window →
+    token_budget_sample (:173) greedily trims each source to an
+    800-whitespace-token budget in hash order → upsample_mixture (:210)
+    applies epoch weights (src0 2.5x, src1 0.3x, rest 1x; fractional
+    parts via an independent hash subset, repeats as JVM
+    explode(sequence), copy_idx emitted). At 100 TB: one tiny counts
+    agg + broadcast per stage; the corpus is never shuffled for a join,
+    the only sort windows run over ~margin*cap rows, and the upsample
+    is a pure projection + explode."""
+    mixed = mixture_sample(
         t(spark, sf_dir, "documents"),
         "source",
         "doc_id",
-        {"src0": 2.5, "src1": 0.3},
-        salt="up",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        salt="mix",
+    )
+    capped = cap_per_domain(mixed, "source", "doc_id", 12, salt="cap")
+    budgeted = token_budget_sample(
+        capped,
+        "source",
+        "doc_id",
+        whitespace_token_count(F.col("text")),
+        800,
+        salt="budget",
+    )
+    return upsample_mixture(
+        budgeted, "source", "doc_id", {"src0": 2.5, "src1": 0.3}, salt="up"
     ).select("doc_id", "source", "copy_idx")
+
+
+from ..functions.sampling import upsample_mixture  # noqa: E402
+from .queries import _COS  # noqa: E402
 
 
 def _semantic_dedup_oracle() -> str:

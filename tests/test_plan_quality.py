@@ -206,7 +206,6 @@ def test_corpus_hygiene_queries_scale_clean(spark):
 
     for name in (
         "decontam_report",
-        "upsample_mixture_by_source",
         "chunk_documents_windows",
         "fuzzy_dedup_corpus",
     ):
@@ -220,7 +219,7 @@ def test_corpus_hygiene_queries_scale_clean(spark):
     # re-evaluates the mixture subtree — the standard counts-pass +
     # main-pass two-job shape, each side bounded to one row; per-domain
     # rates reach the big side via broadcast
-    plan = plan_of(REGISTRY["mixture_cap_budget_sample"].fn(spark, SF))
+    plan = plan_of(REGISTRY["corpus_sampling_pipeline"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "BroadcastHashJoin" in plan
@@ -230,10 +229,9 @@ def test_corpus_hygiene_queries_scale_clean(spark):
     plan = plan_of(REGISTRY["decontam_report"].fn(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2
 
-    # upsample/chunking: pure projection+explode — zero shuffles
-    for name in ("upsample_mixture_by_source", "chunk_documents_windows"):
-        plan = plan_of(REGISTRY[name].fn(spark, SF))
-        assert "Exchange" not in plan.replace("BroadcastExchange", ""), name
+    # chunking: pure projection+explode — zero shuffles
+    plan = plan_of(REGISTRY["chunk_documents_windows"].fn(spark, SF))
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
 
 
 def test_bigram_census_is_group_limited(spark):
