@@ -134,18 +134,32 @@ def word_repetition_ratio(col: Column) -> Column:
 
 def word_ngrams(col: Column, n: int) -> Column:
     """Word n-grams of a document as ``array<string>`` (space-joined),
-    built with ``transform`` over an index sequence — no explode, one
-    row per document."""
+    built by ``zip_with``-ing the word array against its own shifted
+    slices — no explode, one row per document.
+
+    The zip formulation matters for cost: ``zip_with`` evaluates its
+    ARRAY arguments once per row and then pairs elements, whereas
+    ``transform(idx, i -> element_at(w, i))`` re-evaluates the
+    ``split`` inside the (interpreted) lambda for every element —
+    quadratic in document length. Shorter shifted slices pad with
+    null, which marks the trailing positions for one ``filter``."""
     w = F.split(F.trim(col), "\\s+")
-    idx = F.when(
-        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + j) for j in range(n)]
-        ),
-    )
+    grams = w
+    for j in range(1, n):
+        shifted = F.slice(
+            w, j + 1, F.greatest(F.size(w) - j, F.lit(0))
+        )
+        grams = F.zip_with(
+            grams,
+            shifted,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(),
+                F.concat(a, F.lit(" "), b),
+            ),
+        )
+    if n == 1:
+        return grams
+    return F.filter(grams, lambda x: x.isNotNull())
 
 
 def top_ngram_stats(col: Column, n: int) -> Column:

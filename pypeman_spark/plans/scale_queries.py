@@ -1145,15 +1145,10 @@ def corpus_stats_and_bigrams(spark, sf_dir):
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
-    w = F.split(F.trim(F.col("text")), _WS)
-    # guard: sequence(1, 0) would DESCEND for single-word docs
-    idx = F.when(F.size(w) > 1, F.sequence(F.lit(1), F.size(w) - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    bigrams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-    )
+    # zip_with-based n-grams (functions/text.py:word_ngrams): the array
+    # arguments are evaluated once per row, unlike an element_at lambda
+    # which re-splits the text per gram (quadratic in doc length)
+    bigrams = TX.word_ngrams(F.col("text"), 2)
     cnt = (
         d.select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
