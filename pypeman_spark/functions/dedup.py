@@ -71,12 +71,16 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     back. Uses ``sequence``+``transform`` then one explode — the explode
     is the unavoidable row fan-out, everything else is array ops.
     """
+    from .text import joined_windows
+
     words = F.split(F.trim(F.col(text_col)), "\\s+")
-    n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
-    sh = F.transform(
-        F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )
+    # linear window build (zip_with chain — array args evaluated once
+    # per row; a slice-in-transform lambda would re-tokenize per
+    # shingle, quadratic in doc length). Docs shorter than the window
+    # keep the reference behavior: one partial whole-doc shingle.
+    sh = F.when(
+        F.size(words) >= n, joined_windows(words, n)
+    ).otherwise(F.array(F.array_join(words, " ")))
     return df.select(
         F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
     )
@@ -101,13 +105,17 @@ def duplicate_passages(
     groupBy; 16 B hashes shuffle, never the text. Downstream, a pipeline
     joins back on the hash to cut or mask the repeated spans.
     """
+    from .text import joined_windows
+
     w = F.split(F.trim(F.col(text_col)), "\\s+")
-    starts = F.filter(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)), F.lit(stride)),
-        lambda i: i + words <= F.size(w),
-    )
+    # full windows built linearly (see shingles), then every stride-th
+    # kept by index — identical to the slice-at-starts formulation
     passages = F.transform(
-        starts, lambda i: F.md5(F.array_join(F.slice(w, i + 1, words), " "))
+        F.filter(
+            joined_windows(w, words),
+            lambda x, i: i % stride == 0,
+        ),
+        lambda p: F.md5(p),
     )
     return (
         df.select(F.col(id_col), F.explode(passages).alias("passage_hash"))

@@ -26,6 +26,7 @@ __all__ = [
     "scrub_pii",
     "word_repetition_ratio",
     "word_ngrams",
+    "joined_windows",
     "top_ngram_stats",
     "top_ngram_char_fraction",
     "duplicate_line_stats",
@@ -143,9 +144,17 @@ def word_ngrams(col: Column, n: int) -> Column:
     ``split`` inside the (interpreted) lambda for every element —
     quadratic in document length. Shorter shifted slices pad with
     null, which marks the trailing positions for one ``filter``."""
-    w = F.split(F.trim(col), "\\s+")
+    return joined_windows(F.split(F.trim(col), "\\s+"), n)
+
+
+def joined_windows(w: Column, size: int) -> Column:
+    """All full ``size``-word windows of word-array ``w`` as
+    space-joined strings (length ``len(w) - size + 1``; empty when the
+    doc is shorter than the window). The linear building block behind
+    :func:`word_ngrams`, :func:`~..dedup.shingles` and
+    :func:`~..dedup.duplicate_passages`."""
     grams = w
-    for j in range(1, n):
+    for j in range(1, size):
         shifted = F.slice(
             w, j + 1, F.greatest(F.size(w) - j, F.lit(0))
         )
@@ -157,7 +166,7 @@ def word_ngrams(col: Column, n: int) -> Column:
                 F.concat(a, F.lit(" "), b),
             ),
         )
-    if n == 1:
+    if size == 1:
         return grams
     return F.filter(grams, lambda x: x.isNotNull())
 
