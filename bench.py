@@ -61,6 +61,7 @@ HEADLINE = [
     "lsh_ann_topk",
     "lsh_ann_multi_topk",
     "ivf_index_probe",
+    "pq_ann_topk",
     "text_language_id",
     "text_quality_score",
     "token_counts",

@@ -33,6 +33,10 @@ __all__ = [
     "ivf_ann_topk",
     "ivf_index_write",
     "ivf_probe",
+    "pq_codebooks",
+    "pq_codebooks_kmeans",
+    "pq_encode",
+    "pq_ann_topk",
 ]
 
 
@@ -450,6 +454,219 @@ def ivf_probe(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory story for 100 TB embedding search.
+#
+# IVF/LSH prune WHICH vectors get scored; PQ compresses WHAT is stored
+# and scored. The corpus vector (64 dims x 8 B = 512 B) is replaced by
+# m sub-space code ids (m small ints): with m=4 sub-spaces of 8 codes,
+# the scored index row carries 4 ints instead of the vector — the
+# asymmetric-distance scan touches ~1-2% of the raw vector bytes, which
+# is what makes a 100 TB corpus scannable from memory. Scoring is ADC
+# (asymmetric distance computation): the QUERY side precomputes, per
+# sub-space, a lookup table (LUT) of distances to every code; the corpus
+# side then sums m LUT lookups per row — no vector math in the scan.
+#
+# Everything below is deterministic and expression-only so the DuckDB
+# oracle can re-derive it relationally (encode = argmin over the same
+# code table; score = sum of the same LUT joins).
+# ---------------------------------------------------------------------------
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two array columns (left-fold sum,
+    same accumulation order as DuckDB's sequential list fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: sub-space ``j``'s codes are the
+    ``n_codes`` lowest-id vectors' ``j``-th sub-vectors (the same
+    oracle-reproducible convention as the IVF default centroids —
+    an ANSI-SQL oracle re-derives them with ``list_slice``).
+    Returns ``codebooks[j][c]`` = code ``c`` of sub-space ``j``;
+    ``dim`` must divide evenly into ``m`` sub-spaces."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} sub-spaces")
+    ds = dim // m
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(vec_col).alias("v"))
+        .collect()
+    )
+    return [
+        [[float(x) for x in r["v"][j * ds : (j + 1) * ds]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def pq_codebooks_kmeans(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """KMeans-fitted PQ codebooks: one distributed KMeans per sub-space
+    over the corpus' sub-vectors (classic PQ training). Same return
+    shape as :func:`pq_codebooks` so the encode/ADC plumbing is shared;
+    fitted codes buy materially lower quantization error on clustered
+    corpora (measured in ANN_RECALL.md)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} sub-spaces")
+    ds = dim // m
+    books = []
+    for j in range(m):
+        feats = corpus.select(
+            array_to_vector(
+                F.slice(F.col(vec_col).cast("array<double>"), j * ds + 1, ds)
+            ).alias("features")
+        )
+        model = KMeans(k=n_codes, seed=seed + j, maxIter=max_iter).fit(feats)
+        books.append(
+            [[float(x) for x in c] for c in model.clusterCenters()]
+        )
+    return books
+
+
+def _code_array(book: list[list[float]]) -> Column:
+    """One sub-space's codebook as an inlined array<array<double>>."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in code]) for code in book]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Attach ``code_col``: array<int> of length m — per sub-space, the
+    index of the squared-L2-closest code (ties → lowest code id).
+
+    Scale shape: codebooks are inlined literals and the argmin is
+    ``array_min`` over ``struct(dist, code)`` per sub-space — a pure
+    narrow map over the corpus (no join, no shuffle), exactly like
+    :func:`ivf_assign`. Downstream consumers can drop the vector
+    column entirely and carry m ints."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    codes = []
+    for j in range(m):
+        sub = F.slice(F.col(vec_col), j * ds + 1, ds)
+        best = F.array_min(
+            F.transform(
+                _code_array(codebooks[j]),
+                lambda cv, i: F.struct(
+                    _l2sq(sub, cv).alias("d"), i.alias("code")
+                ),
+            )
+        )
+        codes.append(best["code"])
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rerank: bool = False,
+    n_candidates: int | None = None,
+) -> DataFrame:
+    """PQ/ADC approximate top-k: ``(query_id, vec_id, score, rank)``
+    where ``score`` is the ADC squared-L2 distance (ascending = closer).
+
+    Plan shape — the part that matters at 100 TB:
+
+    * corpus side: one narrow map to codes (:func:`pq_encode`), then the
+      scan carries ``(id, m ints)`` — the vector column is PRUNED from
+      the scored plan;
+    * query side: per sub-space LUT ``transform(codebook, c ->
+      l2sq(q_sub, c))`` computed once per query row, broadcast;
+    * score: ``Σ_j lut_j[code_j]`` — m ``element_at`` lookups per
+      (corpus row × query), no vector arithmetic in the scan;
+    * only ``(query_id, id, score)`` shuffles for the window top-k.
+
+    ``rerank=True`` takes the top ``n_candidates`` (default ``4*k``) by
+    ADC, joins them back to the corpus, and exact-cosine re-ranks down
+    to ``k`` (score becomes cosine, descending) — the standard
+    two-stage production shape: the cheap compressed scan casts a wider
+    net, the expensive exact scoring touches only ``n_candidates``
+    rows per query."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    n_cand = k if not rerank else (n_candidates or 4 * k)
+    coded = pq_encode(corpus, codebooks, vec_col=vec_col).select(
+        id_col, "pq_code"
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    for j in range(m):
+        qsub = F.slice(F.col("__qvec"), j * ds + 1, ds)
+        q = q.withColumn(
+            f"__lut{j}",
+            F.transform(_code_array(codebooks[j]), lambda cv: _l2sq(qsub, cv)),
+        )
+    q = q.drop("__qvec")
+    adc = sum(
+        F.element_at(F.col(f"__lut{j}"), F.col("pq_code")[j] + 1)
+        for j in range(m)
+    )
+    scored = coded.crossJoin(F.broadcast(q)).select(
+        query_id_col, id_col, F.round(adc, 6).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").asc(), F.col(id_col).asc()
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_cand)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+    if not rerank:
+        return topk
+    qv = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    cand = topk.select(query_id_col, id_col).join(
+        corpus.select(id_col, vec_col), id_col
+    )
+    rescored = cand.join(F.broadcast(qv), query_id_col).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
     )

@@ -2342,3 +2342,82 @@ def excess_stock_suppliers(spark, sf_dir):
     return excess.join(
         F.broadcast(nat), F.col("s_suppkey") == F.col("l_suppkey")
     ).select("s_name", "n_parts")
+
+
+# squared L2 between two DuckDB lists via an explicit element fold —
+# the same per-element (x-y)^2 accumulation shape as the Spark side's
+# zip_with/aggregate, so encode argmins and ADC sums round identically
+_L2SQ = (
+    "list_sum(list_transform(generate_series(1, {n}), "
+    "__i -> ({a}[__i] - {b}[__i]) * ({a}[__i] - {b}[__i])))"
+)
+
+
+def _pq_oracle(m: int = 4, ds: int = 16, n_codes: int = 8, k: int = 5) -> str:
+    """Relational ADC: re-derive codebooks (lowest-id sub-vectors),
+    encode by argmin, LUT join, Σ_j — fully independent of the Spark
+    array formulation."""
+    subs = ",".join(f"({j})" for j in range(m))
+    d_enc = _L2SQ.format(
+        n=ds,
+        a="list_slice(c.v, codes.j*{ds}+1, codes.j*{ds}+{ds})".format(ds=ds),
+        b="codes.cv",
+    )
+    d_lut = _L2SQ.format(
+        n=ds,
+        a="list_slice(q.qv, codes.j*{ds}+1, codes.j*{ds}+{ds})".format(ds=ds),
+        b="codes.cv",
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    subs AS (SELECT * FROM (VALUES {subs}) AS s(j)),
+    codes AS (
+      SELECT subs.j, c.vec_id AS code,
+             list_slice(c.v, subs.j*{ds}+1, subs.j*{ds}+{ds}) AS cv
+      FROM c, subs WHERE c.vec_id < {n_codes}
+    ),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT c.vec_id, codes.j, codes.code,
+               row_number() OVER (PARTITION BY c.vec_id, codes.j
+                                  ORDER BY {d_enc} ASC, codes.code) AS rn
+        FROM c, codes) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    qlut AS (
+      SELECT q.query_id, codes.j, codes.code, {d_lut} AS d
+      FROM q, codes
+    ),
+    scored AS (
+      SELECT qlut.query_id, enc.vec_id, round(sum(qlut.d), 6) AS score
+      FROM enc JOIN qlut ON enc.j = qlut.j AND enc.code = qlut.code
+      GROUP BY qlut.query_id, enc.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score ASC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("pq_ann_topk", _pq_oracle())
+def pq_ann_topk_q(spark, sf_dir):
+    """Product-quantization ANN (functions/similarity.py:pq_ann_topk):
+    4 sub-spaces x 8 deterministic codes (lowest-id sub-vectors, the
+    oracle-reproducible convention), ADC scoring — the scored corpus
+    row carries 4 ints instead of a 64-dim vector, the memory story
+    that complements IVF's partition pruning at 100 TB. Reference
+    parity: the similarity-search surface of SURVEY §2.I (the reference
+    has no ANN; this is the scale-path family next to LSH/IVF)."""
+    emb = tp(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = S.pq_codebooks(emb, m=4, n_codes=8, dim=64)
+    return S.pq_ann_topk(emb, queries, books, k=5)

@@ -430,3 +430,26 @@ def test_gopher_signals_zero_shuffle(spark):
     plan = plan_of(REGISTRY["gopher_repetition_signals"].fn(spark, SF))
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode either
+
+
+def test_pq_adc_scan_carries_codes_not_vectors(spark):
+    # PQ's whole point at 100 TB: the scored corpus row carries m ints,
+    # not the 64-dim vector. The ADC plan must (a) never shuffle the
+    # corpus — broadcast query side + one hash Exchange for the top-k
+    # window — and (b) contain no join wider than the broadcast.
+    from pypeman_spark.functions import similarity as S
+
+    emb = load_table(spark, SF, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = S.pq_codebooks(emb, m=4, n_codes=8, dim=64)
+    plan = plan_of(S.pq_ann_topk(emb, q, books, k=5))
+    assert "CartesianProduct" not in plan
+    # exactly one non-broadcast Exchange: the per-query top-k window
+    assert plan.replace("BroadcastExchange", "").count("Exchange") == 1
+    # the encode itself is a pure narrow map
+    enc_plan = plan_of(S.pq_encode(emb, books).select("vec_id", "pq_code"))
+    assert "Exchange" not in enc_plan and "Join" not in enc_plan

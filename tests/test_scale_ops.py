@@ -481,3 +481,119 @@ def test_ivf_index_append_equals_bulk_build(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in S.ivf_probe(spark, inc, q, k=5, nprobe=2).collect()}
     want = {tuple(r) for r in S.ivf_probe(spark, bulk, q, k=5, nprobe=2).collect()}
     assert got == want and len(got) == 25
+
+
+def test_pq_encode_and_adc_topk(spark, sf_dir):
+    # PQ/ADC: codes are m small ints; self-query has distance 0 to its
+    # own codes' reconstruction... not exactly 0 in general, but the
+    # query IS a corpus vector here, so its encoded cell distance equals
+    # the query-side LUT entry for its own codes -> ADC(self) is the
+    # minimum possible for that code combination and self ranks first.
+    from pypeman_spark.functions import similarity as S
+
+    emb = _emb(spark, sf_dir)
+    books = S.pq_codebooks(emb, m=4, n_codes=8, dim=64)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 16
+
+    coded = S.pq_encode(emb, books).select("vec_id", "pq_code").collect()
+    assert all(len(r["pq_code"]) == 4 for r in coded)
+    assert all(0 <= c <= 7 for r in coded for c in r["pq_code"])
+    # codebook vector 0 encodes to its own codes (distance 0 per sub)
+    own = {r["vec_id"]: r["pq_code"] for r in coded}
+    assert own[0] is not None
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = S.pq_ann_topk(emb, q, books, k=5).collect()
+    assert len(topk) == 15
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        # ADC distance ascending
+        assert all(
+            rows[i]["score"] <= rows[i + 1]["score"] for i in range(len(rows) - 1)
+        )
+
+
+def test_pq_rerank_scores_are_exact_cosine(spark, sf_dir):
+    # rerank=True rescores the ADC candidates with exact cosine: every
+    # (query, vec) pair in the reranked output must carry the same score
+    # the brute-force path assigns that pair
+    from pypeman_spark.functions import similarity as S
+
+    emb = _emb(spark, sf_dir)
+    books = S.pq_codebooks(emb, m=4, n_codes=8, dim=64)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rer = S.pq_ann_topk(emb, q, books, k=5, rerank=True).collect()
+    assert len(rer) == 15
+    # recompute cosine for just the reranked pairs
+    from pypeman_spark.functions.similarity import cosine
+    pairs = spark.createDataFrame(
+        [(r["query_id"], r["vec_id"], r["score"]) for r in rer],
+        "query_id long, vec_id long, score double",
+    )
+    joined = (
+        pairs.join(emb.select(F.col("vec_id"), F.col("embedding")), "vec_id")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id", "vec_id", "score",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("want"),
+        )
+        .collect()
+    )
+    for r in joined:
+        assert abs(r["score"] - r["want"]) < 1e-9
+    # self-match survives the rerank at rank 1 with cosine 1.0
+    top1 = {r["query_id"]: (r["vec_id"], r["score"]) for r in rer if r["rank"] == 1}
+    assert top1 == {0: (0, 1.0), 1: (1, 1.0), 2: (2, 1.0)}
+
+
+def test_pq_kmeans_codebooks_reduce_quantization_error(spark, sf_dir):
+    # fitted codebooks must not be worse than lowest-id codebooks at
+    # reconstructing the corpus: compare mean ADC distance of each
+    # vector to its own encoded reconstruction (lower = tighter codes)
+    from pypeman_spark.functions import similarity as S
+
+    emb = _emb(spark, sf_dir).limit(200)
+    det = S.pq_codebooks(emb, m=4, n_codes=8, dim=64)
+    fit = S.pq_codebooks_kmeans(emb, m=4, n_codes=8, dim=64, max_iter=10)
+    assert len(fit) == 4 and all(len(b) == 8 for b in fit)
+
+    def recon_err(books):
+        q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+        # ADC(self) = sum_j d(self_sub_j, codebook[code_j]) = the
+        # quantization error of the vector itself
+        scored = S.pq_ann_topk(emb, q, books, k=1)
+        self_rows = scored.filter(
+            F.col("query_id") == F.col("vec_id")
+        ).agg(F.avg("score")).collect()
+        # self may not be rank 1 under heavy quantization; measure via
+        # encode+lut directly instead when absent
+        return self_rows[0][0]
+
+    # direct measurement: mean over corpus of ADC distance vec->own codes
+    def qerr(books):
+        coded = S.pq_encode(emb, books)
+        m, ds = 4, 16
+        expr = None
+        for j in range(m):
+            sub = F.slice(F.col("embedding"), j * ds + 1, ds)
+            lut = F.transform(
+                S._code_array(books[j]), lambda cv: S._l2sq(sub, cv)
+            )
+            term = F.element_at(lut, F.col("pq_code")[j] + 1)
+            expr = term if expr is None else expr + term
+        return coded.agg(F.avg(expr)).collect()[0][0]
+
+    assert qerr(fit) <= qerr(det) * 1.05  # fitted no worse (5% slack)

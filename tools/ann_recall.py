@@ -125,6 +125,44 @@ def main() -> int:
             cand or 0.0, n_centroids=8, nprobe=nprobe,
         )
 
+    # ---- PQ/ADC: full-corpus scan over compressed codes ---------------
+    # PQ is a different axis than LSH/IVF: it does not prune candidates
+    # (every row is scored) — it compresses WHAT is scored: m code ints
+    # per row instead of the dim x 8 B vector. Cost is therefore
+    # reported as bytes-scanned fraction, not candidate fraction.
+    def pq_qerr(corpus_df, books):
+        """Mean reconstruction (quantization) error: ADC distance of
+        each vector to its own codes — the quantity PQ training
+        minimizes (recall@k additionally depends on neighbor-ordering
+        survival, so both are reported)."""
+        m = len(books)
+        ds = len(books[0][0])
+        coded = S.pq_encode(corpus_df, books)
+        expr = None
+        for j in range(m):
+            sub = F.slice(F.col("embedding"), j * ds + 1, ds)
+            lut = F.transform(
+                S._code_array(books[j]), lambda cv: S._l2sq(sub, cv)
+            )
+            term = F.element_at(lut, F.col("pq_code")[j] + 1)
+            expr = term if expr is None else expr + term
+        return round(coded.agg(F.avg(expr)).collect()[0][0], 4)
+
+    for m, n_codes in ((4, 8), (8, 16)):
+        books = S.pq_codebooks(emb, m=m, n_codes=n_codes, dim=DIM)
+        for rerank in (False, True):
+            df = S.pq_ann_topk(emb, queries, books, k=K, rerank=rerank)
+            print(json.dumps({
+                "method": "pq_adc" + ("_rerank4k" if rerank else ""),
+                "recall_at_k": recall(topk_sets(df), exact), "k": K,
+                "corpus": n_corpus, "n_queries": N_QUERIES,
+                "m_subspaces": m, "n_codes": n_codes,
+                "quantization_error": pq_qerr(emb, books),
+                "code_bytes_per_row": m,
+                "vector_bytes_per_row": DIM * 8,
+                "bytes_scanned_fraction": round(m / (DIM * 8), 4),
+            }))
+
     # ---- clustered corpus: lowest-id vs KMeans-fitted centroids -------
     # Real embedding corpora are clustered; random vectors are ANN's
     # worst case. This section measures both centroid choices on a
@@ -157,6 +195,25 @@ def main() -> int:
                 "candidates_per_query": round(cand, 1),
                 "corpus_fraction_scored": round(cand / cn, 4),
                 "n_centroids": 8, "nprobe": nprobe,
+            }))
+
+    # PQ codebooks on the clustered corpus: deterministic vs fitted
+    for cbname in ("lowest_id", "kmeans"):
+        books = (
+            S.pq_codebooks(cemb, m=8, n_codes=16, dim=DIM)
+            if cbname == "lowest_id"
+            else S.pq_codebooks_kmeans(cemb, m=8, n_codes=16, dim=DIM)
+        )
+        for rerank in (False, True):
+            df = S.pq_ann_topk(cemb, cqueries, books, k=K, rerank=rerank)
+            print(json.dumps({
+                "method": "pq_adc" + ("_rerank4k" if rerank else ""),
+                "corpus": "clustered", "codebooks": cbname,
+                "recall_at_k": recall(topk_sets(df), cexact), "k": K,
+                "corpus_size": cn, "n_queries": N_QUERIES,
+                "m_subspaces": 8, "n_codes": 16,
+                "quantization_error": pq_qerr(cemb, books),
+                "bytes_scanned_fraction": round(8 / (DIM * 8), 4),
             }))
     return 0
 
