@@ -68,6 +68,7 @@ HEADLINE = [
     "doc_fingerprint",
     "clean_scrub_repetition",
     "gopher_repetition_signals",
+    "gopher_quality_filter",
     "duplicate_passages",
     "greedy_pack_sequences",
     "asof_range_join_purchases",

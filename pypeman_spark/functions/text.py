@@ -30,6 +30,8 @@ __all__ = [
     "top_ngram_stats",
     "top_ngram_char_fraction",
     "duplicate_line_stats",
+    "gopher_quality_signals",
+    "GOPHER_REQUIRED_WORDS",
     "tfidf_top_terms",
     "STOPWORDS",
     "clean_lines",
@@ -332,3 +334,91 @@ def clean_lines(
         return ok
 
     return F.array_join(F.filter(F.split(col, "\n"), keep), "\n")
+
+
+#: The Gopher rule-set's required common English words (public paper:
+#: Rae et al. 2021, "Scaling Language Models", Appendix A quality
+#: heuristics) — a document must contain at least 2 distinct ones.
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_signals(col: Column) -> dict[str, Column]:
+    """The Gopher rule-based quality-filter signals, each as a pure
+    Column expression over one document (no UDF, no explode — one row
+    in, one row out, fully codegen'd, so the filter runs at scan speed
+    over a 100 TB corpus):
+
+    * ``n_words`` — whitespace word count (bounds 50..100000);
+    * ``mean_word_len`` — mean word length (bounds 3..10);
+    * ``symbol_word_ratio`` — (# of ``#`` + non-overlapping ``...``)
+      per word (bound < 0.1);
+    * ``bullet_line_frac`` — fraction of lines starting with a bullet
+      (bound ≤ 0.9);
+    * ``ellipsis_line_frac`` — fraction of lines ending in ``...``
+      (bound ≤ 0.3);
+    * ``alpha_word_frac`` — fraction of words containing at least one
+      alphabetic character (bound ≥ 0.8);
+    * ``n_required_words`` — distinct hits among
+      :data:`GOPHER_REQUIRED_WORDS` (bound ≥ 2);
+    * ``passes`` — all bounds hold.
+
+    Returns the signals as a name→Column dict so callers can select
+    any subset (``df.select("doc_id", *signals.values())`` after
+    ``.alias(name)``); thresholds are the public Gopher paper values."""
+    w = F.split(F.trim(col), "\\s+")
+    n_words = F.size(w)
+    mean_wl = F.round(
+        F.aggregate(
+            w, F.lit(0.0), lambda acc, x: acc + F.length(x)
+        )
+        / n_words,
+        6,
+    )
+    symbols = F.regexp_count(col, F.lit("#")) + F.regexp_count(
+        col, F.lit("\\.\\.\\.")
+    )
+    symbol_ratio = F.round(symbols.cast("double") / n_words, 6)
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike("^\\s*[-*•]")))
+        .cast("double")
+        / n_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike("\\.\\.\\.\\s*$")))
+        .cast("double")
+        / n_lines,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / n_words,
+        6,
+    )
+    n_req = None
+    for word in GOPHER_REQUIRED_WORDS:
+        hit = F.when(col.rlike(f"(?i)\\b{word}\\b"), 1).otherwise(0)
+        n_req = hit if n_req is None else n_req + hit
+    passes = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (symbol_ratio < 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (n_req >= 2)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "n_required_words": n_req,
+        "passes": passes,
+    }

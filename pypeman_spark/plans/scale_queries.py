@@ -1318,3 +1318,130 @@ def dedup_new_batch_vs_corpus(spark, sf_dir):
     )
     seen = d.filter(F.col("doc_id") < 250)
     return D.dedupe_against_reference(new_batch, seen).select("doc_id", "lang")
+
+
+_GOPHER_STOP_LINE = "the words have to be of use with all that and more"
+
+
+@q(
+    "gopher_quality_filter",
+    f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS w
+      FROM documents
+    ),
+    lined AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(ceil(len(w) / 8.0) AS INT) - 1),
+               i -> CASE WHEN i % 7 = 3 THEN
+                      (CASE WHEN i % 5 = 0 THEN '- ' ELSE '' END)
+                        || array_to_string(w[i*8 + 1 : i*8 + 8], ' ')
+                        || ' ...'
+                    ELSE
+                      (CASE WHEN i % 5 = 0 THEN '- ' ELSE '' END)
+                        || array_to_string(w[i*8 + 1 : i*8 + 8], ' ')
+                    END) AS ls
+      FROM words
+    ),
+    txt AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN array_to_string(ls, chr(10)) || chr(10)
+                       || '{_GOPHER_STOP_LINE}'
+                  ELSE array_to_string(ls, chr(10)) END AS t
+      FROM lined
+    ),
+    sig AS (
+      SELECT doc_id, t,
+             string_split_regex(trim(t), '{_WS}') AS tw,
+             string_split(t, chr(10)) AS ln
+      FROM txt
+    ),
+    m AS (
+      SELECT doc_id,
+             len(tw) AS n_words,
+             round(list_aggregate(list_transform(tw, x -> len(x)),
+                                  'sum')::DOUBLE / len(tw), 6)
+               AS mean_word_len,
+             round((
+               (len(t) - len(replace(t, '#', '')))
+               + (len(t) - len(replace(t, '...', ''))) / 3
+             )::DOUBLE / len(tw), 6) AS symbol_word_ratio,
+             round(len(list_filter(ln,
+                     x -> regexp_matches(x, '^\\s*[-*•]')))::DOUBLE
+                   / len(ln), 6) AS bullet_line_frac,
+             round(len(list_filter(ln,
+                     x -> regexp_matches(x, '\\.\\.\\.\\s*$')))::DOUBLE
+                   / len(ln), 6) AS ellipsis_line_frac,
+             round(len(list_filter(tw,
+                     x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                   / len(tw), 6) AS alpha_word_frac,
+             (CASE WHEN regexp_matches(t, '(?i)\\bthe\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(t, '(?i)\\bbe\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(t, '(?i)\\bto\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(t, '(?i)\\bof\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(t, '(?i)\\band\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(t, '(?i)\\bthat\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(t, '(?i)\\bhave\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(t, '(?i)\\bwith\\b') THEN 1 ELSE 0 END
+             ) AS n_required_words
+      FROM sig
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           n_required_words,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio < 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND n_required_words >= 2) AS passes
+    FROM m
+    """,
+)
+def gopher_quality_filter(spark, sf_dir):
+    """The full Gopher rule-based quality filter (functions/text.py:
+    gopher_quality_signals — public Rae et al. 2021 Appendix A
+    thresholds): word-count bounds, mean word length, symbol-to-word
+    ratio, bullet/ellipsis line fractions, alphabetic-word fraction,
+    and the required-common-words check, composed into the per-doc
+    ``passes`` verdict next to the individual signals.
+
+    The word-soup corpus carries no natural lines/bullets/ellipses, so
+    deterministic structure is injected exactly like
+    ``gopher_repetition_signals``: 8-word lines, every 5th line
+    bulleted, every 7th (i%7==3) ellipsis-terminated, and every 3rd doc
+    suffixed with a stopword-bearing line — the oracle rebuilds the
+    identical text, and both pass/fail branches get real coverage.
+
+    Scale shape: every signal is a pure Column expression over one row
+    (split / filter / regexp_count — no UDF, no explode, no shuffle);
+    the filter runs entirely inside the scan stage at 100 TB."""
+    from ..functions.text import gopher_quality_signals
+
+    d = tp(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), _WS)
+    lines8 = F.transform(
+        F.sequence(
+            F.lit(0), F.ceil(F.size(w) / F.lit(8.0)).cast("int") - 1
+        ),
+        lambda i: F.concat(
+            F.when(i % 5 == 0, F.lit("- ")).otherwise(F.lit("")),
+            F.array_join(F.slice(w, i * 8 + 1, 8), " "),
+            F.when(i % 7 == 3, F.lit(" ...")).otherwise(F.lit("")),
+        ),
+    )
+    txt = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.array_join(lines8, "\n"),
+            F.lit("\n" + _GOPHER_STOP_LINE),
+        ),
+    ).otherwise(F.array_join(lines8, "\n"))
+    df = d.select("doc_id", txt.alias("__t"))
+    sig = gopher_quality_signals(F.col("__t"))
+    return df.select(
+        "doc_id", *[c.alias(name) for name, c in sig.items()]
+    )

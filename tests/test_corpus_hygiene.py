@@ -234,3 +234,39 @@ def test_weighted_sample_is_weighted_and_deterministic(spark):
     df2 = spark.createDataFrame(rows2, "doc_id long, grp string, wt double")
     out2 = weighted_sample_per_group(df2, "grp", "doc_id", F.col("wt"), 3000, salt="w")
     assert all(r.doc_id < 10_000 for r in out2.collect())
+
+
+def test_gopher_quality_signals_thresholds(spark):
+    # hand-built docs hitting each rule: a good doc passes; each bad
+    # doc violates exactly the rule it is built to violate
+    from pypeman_spark.functions.text import gopher_quality_signals
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with style and"] * 6
+    )  # 66 words, stopwords: the/that/with/and/over...
+    too_short = "the cat sat with that"  # 5 words
+    symbol_heavy = " ".join(["word #tag"] * 40)  # 80 words, 40 hashes
+    bullets = "\n".join(["- item one here"] * 10)  # 100% bullet lines
+    no_alpha = " ".join(["123 456 789 000"] * 20)  # 0% alpha words
+    no_stop = " ".join(["alpha beta gamma delta epsilon"] * 12)  # 60 words
+
+    df = spark.createDataFrame(
+        [
+            (1, good), (2, too_short), (3, symbol_heavy),
+            (4, bullets), (5, no_alpha), (6, no_stop),
+        ],
+        "id int, text string",
+    )
+    sig = gopher_quality_signals(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", *[c.alias(n) for n, c in sig.items()]
+        ).collect()
+    }
+    assert rows[1]["passes"] is True
+    assert rows[2]["passes"] is False and rows[2]["n_words"] < 50
+    assert rows[3]["passes"] is False and rows[3]["symbol_word_ratio"] >= 0.1
+    assert rows[4]["passes"] is False and rows[4]["bullet_line_frac"] > 0.9
+    assert rows[5]["passes"] is False and rows[5]["alpha_word_frac"] < 0.8
+    assert rows[6]["passes"] is False and rows[6]["n_required_words"] < 2

@@ -453,3 +453,13 @@ def test_pq_adc_scan_carries_codes_not_vectors(spark):
     # the encode itself is a pure narrow map
     enc_plan = plan_of(S.pq_encode(emb, books).select("vec_id", "pq_code"))
     assert "Exchange" not in enc_plan and "Join" not in enc_plan
+
+
+def test_gopher_quality_filter_zero_shuffle(spark):
+    # every quality signal is a per-row Column expression; the whole
+    # filter must compile into the scan stage — no Exchange, no explode
+    import pypeman_spark.plans.scale_queries  # noqa: F401
+
+    plan = plan_of(REGISTRY["gopher_quality_filter"].fn(spark, SF))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
