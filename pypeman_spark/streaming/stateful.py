@@ -12,6 +12,10 @@ Provided operators:
 * :func:`watermarked_window_counts` — event-time tumbling window with
   late-data handling via watermark (pypeman has no event-time semantics
   at all — SURVEY §2 'not present'; this is the Spark-first upgrade).
+* :func:`ttl_first_seen` — first-occurrence filter with processing-time
+  TTL eviction (arbitrary-state v2 ``transformWithStateInPandas`` when
+  protobuf is available, ``applyInPandasWithState`` +
+  ``ProcessingTimeTimeout`` otherwise).
 
 Scale: state is partitioned by key across the cluster; the watermark
 bounds state size (old windows evicted), so the operator runs
@@ -30,6 +34,7 @@ __all__ = [
     "watermarked_window_counts",
     "session_window_counts",
     "stream_dedup",
+    "ttl_first_seen",
 ]
 
 _COUNTER_OUT = T.StructType(
@@ -151,4 +156,148 @@ def watermarked_window_counts(
             F.col("win.end").alias("window_end"),
             F.col("n"),
         )
+    )
+
+
+_FIRST_SEEN_OUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("first_payload", T.StringType()),
+    ]
+)
+
+
+def _tws_available() -> bool:
+    """``transformWithStateInPandas`` (the Spark 4 arbitrary-state v2
+    API) drives its state protocol over protobuf; absent the
+    ``protobuf`` package the driver worker crashes at query start, so
+    the v2 path is gated on the import."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def ttl_first_seen(
+    df: DataFrame,
+    key_col: str = "payload",
+    payload_col: str | None = None,
+    ttl_ms: int | None = None,
+    api: str = "auto",
+) -> DataFrame:
+    """Streaming first-occurrence filter with processing-time TTL:
+    emits only the FIRST row seen per key; later duplicates are
+    swallowed while the key's state lives.
+
+    The difference from :func:`stream_dedup`'s
+    ``dropDuplicatesWithinWatermark`` is the state bound: watermark
+    dedup evicts by EVENT time (needs a timestamp column and
+    ordered-ish data), while ``ttl_ms`` here evicts by PROCESSING-time
+    TTL, refreshed on every sighting. A key unseen for ``ttl_ms`` is
+    forgotten and its next occurrence re-emits: the standard
+    cache-shaped dedup for sources with no usable event time.
+    ``ttl_ms=None`` keeps keys forever (exact dedup, state grows with
+    distinct keys).
+
+    Two equivalent implementations, selected by ``api``:
+
+    * ``"v2"`` — ``transformWithStateInPandas`` (Spark 4 arbitrary
+      state): ``ValueState`` with native ``ttlDurationMs``. Requires
+      the ``protobuf`` package and the RocksDB state-store provider.
+    * ``"v1"`` — ``applyInPandasWithState`` with
+      ``ProcessingTimeTimeout``: the timeout IS the TTL (set on every
+      sighting; a timed-out key's state is removed so its next
+      occurrence re-emits). One semantic nuance vs v2: Spark fires a
+      v1 timeout only in a micro-batch where the key has NO new data,
+      so a duplicate arriving in the first batch after expiry — before
+      any batch has fired the timeout — is still swallowed; v2's
+      ``ttlDurationMs`` is checked at state-read time and re-emits
+      immediately.
+    * ``"auto"`` (default) — v2 when protobuf is importable, else v1.
+
+    Scale: either way, state is hash-partitioned by key across
+    executors and lives in the checkpointed state store, so the
+    operator runs indefinitely on unbounded streams with bounded
+    memory once a TTL is set."""
+    import pandas as pd
+
+    out_payload = payload_col or key_col
+    if api == "auto":
+        api = "v2" if _tws_available() else "v1"
+
+    if api == "v2":
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class FirstSeen(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._seen = handle.getValueState(
+                    "seen", "seen BOOLEAN", ttlDurationMs=ttl_ms
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                if self._seen.exists():
+                    return
+                first = None
+                for pdf in rows:
+                    if len(pdf):
+                        first = pdf[out_payload].iloc[0]
+                        break
+                self._seen.update((True,))
+                yield pd.DataFrame(
+                    {"key": [str(key[0])], "first_payload": [first]}
+                )
+
+            def close(self) -> None:
+                pass
+
+        return df.groupBy(F.col(key_col)).transformWithStateInPandas(
+            statefulProcessor=FirstSeen(),
+            outputStructType=_FIRST_SEEN_OUT,
+            outputMode="append",
+            timeMode="ProcessingTime",
+        )
+
+    if api != "v1":
+        raise ValueError(f"api must be 'auto', 'v1' or 'v2', got {api!r}")
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            # TTL lapsed with no sighting: forget the key entirely so
+            # its next occurrence re-emits
+            state.remove()
+            return
+        fresh = not state.exists
+        first = None
+        for pdf in pdfs:
+            if fresh and first is None and len(pdf):
+                first = pdf[out_payload].iloc[0]
+        state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)  # refreshed every sighting
+        if fresh:
+            yield pd.DataFrame(
+                {"key": [str(key[0])], "first_payload": [first]}
+            )
+
+    return df.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=_FIRST_SEEN_OUT,
+        stateStructType=T.StructType(
+            [T.StructField("seen", T.BooleanType())]
+        ),
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
