@@ -62,6 +62,7 @@ HEADLINE = [
     "lsh_ann_multi_topk",
     "ivf_index_probe",
     "pq_ann_topk",
+    "ivfpq_index_probe",
     "text_language_id",
     "text_quality_score",
     "token_counts",

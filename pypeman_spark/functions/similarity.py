@@ -37,6 +37,9 @@ __all__ = [
     "pq_codebooks_kmeans",
     "pq_encode",
     "pq_ann_topk",
+    "ivfpq_residual_codebooks",
+    "ivfpq_index_write",
+    "ivfpq_probe",
 ]
 
 
@@ -658,6 +661,214 @@ def pq_ann_topk(
         corpus.select(id_col, vec_col), id_col
     )
     rescored = cand.join(F.broadcast(qv), query_id_col).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ — the composed production stack (Faiss's IVFADC shape):
+# IVF prunes WHICH cells are scanned (partition pruning on disk), PQ
+# compresses WHAT is scanned inside them (residual codes, ADC scoring),
+# exact cosine re-ranks the shortlist. Residual encoding is the classic
+# trick: vectors inside a cell share their centroid, so quantizing
+# (vec - centroid) instead of vec spends the codebook's resolution on
+# the within-cell variation that actually distinguishes neighbors.
+# ---------------------------------------------------------------------------
+
+
+def _residual(vec: Column, cent_arr: Column, cid: Column) -> Column:
+    """``vec - centroid[cid]`` with the centroid looked up in the
+    inlined ``array<struct<cid, cv>>`` literal — a narrow map."""
+    cv = F.element_at(
+        F.filter(cent_arr, lambda c: c["cid"] == cid), 1
+    )["cv"]
+    return F.zip_with(vec, cv, lambda x, y: x - y)
+
+
+def ivfpq_residual_codebooks(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic residual codebooks: the ``n_codes`` lowest-id
+    vectors' residuals (vector minus its assigned centroid), sliced
+    per sub-space — same oracle-reproducible convention as
+    :func:`pq_codebooks`, applied to the residual space."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} sub-spaces")
+    ds = dim // m
+    seed_rows = (
+        ivf_assign(
+            corpus.orderBy(id_col).limit(n_codes),
+            centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        .withColumn(
+            "__r",
+            _residual(F.col(vec_col), _centroid_array(centroids), F.col("cid")),
+        )
+        .orderBy(id_col)
+        .select("__r")
+        .collect()
+    )
+    return [
+        [
+            [float(x) for x in r["__r"][j * ds : (j + 1) * ds]]
+            for r in seed_rows
+        ]
+        for j in range(m)
+    ]
+
+
+def ivfpq_index_write(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 4,
+    n_codes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> str:
+    """Persist the IVF+PQ index: the corpus partitioned by cell
+    (``partitionBy("cid")``) carrying vector AND residual PQ codes per
+    row, plus the centroid table and codebooks beside it.
+
+    On disk this gives both halves of the production trade: a probe
+    prunes unprobed cells at file-listing time, and inside probed
+    cells the ADC stage projects ONLY ``(id, pq_code)`` — parquet's
+    columnar layout means the fat vector column is not read until the
+    final re-rank touches the shortlist. Build is one narrow map over
+    the corpus (inlined centroids + codebooks) plus the write."""
+    cent = (
+        centroids
+        if centroids is not None
+        else _default_centroids(corpus, n_centroids, id_col, vec_col)
+    )
+    books = (
+        codebooks
+        if codebooks is not None
+        else ivfpq_residual_codebooks(
+            corpus, cent, m=m, n_codes=n_codes, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+    )
+    assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+    coded = pq_encode(
+        assigned.withColumn(
+            "__r",
+            _residual(F.col(vec_col), _centroid_array(cent), F.col("cid")),
+        ),
+        books,
+        vec_col="__r",
+    ).drop("__r")
+    coded.write.mode("overwrite").partitionBy("cid").parquet(path)
+    cent.write.mode("overwrite").parquet(path + "_centroids")
+    spark = corpus.sparkSession
+    flat = [
+        (j, c, books[j][c])
+        for j in range(len(books))
+        for c in range(len(books[j]))
+    ]
+    spark.createDataFrame(
+        flat, schema="j int, code int, cv array<double>"
+    ).write.mode("overwrite").parquet(path + "_codebooks")
+    return path
+
+
+def ivfpq_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rerank: bool = True,
+    n_candidates: int | None = None,
+) -> DataFrame:
+    """Query a persisted IVF+PQ index (:func:`ivfpq_index_write`).
+
+    Stages, each with its 100 TB shape:
+
+    1. probe cells — per-query ``nprobe`` closest centroids (narrow
+       map over the broadcast centroid literals), pushed into the scan
+       as a partition ``IN`` filter: unprobed cells never listed;
+    2. ADC — the query residual w.r.t. EACH probed cell's centroid
+       feeds the per-sub-space LUTs; the index side of the join
+       carries ``(cid, id, pq_code)`` only — the vector column is
+       pruned out of this scan;
+    3. shortlist — per-query top ``n_candidates`` (default ``4*k``,
+       or ``k`` when ``rerank=False``) by ADC distance;
+    4. re-rank (``rerank=True``) — exact cosine over the shortlist
+       only, reading vectors just for those rows via a broadcast
+       semi-join back into the probed partitions."""
+    cent = spark.read.parquet(path + "_centroids")
+    brows = spark.read.parquet(path + "_codebooks").collect()
+    m = 1 + max(r["j"] for r in brows)
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(brows, key=lambda r: (r["j"], r["code"])):
+        books[r["j"]].append([float(x) for x in r["cv"]])
+    ds = len(books[0][0])
+
+    probes = _probe_cells(queries, cent, nprobe, query_id_col, vec_col)
+    probe_cids = sorted(
+        r["cid"] for r in probes.select("cid").distinct().collect()
+    )
+    # query residual per probed cell, then the per-sub-space LUTs
+    qres = probes.withColumn(
+        "__qr", _residual(F.col("__qvec"), _centroid_array(cent), F.col("cid"))
+    )
+    for j in range(m):
+        qsub = F.slice(F.col("__qr"), j * ds + 1, ds)
+        qres = qres.withColumn(
+            f"__lut{j}",
+            F.transform(_code_array(books[j]), lambda cv: _l2sq(qsub, cv)),
+        )
+    qlut = qres.drop("__qvec", "__qr")
+
+    index = spark.read.parquet(path).filter(F.col("cid").isin(probe_cids))
+    adc = sum(
+        F.element_at(F.col(f"__lut{j}"), F.col("pq_code")[j] + 1)
+        for j in range(m)
+    )
+    scored = index.select("cid", id_col, "pq_code").join(
+        F.broadcast(qlut), "cid"
+    ).select(query_id_col, id_col, F.round(adc, 6).alias("score"))
+    n_cand = k if not rerank else (n_candidates or 4 * k)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").asc(), F.col(id_col).asc()
+    )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_cand)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+    if not rerank:
+        return shortlist
+    qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    cand_vecs = shortlist.select(query_id_col, id_col).join(
+        index.select(id_col, vec_col), id_col
+    )
+    rescored = cand_vecs.join(F.broadcast(qv), query_id_col).select(
         query_id_col,
         id_col,
         F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),

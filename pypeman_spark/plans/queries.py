@@ -2421,3 +2421,129 @@ def pq_ann_topk_q(spark, sf_dir):
     )
     books = S.pq_codebooks(emb, m=4, n_codes=8, dim=64)
     return S.pq_ann_topk(emb, queries, books, k=5)
+
+
+def _ivfpq_oracle(
+    m: int = 4, ds: int = 16, n_cent: int = 8, n_codes: int = 8,
+    nprobe: int = 2, k: int = 5, n_cand: int = 20,
+) -> str:
+    """Relational IVFADC: centroid assignment, residual codebooks from
+    the lowest-id vectors' residuals, argmin encode, per-(query, probed
+    cell) residual LUTs, ADC shortlist, exact-cosine re-rank — every
+    stage re-derived in SQL against the same deterministic seeds."""
+    subs = ",".join(f"({j})" for j in range(m))
+
+    def res_l2sq(vec: str, cent: str, code: str) -> str:
+        # Σ_i ((vec[j*ds+i] - cent[j*ds+i]) - code[i])², the same
+        # element-order fold as the Spark side's zip_with/aggregate
+        term = (
+            f"(({vec}[__j*{ds} + __i] - {cent}[__j*{ds} + __i])"
+            f" - {code}[__i])"
+        )
+        return (
+            f"list_sum(list_transform(generate_series(1, {ds}), "
+            f"__i -> {term} * {term}))"
+        )
+
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < {n_cent}),
+    asg AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT c.vec_id, c.v, cent.cid,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                 {_COS.format(a='c.v', b='cent.cv')} DESC, cent.cid) AS rn
+        FROM c, cent) WHERE rn = 1
+    ),
+    subs AS (SELECT * FROM (VALUES {subs}) AS s(__j)),
+    codes AS (
+      SELECT subs.__j, s.vec_id AS code,
+             list_transform(generate_series(1, {ds}),
+               __i -> s.v[subs.__j*{ds} + __i] - sc.cv[subs.__j*{ds} + __i])
+               AS rcv
+      FROM (SELECT * FROM asg WHERE vec_id < {n_codes}) s
+      JOIN cent sc ON s.cid = sc.cid, subs
+    ),
+    enc AS (
+      SELECT vec_id, __j, code FROM (
+        SELECT a.vec_id, codes.__j, codes.code,
+               row_number() OVER (PARTITION BY a.vec_id, codes.__j
+                 ORDER BY {res_l2sq('a.v', 'ac.cv', 'codes.rcv')} ASC,
+                          codes.code) AS rn
+        FROM asg a JOIN cent ac ON a.cid = ac.cid, codes) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    probe AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, cent.cid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {_COS.format(a='q.qv', b='cent.cv')} DESC, cent.cid) AS rn
+        FROM q, cent) WHERE rn <= {nprobe}
+    ),
+    qlut AS (
+      SELECT probe.query_id, probe.cid, codes.__j, codes.code,
+             {res_l2sq('probe.qv', 'pc.cv', 'codes.rcv')} AS d
+      FROM probe JOIN cent pc ON probe.cid = pc.cid, codes
+    ),
+    scored AS (
+      SELECT qlut.query_id, asg.vec_id, round(sum(qlut.d), 6) AS adc
+      FROM asg
+      JOIN qlut ON asg.cid = qlut.cid
+      JOIN enc ON enc.vec_id = asg.vec_id AND enc.__j = qlut.__j
+              AND enc.code = qlut.code
+      GROUP BY qlut.query_id, asg.vec_id
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc ASC, vec_id) AS rn
+        FROM scored) WHERE rn <= {n_cand}
+    ),
+    rer AS (
+      SELECT short.query_id, short.vec_id,
+             round({_COS.format(a='cv2.v', b='q2.qv')}, 6) AS score
+      FROM short
+      JOIN c cv2 ON cv2.vec_id = short.vec_id
+      JOIN q q2 ON q2.query_id = short.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM rer
+    )
+    SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("ivfpq_index_probe", _ivfpq_oracle())
+def ivfpq_index_probe_q(spark, sf_dir):
+    """The composed production ANN stack (functions/similarity.py:
+    ivfpq_index_write / ivfpq_probe — Faiss's IVFADC shape): the corpus
+    is partitioned by centroid cell AND carries residual PQ codes; a
+    probe prunes unprobed cells at file-listing time, ADC-scores the
+    probed cells reading only (id, codes) — the vector column stays
+    unread until the re-rank — then exact-cosine re-ranks the 4k-wide
+    shortlist. Deterministic lowest-id centroids and residual codebooks
+    so the oracle re-derives every stage relationally."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..functions import similarity as S2
+
+    emb = tp(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"_{os.getpid()}"
+    path = os.path.join(
+        tempfile.gettempdir(), f"pypeman_ivfpq_idx_{tag}", "index"
+    )
+    S2.ivfpq_index_write(emb, path, n_centroids=8, m=4, n_codes=8, dim=64)
+    return S2.ivfpq_probe(spark, path, queries, k=5, nprobe=2, rerank=True)

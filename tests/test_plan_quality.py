@@ -463,3 +463,34 @@ def test_gopher_quality_filter_zero_shuffle(spark):
     plan = plan_of(REGISTRY["gopher_quality_filter"].fn(spark, SF))
     assert "Exchange" not in plan
     assert "Generate" not in plan
+
+
+def test_ivfpq_probe_prunes_partitions_and_vector_column(spark, tmp_path):
+    # the composed stack must show BOTH scale properties at once:
+    # (a) unprobed cells pruned at file-listing time (PartitionFilters),
+    # (b) the ADC stage's index scan reads (vec_id, pq_code) only — the
+    #     fat vector column stays unread until the re-rank
+    from pypeman_spark.functions import similarity as S
+
+    emb = load_table(spark, SF, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivfpq")
+    S.ivfpq_index_write(emb, path, n_centroids=8, m=4, n_codes=8, dim=64)
+    adc = S.ivfpq_probe(spark, path, q, k=5, nprobe=1, rerank=False)
+    plan = plan_of(adc)
+    pf = plan.split("PartitionFilters")[1][:120]
+    # one probed cell for one query at nprobe=1: Catalyst folds the
+    # single-element isin into an equality partition filter
+    import re
+    assert "cid" in pf
+    assert re.search(r"cid#\d+ = \d+\)", pf) or " IN " in pf
+    # the ADC scan projects codes, not vectors
+    adc_scan = [
+        seg[:120] for seg in plan.split("ReadSchema:")[1:]
+        if "pq_code" in seg[:120]
+    ]
+    assert adc_scan and all("embedding" not in s for s in adc_scan)

@@ -597,3 +597,59 @@ def test_pq_kmeans_codebooks_reduce_quantization_error(spark, sf_dir):
         return coded.agg(F.avg(expr)).collect()[0][0]
 
     assert qerr(fit) <= qerr(det) * 1.05  # fitted no worse (5% slack)
+
+
+def test_ivfpq_probe_end_to_end(spark, sf_dir, tmp_path):
+    # composed IVF+PQ: residual codes round-trip through the partitioned
+    # index; the reranked probe returns exact-cosine scores and finds
+    # the self-match at rank 1
+    from pypeman_spark.functions import similarity as S
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivfpq")
+    S.ivfpq_index_write(emb, path, n_centroids=8, m=4, n_codes=8, dim=64)
+    res = S.ivfpq_probe(spark, path, q, k=5, nprobe=2, rerank=True).collect()
+    assert len(res) == 25
+    top1 = {r["query_id"]: (r["vec_id"], r["score"]) for r in res if r["rank"] == 1}
+    assert top1 == {i: (i, 1.0) for i in range(5)}
+    # rerank scores are exact cosine: all in [-1, 1], descending per query
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert all(-1.0 <= r["score"] <= 1.0 for r in rows)
+        assert all(
+            rows[i]["score"] >= rows[i + 1]["score"]
+            for i in range(len(rows) - 1)
+        )
+
+
+def test_ivfpq_with_nprobe_all_and_wide_shortlist_matches_ivf(spark, sf_dir, tmp_path):
+    # with every cell probed and the shortlist as wide as the corpus,
+    # the PQ stage cannot lose the true neighbors: the reranked top-k
+    # must equal the plain IVF result at full probe (= exact search)
+    from pypeman_spark.functions import similarity as S
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivfpq_all")
+    S.ivfpq_index_write(emb, path, n_centroids=4, m=4, n_codes=8, dim=64)
+    got = {
+        tuple(r)
+        for r in S.ivfpq_probe(
+            spark, path, q, k=5, nprobe=4, rerank=True, n_candidates=200
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in S.ivf_ann_topk(
+            emb, q, k=5, n_centroids=4, nprobe=4
+        ).collect()
+    }
+    assert got == want and len(got) == 15
