@@ -440,34 +440,35 @@ def suppliers_with_shipments(spark, sf_dir):
 
 
 @q(
-    "users_purchase_and_error",
+    "users_set_ops",
     """
-    SELECT user_id FROM events WHERE event_type = 'purchase'
-    INTERSECT
-    SELECT user_id FROM events WHERE event_type = 'error'
+    SELECT 'both_purchase_error' AS mode, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'error')
+    UNION ALL
+    SELECT 'view_no_purchase' AS mode, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'view'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
     """,
 )
-def users_purchase_and_error(spark, sf_dir):
+def users_set_ops(spark, sf_dir):
+    """Composed set-operator shapes (r5 consolidation of
+    users_purchase_and_error + users_view_no_purchase — both arms keep
+    their machinery): INTERSECT via DataFrame.intersect, EXCEPT via
+    subtract (set semantics, not exceptAll), unioned under a mode tag."""
     ev = t(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    b = ev.filter(F.col("event_type") == "error").select("user_id")
-    return a.intersect(b)
-
-
-@q(
-    "users_view_no_purchase",
-    """
-    SELECT user_id FROM events WHERE event_type = 'view'
-    EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
-    """,
-)
-def users_view_no_purchase(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "view").select("user_id")
-    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    # subtract = EXCEPT (set semantics); exceptAll would keep multiplicity
-    return a.subtract(b)
+    purchase = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    error = ev.filter(F.col("event_type") == "error").select("user_id")
+    view = ev.filter(F.col("event_type") == "view").select("user_id")
+    both = purchase.intersect(error).select(
+        F.lit("both_purchase_error").alias("mode"), "user_id"
+    )
+    no_buy = view.subtract(purchase).select(
+        F.lit("view_no_purchase").alias("mode"), "user_id"
+    )
+    return both.unionByName(no_buy)
 
 
 @q(
@@ -820,75 +821,94 @@ def search_text_window(spark, sf_dir):
 
 
 @q(
-    "search_regex_anchored",
+    "store_search_suite",
     """
-    SELECT event_id, props FROM events
-    WHERE regexp_matches(props, '^\\{"k": 9[0-9]')
+    SELECT 'regex' AS mode, event_id, props AS detail,
+           CAST(NULL AS DOUBLE) AS num
+    FROM events WHERE regexp_matches(props, '^\\{"k": 9[0-9]')
+    UNION ALL
+    SELECT 'meta_range' AS mode, event_id, event_type AS detail,
+           round(value, 2) AS num
+    FROM events WHERE value >= 100.0 AND value <= 200.0
+    UNION ALL
+    SELECT 'keyset' AS mode, event_id, CAST(NULL AS VARCHAR) AS detail,
+           CAST(NULL AS DOUBLE) AS num
+    FROM (SELECT event_id FROM events WHERE event_id > 5000
+          ORDER BY event_id LIMIT 20)
+    UNION ALL
+    SELECT 'point' AS mode, event_id, substring(props, 1, 10) AS detail,
+           CAST(NULL AS DOUBLE) AS num
+    FROM events WHERE event_id = 42
+    UNION ALL
+    SELECT 'total' AS mode, CAST(NULL AS BIGINT) AS event_id,
+           CAST(NULL AS VARCHAR) AS detail,
+           CAST(count(*) AS DOUBLE) AS num
+    FROM events
     """,
 )
-def search_regex_anchored(spark, sf_dir):
-    """Row 53 rtext: reference uses re.match → anchored regex
-    (msgstore.py:766)."""
+def store_search_suite(spark, sf_dir):
+    """Composed msgstore search surface (r5 consolidation of
+    search_regex_anchored + search_meta_range + keyset_pagination +
+    point_lookup_preview + total_count — every arm keeps its exact
+    machinery, reference msgstore.py:243-251,710-735,766,817-821,292):
+
+    * ``regex`` — anchored rtext regex (reference uses re.match);
+    * ``meta_range`` — start_/end_ numeric meta range;
+    * ``keyset`` — start_id keyset pagination (filter > last id,
+      ORDER BY unique key, LIMIT page — deterministic in both engines);
+    * ``point`` — get/get_preview_str point lookup;
+    * ``total`` — total().
+
+    One scan feeds the first two arms and the keyset arm after
+    pushdown; the arms union under a mode tag with a shared nullable
+    schema."""
     ev = t(spark, sf_dir, "events")
-    # no ORDER BY: the driver's compare is order-insensitive and a full
-    # sort without LIMIT is a wasted range-partition shuffle at scale
-    return ev.filter(F.col("props").rlike('^\\{"k": 9[0-9]')).select(
-        "event_id", "props"
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    regex = ev.filter(F.col("props").rlike('^\\{"k": 9[0-9]')).select(
+        F.lit("regex").alias("mode"),
+        "event_id",
+        F.col("props").alias("detail"),
+        null_d.alias("num"),
     )
-
-
-@q(
-    "search_meta_range",
-    """
-    SELECT event_id, event_type, round(value, 2) AS value FROM events
-    WHERE value >= 100.0 AND value <= 200.0
-    """,
-)
-def search_meta_range(spark, sf_dir):
-    """Row 54 start_/end_ numeric meta range (msgstore.py:243-251)."""
-    ev = t(spark, sf_dir, "events")
-    return ev.filter((F.col("value") >= 100.0) & (F.col("value") <= 200.0)).select(
-        "event_id", "event_type", F.round("value", 2).alias("value")
+    meta = ev.filter(
+        (F.col("value") >= 100.0) & (F.col("value") <= 200.0)
+    ).select(
+        F.lit("meta_range").alias("mode"),
+        "event_id",
+        F.col("event_type").alias("detail"),
+        F.round("value", 2).alias("num"),
     )
-
-
-@q(
-    "keyset_pagination",
-    """
-    SELECT event_id, ts FROM events WHERE event_id > 5000
-    ORDER BY event_id LIMIT 20
-    """,
-)
-def keyset_pagination(spark, sf_dir):
-    """Row 53 start_id keyset pagination (msgstore.py:817-821)."""
-    ev = t(spark, sf_dir, "events")
-    return (
+    keyset = (
         ev.filter(F.col("event_id") > 5000)
-        .select("event_id", "ts")
+        .select("event_id")
         .orderBy("event_id")
         .limit(20)
+        .select(
+            F.lit("keyset").alias("mode"),
+            "event_id",
+            null_s.alias("detail"),
+            null_d.alias("num"),
+        )
     )
-
-
-@q(
-    "point_lookup_preview",
-    """
-    SELECT event_id, substring(props, 1, 10) AS preview FROM events
-    WHERE event_id = 42
-    """,
-)
-def point_lookup_preview(spark, sf_dir):
-    """Row 56 get/get_preview_str (msgstore.py:710-735)."""
-    ev = t(spark, sf_dir, "events")
-    return ev.filter(F.col("event_id") == 42).select(
-        "event_id", F.substring("props", 1, 10).alias("preview")
+    point = ev.filter(F.col("event_id") == 42).select(
+        F.lit("point").alias("mode"),
+        "event_id",
+        F.substring("props", 1, 10).alias("detail"),
+        null_d.alias("num"),
     )
-
-
-@q("total_count", "SELECT count(*) AS total FROM events")
-def total_count(spark, sf_dir):
-    """Row 55 total() (msgstore.py:292)."""
-    return t(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("total"))
+    total = ev.agg(F.count(F.lit(1)).alias("__n")).select(
+        F.lit("total").alias("mode"),
+        F.lit(None).cast("long").alias("event_id"),
+        null_s.alias("detail"),
+        F.col("__n").cast("double").alias("num"),
+    )
+    return (
+        regex.unionByName(meta)
+        .unionByName(keyset)
+        .unionByName(point)
+        .unionByName(total)
+    )
 
 
 # =====================================================================
