@@ -362,3 +362,98 @@ def test_top_ngram_stats_matches_bruteforce(spark, words, n):
         best = max(c.values())
         want = min(g for g, k in c.items() if k == best)
         assert (row["ngram"], row["cnt"]) == (want, best)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-2.0, max_value=2.0,
+                      allow_nan=False, allow_infinity=False),
+            min_size=8, max_size=8,
+        ),
+        min_size=4, max_size=12, unique_by=tuple,
+    )
+)
+def test_pq_encode_picks_true_argmin(spark, vecs):
+    # the Column-expression argmin must agree with a plain-Python
+    # reference on arbitrary vectors: per sub-space, the chosen code
+    # minimizes squared L2 (ties -> lowest code id)
+    from pypeman_spark.functions import similarity as S
+
+    m, ds, n_codes = 2, 4, min(3, len(vecs))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    books = S.pq_codebooks(df, m=m, n_codes=n_codes, dim=8)
+    got = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in S.pq_encode(df, books).select("vec_id", "pq_code").collect()
+    }
+
+    def py_l2sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for i, v in enumerate(vecs):
+        for j in range(m):
+            sub = v[j * ds:(j + 1) * ds]
+            dists = [py_l2sq(sub, c) for c in books[j]]
+            best = min(range(n_codes), key=lambda c: (dists[c], c))
+            assert got[i][j] == best, (i, j, dists, got[i])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-2.0, max_value=2.0,
+                      allow_nan=False, allow_infinity=False),
+            min_size=8, max_size=8,
+        ),
+        min_size=5, max_size=10, unique_by=tuple,
+    )
+)
+def test_pq_adc_equals_python_reference(spark, vecs):
+    # ADC score = sum over sub-spaces of d(query sub-vector, the code
+    # the corpus row was assigned) — cross-check the whole pipeline
+    # (encode + LUT + sum + top-k ordering) against plain Python
+    from pypeman_spark.functions import similarity as S
+
+    m, ds, n_codes = 2, 4, 4
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    books = S.pq_codebooks(df, m=m, n_codes=min(n_codes, len(vecs)), dim=8)
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        r["vec_id"]: r["score"]
+        for r in S.pq_ann_topk(df, q, books, k=len(vecs)).collect()
+    }
+
+    def py_l2sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def py_code(v, j):
+        sub = v[j * ds:(j + 1) * ds]
+        dists = [py_l2sq(sub, c) for c in books[j]]
+        return min(range(len(books[j])), key=lambda c: (dists[c], c))
+
+    qv = vecs[0]
+    for i, v in enumerate(vecs):
+        want = sum(
+            py_l2sq(qv[j * ds:(j + 1) * ds], books[j][py_code(v, j)])
+            for j in range(m)
+        )
+        assert abs(got[i] - round(want, 6)) < 1e-6, (i, got[i], want)
