@@ -1,4 +1,4 @@
-"""Grouped percentile helper (SURVEY §2 analytics; VERDICT r01 item 7).
+"""Grouped percentile + cardinality-sketch helpers (SURVEY §2 analytics).
 
 ``exact=True`` uses ``percentile`` — linearly-interpolated and
 oracle-exact, but a sort-based aggregate that buffers every value of a
@@ -14,7 +14,13 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["grouped_percentiles"]
+__all__ = [
+    "grouped_percentiles",
+    "cardinality_sketch",
+    "merge_cardinality_sketches",
+    "grouped_distinct_estimate",
+    "heavy_hitters",
+]
 
 
 def grouped_percentiles(
@@ -42,3 +48,82 @@ def grouped_percentiles(
             col = F.round(col, round_to)
         aggs.append(col.alias(name))
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def cardinality_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lg_k: int = 12,
+    sketch_col: str = "distinct_sketch",
+) -> DataFrame:
+    """Per-group HyperLogLog sketches (Apache DataSketches HLL, built
+    into Spark SQL) of ``COUNT(DISTINCT value_col)``.
+
+    The 100 TB story is MERGEABILITY, not just bounded memory: exact
+    count-distinct needs a full shuffle of every distinct value; a
+    sketch is a fixed ``~2^lg_k``-byte binary that aggregates with
+    map-side partials, persists next to each partition/day, and rolls
+    up later with :func:`merge_cardinality_sketches` WITHOUT re-reading
+    the data — incremental distinct-users-per-anything at any scale.
+    Standard error ≈ 1.04/√2^lg_k (~1.6% at the default lg_k=12)."""
+    return df.groupBy(*group_cols).agg(
+        F.expr(f"hll_sketch_agg({value_col}, {lg_k})").alias(sketch_col)
+    )
+
+
+def merge_cardinality_sketches(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sketch_col: str = "distinct_sketch",
+) -> DataFrame:
+    """Roll previously-built sketches up to a coarser grouping (e.g.
+    day → month, shard → corpus) via ``hll_union_agg`` — a pure
+    sketch-merge, no raw data touched. Empty ``group_cols`` gives the
+    single global rollup."""
+    grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    return grouped.agg(
+        F.expr(f"hll_union_agg({sketch_col})").alias(sketch_col)
+    )
+
+
+def grouped_distinct_estimate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lg_k: int = 12,
+    out_col: str = "n_distinct_est",
+) -> DataFrame:
+    """Per-group approximate distinct counts: sketch + estimate in one
+    aggregation (one shuffle of fixed-size sketch partials)."""
+    sk = cardinality_sketch(df, group_cols, value_col, lg_k=lg_k)
+    return sk.select(
+        *group_cols,
+        F.expr("hll_sketch_estimate(distinct_sketch)").alias(out_col),
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 10,
+    max_items_tracked: int = 10000,
+) -> DataFrame:
+    """Per-group approximate top-``k`` most frequent values via
+    ``approx_top_k`` (one aggregation pass, mergeable partials).
+
+    The exact formulation — groupBy(value) → count → window top-k —
+    shuffles EVERY distinct value; on a 100 TB token/n-gram census the
+    shuffle is the corpus. The sketch tracks ``max_items_tracked``
+    candidates per partial, merges map-side, and ships one bounded
+    struct per group. Exact when a group's distinct-value count stays
+    under ``max_items_tracked`` (the usual case for per-domain token
+    stats); approximate with frequency error bounded by the sketch
+    capacity otherwise. Output: group cols + ``topk`` =
+    ``array<struct<item, count>>`` ordered most-frequent first."""
+    return df.groupBy(*group_cols).agg(
+        F.expr(
+            f"approx_top_k({value_col}, {k}, {max_items_tracked})"
+        ).alias("topk")
+    )

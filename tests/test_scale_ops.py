@@ -653,3 +653,61 @@ def test_ivfpq_with_nprobe_all_and_wide_shortlist_matches_ivf(spark, sf_dir, tmp
         ).collect()
     }
     assert got == want and len(got) == 15
+
+
+def test_cardinality_sketch_error_and_mergeability(spark):
+    from pypeman_spark.functions.stats import (
+        cardinality_sketch,
+        grouped_distinct_estimate,
+        merge_cardinality_sketches,
+    )
+
+    df = spark.range(50000).selectExpr(
+        "id % 3000 AS user_id", "id % 7 AS day"
+    )
+    # per-day estimates within HLL's error bound of the exact counts
+    est = {
+        r["day"]: r["n_distinct_est"]
+        for r in grouped_distinct_estimate(df, ["day"], "user_id").collect()
+    }
+    exact = {
+        r["day"]: r["n"]
+        for r in df.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for day, n in exact.items():
+        assert abs(est[day] - n) / n < 0.05  # ~3 sigma at lg_k=12
+    # mergeability: union of the 7 per-day sketches must estimate the
+    # SAME value as one sketch built over all data — HLL union of
+    # equal-lg_k sketches is exact over sketch state, not approximate
+    daily = cardinality_sketch(df, ["day"], "user_id")
+    merged_est = (
+        merge_cardinality_sketches(daily, [])
+        .select(F.expr("hll_sketch_estimate(distinct_sketch)").alias("e"))
+        .collect()[0]["e"]
+    )
+    direct_est = (
+        df.agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").alias("e"))
+        .collect()[0]["e"]
+    )
+    assert merged_est == direct_est
+    assert abs(merged_est - 3000) / 3000 < 0.05
+
+
+def test_heavy_hitters_exact_on_small_domains(spark):
+    # under the tracked-item capacity the sketch is exact: recover the
+    # true per-group top-3 of a skewed distribution
+    from pypeman_spark.functions.stats import heavy_hitters
+
+    rows = []
+    for g in ("a", "b"):
+        for word, n in (("x", 50), ("y", 30), ("z", 10), ("w", 5)):
+            rows += [(g, word + g)] * n
+    df = spark.createDataFrame(rows, "grp string, word string")
+    out = {
+        r["grp"]: [(e["item"], e["count"]) for e in r["topk"]]
+        for r in heavy_hitters(df, ["grp"], "word", k=3).collect()
+    }
+    assert out["a"] == [("xa", 50), ("ya", 30), ("za", 10)]
+    assert out["b"] == [("xb", 50), ("yb", 30), ("zb", 10)]
