@@ -51,3 +51,30 @@ def test_corpus_pipeline_example_funnel(spark, tmp_path, sf_dir):
     assert back.count() == counts["chunks"]
     assert {"chunk_text", "n_tokens", "shard", "source"} <= set(back.columns)
     assert back.select("shard").distinct().count() == 2
+
+
+def test_ann_search_example(spark, tmp_path, sf_dir):
+    from pyspark.sql import functions as F
+    from pypeman_spark.sources.tables import load_table
+
+    sys.path.insert(0, "examples")
+    try:
+        import ann_search as ex
+    finally:
+        sys.path.pop(0)
+
+    corpus = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "index")
+    # deterministic centroids in the test (KMeans path covered in
+    # test_scale_ops); the example's fitted path is the same plumbing
+    ex.build_index(corpus, path, fitted=False)
+    hits = ex.search(spark, path, queries, k=5, nprobe=2).collect()
+    assert len(hits) == 25
+    assert all(r["vec_id"] == r["query_id"] for r in hits if r["rank"] == 1)
+    r = ex.recall_vs_exact(spark, path, corpus, queries, k=5, nprobe=2)
+    assert 0.0 < r <= 1.0
