@@ -201,18 +201,30 @@ def lsh_ann_topk_multi(
     )
 
 
-def _centroid_array(centroids: DataFrame) -> Column:
-    """Collect the (tiny, C ≪ N) centroid set driver-side and inline it
-    as an ``array<struct<cid, cv>>`` literal — the Faiss-style shape:
-    centroids live with the planner, the corpus never shuffles for them."""
-    rows = centroids.select("cid", "cv").collect()
+def _centroid_rows(centroids) -> list:
+    """``(cid, cv)`` rows from a centroid DataFrame — or pass-through
+    when the caller already collected them. Compositions (IVF+PQ build
+    + probe) collect ONCE and thread the rows through every stage;
+    each `.collect()` here is otherwise a separate Spark job over the
+    centroid frame's whole lineage (which derives from the corpus
+    scan), and rounds 1-5 paid it up to four times per query."""
+    if isinstance(centroids, list):
+        return centroids
+    return centroids.select("cid", "cv").collect()
+
+
+def _centroid_array(centroids) -> Column:
+    """Inline the (tiny, C ≪ N) centroid set as an
+    ``array<struct<cid, cv>>`` literal — the Faiss-style shape:
+    centroids live with the planner, the corpus never shuffles for
+    them. Accepts a DataFrame or pre-collected rows."""
     return F.array(
         *[
             F.struct(
                 F.lit(r["cid"]).alias("cid"),
                 F.array(*[F.lit(float(v)) for v in r["cv"]]).alias("cv"),
             )
-            for r in rows
+            for r in _centroid_rows(centroids)
         ]
     )
 
@@ -349,8 +361,9 @@ def ivf_ann_topk(
         if centroids is not None
         else _default_centroids(corpus, n_centroids, id_col, vec_col)
     )
-    assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
-    probes = _probe_cells(queries, cent, nprobe, query_id_col, vec_col)
+    cent_rows = _centroid_rows(cent)  # one driver round-trip, reused
+    assigned = ivf_assign(corpus, cent_rows, id_col=id_col, vec_col=vec_col)
+    probes = _probe_cells(queries, cent_rows, nprobe, query_id_col, vec_col)
     scored = assigned.join(F.broadcast(probes), "cid").select(
         query_id_col,
         id_col,
@@ -389,8 +402,13 @@ def ivf_index_write(
         if centroids is not None
         else _default_centroids(corpus, n_centroids, id_col, vec_col)
     )
-    assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+    cent_rows = _centroid_rows(cent)  # one round-trip: assignment + write
+    assigned = ivf_assign(corpus, cent_rows, id_col=id_col, vec_col=vec_col)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    # write the centroid table from its JVM lineage, NOT
+    # createDataFrame(rows): local-rows conversion routes through a
+    # Python-worker job (~0.7 s overhead) while the recompute is a tiny
+    # pure-JVM job
     cent.write.mode("overwrite").parquet(path + "_centroids")
     return path
 
@@ -441,8 +459,8 @@ def ivf_probe(
     plan prunes unprobed cells at file-listing time (``PartitionFilters``
     in .explain), so scan cost is ~``nprobe/C`` of the index regardless
     of corpus size. Exact cosine re-rank inside the probed cells only."""
-    cent = spark.read.parquet(path + "_centroids")
-    probes = _probe_cells(queries, cent, nprobe, query_id_col, vec_col)
+    cent_rows = _centroid_rows(spark.read.parquet(path + "_centroids"))
+    probes = _probe_cells(queries, cent_rows, nprobe, query_id_col, vec_col)
     probe_cids = sorted(
         r["cid"] for r in probes.select("cid").distinct().collect()
     )
@@ -711,16 +729,17 @@ def ivfpq_residual_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} sub-spaces")
     ds = dim // m
+    cent_rows = _centroid_rows(centroids)
     seed_rows = (
         ivf_assign(
             corpus.orderBy(id_col).limit(n_codes),
-            centroids,
+            cent_rows,
             id_col=id_col,
             vec_col=vec_col,
         )
         .withColumn(
             "__r",
-            _residual(F.col(vec_col), _centroid_array(centroids), F.col("cid")),
+            _residual(F.col(vec_col), _centroid_array(cent_rows), F.col("cid")),
         )
         .orderBy(id_col)
         .select("__r")
@@ -762,24 +781,26 @@ def ivfpq_index_write(
         if centroids is not None
         else _default_centroids(corpus, n_centroids, id_col, vec_col)
     )
+    cent_rows = _centroid_rows(cent)  # one round-trip for all stages
     books = (
         codebooks
         if codebooks is not None
         else ivfpq_residual_codebooks(
-            corpus, cent, m=m, n_codes=n_codes, dim=dim,
+            corpus, cent_rows, m=m, n_codes=n_codes, dim=dim,
             id_col=id_col, vec_col=vec_col,
         )
     )
-    assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(corpus, cent_rows, id_col=id_col, vec_col=vec_col)
     coded = pq_encode(
         assigned.withColumn(
             "__r",
-            _residual(F.col(vec_col), _centroid_array(cent), F.col("cid")),
+            _residual(F.col(vec_col), _centroid_array(cent_rows), F.col("cid")),
         ),
         books,
         vec_col="__r",
     ).drop("__r")
     coded.write.mode("overwrite").partitionBy("cid").parquet(path)
+    # JVM-lineage write, not createDataFrame(rows) — see ivf_index_write
     cent.write.mode("overwrite").parquet(path + "_centroids")
     spark = corpus.sparkSession
     flat = [
@@ -821,7 +842,7 @@ def ivfpq_probe(
     4. re-rank (``rerank=True``) — exact cosine over the shortlist
        only, reading vectors just for those rows via a broadcast
        semi-join back into the probed partitions."""
-    cent = spark.read.parquet(path + "_centroids")
+    cent_rows = _centroid_rows(spark.read.parquet(path + "_centroids"))
     brows = spark.read.parquet(path + "_codebooks").collect()
     m = 1 + max(r["j"] for r in brows)
     books: list[list[list[float]]] = [[] for _ in range(m)]
@@ -829,13 +850,14 @@ def ivfpq_probe(
         books[r["j"]].append([float(x) for x in r["cv"]])
     ds = len(books[0][0])
 
-    probes = _probe_cells(queries, cent, nprobe, query_id_col, vec_col)
+    probes = _probe_cells(queries, cent_rows, nprobe, query_id_col, vec_col)
     probe_cids = sorted(
         r["cid"] for r in probes.select("cid").distinct().collect()
     )
     # query residual per probed cell, then the per-sub-space LUTs
     qres = probes.withColumn(
-        "__qr", _residual(F.col("__qvec"), _centroid_array(cent), F.col("cid"))
+        "__qr",
+        _residual(F.col("__qvec"), _centroid_array(cent_rows), F.col("cid")),
     )
     for j in range(m):
         qsub = F.slice(F.col("__qr"), j * ds + 1, ds)
