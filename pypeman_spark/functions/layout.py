@@ -18,7 +18,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["zvalue", "zvalue_sql", "zorder_sort", "write_training_shards"]
+__all__ = [
+    "zvalue",
+    "zvalue_sql",
+    "zorder_sort",
+    "write_training_shards",
+    "compact_parquet",
+]
 
 
 def zvalue(a: Column, b: Column, bits: int = 16) -> Column:
@@ -101,3 +107,43 @@ def write_training_shards(
         .drop("__bucket")
     )
     out.write.mode("overwrite").partitionBy("shard").format(fmt).save(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_mb: int = 256,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Compact a small-files parquet directory into ``out_path`` with
+    file sizes near ``target_mb``. Returns the output partition count.
+
+    The small-files problem is a first-order 100 TB cost: a directory
+    of 100k × 1 MB files pays 100k opens + footer reads per scan and
+    drowns the driver in listing; the fix is periodic compaction to
+    ~128-512 MB files. The output partition count is sized from the
+    ACTUAL input bytes (not a guess), and ``sort_within_by`` optionally
+    re-sorts rows within each output file so min-max stats stay tight
+    after the rewrite (pair with :func:`zorder_sort` ordering for
+    two-column locality).
+
+    Writes to ``out_path`` (never in place — an in-place rewrite that
+    fails mid-write loses data); swap directories atomically in the
+    metastore/catalog layer above."""
+    import math
+
+    df = spark.read.parquet(path)
+    files = df.inputFiles()
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jvm = spark.sparkContext._jvm
+    total = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    out = df.repartition(n_out)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(out_path)
+    return n_out

@@ -711,3 +711,23 @@ def test_heavy_hitters_exact_on_small_domains(spark):
     }
     assert out["a"] == [("xa", 50), ("ya", 30), ("za", 10)]
     assert out["b"] == [("xb", 50), ("yb", 30), ("zb", 10)]
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    from pypeman_spark.functions.layout import compact_parquet
+
+    src = str(tmp_path / "small")
+    spark.range(10000).selectExpr("id", "id % 50 AS g").repartition(
+        40
+    ).write.parquet(src)
+    n_in = len(spark.read.parquet(src).inputFiles())
+    assert n_in >= 40
+
+    out = str(tmp_path / "compact")
+    n_out = compact_parquet(spark, src, out, target_mb=256,
+                            sort_within_by=["g", "id"])
+    assert n_out == 1  # tiny data -> one target-size file
+    got = spark.read.parquet(out)
+    assert len(got.inputFiles()) == 1
+    assert got.count() == 10000
+    assert got.agg(F.sum("id")).collect()[0][0] == 10000 * 9999 // 2
