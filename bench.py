@@ -84,6 +84,7 @@ HEADLINE = [
     "fuzzy_dedup_corpus",
     "chunk_documents_windows",
     "corpus_stats_and_bigrams",
+    "data_quality_report",
 ]
 
 

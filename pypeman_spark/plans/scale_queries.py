@@ -1445,3 +1445,91 @@ def gopher_quality_filter(spark, sf_dir):
     return df.select(
         "doc_id", *[c.alias(name) for name, c in sig.items()]
     )
+
+
+@q(
+    "data_quality_report",
+    """
+    WITH corpus AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             l_discount, l_shipdate
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey + 50000000, l_linenumber, l_quantity + 100,
+             -l_extendedprice, l_discount, NULL
+      FROM lineitem WHERE l_orderkey % 997 = 0
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             l_discount, l_shipdate
+      FROM lineitem WHERE l_orderkey % 499 = 0
+    ),
+    n AS (SELECT count(*) AS n_rows FROM corpus)
+    SELECT 'qty_range' AS rule,
+           (SELECT count(*) FROM corpus
+            WHERE NOT (l_quantity >= 1 AND l_quantity <= 50)
+               OR l_quantity IS NULL) AS n_violations,
+           n_rows FROM n
+    UNION ALL
+    SELECT 'price_positive',
+           (SELECT count(*) FROM corpus
+            WHERE NOT (l_extendedprice > 0)
+               OR l_extendedprice IS NULL), n_rows FROM n
+    UNION ALL
+    SELECT 'shipdate_not_null',
+           (SELECT count(*) FROM corpus WHERE l_shipdate IS NULL),
+           n_rows FROM n
+    UNION ALL
+    SELECT 'unique(l_orderkey,l_linenumber)',
+           (SELECT count(*) - count(DISTINCT l_orderkey || chr(0) ||
+                                    l_linenumber)
+            FROM corpus), n_rows FROM n
+    UNION ALL
+    SELECT 'orders_fk',
+           (SELECT count(*) FROM corpus
+            WHERE l_orderkey IS NOT NULL
+              AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+           n_rows FROM n
+    """,
+)
+def data_quality_report(spark, sf_dir):
+    """Data-quality constraint report (functions/quality.py:check):
+    row-level range/null rules in ONE aggregation pass, uniqueness via
+    count-minus-distinct in the same pass, referential integrity via a
+    broadcast left-anti count. Violations are injected
+    deterministically (mutated copies of every 997th order: quantity
+    +100, negated price, null shipdate, orphaned key; plus verbatim
+    re-unioned copies of every 499th order for duplicate keys), so
+    every rule exercises a non-zero branch and the oracle recomputes
+    the same counts relationally."""
+    from ..functions.quality import check
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    )
+    bad = li.filter(F.col("l_orderkey") % 997 == 0).select(
+        (F.col("l_orderkey") + 50000000).alias("l_orderkey"),
+        "l_linenumber",
+        (F.col("l_quantity") + 100).alias("l_quantity"),
+        (-F.col("l_extendedprice")).alias("l_extendedprice"),
+        "l_discount",
+        F.lit(None).cast("date").alias("l_shipdate"),
+    )
+    dups = li.filter(F.col("l_orderkey") % 499 == 0)
+    corpus = li.unionByName(bad).unionByName(dups)
+    orders = t(spark, sf_dir, "orders")
+    return check(
+        corpus,
+        rules={
+            "qty_range": (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 50),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+        },
+        unique=[["l_orderkey", "l_linenumber"]],
+        foreign_keys={
+            "orders_fk": (
+                ["l_orderkey"], orders, ["o_orderkey"]
+            )
+        },
+    )

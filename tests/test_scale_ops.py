@@ -731,3 +731,49 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
     assert len(got.inputFiles()) == 1
     assert got.count() == 10000
     assert got.agg(F.sum("id")).collect()[0][0] == 10000 * 9999 // 2
+
+
+def test_quality_check_flag_and_assert(spark):
+    from pypeman_spark.functions.quality import (
+        assert_valid,
+        check,
+        flag_violations,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, -5, "b"), (3, 10, None), (3, 10, "d")],
+        "id long, v long, s string",
+    )
+    rules = {
+        "v_positive": F.col("v") > 0,
+        "s_not_null": F.col("s").isNotNull(),
+    }
+    rep = {
+        r["rule"]: (r["n_violations"], r["n_rows"])
+        for r in check(df, rules, unique=[["id"]]).collect()
+    }
+    assert rep == {
+        "v_positive": (1, 4),
+        "s_not_null": (1, 4),
+        "unique(id)": (1, 4),
+    }
+
+    flagged = {
+        r["id"]: sorted(r["violations"])
+        for r in flag_violations(df, rules).collect()
+    }
+    assert flagged[1] == [] and flagged[2] == ["v_positive"]
+    # row 3 appears twice: null-s copy flags s_not_null, other is clean
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    rep_fk = {
+        r["rule"]: r["n_violations"]
+        for r in check(
+            df, {}, foreign_keys={"fk": (["id"], dim, ["k"])}
+        ).collect()
+    }
+    assert rep_fk == {"fk": 2}  # the two id=3 rows have no dim match
+
+    with _pytest.raises(ValueError, match="v_positive"):
+        assert_valid(df, rules)
+    assert_valid(df, {"id_positive": F.col("id") > 0})
