@@ -85,6 +85,7 @@ HEADLINE = [
     "chunk_documents_windows",
     "corpus_stats_and_bigrams",
     "data_quality_report",
+    "resample_forward_fill",
 ]
 
 

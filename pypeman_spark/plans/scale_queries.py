@@ -1533,3 +1533,76 @@ def data_quality_report(spark, sf_dir):
             )
         },
     )
+
+
+@q(
+    "resample_forward_fill",
+    """
+    WITH observed AS (
+      SELECT event_type,
+             -- floor(epoch), not epoch()::BIGINT: DuckDB's
+             -- double->BIGINT cast ROUNDS, while Spark's
+             -- unix_timestamp truncates — a 19:59:59.7 event must
+             -- land in bucket 19 in both engines
+             (floor(epoch(ts))::BIGINT // 3600) * 3600 AS b,
+             sum(CAST(round(value * 100) AS BIGINT)) AS value,
+             count(*) AS n_events
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+      GROUP BY event_type, (floor(epoch(ts))::BIGINT // 3600) * 3600
+    ),
+    bounds AS (
+      SELECT event_type, min(b) AS lo, max(b) AS hi
+      FROM observed GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS b
+      FROM bounds
+    ),
+    joined AS (
+      SELECT g.event_type, g.b, o.value,
+             coalesce(o.n_events, 0) AS n_events
+      FROM grid g LEFT JOIN observed o
+        ON g.event_type = o.event_type AND g.b = o.b
+    ),
+    filled AS (
+      SELECT event_type, b,
+             last_value(value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+             n_events
+      FROM joined
+    )
+    SELECT event_type, make_timestamp(b * 1000000) AS bucket_start,
+           round(value / 100.0, 6) AS value, n_events
+    FROM filled
+    """,
+)
+def resample_forward_fill(spark, sf_dir):
+    """Regular-grid resampling with gap generation and forward fill
+    (functions/timeseries.py:resample): hourly sums per event type over
+    a 3-day window, EVERY grid cell emitted between each key's first
+    and last event, empty cells forward-filled from the last observed
+    bucket (n_events=0 marks them as generated). The grid comes from
+    per-key sequence+explode — a narrow map, no calendar table, no
+    cross join; the only shuffle is the per-key fill window."""
+    from ..functions.timeseries import resample
+
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-13").cast("timestamp"))
+    )
+    # exact-hundredths discipline (queries.py conventions): sum integer
+    # hundredths so partial-agg order can't flip a rounding boundary,
+    # divide back after the fill
+    ev = ev.withColumn(
+        "value", F.round(F.col("value") * 100).cast("long")
+    )
+    out = resample(
+        ev, "event_type", "ts", "value", step_seconds=3600,
+        agg="sum", fill="ffill",
+    )
+    return out.select(
+        "event_type", "bucket_start",
+        F.round(F.col("value") / 100.0, 6).alias("value"), "n_events",
+    )

@@ -777,3 +777,48 @@ def test_quality_check_flag_and_assert(spark):
     with _pytest.raises(ValueError, match="v_positive"):
         assert_valid(df, rules)
     assert_valid(df, {"id_positive": F.col("id") > 0})
+
+
+def test_resample_fills_gaps_and_marks_generated_cells(spark):
+    from pypeman_spark.functions.timeseries import forward_fill, resample
+
+    rows = [
+        ("a", dt.datetime(2026, 1, 1, 0, 5), 10.0),
+        ("a", dt.datetime(2026, 1, 1, 0, 40), 2.0),
+        # gap: hours 1 and 2 empty
+        ("a", dt.datetime(2026, 1, 1, 3, 10), 7.0),
+        ("b", dt.datetime(2026, 1, 1, 5, 0), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r["k"], r["bucket_start"].hour): (r["value"], r["n_events"])
+        for r in resample(
+            df, "k", "ts", "v", step_seconds=3600, agg="sum", fill="ffill"
+        ).collect()
+    }
+    # observed cells aggregate; generated cells carry the fill + n=0
+    assert out[("a", 0)] == (12.0, 2)
+    assert out[("a", 1)] == (12.0, 0)
+    assert out[("a", 2)] == (12.0, 0)
+    assert out[("a", 3)] == (7.0, 1)
+    assert out[("b", 5)] == (1.0, 1)
+    assert len(out) == 5  # b's grid is its own single cell
+
+    # fill=None leaves nulls; zero fills zeros; bad args raise
+    nulls = resample(df, "k", "ts", "v", 3600, "sum", fill=None).collect()
+    assert sum(1 for r in nulls if r["value"] is None) == 2
+    zeros = resample(df, "k", "ts", "v", 3600, "sum", fill="zero").collect()
+    assert sum(1 for r in zeros if r["value"] == 0.0) == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        resample(df, "k", "ts", "v", 3600, agg="median")
+    with _pytest.raises(ValueError):
+        resample(df, "k", "ts", "v", 3600, fill="bfill")
+
+    # leading nulls stay null in forward_fill
+    f = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 5.0), ("a", 3, None)],
+        "k string, o long, v double",
+    )
+    filled = {r["o"]: r["v"] for r in forward_fill(f, "k", "o", "v").collect()}
+    assert filled == {1: None, 2: 5.0, 3: 5.0}
