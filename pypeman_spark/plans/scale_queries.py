@@ -1606,3 +1606,68 @@ def resample_forward_fill(spark, sf_dir):
         "event_type", "bucket_start",
         F.round(F.col("value") / 100.0, 6).alias("value"), "n_events",
     )
+
+
+@q(
+    "scd2_customer_segments",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             DATE '2023-01-01' AS valid_from
+      FROM customer
+    ),
+    upd AS (
+      SELECT o_custkey AS c_custkey,
+             'SEG_' || o_orderpriority AS segment,
+             o_orderdate AS valid_from
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    cand AS (SELECT * FROM dim UNION ALL SELECT * FROM upd),
+    flt AS (
+      SELECT c_custkey, segment, valid_from FROM (
+        SELECT c_custkey, segment, valid_from,
+               lag(segment) OVER (PARTITION BY c_custkey
+                                  ORDER BY valid_from, segment) AS prev
+        FROM cand)
+      WHERE prev IS NULL OR prev <> segment
+    ),
+    ver AS (
+      SELECT c_custkey, segment, valid_from,
+             lead(valid_from) OVER (PARTITION BY c_custkey
+                                    ORDER BY valid_from, segment) AS valid_to
+      FROM flt
+    )
+    SELECT c_custkey, segment, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM ver
+    """,
+)
+def scd2_customer_segments(spark, sf_dir):
+    """SCD type-2 dimension versioning (functions/scd.py:scd2_apply):
+    the customer dimension starts as one open version per key
+    (segment as of 2023-01-01), then a deterministic update batch
+    derived from orders (every 7th order re-segments its customer at
+    its order date) is applied set-based — no-op updates suppressed
+    via one lag comparison, history re-chained via one lead — two
+    windows over ONE shuffle on the key, closed history untouched.
+    The oracle re-derives the full chain relationally."""
+    from ..functions.scd import scd2_apply
+
+    cust = t(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2023-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    orders = t(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("SEG_"), F.col("o_orderpriority")).alias("segment"),
+        F.col("o_orderdate").alias("valid_from"),
+    )
+    return scd2_apply(
+        dim, updates, key_cols=["c_custkey"], attr_cols=["segment"],
+        ts_col="valid_from",
+    )

@@ -822,3 +822,39 @@ def test_resample_fills_gaps_and_marks_generated_cells(spark):
     )
     filled = {r["o"]: r["v"] for r in forward_fill(f, "k", "o", "v").collect()}
     assert filled == {1: None, 2: 5.0, 3: 5.0}
+
+
+def test_scd2_apply_chains_and_suppresses_noops(spark):
+    from pypeman_spark.functions.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            # k=1 has one closed + one open version already
+            (1, "A", dt.date(2020, 1, 1), dt.date(2021, 1, 1), False),
+            (1, "B", dt.date(2021, 1, 1), None, True),
+            (2, "X", dt.date(2020, 1, 1), None, True),
+        ],
+        "k long, attr string, valid_from date, valid_to date, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "C", dt.date(2022, 6, 1)),   # real change
+            (2, "X", dt.date(2022, 1, 1)),   # no-op: suppressed
+            (3, "N", dt.date(2022, 3, 1)),   # brand-new key
+        ],
+        "k long, attr string, valid_from date",
+    )
+    rows = {
+        (r["k"], r["attr"]): (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_apply(dim, updates, ["k"], ["attr"]).collect()
+    }
+    # closed history untouched
+    assert rows[(1, "A")] == (dt.date(2020, 1, 1), dt.date(2021, 1, 1), False)
+    # open version closed at the update's date; update becomes current
+    assert rows[(1, "B")] == (dt.date(2021, 1, 1), dt.date(2022, 6, 1), False)
+    assert rows[(1, "C")] == (dt.date(2022, 6, 1), None, True)
+    # no-op update vanished: k=2 keeps its single open version
+    assert rows[(2, "X")] == (dt.date(2020, 1, 1), None, True)
+    # new key starts history at its first update
+    assert rows[(3, "N")] == (dt.date(2022, 3, 1), None, True)
+    assert len(rows) == 5
