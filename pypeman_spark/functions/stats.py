@@ -20,6 +20,7 @@ __all__ = [
     "merge_cardinality_sketches",
     "grouped_distinct_estimate",
     "heavy_hitters",
+    "funnel",
 ]
 
 
@@ -126,4 +127,64 @@ def heavy_hitters(
         F.expr(
             f"approx_top_k({value_col}, {k}, {max_items_tracked})"
         ).alias("topk")
+    )
+
+
+def funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    stage_col: str,
+    stages: Sequence[str],
+) -> DataFrame:
+    """Ordered funnel analysis: per key, the earliest strictly-ordered
+    completion chain through ``stages`` — ``stage_ts`` holds the
+    timestamp at which each stage was first reached AFTER the previous
+    one, and ``n_completed`` counts how deep the key got. Keys that
+    never reach stage 1 are excluded (standard funnel convention).
+
+    One shuffle (the per-key groupBy); the chain extraction is a single
+    ``aggregate`` fold over the key's time-sorted events — greedy
+    earliest-first matching, which provably finds the minimal chain
+    (exchange argument), so the result equals the relational
+    min/join-chain formulation the oracle uses without k self-joins
+    over the full event log."""
+    k = len(stages)
+    if k == 0:
+        raise ValueError("stages must be non-empty")
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    ev = df.filter(F.col(stage_col).isin(list(stages)))
+    per_key = ev.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(ts_col).alias("ts"),
+                                    F.col(stage_col).alias("stage")))
+        ).alias("__evs")
+    )
+    done = F.aggregate(
+        F.col("__evs"),
+        F.expr("CAST(array() AS array<timestamp>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) < k)
+            & (x["stage"] == F.element_at(stage_arr, F.size(acc) + 1))
+            & (
+                # F.get (not element_at) returns null out-of-bounds, so
+                # the empty-acc branch never throws under ANSI; the OR
+                # then resolves true|null -> true
+                (F.size(acc) == 0)
+                | (x["ts"] > F.get(acc, F.size(acc) - 1))
+            ),
+            F.concat(acc, F.array(x["ts"])),
+        ).otherwise(acc),
+    )
+    out = per_key.withColumn("__done", done).drop("__evs")
+    cols = [
+        # F.get: null (not an ANSI error) when the chain stopped early
+        F.get(F.col("__done"), i).alias(f"stage{i + 1}_ts")
+        for i in range(k)
+    ]
+    return (
+        out.select(
+            key_col, F.size("__done").alias("n_completed"), *cols
+        )
+        .filter(F.col("n_completed") >= 1)
     )

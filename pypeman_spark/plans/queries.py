@@ -409,34 +409,41 @@ def distinct_active_users(spark, sf_dir):
 
 
 @q(
-    "customers_without_orders",
+    "semi_anti_join_shapes",
     """
-    SELECT c_custkey FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    SELECT 'anti_customers_without_orders' AS mode,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'semi_suppliers_with_shipments' AS mode,
+           CAST(count(*) AS BIGINT) AS n
+    FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
     """,
 )
-def customers_without_orders(spark, sf_dir):
-    """NOT EXISTS as left_anti join (guide: join section)."""
+def semi_anti_join_shapes(spark, sf_dir):
+    """Composed semi/anti join shapes (r5 consolidation of
+    customers_without_orders + suppliers_with_shipments — both arms
+    keep their machinery): NOT EXISTS as left_anti, EXISTS as
+    left_semi, each counted under a mode tag."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
-
-
-@q(
-    "suppliers_with_shipments",
-    """
-    SELECT count(*) AS n FROM supplier
-    WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
-    """,
-)
-def suppliers_with_shipments(spark, sf_dir):
-    """EXISTS as left_semi join."""
-    s = t(spark, sf_dir, "supplier")
+    s_ = t(spark, sf_dir, "supplier")
     li = t(spark, sf_dir, "lineitem")
-    return (
-        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("anti_customers_without_orders").alias("mode"), "n"
+        )
     )
+    semi = (
+        s_.join(li, s_.s_suppkey == li.l_suppkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("semi_suppliers_with_shipments").alias("mode"), "n"
+        )
+    )
+    return anti.unionByName(semi)
 
 
 @q(

@@ -1671,3 +1671,48 @@ def scd2_customer_segments(spark, sf_dir):
         dim, updates, key_cols=["c_custkey"], attr_cols=["segment"],
         ts_col="valid_from",
     )
+
+
+@q(
+    "funnel_signup_view_purchase",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           CAST(1 + (s2.user_id IS NOT NULL)::INT
+                  + (s3.user_id IS NOT NULL)::INT AS INT) AS n_completed,
+           s1.t1 AS stage1_ts, s2.t2 AS stage2_ts, s3.t3 AS stage3_ts
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def funnel_signup_view_purchase(spark, sf_dir):
+    """Ordered funnel (functions/stats.py:funnel): earliest
+    signup → later view → later purchase per user. The Spark side is
+    one groupBy + a single fold over each user's time-sorted events
+    (greedy earliest-first = the minimal chain); the oracle is the
+    classic k-stage min/join-chain — two independent algorithms that
+    must agree exactly. At 100 TB the fold shape wins: one shuffle of
+    the event log instead of k self-joins over it."""
+    from ..functions.stats import funnel
+
+    ev = t(spark, sf_dir, "events")
+    return funnel(
+        ev, "user_id", "ts", "event_type",
+        ["signup", "view", "purchase"],
+    )

@@ -858,3 +858,34 @@ def test_scd2_apply_chains_and_suppresses_noops(spark):
     # new key starts history at its first update
     assert rows[(3, "N")] == (dt.date(2022, 3, 1), None, True)
     assert len(rows) == 5
+
+
+def test_funnel_strict_order_and_depth(spark):
+    from pypeman_spark.functions.stats import funnel
+
+    rows = [
+        # u1 completes all three in order
+        (1, _m(0), "signup"), (1, _m(1), "view"), (1, _m(2), "purchase"),
+        # u2 views BEFORE signing up -> that view must not count
+        (2, _m(0), "view"), (2, _m(1), "signup"),
+        # u3 purchase before view -> depth 2 only (signup, later view)
+        (3, _m(0), "signup"), (3, _m(1), "purchase"), (3, _m(2), "view"),
+        # u4 never signs up -> excluded
+        (4, _m(0), "view"), (4, _m(1), "purchase"),
+        # u5: same-timestamp next stage does NOT count (strict >)
+        (5, _m(0), "signup"), (5, _m(0), "view"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, e string")
+    got = {
+        r["u"]: (r["n_completed"], r["stage2_ts"], r["stage3_ts"])
+        for r in funnel(df, "u", "ts", "e",
+                        ["signup", "view", "purchase"]).collect()
+    }
+    assert got[1][0] == 3 and got[1][2] == _m(2)
+    assert got[2] == (1, None, None)
+    assert got[3][0] == 2 and got[3][1] == _m(2)
+    assert 4 not in got
+    assert got[5] == (1, None, None)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        funnel(df, "u", "ts", "e", [])
