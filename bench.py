@@ -86,6 +86,8 @@ HEADLINE = [
     "corpus_stats_and_bigrams",
     "data_quality_report",
     "resample_forward_fill",
+    "scd2_customer_segments",
+    "funnel_signup_view_purchase",
 ]
 
 

@@ -45,6 +45,8 @@ def resample(
     observed zeros from filled gaps."""
     if agg not in ("sum", "avg", "min", "max", "count"):
         raise ValueError(f"unsupported agg {agg!r}")
+    if step_seconds <= 0:
+        raise ValueError(f"step_seconds must be positive, got {step_seconds}")
     step = F.lit(step_seconds).cast("long")
     bucket = (F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
     agg_col = (
