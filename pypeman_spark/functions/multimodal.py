@@ -2,9 +2,13 @@
 
 Media are opaque ``BINARY`` columns with a typed metadata struct. The
 Spark-side machinery — schema, Arrow batch shape, ``mapInPandas``
-signatures, partition sizing — is real and tested; the codec step is a
-deterministic fake (the container ships no image/audio libs), clearly
-marked, swappable for PIL/torchaudio on a real cluster.
+signatures, partition sizing — is real and tested. Codecs come in two
+families: REAL stdlib/numpy decoders for binary PPM (P6) images and
+PCM WAV audio (`decode_ppm_features`, `resize_ppm`, `resample_wav` —
+exact header parsing, pixel/sample math, re-encode), and deterministic
+fakes for the formats needing external libs (JPEG/PNG/MP3/MP4 —
+clearly marked, swappable for PIL/torchaudio on a real cluster). Both
+families share batch shapes.
 
 Scale notes: media rows are large → keep ``spark.sql.files.
 maxPartitionBytes`` low enough that one Arrow batch of decoded frames
@@ -26,6 +30,9 @@ __all__ = [
     "resize_media",
     "audio_resample",
     "sample_video_frames",
+    "decode_ppm_features",
+    "resize_ppm",
+    "resample_wav",
 ]
 
 MEDIA_META_TYPE = T.StructType(
@@ -204,6 +211,232 @@ def audio_resample(df: DataFrame, target_hz: int = 16000,
                         bytes((b or b"")[::k]) for b in pdf[binary_col]
                     ],
                     "sample_rate": target_hz,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_resample, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs for the formats the standard library can decode: binary
+# PPM (P6) images and PCM WAV audio. These are not stubs — header
+# parsing, pixel/sample access, nearest-neighbor resize and linear
+# resampling are exact — so the Spark plumbing is exercised with real
+# decode work end-to-end. JPEG/PNG/MP3/MP4 stay on the fake codecs
+# above until PIL/torchaudio exist on the cluster; both codec families
+# share batch shapes, so swapping is a one-line change per operator.
+# ---------------------------------------------------------------------------
+
+
+def _parse_ppm(payload: bytes):
+    """Decode a binary PPM (P6): returns ``(width, height, pixels)``
+    with ``pixels`` an ``(h, w, 3)`` uint8 ndarray. Raises ValueError
+    on anything that is not a maxval-255 P6."""
+    import numpy as np
+
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval separated by whitespace;
+    # '#' comment lines allowed between tokens
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    raw = payload[i : i + w * h * 3]
+    if len(raw) != w * h * 3:
+        raise ValueError("truncated PPM payload")
+    return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _encode_ppm(pixels) -> bytes:
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm_features(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    grid: int = 2,
+) -> DataFrame:
+    """REAL image decode: P6 pixels → per-cell RGB means over a
+    ``grid × grid`` spatial grid (the classic color-layout feature),
+    plus real width/height. Output ``(id, width, height, features
+    array<float> of len grid*grid*3)``; non-PPM rows yield null
+    features so callers can route them to the stub/real-codec path."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def _one(payload):
+        try:
+            w, h, px = _parse_ppm(payload)
+        except (ValueError, TypeError):
+            return None, None, None
+        feats = []
+        for gy in range(grid):
+            ys = slice(h * gy // grid, max(h * (gy + 1) // grid, h * gy // grid + 1))
+            for gx in range(grid):
+                xs = slice(w * gx // grid, max(w * (gx + 1) // grid, w * gx // grid + 1))
+                cell = px[ys, xs].reshape(-1, 3).mean(axis=0) / 255.0
+                feats.extend(float(v) for v in cell)
+        return w, h, feats
+
+    def _decode(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            decoded = [_one(b) for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "features": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_decode, out_schema)
+
+
+def resize_ppm(
+    df: DataFrame,
+    width: int,
+    height: int,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL nearest-neighbor resize of P6 payloads: binary in → binary
+    out (still valid P6) + updated ``media_meta``. Non-PPM rows pass
+    through with null content."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(binary_col, T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_TYPE),
+        ]
+    )
+
+    def _one(payload):
+        try:
+            w, h, px = _parse_ppm(payload)
+        except (ValueError, TypeError):
+            return None
+        ys = (np.arange(height) * h // height).clip(0, h - 1)
+        xs = (np.arange(width) * w // width).clip(0, w - 1)
+        return _encode_ppm(px[ys][:, xs])
+
+    def _resize(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            out = [_one(b) for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    binary_col: out,
+                    "media_meta": [
+                        {
+                            "media_type": "image",
+                            "format": "ppm",
+                            "width": width if b is not None else None,
+                            "height": height if b is not None else None,
+                            "duration_ms": None,
+                            "size_bytes": len(b) if b is not None else None,
+                        }
+                        for b in out
+                    ],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_resize, out_schema)
+
+
+def resample_wav(
+    df: DataFrame,
+    target_hz: int = 16000,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL PCM WAV resample: stdlib ``wave`` decode → linear
+    interpolation to ``target_hz`` (numpy ``interp``) → re-encoded
+     16-bit mono WAV. Output ``(id, content, sample_rate,
+    duration_ms)`` with the TRUE post-resample duration; non-WAV rows
+    carry null content."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(binary_col, T.BinaryType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+
+    def _one(payload):
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                rate = w.getframerate()
+                n = w.getnframes()
+                ch = w.getnchannels()
+                width = w.getsampwidth()
+                raw = w.readframes(n)
+        except (wave.Error, EOFError, AttributeError, TypeError):
+            return None, None, None
+        if width != 2:
+            return None, None, None
+        samples = np.frombuffer(raw, dtype=np.int16).reshape(-1, ch)
+        mono = samples.mean(axis=1)
+        n_out = max(1, int(round(len(mono) * target_hz / rate)))
+        resampled = np.interp(
+            np.linspace(0, len(mono) - 1, n_out),
+            np.arange(len(mono)),
+            mono,
+        ).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as out:
+            out.setnchannels(1)
+            out.setsampwidth(2)
+            out.setframerate(target_hz)
+            out.writeframes(resampled.tobytes())
+        return buf.getvalue(), target_hz, n_out * 1000 // target_hz
+
+    def _resample(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            out = [_one(b) for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    binary_col: [o[0] for o in out],
+                    "sample_rate": [o[1] for o in out],
+                    "duration_ms": [o[2] for o in out],
                 }
             )
 

@@ -64,3 +64,81 @@ def test_video_frame_sampling_fanout(spark):
         r["offset_ms"] for r in rows if r["doc_id"] == 1
     )
     assert offs == [0, 500, 1000, 1500]
+
+
+def _ppm(w, h, rgb):
+    # solid-color P6 with a comment line in the header
+    return (b"P6\n# test\n%d %d\n255\n" % (w, h)) + bytes(rgb) * (w * h)
+
+
+def _wav(rate, hz, seconds=1, amp=12000):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        n = rate * seconds
+        frames = b"".join(
+            struct.pack("<h", int(amp * math.sin(2 * math.pi * hz * i / rate)))
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_real_ppm_decode_and_resize(spark):
+    from pypeman_spark.functions.multimodal import (
+        _parse_ppm,
+        decode_ppm_features,
+        resize_ppm,
+    )
+
+    red = _ppm(8, 4, (255, 0, 0))
+    blue = _ppm(6, 6, (0, 0, 255))
+    df = spark.createDataFrame(
+        [(1, bytearray(red)), (2, bytearray(blue)), (3, bytearray(b"JPEG..."))],
+        "doc_id long, content binary",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decode_ppm_features(df, grid=2).collect()
+    }
+    assert (got[1]["width"], got[1]["height"]) == (8, 4)
+    # solid red: every grid cell decodes to exactly (1, 0, 0)
+    assert got[1]["features"] == [1.0, 0.0, 0.0] * 4
+    assert got[2]["features"] == [0.0, 0.0, 1.0] * 4
+    assert got[3]["features"] is None  # non-PPM routed out, not crashed
+
+    resized = {
+        r["doc_id"]: r for r in resize_ppm(df, 4, 2).collect()
+    }
+    w, h, px = _parse_ppm(bytes(resized[1]["content"]))
+    assert (w, h) == (4, 2)
+    assert bytes(px[0, 0]) == b"\xff\x00\x00"  # still red after resize
+    assert resized[1]["media_meta"]["width"] == 4
+    assert resized[3]["content"] is None
+
+
+def test_real_wav_resample(spark):
+    import io
+    import wave
+
+    from pypeman_spark.functions.multimodal import resample_wav
+
+    src = _wav(rate=44100, hz=440, seconds=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(src)), (2, bytearray(b"mp3junk"))],
+        "doc_id long, content binary",
+    )
+    got = {r["doc_id"]: r for r in resample_wav(df, target_hz=16000).collect()}
+    assert got[1]["sample_rate"] == 16000
+    assert got[1]["duration_ms"] == 1000
+    with wave.open(io.BytesIO(bytes(got[1]["content"])), "rb") as w:
+        assert w.getframerate() == 16000
+        assert abs(w.getnframes() - 16000) <= 1
+    assert got[2]["content"] is None
