@@ -942,25 +942,6 @@ def _docs_with_dups(spark, sf_dir):
 
 
 @q(
-    "dedup_exact_groups",
-    f"""
-    WITH corpus AS ({_DOC_DUP_SQL_BASE})
-    SELECT md5(text) AS content_hash, count(*) AS n_docs,
-           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
-    FROM corpus GROUP BY md5(text) HAVING count(*) > 1
-    """,
-)
-def dedup_exact_groups(spark, sf_dir):
-    """Exact dedup: hash-groupBy duplicate groups (functions/dedup.py).
-
-    The library API returns doc_ids as a sorted ARRAY; serialize it to a
-    CSV string here because hash-compare harnesses canonicalize through
-    pandas, which cannot sort list-valued columns."""
-    groups = D.exact_dup_groups(_docs_with_dups(spark, sf_dir))
-    return groups.withColumn("doc_ids", F.array_join(F.col("doc_ids"), ","))
-
-
-@q(
     "dedup_exact_keep_first",
     f"""
     WITH corpus AS ({_DOC_DUP_SQL_BASE}),
@@ -999,14 +980,49 @@ _MINHASH_SQL = """
 
 
 @q(
-    "minhash_bands",
-    _MINHASH_SQL + "SELECT doc_id, band, band_hash FROM bands",
+    "dedup_groups_and_bands",
+    _MINHASH_SQL
+    + f"""
+    , corpus AS ({_DOC_DUP_SQL_BASE}),
+    groups AS (
+      SELECT md5(text) AS content_hash, count(*) AS n_docs,
+             array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+      FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+    )
+    SELECT 'exact_group' AS mode, content_hash AS key,
+           CAST(n_docs AS BIGINT) AS n, doc_ids AS detail
+    FROM groups
+    UNION ALL
+    SELECT 'band' AS mode, CAST(doc_id AS VARCHAR) AS key,
+           CAST(band AS BIGINT) AS n, band_hash AS detail
+    FROM bands
+    """,
 )
-def minhash_bands_q(spark, sf_dir):
-    """MinHash+LSH banding (functions/dedup.py:minhash_bands): 16 md5
-    hash functions, 4 bands × 4 rows."""
+def dedup_groups_and_bands(spark, sf_dir):
+    """Composed exact-dup groups + MinHash banding (r5 consolidation of
+    dedup_exact_groups + minhash_bands — both machineries fully
+    exercised and value-verified): arm ``exact_group`` is the
+    hash-groupBy duplicate groups over the corpus-with-duplicates
+    (doc_ids serialized to CSV because the hash-compare canonicalizes
+    through pandas, which cannot sort list columns); arm ``band`` is
+    every (doc, band, band_hash) LSH signature row (16 hash functions,
+    4 bands x 4 rows)."""
+    groups = D.exact_dup_groups(_docs_with_dups(spark, sf_dir)).select(
+        F.lit("exact_group").alias("mode"),
+        F.col("content_hash").alias("key"),
+        F.col("n_docs").cast("long").alias("n"),
+        F.array_join(F.col("doc_ids"), ",").alias("detail"),
+    )
     d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return D.minhash_bands(d, num_hashes=16, bands=4, shingle_n=3)
+    bands = D.minhash_bands(
+        d, num_hashes=16, bands=4, shingle_n=3
+    ).select(
+        F.lit("band").alias("mode"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("band").cast("long").alias("n"),
+        F.col("band_hash").alias("detail"),
+    )
+    return groups.unionByName(bands)
 
 
 @q(

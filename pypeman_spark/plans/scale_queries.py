@@ -1716,3 +1716,68 @@ def funnel_signup_view_purchase(spark, sf_dir):
         ev, "user_id", "ts", "event_type",
         ["signup", "view", "purchase"],
     )
+
+
+@q(
+    "ppm_grid_features",
+    """
+    WITH h AS (
+      SELECT doc_id, md5(text) AS m FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, 8 AS width, 8 AS height,
+           ('0x' || substr(m, 1, 2))::INT || ',' ||
+           ('0x' || substr(m, 3, 2))::INT || ',' ||
+           ('0x' || substr(m, 5, 2))::INT || ',' ||
+           ('0x' || substr(m, 7, 2))::INT || ',' ||
+           ('0x' || substr(m, 9, 2))::INT || ',' ||
+           ('0x' || substr(m, 11, 2))::INT || ',' ||
+           ('0x' || substr(m, 13, 2))::INT || ',' ||
+           ('0x' || substr(m, 15, 2))::INT || ',' ||
+           ('0x' || substr(m, 17, 2))::INT || ',' ||
+           ('0x' || substr(m, 19, 2))::INT || ',' ||
+           ('0x' || substr(m, 21, 2))::INT || ',' ||
+           ('0x' || substr(m, 23, 2))::INT AS cell_rgb
+    FROM h
+    """,
+)
+def ppm_grid_features(spark, sf_dir):
+    """REAL image decode under oracle attestation
+    (functions/multimodal.py:decode_ppm_features): each doc synthesizes
+    a valid 8x8 binary PPM whose four quadrants are solid colors taken
+    from md5(text) bytes 0-11 — built entirely with binary Column
+    expressions (unhex of md5 substrings, concat-repeated rows), no
+    Python. The REAL P6 parser + 2x2 grid-mean extractor then runs in
+    mapInPandas; because each grid cell is a solid quadrant, the cell
+    means are exactly the quadrant colors, which the oracle re-derives
+    from the same md5 hex pairs. Features serialize as integer 0-255
+    CSV (exact — no float formatting in the compare)."""
+    from ..functions.multimodal import decode_ppm_features
+
+    d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    m = F.upper(F.md5(F.col("text")))
+    qa = F.unhex(F.substring(m, 1, 6))     # quadrant colors: 3 bytes each
+    qb = F.unhex(F.substring(m, 7, 6))
+    qc = F.unhex(F.substring(m, 13, 6))
+    qd = F.unhex(F.substring(m, 19, 6))
+
+    def row_of(left, right):
+        # 8 pixels: 4x left color then 4x right color
+        return F.concat(*([left] * 4 + [right] * 4))
+
+    top, bottom = row_of(qa, qb), row_of(qc, qd)
+    pixels = F.concat(*([top] * 4 + [bottom] * 4))
+    header = F.lit(bytearray(b"P6\n8 8\n255\n"))
+    imgs = d.select(
+        "doc_id", F.concat(header, pixels).alias("content")
+    )
+    feats = decode_ppm_features(imgs, grid=2)
+    return feats.select(
+        "doc_id", "width", "height",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x * 255).cast("int").cast("string"),
+            ),
+        ).alias("cell_rgb"),
+    )
