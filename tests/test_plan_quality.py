@@ -494,3 +494,24 @@ def test_ivfpq_probe_prunes_partitions_and_vector_column(spark, tmp_path):
         if "pq_code" in seg[:120]
     ]
     assert adc_scan and all("embedding" not in s for s in adc_scan)
+
+
+def test_new_analytics_ops_exchange_budgets(spark):
+    # lock the shuffle shapes of the round-5 analytics operators:
+    # funnel and SCD2 are one key shuffle each (fold / windows reuse the
+    # same partitioning), resample is two (the (key, bucket) aggregate +
+    # the per-key fill window), and the PPM feature entry is a pure
+    # narrow map end-to-end
+    import pypeman_spark.plans.scale_queries  # noqa: F401
+
+    budgets = {
+        "funnel_signup_view_purchase": 1,
+        "scd2_customer_segments": 1,
+        "resample_forward_fill": 2,
+        "ppm_grid_features": 0,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        n = plan.replace("BroadcastExchange", "").count("Exchange")
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
