@@ -227,3 +227,41 @@ def test_inject_all_entry_points(spark):
     assert via(p.inject(msgs, "join1")) == ["join1", "final1"]
     # final-chain entry runs final only
     assert via(p.inject(msgs, "final1")) == ["final1"]
+
+
+def test_quality_quarantine_routing(spark):
+    # the data-quality surface composes with the Pipeline's state
+    # routing: flag rows against rules, Reject the violators (state
+    # REJECTED, like a DLQ quarantine), clean rows flow on processed
+    from pyspark.sql import functions as F
+
+    from pypeman_spark import Pipeline, messages_from_payloads
+    from pypeman_spark.functions.quality import flag_violations
+    from pypeman_spark.operators import Reject
+
+    msgs = messages_from_payloads(
+        spark,
+        ['{"v": 5}', '{"v": -1}', '{"v": 9}', '{"oops": 1}'],
+    )
+    flagged = flag_violations(
+        msgs,
+        {
+            "v_present": F.get_json_object("payload", "$.v").isNotNull(),
+            "v_positive": F.get_json_object("payload", "$.v").cast("int") > 0,
+        },
+    )
+    p = Pipeline("dq").add(
+        Reject(
+            condition=F.size("violations") > 0,
+            message="quality violation",
+            name="quarantine",
+        )
+    )
+    try:
+        res = p.run(flagged)
+        counts = res.counts()
+        assert counts == {"processed": 2, "rejected": 2}
+        rej = res.all.filter(F.col("state") == "rejected").collect()
+        assert all(r["err_msg"] == "quality violation" for r in rej)
+    finally:
+        p.release()
