@@ -78,3 +78,36 @@ def test_ann_search_example(spark, tmp_path, sf_dir):
     assert all(r["vec_id"] == r["query_id"] for r in hits if r["rank"] == 1)
     r = ex.recall_vs_exact(spark, path, corpus, queries, k=5, nprobe=2)
     assert 0.0 < r <= 1.0
+
+
+def test_warehouse_pipeline_example(spark, sf_dir):
+    sys.path.insert(0, "examples")
+    try:
+        import warehouse_pipeline as wp
+    finally:
+        sys.path.pop(0)
+
+    out = wp.build(spark, sf_dir)
+    report = {
+        r["rule"]: r["n_violations"] for r in out["quality_report"].collect()
+    }
+    assert set(report) == {"value_in_range", "user_present", "type_known"}
+    assert all(v == 0 for v in report.values())  # synthetic data is clean
+    assert out["quarantine"].count() == 0
+    # hourly grid: generated cells marked, values forward-filled
+    hourly = out["hourly"]
+    assert hourly.filter("value IS NULL AND n_events > 0").count() == 0
+    # SCD2: purchasing users gained a 'buyer' version, and (except the
+    # same-timestamp tie where the user's FIRST event is the purchase,
+    # where attr order puts 'buyer' before 'new') it is the open one
+    hist = out["dim_history"]
+    buyers = hist.filter("segment = 'buyer'")
+    assert buyers.count() > 0
+    assert buyers.filter("is_current").count() > 0
+    closed_new = hist.filter("segment = 'new' AND valid_to IS NOT NULL")
+    assert closed_new.count() > 0
+    # funnel depths within bounds; reach estimates positive
+    from pyspark.sql import functions as F
+    depths = out["funnel"].agg(F.max("n_completed")).collect()[0][0]
+    assert 1 <= depths <= 3
+    assert out["reach"].filter("n_distinct_est <= 0").count() == 0
