@@ -457,3 +457,121 @@ def test_pq_adc_equals_python_reference(spark, vecs):
             for j in range(m)
         )
         assert abs(got[i] - round(want, 6)) < 1e-6, (i, got[i], want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),       # key
+            st.integers(min_value=0, max_value=20),      # day offset
+            st.sampled_from(["A", "B", "C"]),            # attr
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_scd2_apply_is_idempotent(spark, updates):
+    # re-applying the SAME batch must be a no-op: every duplicate is
+    # either an exact version already in force (lag suppression) or a
+    # zero-information re-statement
+    import datetime as dtm
+
+    from pypeman_spark.functions.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(k, "Z", dtm.date(2019, 1, 1), None, True) for k in (1, 2, 3)],
+        "k long, attr string, valid_from date, valid_to date, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [
+            (k, a, dtm.date(2020, 1, 1) + dtm.timedelta(days=d))
+            for k, d, a in updates
+        ],
+        "k long, attr string, valid_from date",
+    )
+    once = scd2_apply(dim, upd, ["k"], ["attr"])
+    twice = scd2_apply(once, upd, ["k"], ["attr"])
+    assert {tuple(r) for r in once.collect()} == {
+        tuple(r) for r in twice.collect()
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),     # key
+            st.integers(min_value=0, max_value=600),   # minutes offset
+            st.integers(min_value=-50, max_value=50),  # value
+        ),
+        min_size=1, max_size=15,
+    )
+)
+def test_resample_conserves_sums_and_counts(spark, rows):
+    # with fill=None and agg=sum, nothing is invented: total value and
+    # total event count over the grid equal the inputs exactly
+    import datetime as dtm
+
+    from pyspark.sql import functions as FF
+
+    from pypeman_spark.functions.timeseries import resample
+
+    base = dtm.datetime(2026, 2, 1)
+    df = spark.createDataFrame(
+        [
+            (k, base + dtm.timedelta(minutes=m), float(v))
+            for k, m, v in rows
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = resample(df, "k", "ts", "v", step_seconds=3600, agg="sum",
+                   fill=None)
+    got = out.agg(
+        FF.sum("value").alias("sv"), FF.sum("n_events").alias("se")
+    ).collect()[0]
+    assert got["se"] == len(rows)
+    assert abs(got["sv"] - sum(v for _, _, v in rows)) < 1e-9
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),       # minute
+            st.sampled_from(["s1", "s2", "s3", "other"]),
+        ),
+        min_size=1, max_size=14,
+    )
+)
+def test_funnel_prefix_consistency(spark, events):
+    # the greedy chain's first k' stages do not depend on later stages:
+    # the 2-stage funnel must agree exactly with the first two stages
+    # of the 3-stage funnel (same key, same events)
+    import datetime as dtm
+
+    from pypeman_spark.functions.stats import funnel
+
+    base = dtm.datetime(2026, 3, 1)
+    df = spark.createDataFrame(
+        [(1, base + dtm.timedelta(minutes=m), s) for m, s in events],
+        "k long, ts timestamp, e string",
+    )
+    two = funnel(df, "k", "ts", "e", ["s1", "s2"]).collect()
+    three = funnel(df, "k", "ts", "e", ["s1", "s2", "s3"]).collect()
+    t2 = {(r["stage1_ts"], r["stage2_ts"]) for r in two}
+    t3 = {(r["stage1_ts"], r["stage2_ts"]) for r in three}
+    assert t2 == t3
+    if three:
+        assert three[0]["n_completed"] >= (two[0]["n_completed"] if two else 0)
