@@ -197,6 +197,37 @@ def main() -> int:
                 "n_centroids": 8, "nprobe": nprobe,
             }))
 
+    # LSH on the clustered corpus: hyperplanes are data-oblivious, so
+    # unlike IVF they cannot exploit the cluster structure — measured
+    # here to make that comparison concrete at equal cost
+    for tables in (2, 4):
+        pair_union = None
+        for tt in range(tables):
+            p = S.hyperplanes(4, DIM, seed=f"t{tt}:")
+            c = cemb.withColumn("b", S.lsh_bucket(F.col("embedding"), p))
+            q2 = cqueries.withColumn("b", S.lsh_bucket(F.col("embedding"), p))
+            pairs = c.join(q2.select("query_id", "b"), "b").select(
+                "query_id", "vec_id"
+            )
+            pair_union = (
+                pairs if pair_union is None else pair_union.unionByName(pairs)
+            )
+        cand = (
+            pair_union.distinct().groupBy("query_id").count()
+            .agg(F.avg("count")).collect()[0][0]
+        ) or 0.0
+        df = S.lsh_ann_topk_multi(
+            cemb, cqueries, k=K, num_planes=4, dim=DIM, num_tables=tables
+        )
+        print(json.dumps({
+            "method": "lsh_multi", "corpus": "clustered",
+            "recall_at_k": recall(topk_sets(df), cexact), "k": K,
+            "corpus_size": cn, "n_queries": N_QUERIES,
+            "candidates_per_query": round(cand, 1),
+            "corpus_fraction_scored": round(cand / cn, 4),
+            "num_planes": 4, "num_tables": tables,
+        }))
+
     # IVF+PQ (IVFADC): partition-pruned cells + residual-code ADC +
     # exact re-rank — the composed production stack. Cost per query =
     # candidate fraction (IVF pruning) x bytes fraction (PQ codes),
