@@ -89,6 +89,7 @@ HEADLINE = [
     "scd2_customer_segments",
     "funnel_signup_view_purchase",
     "ppm_grid_features",
+    "quality_classifier_scores",
 ]
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "top_ngram_char_fraction",
     "duplicate_line_stats",
     "gopher_quality_signals",
+    "hashed_linear_score",
     "GOPHER_REQUIRED_WORDS",
     "tfidf_top_terms",
     "STOPWORDS",
@@ -422,3 +423,52 @@ def gopher_quality_signals(col: Column) -> dict[str, Column]:
         "n_required_words": n_req,
         "passes": passes,
     }
+
+
+def hashed_linear_score(
+    col: Column,
+    weights: list[float],
+    bias: float = 0.0,
+    round_to: int = 6,
+    hash_fn: str = "xxhash64",
+) -> Column:
+    """Linear text-classifier inference as a pure Column expression —
+    the fastText-style hashing trick, with NO UDF: each whitespace word
+    hashes into one of ``len(weights)`` buckets (``xxhash64`` pmod D)
+    and the document score is ``bias + mean over words of
+    weights[bucket]``, squashed through a sigmoid.
+
+    This is the shape model inference takes at 100 TB when the model is
+    small enough to inline: weights live in the PLAN as an array
+    literal, scoring runs inside whole-stage codegen at scan speed, and
+    the classifier gate becomes an ordinary pushable filter — no Python
+    workers, no Arrow transfer, no model files on executors. Train the
+    weights offline (sklearn on a sample, fastText, anything) and paste
+    them in; quality/toxicity/language gates at corpus scale are
+    exactly this shape.
+
+    ``hash_fn``: ``"xxhash64"`` (fastest, Spark-specific) or ``"md5"``
+    (first 8 hex digits as the bucket int — engine-portable, so an
+    external SQL oracle reproduces scores bit-for-bit)."""
+    d = len(weights)
+    if d == 0:
+        raise ValueError("weights must be non-empty")
+    warr = F.array(*[F.lit(float(v)) for v in weights])
+    words = F.split(F.trim(col), "\\s+")
+    if hash_fn == "xxhash64":
+        bucket = lambda w: F.pmod(F.xxhash64(w), F.lit(d))  # noqa: E731
+    elif hash_fn == "md5":
+        bucket = lambda w: (  # noqa: E731
+            F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % d
+        )
+    else:
+        raise ValueError(f"unsupported hash_fn {hash_fn!r}")
+    total = F.aggregate(
+        words,
+        F.lit(0.0),
+        lambda acc, w: acc
+        + F.element_at(warr, (bucket(w) + 1).cast("int")),
+    )
+    n = F.size(words)
+    z = F.lit(float(bias)) + F.when(n > 0, total / n).otherwise(F.lit(0.0))
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to)

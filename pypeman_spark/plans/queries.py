@@ -479,45 +479,58 @@ def users_set_ops(spark, sf_dir):
 
 
 @q(
-    "value_percentiles",
-    """
-    SELECT event_type,
-           round(quantile_cont(value, 0.5), 6) AS p50,
-           round(quantile_cont(value, 0.9), 6) AS p90
-    FROM events GROUP BY event_type
-    """,
-)
-def value_percentiles(spark, sf_dir):
-    """Exact interpolated percentiles (both engines: linear
-    interpolation). ``exact=False`` on the helper is the 100 TB path
-    (``percentile_approx`` sketch) — kept exact here for the oracle."""
-    from ..functions.stats import grouped_percentiles
-
-    ev = t(spark, sf_dir, "events")
-    return grouped_percentiles(ev, ["event_type"], "value", (0.5, 0.9), exact=True)
-
-
-@q(
-    "grouping_sets_revenue",
+    "percentiles_and_grouping_sets",
     f"""
-    SELECT o_orderstatus, o_orderpriority,
+    SELECT 'pctl' AS mode, event_type AS k1, CAST(NULL AS VARCHAR) AS k2,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           CAST(NULL AS BIGINT) AS total_cents
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'gset' AS mode, o_orderstatus AS k1, o_orderpriority AS k2,
+           CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p90,
            {_sql_cents_sum('o_totalprice')} AS total_cents
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
 )
-def grouping_sets_revenue(spark, sf_dir):
-    """GROUPING SETS through the SQL API (same Catalyst plan as the
-    DataFrame cube/rollup)."""
+def percentiles_and_grouping_sets(spark, sf_dir):
+    """Composed aggregate shapes (r5 consolidation of
+    value_percentiles + grouping_sets_revenue — both machineries kept):
+    arm ``pctl`` is the exact interpolated grouped percentiles
+    (functions/stats.py:grouped_percentiles; ``exact=False`` is the
+    100 TB sketch path), arm ``gset`` is GROUPING SETS through the SQL
+    API with exact-cents sums."""
+    from ..functions.stats import grouped_percentiles
+
+    ev = t(spark, sf_dir, "events")
+    pctl = grouped_percentiles(
+        ev, ["event_type"], "value", (0.5, 0.9), exact=True
+    ).select(
+        F.lit("pctl").alias("mode"),
+        F.col("event_type").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        "p50",
+        "p90",
+        F.lit(None).cast("long").alias("total_cents"),
+    )
     t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
-    return spark.sql(
+    gset = spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
         FROM __orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
+    ).select(
+        F.lit("gset").alias("mode"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        F.lit(None).cast("double").alias("p50"),
+        F.lit(None).cast("double").alias("p90"),
+        "total_cents",
     )
+    return pctl.unionByName(gset)
 
 
 # =====================================================================

@@ -1781,3 +1781,61 @@ def ppm_grid_features(spark, sf_dir):
             ),
         ).alias("cell_rgb"),
     )
+
+
+def _classifier_weights(d: int = 64) -> list[float]:
+    """Deterministic stand-in weights: weight j derives from
+    md5("w|j") — reproducible in any engine, so the oracle inlines the
+    identical literals. Real deployments paste trained weights here."""
+    import hashlib
+
+    return [
+        round(
+            (int(hashlib.md5(f"w|{j}".encode()).hexdigest()[:4], 16)
+             / 65536.0 - 0.5) * 4,
+            6,
+        )
+        for j in range(d)
+    ]
+
+
+def _classifier_oracle(d: int = 64) -> str:
+    ws = ", ".join(f"{w!r}" for w in _classifier_weights(d))
+    return f"""
+    WITH w AS (SELECT [{ws}]::DOUBLE[] AS warr),
+    docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS tw
+      FROM documents
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             list_sum(list_transform(d.tw,
+               x -> w.warr[(('0x' || substr(md5(x), 1, 8))::BIGINT % {d})::INT + 1]
+             )) / len(d.tw) AS z
+      FROM docs d, w
+    )
+    SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+           round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+    FROM scored
+    """
+
+
+@q("quality_classifier_scores", _classifier_oracle())
+def quality_classifier_scores(spark, sf_dir):
+    """Linear classifier inference at scan speed
+    (functions/text.py:hashed_linear_score): the fastText hashing
+    trick as pure Column expressions — 64 inlined weights, per-word
+    md5 bucket (engine-portable mode; xxhash64 is the fast path),
+    sigmoid of the mean weight, and the keep-gate is an ordinary
+    pushable predicate. No UDF, no Python workers, no model files on
+    executors — the shape every quality/toxicity/language gate takes
+    when the model is small enough to inline."""
+    from ..functions.text import hashed_linear_score
+
+    d = tp(spark, sf_dir, "documents")
+    score = hashed_linear_score(
+        F.col("text"), _classifier_weights(), hash_fn="md5"
+    )
+    return d.select(
+        "doc_id", score.alias("score"), (score >= 0.5).alias("keep")
+    )

@@ -889,3 +889,32 @@ def test_funnel_strict_order_and_depth(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         funnel(df, "u", "ts", "e", [])
+
+
+def test_hashed_linear_score_properties(spark):
+    from pypeman_spark.functions.text import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, "good solid text"), (2, "good solid text"), (3, "different words here"), (4, "")],
+        "id long, t string",
+    )
+    w = [1.0] * 16  # all-positive weights -> every non-trivial doc > 0.5
+    rows = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", hashed_linear_score(F.col("t"), w, hash_fn="md5").alias("s")
+        ).collect()
+    }
+    assert rows[1] == rows[2]            # deterministic
+    assert rows[1] > 0.5 and rows[3] > 0.5
+    assert abs(rows[1] - 1 / (1 + 2.718281828459045 ** -1.0)) < 1e-6
+    # bias shifts the sigmoid; both hash modes run; bad args raise
+    biased = df.select(
+        hashed_linear_score(F.col("t"), w, bias=-5.0).alias("s")
+    ).collect()
+    assert all(r["s"] < 0.5 for r in biased[:3])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hashed_linear_score(F.col("t"), [])
+    with _pytest.raises(ValueError):
+        hashed_linear_score(F.col("t"), w, hash_fn="sha9")
