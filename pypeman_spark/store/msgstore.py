@@ -162,6 +162,49 @@ class MessageStore:
             [(mid, "delete", None, None, None, None, now) for mid in msg_ids]
         )
 
+    def apply_retention(
+        self,
+        keep_days: int | None = None,
+        before=None,
+    ) -> list[str]:
+        """Expire messages older than the cutoff by DROPPING whole date
+        partitions — the retention shape that stays cheap at 100 TB:
+        a ``date=YYYY-MM-DD`` directory removal is a file-listing
+        operation, no scan, no rewrite, no tombstones (contrast
+        :meth:`delete_many`, which is for targeted ids). Events for
+        expired ids become orphans the next :meth:`compact` discards.
+
+        Pass ``keep_days`` (cutoff = today - keep_days, driver clock)
+        or an explicit ``before`` date/"YYYY-MM-DD" string; partitions
+        STRICTLY OLDER than the cutoff are removed. Returns the dropped
+        partition names."""
+        import datetime as _dt
+
+        if (keep_days is None) == (before is None):
+            raise ValueError("pass exactly one of keep_days / before")
+        if before is None:
+            cutoff = _dt.date.today() - _dt.timedelta(days=keep_days)
+        elif isinstance(before, str):
+            cutoff = _dt.date.fromisoformat(before)
+        else:
+            cutoff = before
+        dropped = []
+        if not os.path.isdir(self.msg_path):
+            return dropped
+        for name in sorted(os.listdir(self.msg_path)):
+            if not name.startswith("date="):
+                continue
+            try:
+                part_date = _dt.date.fromisoformat(name[5:])
+            except ValueError:
+                continue
+            if part_date < cutoff:
+                shutil.rmtree(
+                    os.path.join(self.msg_path, name), ignore_errors=True
+                )
+                dropped.append(name)
+        return dropped
+
     def compact(self) -> None:
         """Fold the event log into the base table (the plain-parquet
         analogue of Delta OPTIMIZE + checkpoint).
@@ -222,8 +265,12 @@ class MessageStore:
         empty_schema = T.StructType(
             MESSAGE_SCHEMA.fields + [T.StructField("date", T.DateType())]
         )
-        # existence check avoids a logged JVM FileNotFound on fresh stores
-        if not os.path.isdir(self.msg_path):
+        # existence checks avoid a logged JVM FileNotFound on fresh
+        # stores and UNABLE_TO_INFER_SCHEMA on a store whose every date
+        # partition was expired by apply_retention (dir exists, empty)
+        if not os.path.isdir(self.msg_path) or not any(
+            n.startswith("date=") for n in os.listdir(self.msg_path)
+        ):
             return self.spark.createDataFrame([], empty_schema)
         return self.spark.read.parquet(self.msg_path)
 

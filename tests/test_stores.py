@@ -251,3 +251,43 @@ def test_compact_folds_events(spark, tmp_path):
     store.change_message_state(ids[4], "rejected")
     assert store.get(ids[4])["state"] == "rejected"
     assert store.search(meta={"k": "v2"}).count() == 1
+
+
+def test_apply_retention_drops_old_partitions(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pypeman_spark.store import MessageStore
+
+    store = MessageStore(spark, str(tmp_path / "store"), channel="ret")
+    today = dt.datetime.now()
+    old = today - dt.timedelta(days=40)
+    df = spark.createDataFrame(
+        [("old-1", old), ("old-2", old - dt.timedelta(days=5)),
+         ("new-1", today), ("new-2", today - dt.timedelta(days=2))],
+        "payload string, timestamp timestamp",
+    )
+    store.store(df)
+    assert store.total() == 4
+
+    dropped = store.apply_retention(keep_days=30)
+    assert len(dropped) == 2 and all(d.startswith("date=") for d in dropped)
+    assert store.total() == 2
+    payloads = {r["payload"] for r in store.current().collect()}
+    assert payloads == {"new-1", "new-2"}
+    # idempotent; events for expired ids are orphaned, compact survives
+    assert store.apply_retention(keep_days=30) == []
+    store.compact()
+    assert store.total() == 2
+
+    # explicit cutoff form + arg validation
+    dropped2 = store.apply_retention(
+        before=(today + dt.timedelta(days=1)).date().isoformat()
+    )
+    assert store.total() == 0 and len(dropped2) == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        store.apply_retention()
+    with _pytest.raises(ValueError):
+        store.apply_retention(keep_days=5, before="2024-01-01")
