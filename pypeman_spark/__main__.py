@@ -457,6 +457,21 @@ def cmd_tools(args) -> int:
     if args.tool == "send_from_store" and not args.dest:
         print("send_from_store requires --dest URL", file=sys.stderr)
         return 1
+    if args.tool == "retention":
+        if args.keep_days is None:
+            print("retention requires --keep-days N", file=sys.stderr)
+            return 1
+        from .session import get_spark
+        from .store.msgstore import MessageStore
+
+        store = MessageStore(
+            get_spark("tools"), args.store_path, channel=args.channel
+        )
+        dropped = store.apply_retention(keep_days=args.keep_days)
+        for name in dropped:
+            print(f"dropped {name}")
+        print(f"expired {len(dropped)} partition(s)")
+        return 0
     df = _tools_frame(args)
     if args.tool == "view_store":
         for r in df.collect():
@@ -532,7 +547,9 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("printsettings", help="print the project settings")
 
     p = sub.add_parser("tools", help="store utilities (view / re-send)")
-    p.add_argument("tool", choices=["view_store", "send_from_store"])
+    p.add_argument(
+        "tool", choices=["view_store", "send_from_store", "retention"]
+    )
     p.add_argument("store_path", help="MessageStore base path")
     p.add_argument("--channel", default="default")
     p.add_argument("--filter", "-f", action="append",
@@ -541,6 +558,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="max messages (default %(default)s)")
     p.add_argument("--dest", default=None,
                    help="destination URL for send_from_store")
+    p.add_argument("--keep-days", type=int, default=None,
+                   help="retention: drop date partitions older than N days")
 
     p = sub.add_parser("test", help="run the project's tests")
     p.add_argument("--module", "-m", default="tests")

@@ -247,3 +247,25 @@ def test_tools_view_and_send_from_store(spark, tmp_path, capsys):
 
     # missing --dest is a clean error
     assert main(["tools", "send_from_store", store_dir]) == 1
+
+
+def test_tools_retention_verb(spark, tmp_path, capsys):
+    import datetime as dt
+
+    from pypeman_spark.__main__ import main
+    from pypeman_spark.store import MessageStore
+
+    store = MessageStore(spark, str(tmp_path / "s"), channel="default")
+    now = dt.datetime.now()
+    df = spark.createDataFrame(
+        [("old", now - dt.timedelta(days=60)), ("new", now)],
+        "payload string, timestamp timestamp",
+    )
+    store.store(df)
+    rc = main(["tools", "retention", str(tmp_path / "s"), "--keep-days", "30"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "expired 1 partition(s)" in out
+    assert store.total() == 1
+    # missing --keep-days is an error
+    assert main(["tools", "retention", str(tmp_path / "s")]) == 1
