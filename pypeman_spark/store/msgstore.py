@@ -70,6 +70,9 @@ class MessageStore:
         self.channel = channel
         self.msg_path = os.path.join(base_path, "messages")
         self.event_path = os.path.join(base_path, "events")
+        # id -> date side table: lets point lookups prune to ONE date
+        # partition instead of scanning the whole store (see _id_dates)
+        self.index_path = os.path.join(base_path, "id_index")
 
     # -- writes ----------------------------------------------------------
     def store(self, df: DataFrame, state: str = PENDING) -> None:
@@ -82,6 +85,7 @@ class MessageStore:
             .withColumn("date", F.to_date("timestamp"))
         )
         out.write.mode("append").partitionBy("date").parquet(self.msg_path)
+        out.select("id", "date").write.mode("append").parquet(self.index_path)
 
     def _append_events(self, rows: list[tuple]) -> None:
         df = self.spark.createDataFrame(rows, _EVENT_SCHEMA)
@@ -279,13 +283,20 @@ class MessageStore:
             return self.spark.createDataFrame([], _EVENT_SCHEMA)
         return self.spark.read.schema(_EVENT_SCHEMA).parquet(self.event_path)
 
-    def current(self) -> DataFrame:
+    def current(self, dates: list | None = None) -> DataFrame:
         """Current view: base messages + latest state event + substates +
         store-meta lists. All four joins key on ``id`` — no broadcast
         hints: the event aggregates scale 1:1 with message volume, so
         AQE broadcasts them while small and co-shuffles at scale (one
-        shared hash partitioning on ``id`` across the join chain)."""
+        shared hash partitioning on ``id`` across the join chain).
+
+        ``dates`` (internal, from :meth:`_id_dates`) pre-filters the
+        base scan on the partition column so point lookups read one
+        date directory instead of the whole store; every event join
+        still applies, so semantics are identical to the full view."""
         msgs = self._messages()
+        if dates:
+            msgs = msgs.filter(F.col("date").isin(list(dates)))
         events = self._events()
 
         w = Window.partitionBy("id").orderBy(F.col("event_ts").desc())
@@ -348,15 +359,39 @@ class MessageStore:
         """``msgstore.py:292``."""
         return self.current().count()
 
+    def _id_dates(self, msg_id: str) -> list | None:
+        """Partition-pruning lookup: the id's date partition(s) from the
+        side index (written on every :meth:`store`). Returns None on an
+        index MISS (id unknown to the index — e.g. a store predating
+        the index) so callers fall back to the full scan; an index HIT
+        makes the point lookup a one-partition read regardless of store
+        size. The index row count equals message count but carries two
+        small columns — at 100 TB it stays a ~1% side table."""
+        if not os.path.isdir(self.index_path):
+            return None
+        rows = (
+            self.spark.read.parquet(self.index_path)
+            .filter(F.col("id") == msg_id)
+            .select("date")
+            .distinct()
+            .collect()
+        )
+        return [r["date"] for r in rows] or None
+
     def get(self, msg_id: str):
-        """Point lookup (``msgstore.py:710-717``)."""
-        rows = self.current().filter(F.col("id") == msg_id).collect()
+        """Point lookup (``msgstore.py:710-717``) — partition-pruned via
+        the id index when possible."""
+        rows = (
+            self.current(dates=self._id_dates(msg_id))
+            .filter(F.col("id") == msg_id)
+            .collect()
+        )
         return rows[0] if rows else None
 
     def get_preview_str(self, msg_id: str, length: int = 1000):
         """First ``length`` chars of payload (``msgstore.py:727-735``)."""
         rows = (
-            self.current()
+            self.current(dates=self._id_dates(msg_id))
             .filter(F.col("id") == msg_id)
             .select(F.substring("payload", 1, length).alias("preview"))
             .collect()
@@ -465,7 +500,11 @@ class MessageStore:
     def get_for_replay(self, msg_id: str) -> DataFrame:
         """Stored message as a fresh 1-row DataFrame with renewed
         uuid/timestamp (``channels.py:857-869``, ``message.py:80-90``)."""
-        one = self.current().filter(F.col("id") == msg_id).select(*MESSAGE_COLUMNS)
+        one = (
+            self.current(dates=self._id_dates(msg_id))
+            .filter(F.col("id") == msg_id)
+            .select(*MESSAGE_COLUMNS)
+        )
         return renew(one).withColumn("state", F.lit(PENDING))
 
 

@@ -291,3 +291,40 @@ def test_apply_retention_drops_old_partitions(spark, tmp_path):
         store.apply_retention()
     with _pytest.raises(ValueError):
         store.apply_retention(keep_days=5, before="2024-01-01")
+
+
+def test_point_lookup_uses_id_index_partition_pruning(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pypeman_spark.store import MessageStore
+
+    store = MessageStore(spark, str(tmp_path / "s"), channel="idx")
+    base = dt.datetime(2026, 1, 1, 12)
+    df = spark.createDataFrame(
+        [(f"d{i}", base + dt.timedelta(days=i)) for i in range(5)],
+        "payload string, timestamp timestamp",
+    )
+    store.store(df)
+    target = store.current().filter("payload = 'd3'").collect()[0]["id"]
+
+    # the index knows exactly one date for the id
+    dates = store._id_dates(target)
+    assert dates == [dt.date(2026, 1, 4)]
+    # and the pruned base scan carries a date PartitionFilter
+    pruned = store.current(dates=dates).filter(F.col("id") == target)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1][:160]
+    assert "date" in pf and ("2026-01-04" in pf or " IN " in pf or "= 20" in pf)
+
+    row = store.get(target)
+    assert row is not None and row["payload"] == "d3"
+    assert store.get_preview_str(target, 2) == "d3"[:2]
+    # unknown id: index miss -> clean None (fallback full view)
+    assert store.get("nope") is None
+    # index survives retention semantics: expired id simply vanishes
+    store.apply_retention(before="2026-01-03")
+    assert store.get(target) is not None  # unexpired id still resolves
+    expired = store.current().filter("payload = 'd0'").count()
+    assert expired == 0
