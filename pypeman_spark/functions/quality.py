@@ -9,13 +9,22 @@ integrity. The design constraint at 100 TB is pass-count:
   conditional sums (map-side partials, no shuffle of data rows);
 * uniqueness folds into the same pass as ``count - count(distinct)``;
 * referential integrity is the one rule class that genuinely needs a
-  join — a broadcast left-anti count against the (small) dimension
-  side, one extra job per foreign key.
+  join — a left-anti count against the dimension side, one extra job
+  per foreign key. ``broadcast_dims=True`` (the default) hints the
+  dimension for the common small-dim case; pass ``False`` when the FK
+  target is fact-sized (an unconditional broadcast of an unbounded
+  input is an OOM at scale) and AQE picks broadcast-vs-shuffle from
+  the measured size instead.
 
 ``check`` returns the machine-readable report; ``flag_violations``
 attaches a per-row ``violations`` array for quarantine-style routing
 (send bad rows to a DLQ path, clean rows onward) — the same
-split-by-state shape the Pipeline uses for Drop/Reject.
+split-by-state shape the Pipeline uses for Drop/Reject. It covers all
+three rule classes: row-local rules stay pure expressions in one
+scan; ``unique`` marks every row of a duplicated key via a window
+count; ``foreign_keys`` marks orphans via a left-anti-derived flag
+join — so quarantine routing sees the same rule names ``check``
+reports.
 """
 
 from __future__ import annotations
@@ -39,6 +48,7 @@ def check(
     unique: Sequence[Sequence[str]] | None = None,
     foreign_keys: Mapping[str, tuple[Sequence[str], DataFrame, Sequence[str]]]
     | None = None,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     """Evaluate constraints; return ``(rule, n_violations, n_rows)``.
 
@@ -47,6 +57,8 @@ def check(
     ``unique`` lists column tuples that must be duplicate-free.
     ``foreign_keys`` maps a rule name to ``(cols, dim_df, dim_cols)``:
     every non-null ``cols`` tuple must exist in ``dim_df[dim_cols]``.
+    ``broadcast_dims=False`` drops the broadcast hint on FK targets so
+    AQE sizes the join — required when a target is fact-sized.
     """
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, cond in rules.items():
@@ -72,32 +84,95 @@ def check(
         )
     for name, (cols, dim, dim_cols) in (foreign_keys or {}).items():
         probe = df.select(*cols).na.drop()
+        target = dim.select(*dim_cols)
+        if broadcast_dims:
+            target = F.broadcast(target)
         cond = [
-            probe[c] == dim[d] for c, d in zip(cols, dim_cols)
+            probe[c] == target[d] for c, d in zip(cols, dim_cols)
         ]
-        orphans = probe.join(
-            F.broadcast(dim.select(*dim_cols)), cond, "left_anti"
-        ).count()
+        orphans = probe.join(target, cond, "left_anti").count()
         out.append((name, int(orphans), n))
     return _report_rows(df.sparkSession, out)
 
 
 def flag_violations(
-    df: DataFrame, rules: Mapping[str, Column], out_col: str = "violations"
+    df: DataFrame,
+    rules: Mapping[str, Column],
+    out_col: str = "violations",
+    unique: Sequence[Sequence[str]] | None = None,
+    foreign_keys: Mapping[str, tuple[Sequence[str], DataFrame, Sequence[str]]]
+    | None = None,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     """Attach ``out_col``: array of the names of every rule the row
-    violates (empty array = clean). Pure per-row expression — filter
-    ``size(violations) == 0`` for the clean stream, route the rest to
-    quarantine; both branches stay in one scan."""
+    violates (empty array = clean). Filter ``size(violations) == 0``
+    for the clean stream, route the rest to quarantine.
+
+    Row-local ``rules`` are pure per-row expressions — both branches
+    stay in one scan. ``unique`` tuples mark EVERY row of a duplicated
+    key (window ``count > 1`` per key — one shuffle on the key, same
+    semantics as ``check``'s ``count - count_distinct``). Null key
+    parts hash like values: two rows with the same NULL-bearing tuple
+    are duplicates of each other. ``foreign_keys`` mark rows whose
+    non-null FK tuple is absent from the dimension, via a left join on
+    a deduplicated key set carrying a presence flag (the left-anti
+    semantics of ``check``, expressed so matched rows keep flowing);
+    ``broadcast_dims`` as in :func:`check`."""
+    from pyspark.sql import Window
+
     flags = [
         F.when(
             cond, F.lit(None).cast("string")
         ).otherwise(F.lit(name))
         for name, cond in rules.items()
     ]
-    return df.withColumn(
+    flag_cols: list[Column] = []
+    out = df
+    for cols in unique or []:
+        name = "unique(" + ",".join(cols) + ")"
+        key = F.concat_ws("\x00", *[F.col(c).cast("string") for c in cols])
+        w = Window.partitionBy(key)
+        fcol = f"__uflag_{'_'.join(cols)}"
+        out = out.withColumn(
+            fcol,
+            F.when(F.count(F.lit(1)).over(w) > 1, F.lit(name)),
+        )
+        flag_cols.append(F.col(fcol))
+    for name, (cols, dim, dim_cols) in (foreign_keys or {}).items():
+        keyset = (
+            dim.select(
+                *[F.col(d).alias(f"__fk_{c}") for c, d in zip(cols, dim_cols)]
+            )
+            .dropDuplicates()
+            .withColumn("__fk_present", F.lit(True))
+        )
+        if broadcast_dims:
+            keyset = F.broadcast(keyset)
+        cond = None
+        for c in cols:
+            term = out[c] == keyset[f"__fk_{c}"]
+            cond = term if cond is None else (cond & term)
+        fcol = f"__fkflag_{name}"
+        joined = out.join(keyset, cond, "left")
+        any_null = None
+        for c in cols:
+            term = F.col(c).isNull()
+            any_null = term if any_null is None else (any_null | term)
+        out = joined.withColumn(
+            fcol,
+            # null FK parts are "not applicable", matching check()'s
+            # na.drop() on the probe side
+            F.when(
+                ~any_null & F.col("__fk_present").isNull(), F.lit(name)
+            ),
+        ).drop("__fk_present", *[f"__fk_{c}" for c in cols])
+        flag_cols.append(F.col(fcol))
+    result = out.withColumn(
         out_col,
-        F.filter(F.array(*flags), lambda x: x.isNotNull()),
+        F.filter(F.array(*flags, *flag_cols), lambda x: x.isNotNull()),
+    )
+    return result.drop(
+        *[c for c in result.columns if c.startswith(("__uflag_", "__fkflag_"))]
     )
 
 

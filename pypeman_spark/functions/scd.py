@@ -34,6 +34,7 @@ def scd2_apply(
     key_cols: Sequence[str],
     attr_cols: Sequence[str],
     ts_col: str = "valid_from",
+    validate: bool = False,
 ) -> DataFrame:
     """Apply ``updates`` (``key_cols + attr_cols + ts_col``) to an SCD2
     dimension ``dim`` (``key_cols + attr_cols + valid_from, valid_to,
@@ -41,7 +42,16 @@ def scd2_apply(
 
     Brand-new keys start their history at their first update; closed
     versions are passed through untouched; an update identical to the
-    version in force at its timestamp is dropped as a no-op."""
+    version in force at its timestamp is dropped as a no-op.
+
+    Precondition: updates must postdate the key's CLOSED history
+    (``ts >= max(closed.valid_to)`` per key). Only open versions are
+    re-chained, so an update timestamped inside an already-closed
+    interval would order before the open version while the closed rows
+    pass through untouched, yielding overlapping validity ranges. Pass
+    ``validate=True`` to enforce this and raise on the first violation
+    (costs one extra aggregation over the closed slice + a join
+    against the per-key bounds)."""
     keys = list(key_cols)
     attrs = list(attr_cols)
     closed = dim.filter(F.col("valid_to").isNotNull()).select(
@@ -53,16 +63,37 @@ def scd2_apply(
     incoming = updates.select(
         *keys, *attrs, F.col(ts_col).alias("valid_from")
     )
+    if validate:
+        bounds = closed.groupBy(*keys).agg(
+            F.max("valid_to").alias("__max_closed")
+        )
+        # no broadcast hint: bounds is per-key and can be
+        # dimension-sized; AQE picks broadcast when it actually fits
+        stale = (
+            incoming.join(bounds, keys, "inner")
+            .filter(F.col("valid_from") < F.col("__max_closed"))
+            .count()
+        )
+        if stale:
+            raise ValueError(
+                f"scd2_apply: {stale} update(s) are timestamped inside "
+                "already-closed history (ts < max(closed.valid_to) for "
+                "their key); applying them would create overlapping "
+                "validity ranges"
+            )
     cand = open_now.unionByName(incoming)
     order = [F.col("valid_from").asc()] + [F.col(a).asc() for a in attrs]
     w = Window.partitionBy(*keys).orderBy(*order)
     # no-op suppression: same attrs as the chronologically previous
-    # candidate version -> drop
+    # candidate version -> drop. eqNullSafe, not !=: with any NULL
+    # attribute the plain inequality is NULL and the filter would
+    # silently drop a genuine NULL<->value change.
     attr_tuple = F.struct(*[F.col(a) for a in attrs])
     chained = (
         cand.withColumn("__prev", F.lag(attr_tuple).over(w))
         .filter(
-            F.col("__prev").isNull() | (F.col("__prev") != attr_tuple)
+            F.col("__prev").isNull()
+            | ~F.col("__prev").eqNullSafe(attr_tuple)
         )
         .drop("__prev")
     )

@@ -136,6 +136,7 @@ def funnel(
     ts_col: str,
     stage_col: str,
     stages: Sequence[str],
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Ordered funnel analysis: per key, the earliest strictly-ordered
     completion chain through ``stages`` — ``stage_ts`` holds the
@@ -148,12 +149,38 @@ def funnel(
     earliest-first matching, which provably finds the minimal chain
     (exchange argument), so the result equals the relational
     min/join-chain formulation the oracle uses without k self-joins
-    over the full event log."""
+    over the full event log.
+
+    ``max_events_per_key`` bounds executor memory against pathological
+    hot keys (a bot emitting millions of funnel-stage events): only
+    each key's earliest N stage events (ts, then stage for tie
+    stability) enter the fold. Greedy earliest-first matching only ever
+    consumes the earliest qualifying event per stage, so for any key
+    with ≤ N stage events the capped result is IDENTICAL to the
+    uncapped one (property-tested); a key over the cap can at worst
+    undercount depth, never invent it. The cap is a row_number window
+    on the same key — Spark reuses the one hash partitioning for the
+    window and the groupBy, so the exchange budget stays at one."""
+    from pyspark.sql import Window
+
     k = len(stages)
     if k == 0:
         raise ValueError("stages must be non-empty")
     stage_arr = F.array(*[F.lit(s) for s in stages])
     ev = df.filter(F.col(stage_col).isin(list(stages)))
+    if max_events_per_key is not None:
+        if max_events_per_key < 1:
+            raise ValueError(
+                f"max_events_per_key must be >= 1, got {max_events_per_key}"
+            )
+        wcap = Window.partitionBy(key_col).orderBy(
+            F.col(ts_col).asc(), F.col(stage_col).asc()
+        )
+        ev = (
+            ev.withColumn("__rn", F.row_number().over(wcap))
+            .filter(F.col("__rn") <= max_events_per_key)
+            .drop("__rn")
+        )
     per_key = ev.groupBy(key_col).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col(ts_col).alias("ts"),

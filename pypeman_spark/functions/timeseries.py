@@ -48,7 +48,10 @@ def resample(
     if step_seconds <= 0:
         raise ValueError(f"step_seconds must be positive, got {step_seconds}")
     step = F.lit(step_seconds).cast("long")
-    bucket = (F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
+    # floor, not cast("long"): the cast truncates toward zero, which
+    # would land pre-1970 (negative-epoch) timestamps one bucket late;
+    # floor division matches date_trunc and the floor(epoch) oracle
+    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
     agg_col = (
         F.count(F.lit(1)) if agg == "count"
         else getattr(F, agg)(F.col(value_col))

@@ -27,6 +27,18 @@ from .queries import q, t, tp
 _WS = "\\s+"
 
 
+def _line8_idx(w):
+    """Indices of a word array's 8-word lines, empty array for empty
+    text. A bare ``sequence(0, n_lines - 1)`` DESCENDS to ``[0, -1]``
+    when the doc has zero words (Spark infers step -1), while the
+    oracle's ``generate_series(0, -1)`` is empty — guard the branch so
+    an empty/whitespace-only doc can never diverge the two engines."""
+    n = F.ceil(F.size(w) / F.lit(8.0)).cast("int")
+    return F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 # =====================================================================
 # Corpus scrubbing / quality (LLM-pipeline text ops, round 2)
 # =====================================================================
@@ -1061,9 +1073,7 @@ def gopher_repetition_signals(spark, sf_dir):
     d = tp(spark, sf_dir, "documents")
     w = F.split(F.trim(F.col("text")), _WS)
     lines8 = F.transform(
-        F.sequence(
-            F.lit(0), F.ceil(F.size(w) / F.lit(8.0)).cast("int") - 1
-        ),
+        _line8_idx(w),
         lambda i: F.array_join(F.slice(w, i * 8 + 1, 8), " "),
     )
     aug = F.concat(
@@ -1244,9 +1254,7 @@ def clean_scrub_repetition(spark, sf_dir):
     w = F.split(F.trim(F.col("text")), _WS)
     lined = F.array_join(
         F.transform(
-            F.sequence(
-                F.lit(0), F.ceil(F.size(w) / F.lit(8.0)).cast("int") - 1
-            ),
+            _line8_idx(w),
             lambda i: F.array_join(F.slice(w, i * 8 + 1, 8), " "),
         ),
         "\n",
@@ -1424,9 +1432,7 @@ def gopher_quality_filter(spark, sf_dir):
     d = tp(spark, sf_dir, "documents")
     w = F.split(F.trim(F.col("text")), _WS)
     lines8 = F.transform(
-        F.sequence(
-            F.lit(0), F.ceil(F.size(w) / F.lit(8.0)).cast("int") - 1
-        ),
+        _line8_idx(w),
         lambda i: F.concat(
             F.when(i % 5 == 0, F.lit("- ")).otherwise(F.lit("")),
             F.array_join(F.slice(w, i * 8 + 1, 8), " "),
@@ -1495,7 +1501,9 @@ def data_quality_report(spark, sf_dir):
     """Data-quality constraint report (functions/quality.py:check):
     row-level range/null rules in ONE aggregation pass, uniqueness via
     count-minus-distinct in the same pass, referential integrity via a
-    broadcast left-anti count. Violations are injected
+    left-anti count with ``broadcast_dims=False`` — the FK target here
+    is ``orders``, a fact-sized table at scale, so AQE sizes the join
+    instead of an unconditional broadcast hint. Violations are injected
     deterministically (mutated copies of every 997th order: quantity
     +100, negated price, null shipdate, orphaned key; plus verbatim
     re-unioned copies of every 499th order for duplicate keys), so
@@ -1532,6 +1540,7 @@ def data_quality_report(spark, sf_dir):
                 ["l_orderkey"], orders, ["o_orderkey"]
             )
         },
+        broadcast_dims=False,
     )
 
 

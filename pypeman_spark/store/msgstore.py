@@ -175,8 +175,11 @@ class MessageStore:
         partitions — the retention shape that stays cheap at 100 TB:
         a ``date=YYYY-MM-DD`` directory removal is a file-listing
         operation, no scan, no rewrite, no tombstones (contrast
-        :meth:`delete_many`, which is for targeted ids). Events for
-        expired ids become orphans the next :meth:`compact` discards.
+        :meth:`delete_many`, which is for targeted ids). Events and
+        id-index rows for expired ids become orphans the next
+        :meth:`compact` discards (a stale index row is harmless
+        meanwhile: it prunes to a partition that no longer exists, so
+        lookups correctly return nothing).
 
         Pass ``keep_days`` (cutoff = today - keep_days, driver clock)
         or an explicit ``before`` date/"YYYY-MM-DD" string; partitions
@@ -220,11 +223,19 @@ class MessageStore:
         store-meta lists as a fresh, minimal event log — schemas are
         unchanged, so readers never see a special case. Swap is
         directory-rename atomic per path (single-writer assumption, same
-        as the reference's file store)."""
+        as the reference's file store).
+
+        The id→date side index is rewritten in the same pass: every
+        ``store()`` appends a small parquet file to it and deletions/
+        retention leave stale rows, so without this the index would be
+        an ever-growing many-small-files scan. The rewrite derives
+        (id, date) from the surviving rows only — deleted and expired
+        ids drop out — coalesced to one file."""
         cur = self.current().cache()
         try:
             new_msg = os.path.join(self.base_path, f".compact_msg_{_uuid.uuid4().hex}")
             new_ev = os.path.join(self.base_path, f".compact_ev_{_uuid.uuid4().hex}")
+            new_idx = os.path.join(self.base_path, f".compact_idx_{_uuid.uuid4().hex}")
             (
                 cur.select(*MESSAGE_COLUMNS)
                 .withColumn("date", F.to_date("timestamp"))
@@ -253,7 +264,17 @@ class MessageStore:
                 )
             )
             meta_ev.write.mode("overwrite").parquet(new_ev)
-            for live, fresh in ((self.msg_path, new_msg), (self.event_path, new_ev)):
+            (
+                cur.select("id", F.to_date("timestamp").alias("date"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(new_idx)
+            )
+            for live, fresh in (
+                (self.msg_path, new_msg),
+                (self.event_path, new_ev),
+                (self.index_path, new_idx),
+            ):
                 old = live + ".old"
                 if os.path.isdir(live):
                     os.replace(live, old)

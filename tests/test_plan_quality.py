@@ -515,3 +515,31 @@ def test_new_analytics_ops_exchange_budgets(spark):
         assert "CartesianProduct" not in plan, name
         n = plan.replace("BroadcastExchange", "").count("Exchange")
         assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+def test_quality_fk_join_sizes_sanely_with_hint_off(spark):
+    # VERDICT r5 #2: the FK-integrity join must not rely on an
+    # unconditional broadcast of the FK target. With the hint off and
+    # the size estimator neutralized (threshold=-1) the join must
+    # compile to a shuffled equi-join — never a cartesian — and with
+    # the hint on (small-dim default) the broadcast must survive.
+    from pypeman_spark.functions.quality import flag_violations
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey")
+    orders = load_table(spark, SF, "orders")
+    fks = {"orders_fk": (["l_orderkey"], orders, ["o_orderkey"])}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(
+            flag_violations(li, {}, foreign_keys=fks, broadcast_dims=False)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        plan_hint = plan_of(
+            flag_violations(li, {}, foreign_keys=fks, broadcast_dims=True)
+        )
+        assert "BroadcastHashJoin" in plan_hint
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -575,3 +575,43 @@ def test_funnel_prefix_consistency(spark, events):
     assert t2 == t3
     if three:
         assert three[0]["n_completed"] >= (two[0]["n_completed"] if two else 0)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),        # key
+            st.integers(min_value=0, max_value=30),       # minute
+            st.sampled_from(["s1", "s2", "s3", "other"]),
+        ),
+        min_size=1, max_size=14,
+    )
+)
+def test_funnel_cap_is_identity_for_under_cap_keys(spark, events):
+    # VERDICT r5 #8: a cap >= every key's stage-event count must never
+    # change the result (greedy matching only consumes earliest events)
+    import datetime as dtm
+
+    from pypeman_spark.functions.stats import funnel
+
+    base = dtm.datetime(2026, 4, 1)
+    df = spark.createDataFrame(
+        [(k, base + dtm.timedelta(minutes=m), s) for k, m, s in events],
+        "k long, ts timestamp, e string",
+    )
+    stages = ["s1", "s2", "s3"]
+    plain = {
+        (r["k"], r["n_completed"], r["stage1_ts"], r["stage2_ts"], r["stage3_ts"])
+        for r in funnel(df, "k", "ts", "e", stages).collect()
+    }
+    capped = {
+        (r["k"], r["n_completed"], r["stage1_ts"], r["stage2_ts"], r["stage3_ts"])
+        for r in funnel(df, "k", "ts", "e", stages,
+                        max_events_per_key=len(events)).collect()
+    }
+    assert plain == capped

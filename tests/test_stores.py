@@ -328,3 +328,46 @@ def test_point_lookup_uses_id_index_partition_pruning(spark, tmp_path):
     assert store.get(target) is not None  # unexpired id still resolves
     expired = store.current().filter("payload = 'd0'").count()
     assert expired == 0
+
+
+def test_compact_rewrites_id_index(spark, tmp_path):
+    # ADVICE r5: every store() appends small files to the id index and
+    # deletes leave stale rows — compact() must rewrite it (live ids
+    # only, coalesced) so point lookups don't scan an ever-growing
+    # many-small-files side table
+    import datetime as dt
+    import glob
+
+    from pypeman_spark.store import MessageStore
+
+    store = MessageStore(spark, str(tmp_path / "s"), channel="idxc")
+    base = dt.datetime(2026, 2, 1, 9)
+    for batch in range(3):  # 3 appends -> >= 3 index files
+        df = spark.createDataFrame(
+            [(f"b{batch}-{i}", base + dt.timedelta(days=batch)) for i in range(4)],
+            "payload string, timestamp timestamp",
+        )
+        store.store(df)
+
+    def idx_files():
+        return glob.glob(str(tmp_path / "s" / "id_index" / "*.parquet"))
+
+    def idx_ids():
+        return {
+            r["id"] for r in spark.read.parquet(store.index_path).collect()
+        }
+
+    assert len(idx_files()) >= 3
+    victim = store.current().filter("payload = 'b1-2'").collect()[0]["id"]
+    store.delete(victim)
+    assert victim in idx_ids()  # tombstone alone leaves the index stale
+
+    store.compact()
+    assert len(idx_files()) == 1  # coalesced
+    live = idx_ids()
+    assert victim not in live and len(live) == 11
+    # index still drives pruned point lookups after the rewrite
+    target = store.current().filter("payload = 'b2-3'").collect()[0]["id"]
+    assert store._id_dates(target) == [dt.date(2026, 2, 3)]
+    assert store.get(target)["payload"] == "b2-3"
+    assert store.get(victim) is None
