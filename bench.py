@@ -88,7 +88,7 @@ HEADLINE = [
     "resample_forward_fill",
     "scd2_customer_segments",
     "funnel_signup_view_purchase",
-    "ppm_grid_features",
+    "image_grid_features",
     "quality_classifier_scores",
 ]
 

@@ -3,12 +3,14 @@
 Media are opaque ``BINARY`` columns with a typed metadata struct. The
 Spark-side machinery — schema, Arrow batch shape, ``mapInPandas``
 signatures, partition sizing — is real and tested. Codecs come in two
-families: REAL stdlib/numpy decoders for binary PPM (P6) images and
-PCM WAV audio (`decode_ppm_features`, `resize_ppm`, `resample_wav` —
-exact header parsing, pixel/sample math, re-encode), and deterministic
-fakes for the formats needing external libs (JPEG/PNG/MP3/MP4 —
-clearly marked, swappable for PIL/torchaudio on a real cluster). Both
-families share batch shapes.
+families: REAL stdlib/numpy decoders for binary PPM (P6) images,
+non-interlaced RGB8 PNG (full zlib + filter-reconstruction pipeline,
+`decode_png_features` / `raw_rgb_to_png`) and PCM WAV audio
+(`decode_ppm_features`, `resize_ppm`, `resample_wav` — exact header
+parsing, pixel/sample math, re-encode), and deterministic fakes for
+the formats needing external libs (JPEG/MP3/MP4 — clearly marked,
+swappable for PIL/torchaudio on a real cluster). Both families share
+batch shapes.
 
 Scale notes: media rows are large → keep ``spark.sql.files.
 maxPartitionBytes`` low enough that one Arrow batch of decoded frames
@@ -33,6 +35,8 @@ __all__ = [
     "decode_ppm_features",
     "resize_ppm",
     "resample_wav",
+    "decode_png_features",
+    "raw_rgb_to_png",
 ]
 
 MEDIA_META_TYPE = T.StructType(
@@ -268,6 +272,20 @@ def _encode_ppm(pixels) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
 
 
+def _grid_means(px, w: int, h: int, grid: int) -> list[float]:
+    """Per-cell RGB means over a ``grid × grid`` spatial grid of an
+    ``(h, w, 3)`` uint8 array — the color-layout feature shared by
+    every real image decoder here."""
+    feats: list[float] = []
+    for gy in range(grid):
+        ys = slice(h * gy // grid, max(h * (gy + 1) // grid, h * gy // grid + 1))
+        for gx in range(grid):
+            xs = slice(w * gx // grid, max(w * (gx + 1) // grid, w * gx // grid + 1))
+            cell = px[ys, xs].reshape(-1, 3).mean(axis=0) / 255.0
+            feats.extend(float(v) for v in cell)
+    return feats
+
+
 def decode_ppm_features(
     df: DataFrame,
     binary_col: str = "content",
@@ -296,14 +314,7 @@ def decode_ppm_features(
             w, h, px = _parse_ppm(payload)
         except (ValueError, TypeError):
             return None, None, None
-        feats = []
-        for gy in range(grid):
-            ys = slice(h * gy // grid, max(h * (gy + 1) // grid, h * gy // grid + 1))
-            for gx in range(grid):
-                xs = slice(w * gx // grid, max(w * (gx + 1) // grid, w * gx // grid + 1))
-                cell = px[ys, xs].reshape(-1, 3).mean(axis=0) / 255.0
-                feats.extend(float(v) for v in cell)
-        return w, h, feats
+        return w, h, _grid_means(px, w, h, grid)
 
     def _decode(batches: "Iterator[pd.DataFrame]"):
         for pdf in batches:
@@ -441,3 +452,252 @@ def resample_wav(
             )
 
     return df.select(id_col, binary_col).mapInPandas(_resample, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG codec (non-interlaced 8-bit RGB, color type 2) — pure
+# stdlib: the container walk, CRC-32 verification, zlib inflate and the
+# full five-type filter reconstruction (None/Sub/Up/Average/Paeth) are
+# all exact per the PNG specification. Palette/alpha/16-bit/interlaced
+# variants raise and route to the stub path like any other format.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    """Yield ``(type, data)`` for each chunk, verifying each CRC-32."""
+    import struct
+    import zlib
+
+    i = len(_PNG_SIG)
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[i + 8 + length : i + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        yield ctype, data
+        i += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _parse_png(payload: bytes):
+    """Decode a non-interlaced 8-bit RGB PNG: returns ``(width,
+    height, pixels)`` with ``pixels`` an ``(h, w, 3)`` uint8 ndarray.
+    Raises ValueError for any other PNG flavor or corrupt stream."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload or not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    w = h = None
+    idat = b""
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG flavor (need 8-bit RGB non-interlaced)"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel payload has wrong length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    bpp = 3
+    for y in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    return w, h, out.reshape(h, w, 3)
+
+
+def _encode_png(pixels, filter_choice: str = "adaptive-fixed") -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 array as a non-interlaced RGB8
+    PNG. ``filter_choice='none'`` writes filter 0 everywhere;
+    ``'adaptive-fixed'`` cycles Sub/Up/None per row (computing the
+    REAL filtered deltas) so a decoder must implement filter
+    reconstruction, not just inflate, to round-trip."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    flat = pixels.reshape(h, w * 3).astype(np.int16)
+    lines = []
+    for y in range(h):
+        row = flat[y]
+        ftype = 0
+        if filter_choice == "adaptive-fixed":
+            ftype = (1, 2, 0)[y % 3] if y else 0
+        if ftype == 1:  # Sub: delta vs pixel to the left
+            shifted = np.concatenate([np.zeros(3, dtype=np.int16), row[:-3]])
+            data = ((row - shifted) % 256).astype(np.uint8)
+        elif ftype == 2:  # Up: delta vs row above
+            data = ((row - flat[y - 1]) % 256).astype(np.uint8)
+        else:
+            data = row.astype(np.uint8)
+        lines.append(bytes([ftype]) + data.tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def raw_rgb_to_png(
+    df: DataFrame,
+    width: int,
+    height: int,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    filter_choice: str = "adaptive-fixed",
+) -> DataFrame:
+    """REAL PNG encode: pack a raw ``width*height*3``-byte RGB payload
+    into a non-interlaced RGB8 PNG (zlib deflate + per-row filter
+    computation). Rows whose payload is not exactly that long carry
+    null content. Arrow-batched ``mapInPandas``; output ``(id, content
+    binary, media_meta)``."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(binary_col, T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_TYPE),
+        ]
+    )
+    n_bytes = width * height * 3
+
+    def _one(payload):
+        if payload is None or len(payload) != n_bytes:
+            return None
+        px = np.frombuffer(payload, dtype=np.uint8).reshape(height, width, 3)
+        return _encode_png(px, filter_choice=filter_choice)
+
+    def _encode(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            out = [_one(b) for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    binary_col: out,
+                    "media_meta": [
+                        {
+                            "media_type": "image",
+                            "format": "png",
+                            "width": width if b is not None else None,
+                            "height": height if b is not None else None,
+                            "duration_ms": None,
+                            "size_bytes": len(b) if b is not None else None,
+                        }
+                        for b in out
+                    ],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_encode, out_schema)
+
+
+def decode_png_features(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    grid: int = 2,
+) -> DataFrame:
+    """REAL PNG decode: chunk walk + CRC verify + inflate + filter
+    reconstruction, then the same ``grid × grid`` RGB-mean color-layout
+    features as :func:`decode_ppm_features`. Non-PNG / unsupported-
+    flavor rows yield null features so callers can route them to
+    another codec path."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def _one(payload):
+        try:
+            w, h, px = _parse_png(payload)
+        except (ValueError, TypeError):
+            return None, None, None
+        return w, h, _grid_means(px, w, h, grid)
+
+    def _decode(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            decoded = [_one(b) for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "features": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_decode, out_schema)

@@ -1727,42 +1727,52 @@ def funnel_signup_view_purchase(spark, sf_dir):
     )
 
 
+_MD5_RGB_CSV = " || ',' || ".join(
+    f"('0x' || substr(m, {2 * i + 1}, 2))::INT" for i in range(12)
+)
+
+
 @q(
-    "ppm_grid_features",
-    """
+    "image_grid_features",
+    f"""
     WITH h AS (
-      SELECT doc_id, md5(text) AS m FROM documents WHERE doc_id < 200
+      SELECT doc_id, md5(text) AS m, CASE WHEN doc_id < 200
+               THEN 'ppm' ELSE 'png' END AS mode
+      FROM documents WHERE doc_id < 400
     )
-    SELECT doc_id, 8 AS width, 8 AS height,
-           ('0x' || substr(m, 1, 2))::INT || ',' ||
-           ('0x' || substr(m, 3, 2))::INT || ',' ||
-           ('0x' || substr(m, 5, 2))::INT || ',' ||
-           ('0x' || substr(m, 7, 2))::INT || ',' ||
-           ('0x' || substr(m, 9, 2))::INT || ',' ||
-           ('0x' || substr(m, 11, 2))::INT || ',' ||
-           ('0x' || substr(m, 13, 2))::INT || ',' ||
-           ('0x' || substr(m, 15, 2))::INT || ',' ||
-           ('0x' || substr(m, 17, 2))::INT || ',' ||
-           ('0x' || substr(m, 19, 2))::INT || ',' ||
-           ('0x' || substr(m, 21, 2))::INT || ',' ||
-           ('0x' || substr(m, 23, 2))::INT AS cell_rgb
+    SELECT mode, doc_id, 8 AS width, 8 AS height,
+           {_MD5_RGB_CSV} AS cell_rgb
     FROM h
     """,
 )
-def ppm_grid_features(spark, sf_dir):
-    """REAL image decode under oracle attestation
-    (functions/multimodal.py:decode_ppm_features): each doc synthesizes
-    a valid 8x8 binary PPM whose four quadrants are solid colors taken
-    from md5(text) bytes 0-11 — built entirely with binary Column
-    expressions (unhex of md5 substrings, concat-repeated rows), no
-    Python. The REAL P6 parser + 2x2 grid-mean extractor then runs in
-    mapInPandas; because each grid cell is a solid quadrant, the cell
-    means are exactly the quadrant colors, which the oracle re-derives
-    from the same md5 hex pairs. Features serialize as integer 0-255
-    CSV (exact — no float formatting in the compare)."""
-    from ..functions.multimodal import decode_ppm_features
+def image_grid_features(spark, sf_dir):
+    """REAL image decode under oracle attestation, two codecs (r6
+    consolidation of ppm_grid_features + the new PNG codec — one entry
+    attests both): each doc synthesizes an 8x8 image whose four
+    quadrants are solid colors taken from md5(text) bytes 0-11 — built
+    entirely with binary Column expressions (unhex of md5 substrings,
+    concat-repeated rows), no Python.
 
-    d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    Arm ``ppm`` (doc_id < 200): the raw pixels are wrapped in a P6
+    header Column-side and the REAL P6 parser
+    (functions/multimodal.py:decode_ppm_features) extracts 2x2
+    grid-mean features. Arm ``png`` (doc_id 200-399): the raw pixels
+    go through the REAL PNG encoder (raw_rgb_to_png — zlib deflate +
+    per-row Sub/Up filter computation) and back through the REAL PNG
+    decoder (decode_png_features — chunk walk, CRC-32 verify, inflate,
+    full filter reconstruction). Because each grid cell is a solid
+    quadrant, the cell means are exactly the quadrant colors, which
+    the oracle re-derives from the same md5 hex pairs — any bug in
+    either codec's header/filter/pixel math breaks the match. Features
+    serialize as integer 0-255 CSV (exact — no float formatting in
+    the compare)."""
+    from ..functions.multimodal import (
+        decode_png_features,
+        decode_ppm_features,
+        raw_rgb_to_png,
+    )
+
+    d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     m = F.upper(F.md5(F.col("text")))
     qa = F.unhex(F.substring(m, 1, 6))     # quadrant colors: 3 bytes each
     qb = F.unhex(F.substring(m, 7, 6))
@@ -1775,21 +1785,32 @@ def ppm_grid_features(spark, sf_dir):
 
     top, bottom = row_of(qa, qb), row_of(qc, qd)
     pixels = F.concat(*([top] * 4 + [bottom] * 4))
+
+    def csv_out(feats, mode):
+        return feats.select(
+            F.lit(mode).alias("mode"),
+            "doc_id", "width", "height",
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("features"),
+                    lambda x: F.round(x * 255).cast("int").cast("string"),
+                ),
+            ).alias("cell_rgb"),
+        )
+
     header = F.lit(bytearray(b"P6\n8 8\n255\n"))
-    imgs = d.select(
+    ppm_imgs = d.filter(F.col("doc_id") < 200).select(
         "doc_id", F.concat(header, pixels).alias("content")
     )
-    feats = decode_ppm_features(imgs, grid=2)
-    return feats.select(
-        "doc_id", "width", "height",
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.col("features"),
-                lambda x: F.round(x * 255).cast("int").cast("string"),
-            ),
-        ).alias("cell_rgb"),
+    ppm = csv_out(decode_ppm_features(ppm_imgs, grid=2), "ppm")
+
+    raw = d.filter(F.col("doc_id") >= 200).select(
+        "doc_id", pixels.alias("content")
     )
+    pngs = raw_rgb_to_png(raw, 8, 8)
+    png = csv_out(decode_png_features(pngs, grid=2), "png")
+    return ppm.unionByName(png)
 
 
 def _classifier_weights(d: int = 64) -> list[float]:

@@ -142,3 +142,102 @@ def test_real_wav_resample(spark):
         assert w.getframerate() == 16000
         assert abs(w.getnframes() - 16000) <= 1
     assert got[2]["content"] is None
+
+
+def test_real_png_roundtrip_all_filters():
+    # codec-level (no Spark): encode/decode must invert for every
+    # filter choice, and the decoder must reconstruct hand-built
+    # Average/Paeth rows it never emits itself
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pypeman_spark.functions.multimodal import _encode_png, _parse_png
+
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1), (3, 5), (8, 8), (16, 9)]:
+        px = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        for fc in ("none", "adaptive-fixed"):
+            w, h, out = _parse_png(_encode_png(px, filter_choice=fc))
+            assert (w, h) == (shape[1], shape[0])
+            assert (out == px).all()
+
+    def chunk(ct, d):
+        return (
+            struct.pack(">I", len(d)) + ct + d
+            + struct.pack(">I", zlib.crc32(ct + d) & 0xFFFFFFFF)
+        )
+
+    px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    flat = px.reshape(4, 12).astype(int)
+    lines = []
+    for y, ft in enumerate([0, 3, 4, 3]):  # Average + Paeth rows
+        row, prev = flat[y], (flat[y - 1] if y else np.zeros(12, dtype=int))
+        out = bytearray()
+        for x in range(12):
+            left = row[x - 3] if x >= 3 else 0
+            ul = prev[x - 3] if x >= 3 else 0
+            if ft == 3:
+                pred = (left + prev[x]) // 2
+            elif ft == 4:
+                p = left + prev[x] - ul
+                pa, pb, pc = abs(p - left), abs(p - prev[x]), abs(p - ul)
+                pred = (
+                    left if pa <= pb and pa <= pc
+                    else (prev[x] if pb <= pc else ul)
+                )
+            else:
+                pred = 0
+            out.append((row[x] - pred) % 256)
+        lines.append(bytes([ft]) + bytes(out))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    w, h, got = _parse_png(payload)
+    assert (got == px).all()
+
+    # corrupt CRC and unsupported flavors must raise, not mis-decode
+    import pytest as _pytest
+
+    bad = bytearray(_encode_png(px))
+    bad[-5] ^= 0xFF  # flip a bit in IEND's CRC
+    with _pytest.raises(ValueError):
+        _parse_png(bytes(bad))
+    gray = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError):
+        _parse_png(gray)
+
+
+def test_png_spark_encode_decode(spark):
+    import numpy as np
+
+    from pypeman_spark.functions.multimodal import (
+        decode_png_features,
+        raw_rgb_to_png,
+    )
+
+    solid = bytes([200, 10, 30]) * 16  # 4x4 solid color
+    df = spark.createDataFrame(
+        [(1, bytearray(solid)), (2, bytearray(b"short"))],
+        "doc_id long, content binary",
+    )
+    enc = {r["doc_id"]: r for r in raw_rgb_to_png(df, 4, 4).collect()}
+    assert enc[1]["media_meta"]["format"] == "png"
+    assert enc[2]["content"] is None  # wrong payload length -> null
+    feats = {
+        r["doc_id"]: r
+        for r in decode_png_features(raw_rgb_to_png(df, 4, 4), grid=1).collect()
+    }
+    assert feats[1]["width"] == 4 and feats[1]["height"] == 4
+    got = [round(v * 255) for v in feats[1]["features"]]
+    assert got == [200, 10, 30]
+    assert feats[2]["features"] is None

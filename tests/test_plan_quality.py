@@ -500,15 +500,15 @@ def test_new_analytics_ops_exchange_budgets(spark):
     # lock the shuffle shapes of the round-5 analytics operators:
     # funnel and SCD2 are one key shuffle each (fold / windows reuse the
     # same partitioning), resample is two (the (key, bucket) aggregate +
-    # the per-key fill window), and the PPM feature entry is a pure
-    # narrow map end-to-end
+    # the per-key fill window), and the image feature entry (PPM + PNG
+    # arms) is a pure narrow map end-to-end — the union adds no shuffle
     import pypeman_spark.plans.scale_queries  # noqa: F401
 
     budgets = {
         "funnel_signup_view_purchase": 1,
         "scd2_customer_segments": 1,
         "resample_forward_fill": 2,
-        "ppm_grid_features": 0,
+        "image_grid_features": 0,
     }
     for name, budget in budgets.items():
         plan = plan_of(REGISTRY[name].fn(spark, SF))
