@@ -67,16 +67,14 @@ HEADLINE = [
     "text_quality_score",
     "token_counts",
     "doc_fingerprint",
-    "clean_scrub_repetition",
-    "gopher_repetition_signals",
-    "gopher_quality_filter",
+    "gopher_signals_suite",
     "duplicate_passages",
     "greedy_pack_sequences",
     "asof_range_join_purchases",
     "cumulative_customer_revenue",
     "product_profit_by_nation_year",
     "sole_returning_supplier",
-    "tfidf_top_terms",
+    "text_analysis_suite",
     "hash_stratified_sample",
     "zorder_values",
     "decontam_report",
@@ -85,6 +83,7 @@ HEADLINE = [
     "chunk_documents_windows",
     "corpus_stats_and_bigrams",
     "data_quality_report",
+    "sketch_rollup",
     "resample_forward_fill",
     "scd2_customer_segments",
     "funnel_signup_view_purchase",

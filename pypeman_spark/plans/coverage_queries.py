@@ -692,56 +692,10 @@ def http_request_enrich(spark, sf_dir):
 # Structured Streaming end-to-end (rows 1, 64 + §1.4 event time)
 # =====================================================================
 
-@q(
-    "streaming_window_counts",
-    """
-    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
-           event_type, count(*) AS n
-    FROM events WHERE event_id < 2000
-    GROUP BY 1, 2
-    """,
-)
-def streaming_window_counts(spark, sf_dir):
-    """Streaming rows 1/64 driven for real: events land as parquet files,
-    a ``readStream`` source feeds an event-time tumbling window with a
-    watermark (``streaming/stateful.py:watermarked_window_counts`` shape),
-    ``availableNow`` drains the backlog exactly once into a memory sink,
-    and the final table is returned. Nothing is late relative to the
-    watermark in a single drain, so the result equals the batch rollup —
-    which is exactly the oracle."""
-    import uuid as _uuid
-
-    tmp = tempfile.mkdtemp(prefix="pypeman_stream_")
-    src_dir = os.path.join(tmp, "in")
-    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
-    ev.select("event_id", "ts", "event_type").write.mode("overwrite").parquet(src_dir)
-    schema = spark.read.parquet(src_dir).schema
-
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(src_dir)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(
-            F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss")
-            .alias("window_start"),
-            "event_type",
-            "n",
-        )
-    )
-    sink = f"stream_counts_{_uuid.uuid4().hex[:8]}"
-    query = (
-        stream.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(120)
-    return spark.table(sink)
+# (streaming_window_counts was consolidated into
+# scale_queries.py:ttl_dedup_window_counts in round 6 — the identical
+# watermarked tumbling-window drain now runs downstream of the
+# ttl_first_seen dedup stage, so one entry attests both.)
 
 
 # =====================================================================

@@ -42,7 +42,7 @@ FLAVORS = {
 # but these four ARE the historical breakage class, so keep them and
 # accept a few seconds each at sf0.001.
 STREAMING = {
-    "streaming_window_counts",
+    "ttl_dedup_window_counts",
     "stream_stream_interval_join",
     "streaming_dedup_session_rollup",
 }

@@ -90,7 +90,8 @@ def test_round2_queries_avoid_nested_loops(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
     # tfidf's one BNLJ is the deliberate 1-row corpus-size scalar
     # broadcast (like Q22's avg-balance subquery) — bounded by design
-    plan = plan_of(REGISTRY["tfidf_top_terms"].fn(spark, SF))
+    # (tfidf now runs as text_analysis_suite's tfidf arm)
+    plan = plan_of(REGISTRY["text_analysis_suite"].fn(spark, SF))
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
 
@@ -249,8 +250,13 @@ def test_bigram_census_is_group_limited(spark):
 def test_line_clean_and_stats_stay_narrow(spark):
     import pypeman_spark.plans.scale_queries  # noqa: F401
 
-    # composed clean→scrub→repetition: pure projection, zero shuffles
-    plan = plan_of(REGISTRY["clean_scrub_repetition"].fn(spark, SF))
+    # composed clean→scrub→repetition: pure projection, zero shuffles.
+    # The literal mode filter lets Catalyst prune the tfidf arm of the
+    # consolidated union (PropagateEmptyRelation), leaving exactly the
+    # clean arm's plan — which must still contain no Exchange
+    plan = plan_of(
+        REGISTRY["text_analysis_suite"].fn(spark, SF).filter("mode = 'clean'")
+    )
     assert "Exchange" not in plan
     # corpus stats+bigrams: reads only the columns it aggregates
     plan = plan_of(REGISTRY["corpus_stats_and_bigrams"].fn(spark, SF))
@@ -423,11 +429,13 @@ def test_tpch_completion_shapes_are_scale_clean(spark):
 
 
 def test_gopher_signals_zero_shuffle(spark):
-    # per-doc top-ngram must be the sorted-run-length expression, never
-    # explode + groupBy: zero Exchange of any kind in the whole plan
+    # the consolidated suite (repetition + quality signals in one
+    # select): the per-doc top-ngram must be the sorted-run-length
+    # expression, never explode + groupBy, and every quality signal a
+    # per-row Column — zero Exchange, no Generate in the whole plan
     import pypeman_spark.plans.scale_queries  # noqa: F401
 
-    plan = plan_of(REGISTRY["gopher_repetition_signals"].fn(spark, SF))
+    plan = plan_of(REGISTRY["gopher_signals_suite"].fn(spark, SF))
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode either
 
@@ -453,16 +461,6 @@ def test_pq_adc_scan_carries_codes_not_vectors(spark):
     # the encode itself is a pure narrow map
     enc_plan = plan_of(S.pq_encode(emb, books).select("vec_id", "pq_code"))
     assert "Exchange" not in enc_plan and "Join" not in enc_plan
-
-
-def test_gopher_quality_filter_zero_shuffle(spark):
-    # every quality signal is a per-row Column expression; the whole
-    # filter must compile into the scan stage — no Exchange, no explode
-    import pypeman_spark.plans.scale_queries  # noqa: F401
-
-    plan = plan_of(REGISTRY["gopher_quality_filter"].fn(spark, SF))
-    assert "Exchange" not in plan
-    assert "Generate" not in plan
 
 
 def test_ivfpq_probe_prunes_partitions_and_vector_column(spark, tmp_path):
