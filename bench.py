@@ -69,7 +69,7 @@ HEADLINE = [
     "doc_fingerprint",
     "gopher_signals_suite",
     "duplicate_passages",
-    "greedy_pack_sequences",
+    "pack_and_chunk_documents",
     "asof_range_join_purchases",
     "cumulative_customer_revenue",
     "product_profit_by_nation_year",
@@ -79,8 +79,7 @@ HEADLINE = [
     "zorder_values",
     "decontam_report",
     "corpus_sampling_pipeline",
-    "fuzzy_dedup_corpus",
-    "chunk_documents_windows",
+    "dedup_corpus_pipelines",
     "corpus_stats_and_bigrams",
     "data_quality_report",
     "sketch_rollup",

@@ -71,8 +71,8 @@ def duplicate_passages_q(spark, sf_dir):
 
 
 @q(
-    "greedy_pack_sequences",
-    """
+    "pack_and_chunk_documents",
+    f"""
     WITH RECURSIVE docs AS (
       SELECT doc_id, doc_id % 8 AS shard,
              CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
@@ -87,23 +87,75 @@ def duplicate_passages_q(spark, sf_dir):
              CASE WHEN w.fill + d.ws_tokens > 256 THEN w.pack_id + 1 ELSE w.pack_id END,
              CASE WHEN w.fill + d.ws_tokens > 256 THEN d.ws_tokens ELSE w.fill + d.ws_tokens END
       FROM docs d JOIN walk w ON d.shard = w.shard AND d.rn = w.rn + 1
+    ),
+    words AS (
+      SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS w
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               greatest(CAST(ceil((len(w) - 32) / 24) AS INT), 0))) AS chunk_idx,
+             w
+      FROM words
     )
-    SELECT doc_id, shard, ws_tokens, pack_id FROM walk
+    SELECT 'pack' AS mode, doc_id, CAST(shard AS BIGINT) AS k,
+           ws_tokens AS n_tokens, pack_id,
+           CAST(NULL AS VARCHAR) AS chunk_hash
+    FROM walk
+    UNION ALL
+    SELECT 'chunk', doc_id, CAST(chunk_idx AS BIGINT),
+           CAST(least(len(w) - chunk_idx*24, 32) AS BIGINT),
+           CAST(NULL AS BIGINT),
+           md5(array_to_string(w[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' '))
+    FROM chunks
     """,
 )
-def greedy_pack_sequences(spark, sf_dir):
-    """Training-sequence packing (functions/packing.py:greedy_pack):
-    hash-shard the corpus, pack each shard greedily in doc order to a
-    256-token budget. The oracle is a per-shard recursive CTE — the same
-    inherently-sequential recurrence the Arrow task runs."""
+def pack_and_chunk_documents(spark, sf_dir):
+    """Both sequence-shaping operators in one entry (r6 consolidation
+    of greedy_pack_sequences + chunk_documents_windows — both
+    machineries kept).
+
+    Arm ``pack``: training-sequence packing (functions/packing.py:
+    greedy_pack) — hash-shard the corpus, pack each shard greedily in
+    doc order to a 256-token budget. The oracle is a per-shard
+    recursive CTE: the same inherently-sequential recurrence the
+    per-shard Arrow task runs, re-derived relationally.
+
+    Arm ``chunk``: fixed-token chunking with overlap
+    (functions/packing.py:chunk_documents) — 32-token windows, 8-token
+    overlap (stride 24), the pre-tokenization split of long docs into
+    training-length pieces. One explode, no Python, no shuffle: at
+    100 TB the chunk arm is a narrow map while only the pack arm pays
+    its per-shard applyInPandas."""
+    from ..functions.packing import chunk_documents
+
     d = tp(spark, sf_dir, "documents").select(
         "doc_id",
         (F.col("doc_id") % 8).alias("shard"),
         TX.whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
     )
-    return greedy_pack(
+    pack = greedy_pack(
         d, token_col="ws_tokens", budget=256, order_col="doc_id", shard_col="shard"
+    ).select(
+        F.lit("pack").alias("mode"),
+        "doc_id",
+        F.col("shard").cast("long").alias("k"),
+        F.col("ws_tokens").cast("long").alias("n_tokens"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.lit(None).cast("string").alias("chunk_hash"),
     )
+    chunk = chunk_documents(
+        tp(spark, sf_dir, "documents"), max_tokens=32, overlap=8
+    ).select(
+        F.lit("chunk").alias("mode"),
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("k"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("pack_id"),
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+    )
+    return pack.unionByName(chunk)
 
 
 # (multimodal_resize / multimodal_audio_resample were consolidated into
@@ -685,18 +737,30 @@ def streaming_dedup_session_rollup(spark, sf_dir):
 @q(
     "ttl_dedup_window_counts",
     """
-    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
-           event_type, count(*) AS n
+    SELECT 'wc' AS mode,
+           CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           event_type, count(*) AS n,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS BIGINT) AS view_id
     FROM events WHERE event_id < 2000
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'ijoin', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), p.event_id, v.event_id
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+    WHERE p.event_type = 'purchase'
     """,
 )
 def ttl_dedup_window_counts(spark, sf_dir):
-    """Composed streaming chain: TTL first-seen dedup → event-time
-    tumbling window (r6 consolidation of the former
-    streaming_window_counts entry, now fed through ttl_first_seen —
-    VERDICT r5 #6 asked for exactly this oracle attestation of the one
-    streaming operator that was pytest-only).
+    """Composed streaming suite (r6 consolidation of the former
+    streaming_window_counts and stream_stream_interval_join entries,
+    now led by ttl_first_seen — VERDICT r5 #6 asked for exactly this
+    oracle attestation of the one streaming operator that was
+    pytest-only).
+
+    Arm ``wc``: TTL first-seen dedup → event-time tumbling window.
 
     The events slice is written TWICE to the source directory and
     replayed through ``readStream`` into
@@ -712,7 +776,16 @@ def ttl_dedup_window_counts(spark, sf_dir):
     streaming_window_counts machinery, unchanged). If first-seen
     leaked ANY duplicate, every window count would inflate and the
     oracle — the batch rollup over the ORIGINAL un-doubled events —
-    would catch it."""
+    would catch it.
+
+    Arm ``ijoin``: stream-stream inner join with event-time bounds
+    (§2.H — pypeman has nothing like it): purchases and views arrive
+    as two independent streams; each purchase joins the same user's
+    views from the preceding 30 minutes. Watermarks + the time-range
+    condition bound BOTH join states, so the operator runs
+    indefinitely on unbounded streams; the availableNow drain makes
+    the result equal the batch join, which is the oracle's second
+    branch."""
     import uuid as _uuid
 
     from ..streaming.stateful import ttl_first_seen
@@ -778,42 +851,30 @@ def ttl_dedup_window_counts(spark, sf_dir):
         .start()
     )
     q2.awaitTermination(120)
-    return spark.table(sink)
+    wc = spark.table(sink).select(
+        F.lit("wc").alias("mode"),
+        "window_start",
+        "event_type",
+        "n",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("long").alias("view_id"),
+    )
 
-
-# =====================================================================
-# Native session windows + streaming dedup (rows 64 / §2.H widening)
-# =====================================================================
-
-@q(
-    "stream_stream_interval_join",
-    """
-    SELECT p.event_id AS purchase_id, v.event_id AS view_id
-    FROM events p JOIN events v
-      ON v.user_id = p.user_id AND v.event_type = 'view'
-     AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
-    WHERE p.event_type = 'purchase'
-    """,
-)
-def stream_stream_interval_join(spark, sf_dir):
-    """Stream-stream inner join with event-time bounds (§2.H — pypeman
-    has nothing like it): purchases and views arrive as two independent
-    streams; each purchase joins the same user's views from the
-    preceding 30 minutes. Watermarks + the time-range condition bound
-    BOTH join states, so the operator runs indefinitely on unbounded
-    streams; an availableNow drain makes the result equal the batch
-    join, which is the oracle."""
-    import uuid as _uuid
-
-    tmp = tempfile.mkdtemp(prefix="pypeman_ssj_")
+    # ijoin arm: stream-stream inner join with event-time bounds over
+    # the FULL events table (two independent readStream sources)
     vsrc, psrc = os.path.join(tmp, "views"), os.path.join(tmp, "purch")
-    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
-    ev.filter(F.col("event_type") == "view").write.mode("overwrite").parquet(vsrc)
-    ev.filter(F.col("event_type") == "purchase").write.mode("overwrite").parquet(psrc)
-    schema = spark.read.parquet(vsrc).schema
-
+    full = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    full.filter(F.col("event_type") == "view").write.mode(
+        "overwrite"
+    ).parquet(vsrc)
+    full.filter(F.col("event_type") == "purchase").write.mode(
+        "overwrite"
+    ).parquet(psrc)
+    ev_schema = spark.read.parquet(vsrc).schema
     views = (
-        spark.readStream.schema(schema).parquet(vsrc)
+        spark.readStream.schema(ev_schema).parquet(vsrc)
         .withWatermark("ts", "1 hour")
         .select(
             F.col("event_id").alias("view_id"),
@@ -822,7 +883,7 @@ def stream_stream_interval_join(spark, sf_dir):
         )
     )
     purchases = (
-        spark.readStream.schema(schema).parquet(psrc)
+        spark.readStream.schema(ev_schema).parquet(psrc)
         .withWatermark("ts", "1 hour")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -837,16 +898,33 @@ def stream_stream_interval_join(spark, sf_dir):
         & (F.col("v_ts") <= F.col("p_ts")),
         "inner",
     ).select("purchase_id", "view_id")
-    sink = f"ssj_{_uuid.uuid4().hex[:8]}"
-    query = (
+    jsink = f"ttl_ij_{_uuid.uuid4().hex[:8]}"
+    q3 = (
         joined.writeStream.format("memory")
-        .queryName(sink)
+        .queryName(jsink)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(180)
-    return spark.table(sink)
+    q3.awaitTermination(180)
+    ij = spark.table(jsink).select(
+        F.lit("ijoin").alias("mode"),
+        F.lit(None).cast("string").alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("n"),
+        "purchase_id",
+        "view_id",
+    )
+    return wc.unionByName(ij)
+
+
+# =====================================================================
+# Native session windows + streaming dedup (rows 64 / §2.H widening)
+# =====================================================================
+
+# (stream_stream_interval_join was consolidated into
+# ttl_dedup_window_counts in round 6 — the identical watermarked
+# stream-stream interval join runs as that entry's `ijoin` arm.)
 
 
 # =====================================================================
@@ -960,10 +1038,14 @@ def decontam_report(spark, sf_dir):
     )
 
 
-@q(
-    "fuzzy_dedup_corpus",
-    _MINHASH_SQL.replace("WITH words", "WITH RECURSIVE words", 1)
-    + """
+def _dedup_pipelines_oracle() -> str:
+    from ..functions import similarity as S
+    from .queries import _bucket_expr
+
+    bucket = _bucket_expr(S.hyperplanes(4, 64), "v")
+    return (
+        _MINHASH_SQL.replace("WITH words", "WITH RECURSIVE words", 1)
+        + f"""
     , edges AS (
       SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
       FROM bands a JOIN bands b
@@ -977,17 +1059,54 @@ def decontam_report(spark, sf_dir):
     ),
     keep AS (
       SELECT node AS doc_id FROM reach GROUP BY node HAVING node = min(lab)
+    ),
+    c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 200
+    ),
+    cb AS (SELECT vec_id, v, {{bucket}} AS bucket FROM c),
+    sedges AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM cb a JOIN cb b ON a.bucket = b.bucket
+      WHERE a.vec_id <> b.vec_id
+        AND {{cos}} >= 0.4
+    ),
+    sreach(node, lab) AS (
+      SELECT vec_id, vec_id FROM c
+      UNION
+      SELECT e.src, r.lab FROM sedges e JOIN sreach r ON r.node = e.dst
+    ),
+    skeep AS (
+      SELECT node AS vec_id FROM sreach GROUP BY node HAVING node = min(lab)
     )
-    SELECT d.doc_id, d.lang, d.n_chars
+    SELECT 'fuzzy' AS mode, d.doc_id AS id, d.lang AS tag, d.n_chars
     FROM documents d JOIN keep USING (doc_id)
-    """,
-)
-def fuzzy_dedup_corpus(spark, sf_dir):
-    """End-to-end fuzzy dedup: MinHash LSH candidate pairs → distributed
-    connected components → keep the min-id representative per cluster →
-    surviving corpus rows. The full composition a corpus build runs,
-    with every stage an equi-join/groupBy on hashes (never all-pairs,
-    never text through the shuffle)."""
+    UNION ALL
+    SELECT 'semantic', e.vec_id, CAST(e.label AS VARCHAR),
+           CAST(NULL AS BIGINT)
+    FROM embeddings e JOIN skeep USING (vec_id)
+    """.format(bucket=bucket, cos=_COS.format(a="a.v", b="b.v"))
+    )
+
+
+@q("dedup_corpus_pipelines", None)  # oracle attached below (plane literals)
+def dedup_corpus_pipelines(spark, sf_dir):
+    """Both end-to-end dedup compositions in one entry (r6
+    consolidation of fuzzy_dedup_corpus + semantic_dedup_corpus — all
+    stages kept, one driver check attests both pipelines).
+
+    Arm ``fuzzy``: MinHash LSH candidate pairs → distributed connected
+    components → keep the min-id representative per cluster →
+    surviving corpus rows. Every stage is an equi-join/groupBy on
+    hashes — never all-pairs, never text through the shuffle.
+
+    Arm ``semantic``: SemDeDup-style embedding dedup on the SCALE
+    path — LSH-bucketed cosine near-dup pairs (bucket equi-join, no
+    cartesian) → connected components → min-id representative per
+    semantic cluster. The oracle's recursive-CTE CC runs over the same
+    bucket-restricted edge set (plane literals), so the whole scale
+    shape is value-verified, not just the exact verifier on a bounded
+    slice."""
     d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     pairs = D.minhash_candidate_pairs(d, num_hashes=16, bands=4, shingle_n=3)
     clusters = D.connected_components(
@@ -996,9 +1115,32 @@ def fuzzy_dedup_corpus(spark, sf_dir):
     keep = clusters.filter(F.col("node") == F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
     )
-    return d.join(F.broadcast(keep), "doc_id", "left_semi").select(
-        "doc_id", "lang", "n_chars"
+    fuzzy = d.join(F.broadcast(keep), "doc_id", "left_semi").select(
+        F.lit("fuzzy").alias("mode"),
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("tag"),
+        F.col("n_chars").cast("long").alias("n_chars"),
     )
+
+    emb = (
+        tp(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    spairs = D.embedding_near_dup_pairs(emb, threshold=0.4, num_planes=4, dim=64)
+    sclusters = D.connected_components(
+        spairs, nodes=emb.select(F.col("vec_id").alias("node"))
+    )
+    skeep = sclusters.filter(F.col("node") == F.col("cluster_id")).select(
+        F.col("node").alias("vec_id")
+    )
+    semantic = emb.join(F.broadcast(skeep), "vec_id", "left_semi").select(
+        F.lit("semantic").alias("mode"),
+        F.col("vec_id").alias("id"),
+        F.col("label").cast("string").alias("tag"),
+        F.lit(None).cast("long").alias("n_chars"),
+    )
+    return fuzzy.unionByName(semantic)
 
 
 from ..functions.sampling import cap_per_domain, token_budget_sample  # noqa: E402
@@ -1107,103 +1249,21 @@ from ..functions.sampling import upsample_mixture  # noqa: E402
 from .queries import _COS  # noqa: E402
 
 
-def _semantic_dedup_oracle() -> str:
-    from ..functions import similarity as S
-    from .queries import _bucket_expr
-
-    bucket = _bucket_expr(S.hyperplanes(4, 64), "v")
-    return f"""
-    WITH RECURSIVE c AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v
-      FROM embeddings WHERE vec_id < 200
-    ),
-    cb AS (SELECT vec_id, v, {bucket} AS bucket FROM c),
-    edges AS (
-      SELECT a.vec_id AS src, b.vec_id AS dst
-      FROM cb a JOIN cb b ON a.bucket = b.bucket
-      WHERE a.vec_id <> b.vec_id
-        AND {_COS.format(a='a.v', b='b.v')} >= 0.4
-    ),
-    reach(node, lab) AS (
-      SELECT vec_id, vec_id FROM c
-      UNION
-      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
-    ),
-    keep AS (
-      SELECT node AS vec_id FROM reach GROUP BY node HAVING node = min(lab)
-    )
-    SELECT e.vec_id, e.label FROM embeddings e JOIN keep USING (vec_id)
-    """
-
-
-@q("semantic_dedup_corpus", None)  # oracle attached below (plane literals)
-def semantic_dedup_corpus(spark, sf_dir):
-    """SemDeDup-style semantic dedup end-to-end, on the SCALE path:
-    LSH-bucketed embedding-cosine near-dup pairs (the default — bucket
-    equi-join, no cartesian) → connected components → keep the min-id
-    representative per semantic cluster. The oracle's recursive-CTE CC
-    runs over the same bucket-restricted edge set (plane literals), so
-    the whole scale shape is value-verified, not just the exact
-    verifier on a bounded slice."""
-    emb = (
-        tp(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 200)
-        .withColumn("embedding", F.col("embedding").cast("array<double>"))
-    )
-    pairs = D.embedding_near_dup_pairs(emb, threshold=0.4, num_planes=4, dim=64)
-    clusters = D.connected_components(
-        pairs, nodes=emb.select(F.col("vec_id").alias("node"))
-    )
-    keep = clusters.filter(F.col("node") == F.col("cluster_id")).select(
-        F.col("node").alias("vec_id")
-    )
-    return emb.join(F.broadcast(keep), "vec_id", "left_semi").select(
-        "vec_id", "label"
-    )
-
+# (semantic_dedup_corpus was consolidated into dedup_corpus_pipelines in
+# round 6 — the identical LSH-bucketed pair -> CC -> representative
+# chain runs as that entry's `semantic` arm.)
 
 from .queries import REGISTRY  # noqa: E402
 
-REGISTRY["semantic_dedup_corpus"].oracle = _semantic_dedup_oracle()
+REGISTRY["dedup_corpus_pipelines"].oracle = _dedup_pipelines_oracle()
 
 
 from ..functions.packing import chunk_documents  # noqa: E402
 
 
-@q(
-    "chunk_documents_windows",
-    f"""
-    WITH words AS (
-      SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS w
-      FROM documents
-    ),
-    chunks AS (
-      SELECT doc_id,
-             unnest(generate_series(0,
-               greatest(CAST(ceil((len(w) - 32) / 24) AS INT), 0))) AS chunk_idx,
-             w
-      FROM words
-    )
-    SELECT doc_id, chunk_idx,
-           md5(array_to_string(w[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' '))
-             AS chunk_hash,
-           least(len(w) - chunk_idx*24, 32) AS n_tokens
-    FROM chunks
-    """,
-)
-def chunk_documents_windows(spark, sf_dir):
-    """Fixed-token chunking with overlap (functions/packing.py:
-    chunk_documents): 32-token windows, 8-token overlap (stride 24) —
-    the pre-tokenization split of long docs into training-length
-    pieces. One explode, no Python, no shuffle."""
-    return chunk_documents(
-        tp(spark, sf_dir, "documents"), max_tokens=32, overlap=8
-    ).select(
-        "doc_id",
-        "chunk_idx",
-        F.md5(F.col("chunk_text")).alias("chunk_hash"),
-        "n_tokens",
-    )
+# (chunk_documents_windows was consolidated into
+# pack_and_chunk_documents in round 6 — the identical chunk_documents
+# windowing runs as that entry's `chunk` arm.)
 
 
 _GOPHER_STOP_LINE = "the words have to be of use with all that and more"

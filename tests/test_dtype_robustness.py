@@ -42,8 +42,7 @@ FLAVORS = {
 # but these four ARE the historical breakage class, so keep them and
 # accept a few seconds each at sf0.001.
 STREAMING = {
-    "ttl_dedup_window_counts",
-    "stream_stream_interval_join",
+    "ttl_dedup_window_counts",      # carries the ijoin arm too (r6)
     "streaming_dedup_session_rollup",
 }
 

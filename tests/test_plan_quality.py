@@ -207,8 +207,7 @@ def test_corpus_hygiene_queries_scale_clean(spark):
 
     for name in (
         "decontam_report",
-        "chunk_documents_windows",
-        "fuzzy_dedup_corpus",
+        "dedup_corpus_pipelines",
     ):
         plan = plan_of(REGISTRY[name].fn(spark, SF))
         assert "CartesianProduct" not in plan, name
@@ -230,8 +229,13 @@ def test_corpus_hygiene_queries_scale_clean(spark):
     plan = plan_of(REGISTRY["decontam_report"].fn(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2
 
-    # chunking: pure projection+explode — zero shuffles
-    plan = plan_of(REGISTRY["chunk_documents_windows"].fn(spark, SF))
+    # chunking: pure projection+explode — zero shuffles. Isolate the
+    # chunk arm of the consolidated entry with a literal mode filter so
+    # Catalyst prunes the pack arm (PropagateEmptyRelation)
+    plan = plan_of(
+        REGISTRY["pack_and_chunk_documents"].fn(spark, SF)
+        .filter("mode = 'chunk'")
+    )
     assert "Exchange" not in plan.replace("BroadcastExchange", "")
 
 
