@@ -507,6 +507,20 @@ def cmd_test(args) -> int:
     return 0 if runner.run(suite).wasSuccessful() else 1
 
 
+def cmd_pytest(args) -> int:
+    """Forward everything after ``pytest`` to pytest with the project
+    on sys.path (reference ``commands.py:399-403``) — the dev loop's
+    `pypeman pytest -k foo -x` passthrough, complementing the
+    unittest-style ``test`` verb."""
+    try:
+        import pytest
+    except ImportError:
+        print("pytest is not installed", file=sys.stderr)
+        return 2
+    sys.path.insert(0, os.path.abspath(args.project_dir))
+    return int(pytest.main(list(args.pytest_args)))
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="pypeman-spark",
@@ -564,6 +578,13 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("test", help="run the project's tests")
     p.add_argument("--module", "-m", default="tests")
 
+    p = sub.add_parser(
+        "pytest", help="forward remaining args to pytest "
+        "(project dir on sys.path)"
+    )
+    p.add_argument("pytest_args", nargs=argparse.REMAINDER,
+                   help="arguments passed through to pytest verbatim")
+
     args = ap.parse_args(argv)
     args._raw_argv = list(argv) if argv is not None else sys.argv[1:]
     return {
@@ -577,6 +598,7 @@ def main(argv: list[str] | None = None) -> int:
         "printsettings": cmd_printsettings,
         "tools": cmd_tools,
         "test": cmd_test,
+        "pytest": cmd_pytest,
     }[args.cmd](args)
 
 

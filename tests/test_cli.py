@@ -50,7 +50,7 @@ def test_cli_help_and_bad_project(tmp_path):
     )
     assert out.returncode == 0
     for verb in ("start", "graph", "startproject", "shell", "pyshell",
-                 "debug", "printsettings", "test"):
+                 "debug", "printsettings", "test", "pytest"):
         assert verb in out.stdout
     # graph against a dir with no project.py → clean SystemExit, not a traceback
     (tmp_path / "project.py").write_text("x = 1\n")
@@ -269,3 +269,29 @@ def test_tools_retention_verb(spark, tmp_path, capsys):
     assert store.total() == 1
     # missing --keep-days is an error
     assert main(["tools", "retention", str(tmp_path / "s")]) == 1
+
+
+def test_pytest_passthrough_verb(tmp_path):
+    # reference commands.py:399-403: `pypeman pytest ...` forwards the
+    # remaining argv to pytest with the project dir on sys.path
+    (tmp_path / "test_verbcheck.py").write_text(
+        "import projmod\n\n"
+        "def test_ok():\n    assert projmod.X == 7\n"
+    )
+    (tmp_path / "projmod.py").write_text("X = 7\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "pypeman_spark", "--project-dir",
+         str(tmp_path), "pytest", str(tmp_path / "test_verbcheck.py"),
+         "-q", "-p", "no:cacheprovider"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "1 passed" in out.stdout
+    # a failing selection propagates pytest's exit code
+    out = subprocess.run(
+        [sys.executable, "-m", "pypeman_spark", "--project-dir",
+         str(tmp_path), "pytest", str(tmp_path / "test_verbcheck.py"),
+         "-q", "-k", "nope", "-p", "no:cacheprovider"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode != 0  # pytest exit 5: no tests collected
