@@ -37,12 +37,31 @@ TABLES = [
 __all__ = ["load_table", "load_tables", "register_views", "TABLES"]
 
 
+def _parquet_parts(path: str) -> list[str]:
+    """The parquet data files behind ``path``: the file itself, or a
+    directory layout's ``*.parquet`` parts (Spark writer output with
+    ``_SUCCESS`` markers skipped). Real tables are directories of many
+    files, not the single-file layout of the test corpus — every
+    footer inspection below must handle both."""
+    if not os.path.isdir(path):
+        return [path]
+    return sorted(
+        os.path.join(path, n)
+        for n in os.listdir(path)
+        if n.endswith(".parquet")
+    )
+
+
 @lru_cache(maxsize=256)
 def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     """Column names stored as timestamp[ns] in the parquet footer."""
     import pyarrow.dataset as ds
 
-    schema = ds.dataset(path, format="parquet").schema
+    parts = _parquet_parts(path)
+    if not parts:
+        return ()
+    # one part's footer carries the layout's schema
+    schema = ds.dataset(parts[0], format="parquet").schema
     out = []
     for field in schema:
         t = field.type
@@ -53,11 +72,16 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
 
 @lru_cache(maxsize=256)
 def _parquet_chunk_stats(path: str) -> tuple[int, int]:
-    """(num_row_groups, num_rows) from the footer — metadata only."""
+    """(num_row_groups, num_rows) summed over the layout's data files —
+    metadata only, no data read."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
-    return md.num_row_groups, md.num_rows
+    groups = rows = 0
+    for part in _parquet_parts(path):
+        md = pq.ParquetFile(part).metadata
+        groups += md.num_row_groups
+        rows += md.num_rows
+    return groups, rows
 
 
 def _ensure_runtime_confs(spark: SparkSession) -> None:
@@ -106,10 +130,17 @@ def load_table(
     _ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for col in _nanos_ts_columns(path):
         # long nanos -> micros -> TimestampType. Integer DIV, not `/`:
         # epoch-nanos (~1.7e18) exceed double's 2^53 exact range, so a
         # float division silently corrupts the low microseconds.
+        # Guard on the READ dtype: pyarrow also reports legacy INT96
+        # timestamps as timestamp[ns], but Spark reads those as proper
+        # TIMESTAMP already — only int64-nanos columns (read as bigint
+        # under nanosAsLong) need the conversion.
+        if dtypes.get(col) != "bigint":
+            continue
         df = df.withColumn(
             col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
         )
