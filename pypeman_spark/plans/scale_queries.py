@@ -2006,9 +2006,12 @@ def scd2_customer_segments(spark, sf_dir):
         F.concat(F.lit("SEG_"), F.col("o_orderpriority")).alias("segment"),
         F.col("o_orderdate").alias("valid_from"),
     )
+    # validate=True: the closed-history precondition check runs under
+    # the gate (trivially satisfied here — the seed dim has no closed
+    # rows — but the validation aggregation itself is attested)
     return scd2_apply(
         dim, updates, key_cols=["c_custkey"], attr_cols=["segment"],
-        ts_col="valid_from",
+        ts_col="valid_from", validate=True,
     )
 
 
@@ -2051,9 +2054,14 @@ def funnel_signup_view_purchase(spark, sf_dir):
     from ..functions.stats import funnel
 
     ev = t(spark, sf_dir, "events")
+    # the hot-key cap rides through the gate: it is far above any real
+    # per-user event count here, so results are provably identical
+    # (greedy matching only consumes earliest events — property-tested)
+    # while the bounding machinery itself runs under oracle attestation
     return funnel(
         ev, "user_id", "ts", "event_type",
         ["signup", "view", "purchase"],
+        max_events_per_key=100_000,
     )
 
 

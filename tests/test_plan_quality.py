@@ -545,3 +545,21 @@ def test_quality_fk_join_sizes_sanely_with_hint_off(spark):
         assert "BroadcastHashJoin" in plan_hint
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_sketch_rollup_ships_partials_not_values(spark):
+    # every shuffle in the sketch entry must carry bounded aggregate
+    # partials (HLL binaries / top-k structs / distinct partials) —
+    # at 100 TB the raw value stream must never be the shuffle payload.
+    # Three aggregation branches + two tiny-frame joins: budget the
+    # non-broadcast exchanges and forbid degenerate join shapes.
+    import pypeman_spark.plans.scale_queries  # noqa: F401
+
+    plan = plan_of(REGISTRY["sketch_rollup"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n = plan.replace("BroadcastExchange", "").count("Exchange")
+    # exact count_distinct expands to 2 exchanges; HLL and top-k are
+    # 1-2 each incl. the 5-row join alignment — lock the ceiling
+    assert n <= 8, f"{n} exchanges"
+    assert "hll_union_agg" in plan or "hll_sketch_agg" in plan
