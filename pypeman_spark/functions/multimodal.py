@@ -475,11 +475,10 @@ def _png_chunks(payload: bytes):
         (length,) = struct.unpack(">I", payload[i : i + 4])
         ctype = payload[i + 4 : i + 8]
         data = payload[i + 8 : i + 8 + length]
-        if len(data) != length:
+        crc_bytes = payload[i + 8 + length : i + 12 + length]
+        if len(data) != length or len(crc_bytes) != 4:
             raise ValueError("truncated PNG chunk")
-        (crc,) = struct.unpack(
-            ">I", payload[i + 8 + length : i + 12 + length]
-        )
+        (crc,) = struct.unpack(">I", crc_bytes)
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG CRC mismatch in {ctype!r}")
         yield ctype, data
@@ -523,7 +522,12 @@ def _parse_png(payload: bytes):
             idat += data
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        # the decoder's contract is ValueError on any corrupt stream —
+        # callers (decode_png_features) route those rows to null
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from None
     stride = w * 3
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel payload has wrong length")
@@ -535,14 +539,20 @@ def _parse_png(payload: bytes):
         line = bytearray(raw[pos + 1 : pos + 1 + stride])
         pos += 1 + stride
         prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        # filters 0/2 have no left-neighbor recurrence -> pure numpy;
+        # 1/3/4 predict from the just-reconstructed left pixel, an
+        # inherently sequential scan, so they stay per-byte
         if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub
+            out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+            continue
+        if ftype == 2:  # Up
+            out[y] = (
+                np.frombuffer(bytes(line), dtype=np.uint8) + prev
+            )  # uint8 add wraps mod 256
+            continue
+        if ftype == 1:  # Sub
             for x in range(bpp, stride):
                 line[x] = (line[x] + line[x - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
         elif ftype == 3:  # Average
             for x in range(stride):
                 left = line[x - bpp] if x >= bpp else 0

@@ -36,6 +36,21 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = ["check", "flag_violations", "assert_valid"]
 
 
+def _tuple_key(cols: Sequence[str]) -> Column:
+    """Null-safe composite key for uniqueness checks: a bare
+    ``concat_ws`` silently DROPS null parts, so ``(NULL, 'x')`` and
+    ``('x', NULL)`` would collide. Encode each part with a type tag
+    (``\x01N`` for NULL, ``\x01V<value>`` otherwise) before joining,
+    so nulls compare like values and distinct tuples never alias."""
+    parts = [
+        F.when(F.col(c).isNull(), F.lit("\x01N")).otherwise(
+            F.concat(F.lit("\x01V"), F.col(c).cast("string"))
+        )
+        for c in cols
+    ]
+    return F.concat_ws("\x00", *parts)
+
+
 def _report_rows(spark, rows):
     return spark.createDataFrame(
         rows, schema="rule string, n_violations bigint, n_rows bigint"
@@ -68,7 +83,7 @@ def check(
             ).alias(f"__v_{name}")
         )
     for cols in unique or []:
-        key = F.concat_ws("\x00", *[F.col(c).cast("string") for c in cols])
+        key = _tuple_key(cols)
         aggs.append(
             (F.count(key) - F.count_distinct(key)).alias(
                 "__u_" + "_".join(cols)
@@ -112,8 +127,10 @@ def flag_violations(
     stay in one scan. ``unique`` tuples mark EVERY row of a duplicated
     key (window ``count > 1`` per key — one shuffle on the key, same
     semantics as ``check``'s ``count - count_distinct``). Null key
-    parts hash like values: two rows with the same NULL-bearing tuple
-    are duplicates of each other. ``foreign_keys`` mark rows whose
+    parts compare like values (null-safe tuple encoding): two rows
+    with the same NULL-bearing tuple are duplicates of each other,
+    and tuples with nulls in DIFFERENT positions never alias.
+    ``foreign_keys`` mark rows whose
     non-null FK tuple is absent from the dimension, via a left join on
     a deduplicated key set carrying a presence flag (the left-anti
     semantics of ``check``, expressed so matched rows keep flowing);
@@ -130,7 +147,7 @@ def flag_violations(
     out = df
     for cols in unique or []:
         name = "unique(" + ",".join(cols) + ")"
-        key = F.concat_ws("\x00", *[F.col(c).cast("string") for c in cols])
+        key = _tuple_key(cols)
         w = Window.partitionBy(key)
         fcol = f"__uflag_{'_'.join(cols)}"
         out = out.withColumn(

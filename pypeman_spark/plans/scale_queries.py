@@ -696,7 +696,9 @@ def streaming_dedup_session_rollup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q1.awaitTermination(180)
+    if not q1.awaitTermination(180):
+        q1.stop()
+        raise RuntimeError("stream_dedup drain did not finish in 180s")
     deduped = spark.read.parquet(dst)
 
     sessions = session_window_counts(
@@ -818,7 +820,9 @@ def ttl_dedup_window_counts(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q1.awaitTermination(180)
+    if not q1.awaitTermination(180):
+        q1.stop()
+        raise RuntimeError("ttl_first_seen drain did not finish in 180s")
     dd_schema = spark.read.parquet(dst).schema
 
     stream = (
@@ -850,7 +854,9 @@ def ttl_dedup_window_counts(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(120)
+    if not q2.awaitTermination(120):
+        q2.stop()
+        raise RuntimeError("window-count drain did not finish in 120s")
     wc = spark.table(sink).select(
         F.lit("wc").alias("mode"),
         "window_start",
@@ -906,7 +912,9 @@ def ttl_dedup_window_counts(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q3.awaitTermination(180)
+    if not q3.awaitTermination(180):
+        q3.stop()
+        raise RuntimeError("interval-join drain did not finish in 180s")
     ij = spark.table(jsink).select(
         F.lit("ijoin").alias("mode"),
         F.lit(None).cast("string").alias("window_start"),

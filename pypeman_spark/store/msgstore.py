@@ -230,7 +230,10 @@ class MessageStore:
         retention leave stale rows, so without this the index would be
         an ever-growing many-small-files scan. The rewrite derives
         (id, date) from the surviving rows only — deleted and expired
-        ids drop out — coalesced to one file."""
+        ids drop out — written with a bounded file count sized from
+        the surviving row count (~2M index rows per file), never a
+        single-task coalesce(1) that would bottleneck a big store's
+        compaction on one executor."""
         cur = self.current().cache()
         try:
             new_msg = os.path.join(self.base_path, f".compact_msg_{_uuid.uuid4().hex}")
@@ -264,9 +267,10 @@ class MessageStore:
                 )
             )
             meta_ev.write.mode("overwrite").parquet(new_ev)
+            idx_files = max(1, cur.count() // 2_000_000)
             (
                 cur.select("id", F.to_date("timestamp").alias("date"))
-                .coalesce(1)
+                .repartition(idx_files)
                 .write.mode("overwrite")
                 .parquet(new_idx)
             )

@@ -241,3 +241,44 @@ def test_png_spark_encode_decode(spark):
     got = [round(v * 255) for v in feats[1]["features"]]
     assert got == [200, 10, 30]
     assert feats[2]["features"] is None
+
+
+def test_png_corrupt_streams_yield_null_not_crash(spark):
+    # review r6: zlib.error / struct.error from corrupt payloads must
+    # surface as ValueError inside the codec so the Spark path routes
+    # the row to null features instead of failing the job
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pypeman_spark.functions.multimodal import (
+        _encode_png,
+        decode_png_features,
+    )
+
+    def chunk(ct, d):
+        return (
+            struct.pack(">I", len(d)) + ct + d
+            + struct.pack(">I", zlib.crc32(ct + d) & 0xFFFFFFFF)
+        )
+
+    good = _encode_png(
+        np.zeros((2, 2, 3), dtype=np.uint8)
+    )
+    truncated = good[: len(good) - 6]  # cut inside IEND's CRC field
+    bad_idat = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"this is not zlib data")  # CRC-valid, not zlib
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(truncated)),
+         (3, bytearray(bad_idat))],
+        "doc_id long, content binary",
+    )
+    got = {r["doc_id"]: r for r in decode_png_features(df, grid=1).collect()}
+    assert got[1]["features"] is not None
+    assert got[2]["features"] is None
+    assert got[3]["features"] is None

@@ -1075,3 +1075,28 @@ def test_resample_buckets_floor_pre_epoch_timestamps(spark):
     assert out[dt.datetime(1969, 12, 31, 23, 0)] == (1.0, 1)
     assert out[dt.datetime(1970, 1, 1, 0, 0)] == (2.0, 1)
     assert len(out) == 2
+
+
+def test_quality_unique_null_positions_do_not_alias(spark):
+    # review r6: concat_ws drops null parts, so (NULL,'x') and
+    # ('x',NULL) used to collide into one key and both got falsely
+    # flagged as duplicates; the null-safe tuple encoding keeps them
+    # distinct while equal NULL-bearing tuples still count as dups
+    from pypeman_spark.functions.quality import check, flag_violations
+
+    df = spark.createDataFrame(
+        [(None, "x"), ("x", None), (None, "y"), (None, "y")],
+        "a string, b string",
+    )
+    rep = {
+        r["rule"]: r["n_violations"]
+        for r in check(df, {}, unique=[["a", "b"]]).collect()
+    }
+    assert rep["unique(a,b)"] == 1  # only the (NULL,'y') pair
+    flagged = [
+        sorted(r["violations"])
+        for r in flag_violations(df, {}, unique=[["a", "b"]]).collect()
+    ]
+    assert sorted(map(tuple, flagged)) == [
+        (), (), ("unique(a,b)",), ("unique(a,b)",)
+    ]

@@ -73,10 +73,12 @@ def main() -> int:
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     os.makedirs(OUT, exist_ok=True)
     for name in DIMS:
-        shutil.copy(
-            os.path.join(SRC, f"{name}.parquet"),
-            os.path.join(OUT, f"{name}.parquet"),
-        )
+        src = os.path.join(SRC, f"{name}.parquet")
+        dst = os.path.join(OUT, f"{name}.parquet")
+        if os.path.isdir(src):  # directory layout (e.g. chained output)
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy(src, dst)
         print(f"copied {name}")
 
     # timestamps are loaded as proper TimestampType by load_table and
@@ -95,8 +97,8 @@ def main() -> int:
         dest = os.path.join(OUT, f"{name}.parquet")
         tmp = dest + ".dir"
         out.write.mode("overwrite").parquet(tmp)
-        # flatten to the single-file-per-table layout the loaders expect?
-        # load_table accepts a directory too — keep the directory.
+        # keep the multi-file directory layout — that IS the realistic
+        # shape (load_table handles both layouts since r6)
         if os.path.exists(dest):
             shutil.rmtree(dest, ignore_errors=True)
         os.replace(tmp, dest)
