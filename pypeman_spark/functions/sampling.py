@@ -32,6 +32,7 @@ __all__ = [
     "token_budget_sample",
     "upsample_mixture",
     "weighted_sample_per_group",
+    "leakage_safe_splits",
 ]
 
 #: hash space resolution: fractions quantize to 1/1e6
@@ -276,3 +277,43 @@ def weighted_sample_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn", "__key")
     )
+
+
+def leakage_safe_splits(
+    df: DataFrame,
+    cluster_col: str,
+    weights: "dict[str, float] | None" = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign train/val/test splits by hashing the DUPLICATE-CLUSTER id
+    instead of the row id, so every member of a near-dup cluster lands
+    in the SAME split — the leakage guard a training-data build needs:
+    hashing per-document would scatter near-identical texts across
+    train and eval, silently contaminating the benchmark.
+
+    ``weights`` maps split name to fraction (default 80/10/10); names
+    assign in insertion order over cumulative hash-bucket boundaries,
+    so splits are deterministic, engine-reproducible (md5, same as
+    :func:`hash_bucket`) and nested under weight changes the way hash
+    sampling is. Pure Column expression — no shuffle beyond whatever
+    produced ``cluster_col`` (typically
+    ``dedup.connected_components``)."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    if not (0.999 <= total <= 1.001):
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(cluster_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(acc * _BUCKETS)
+        expr = (
+            F.when(cond, F.lit(name)) if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

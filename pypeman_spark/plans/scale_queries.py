@@ -1086,6 +1086,17 @@ def _dedup_pipelines_oracle() -> str:
     ),
     skeep AS (
       SELECT node AS vec_id FROM sreach GROUP BY node HAVING node = min(lab)
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(lab) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    splits AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN {{hb}} < 800000 THEN 'train'
+                  WHEN {{hb}} < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM clusters
     )
     SELECT 'fuzzy' AS mode, d.doc_id AS id, d.lang AS tag, d.n_chars
     FROM documents d JOIN keep USING (doc_id)
@@ -1093,7 +1104,14 @@ def _dedup_pipelines_oracle() -> str:
     SELECT 'semantic', e.vec_id, CAST(e.label AS VARCHAR),
            CAST(NULL AS BIGINT)
     FROM embeddings e JOIN skeep USING (vec_id)
-    """.format(bucket=bucket, cos=_COS.format(a="a.v", b="b.v"))
+    UNION ALL
+    SELECT 'splits', doc_id, split, cluster_id
+    FROM splits
+    """.format(
+            bucket=bucket,
+            cos=_COS.format(a="a.v", b="b.v"),
+            hb=_HB.format(salt="split", id="cluster_id"),
+        )
     )
 
 
@@ -1114,7 +1132,18 @@ def dedup_corpus_pipelines(spark, sf_dir):
     semantic cluster. The oracle's recursive-CTE CC runs over the same
     bucket-restricted edge set (plane literals), so the whole scale
     shape is value-verified, not just the exact verifier on a bounded
-    slice."""
+    slice.
+
+    Arm ``splits`` (r6): leakage-safe train/val/test assignment
+    (functions/sampling.py:leakage_safe_splits) — the split is hashed
+    from the CLUSTER id the fuzzy arm computed, so every member of a
+    near-dup cluster lands in the same split (per-document hashing
+    would scatter near-identical texts across train and eval). The
+    oracle re-derives cluster ids from its recursive CC and applies
+    the identical md5 boundary arithmetic, so the invariant is
+    value-checked end to end; the cluster id rides in ``n_chars``."""
+    from ..functions.sampling import leakage_safe_splits
+
     d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     pairs = D.minhash_candidate_pairs(d, num_hashes=16, bands=4, shingle_n=3)
     clusters = D.connected_components(
@@ -1148,7 +1177,14 @@ def dedup_corpus_pipelines(spark, sf_dir):
         F.col("label").cast("string").alias("tag"),
         F.lit(None).cast("long").alias("n_chars"),
     )
-    return fuzzy.unionByName(semantic)
+
+    splits = leakage_safe_splits(clusters, "cluster_id").select(
+        F.lit("splits").alias("mode"),
+        F.col("node").alias("id"),
+        F.col("split").alias("tag"),
+        F.col("cluster_id").cast("long").alias("n_chars"),
+    )
+    return fuzzy.unionByName(semantic).unionByName(splits)
 
 
 from ..functions.sampling import cap_per_domain, token_budget_sample  # noqa: E402

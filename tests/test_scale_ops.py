@@ -1100,3 +1100,32 @@ def test_quality_unique_null_positions_do_not_alias(spark):
     assert sorted(map(tuple, flagged)) == [
         (), (), ("unique(a,b)",), ("unique(a,b)",)
     ]
+
+
+def test_leakage_safe_splits_cluster_invariant(spark):
+    # every member of a cluster must land in the SAME split, fractions
+    # must track the weights over many clusters, and assignment is
+    # deterministic (pure content-addressed hashing)
+    from pypeman_spark.functions.sampling import leakage_safe_splits
+    import pytest as _pytest
+
+    rows = [(i, i % 400) for i in range(2000)]  # 400 clusters of 5
+    df = spark.createDataFrame(rows, "node long, cluster_id long")
+    out = leakage_safe_splits(df, "cluster_id").collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    fracs = {
+        name: sum(1 for r in out if r["split"] == name) / len(out)
+        for name in ("train", "val", "test")
+    }
+    assert 0.7 < fracs["train"] < 0.9
+    assert 0.05 < fracs["val"] < 0.16 and 0.05 < fracs["test"] < 0.16
+    # deterministic across invocations
+    again = leakage_safe_splits(df, "cluster_id").collect()
+    assert {(r["node"], r["split"]) for r in again} == {
+        (r["node"], r["split"]) for r in out
+    }
+    with _pytest.raises(ValueError):
+        leakage_safe_splits(df, "cluster_id", {"train": 0.5, "val": 0.2})
