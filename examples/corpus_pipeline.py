@@ -6,14 +6,18 @@ The pipeline every large-scale pretraining corpus runs, in order:
 2. **Quality gate** — language ID + repetition ratio + quality score.
 3. **Exact dedup** — keep-first by content hash (`dedup.dedupe_exact`).
 4. **Fuzzy dedup** — MinHash LSH pairs → connected components → keep
-   cluster representatives.
+   cluster representatives; the cluster ids also seed the
+   **leakage-safe split** (`sampling.leakage_safe_splits`): every
+   near-dup cluster member lands in the same train/val/test split.
 5. **Decontamination** — drop docs containing benchmark n-grams
    (`decontam.decontaminate`).
 6. **Mixture** — hit target domain proportions
    (`sampling.mixture_sample`).
-7. **Chunk** — fixed-token windows (`packing.chunk_documents`).
-8. **Shards** — deterministic hash-ordered output
-   (`layout.write_training_shards`).
+7. **Quality gate** — `quality.assert_valid` fails the build on null
+   keys / empty texts / duplicate ids before anything is written.
+8. **Chunk** — fixed-token windows (`packing.chunk_documents`).
+9. **Shards** — deterministic hash-ordered output
+   (`layout.write_training_shards`), split carried per chunk.
 
 Every stage is a DataFrame → DataFrame transform, so the whole build is
 ONE lazy plan until the final write (plus the two tiny count passes in
@@ -40,7 +44,8 @@ from pypeman_spark.functions import text as TX
 from pypeman_spark.functions.decontam import decontaminate
 from pypeman_spark.functions.layout import write_training_shards
 from pypeman_spark.functions.packing import chunk_documents
-from pypeman_spark.functions.sampling import mixture_sample
+from pypeman_spark.functions.quality import assert_valid
+from pypeman_spark.functions.sampling import leakage_safe_splits, mixture_sample
 from pypeman_spark.sources.tables import load_table
 
 
@@ -79,6 +84,12 @@ def build_corpus(
     )
     fuzzy = exact.join(F.broadcast(keep), "doc_id", "left_semi")
     counts["fuzzy_dedup"] = fuzzy.count()
+    # leakage guard: split hashed from the CLUSTER id, so near-dups can
+    # never straddle train and eval
+    split_of = leakage_safe_splits(clusters, "cluster_id").select(
+        F.col("node").alias("doc_id"), "split"
+    )
+    fuzzy = fuzzy.join(split_of, "doc_id")
 
     # 5: benchmark decontamination (broadcast bench shingles, anti join)
     clean = decontaminate(fuzzy, benchmark, n=3, min_ratio=0.5, bench_id="bench_id")
@@ -88,13 +99,26 @@ def build_corpus(
     mixed = mixture_sample(clean, "source", "doc_id", mixture, salt="mix")
     counts["mixture"] = mixed.count()
 
-    # 7: chunk to training length
+    # 7: data-quality gate — fail the BUILD, not the training run
+    assert_valid(
+        mixed,
+        {
+            "doc_id_not_null": F.col("doc_id").isNotNull(),
+            "text_nonempty": F.col("text") != "",
+            "split_assigned": F.col("split").isin("train", "val", "test"),
+        },
+        unique=[["doc_id"]],
+    )
+
+    # 8: chunk to training length
     chunks = chunk_documents(mixed, max_tokens=max_tokens, overlap=8)
-    # carry source/lang onto chunks for loader-side bookkeeping
-    chunks = chunks.join(mixed.select("doc_id", "source", "lang"), "doc_id")
+    # carry source/lang/split onto chunks for loader-side bookkeeping
+    chunks = chunks.join(
+        mixed.select("doc_id", "source", "lang", "split"), "doc_id"
+    )
     counts["chunks"] = chunks.count()
 
-    # 8: deterministic shards keyed by (doc, chunk)
+    # 9: deterministic shards keyed by (doc, chunk)
     sharded = chunks.withColumn(
         "chunk_id",
         F.concat_ws(":", F.col("doc_id").cast("string"), F.col("chunk_idx")),

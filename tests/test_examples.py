@@ -49,8 +49,18 @@ def test_corpus_pipeline_example_funnel(spark, tmp_path, sf_dir):
     # shards read back complete and carry chunk metadata
     back = spark.read.parquet(out)
     assert back.count() == counts["chunks"]
-    assert {"chunk_text", "n_tokens", "shard", "source"} <= set(back.columns)
+    assert {"chunk_text", "n_tokens", "shard", "source", "split"} <= set(
+        back.columns
+    )
     assert back.select("shard").distinct().count() == 2
+    # leakage guard: a doc's chunks all carry one split, and splits come
+    # from the known set
+    per_doc = back.groupBy("doc_id").agg(
+        F.count_distinct("split").alias("n")
+    )
+    assert per_doc.filter("n > 1").count() == 0
+    splits = {r["split"] for r in back.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
 
 
 def test_ann_search_example(spark, tmp_path, sf_dir):
