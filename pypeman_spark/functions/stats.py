@@ -21,6 +21,7 @@ __all__ = [
     "grouped_distinct_estimate",
     "heavy_hitters",
     "funnel",
+    "cohort_retention",
 ]
 
 
@@ -214,4 +215,37 @@ def funnel(
             key_col, F.size("__done").alias("n_completed"), *cols
         )
         .filter(F.col("n_completed") >= 1)
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort-retention triangle: users grouped by the week of
+    their FIRST event, counted once per subsequent week they were
+    active. Returns ``(cohort_week DATE, week_offset INT, n_users)``.
+
+    Shuffle shape at 100 TB: one groupBy on the key for first-seen,
+    one distinct over (key, week) — both key-partitioned so the join
+    between them co-locates on the same hash partitioning — then a
+    final aggregation over the tiny (cohort, offset) domain. The event
+    log never joins anything wider than its own per-key aggregates."""
+    first = df.groupBy(key_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("__cw")
+    )
+    active = df.select(
+        key_col, F.date_trunc("week", F.col(ts_col)).alias("__w")
+    ).distinct()
+    joined = active.join(first, key_col)
+    offset = (
+        (F.unix_timestamp("__w") - F.unix_timestamp("__cw")) / 604800
+    ).cast("int")
+    return (
+        joined.groupBy(
+            F.col("__cw").cast("date").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.count_distinct(key_col).alias("n_users"))
     )

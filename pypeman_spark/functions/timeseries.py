@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["resample", "forward_fill"]
+__all__ = ["resample", "forward_fill", "rolling_zscore"]
 
 
 def resample(
@@ -108,4 +108,61 @@ def forward_fill(
     )
     return df.withColumn(
         value_col, F.last(F.col(value_col), ignorenulls=True).over(w)
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    window_rows: int = 12,
+    min_periods: int = 2,
+    threshold: float = 3.0,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Trailing-window anomaly scores per key: for each row, the mean
+    and sample stddev of the PRECEDING ``window_rows`` values (current
+    row excluded — scoring a point against a history that includes it
+    dampens exactly the spikes being hunted), the z-score, and an
+    ``is_anomaly`` flag at ``|z| > threshold``.
+
+    Null discipline: rows with fewer than ``min_periods`` history
+    points or zero variance get null stats/z (not NaN — Spark's
+    ``stddev_samp`` of a single value is NaN while other engines say
+    NULL, so the count guard also keeps results engine-portable).
+
+    One window over one shuffle on the key — the standard
+    quality-monitoring pass over a resampled series; chain after
+    :func:`resample` so gaps are filled and the row cadence is the
+    grid, not the raw event arrival."""
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    if min_periods < 2:
+        raise ValueError(f"min_periods must be >= 2, got {min_periods}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-window_rows, -1)
+    )
+    v = F.col(value_col)
+    cnt = F.count(v).over(w)
+    mean = F.avg(v).over(w)
+    std = F.stddev_samp(v).over(w)
+    ok = (cnt >= min_periods) & std.isNotNull() & (std > 0)
+    z = F.when(ok, (v - mean) / std)
+    mean_out = F.when(cnt >= min_periods, mean)
+    std_out = F.when(cnt >= min_periods, std)
+    if round_to is not None:
+        z = F.round(z, round_to)
+        mean_out = F.round(mean_out, round_to)
+        std_out = F.round(std_out, round_to)
+    return (
+        df.withColumn("roll_mean", mean_out)
+        .withColumn("roll_std", std_out)
+        .withColumn("zscore", z)
+        .withColumn(
+            "is_anomaly",
+            F.when(z.isNotNull(), F.abs(z) > threshold),
+        )
     )

@@ -1955,10 +1955,29 @@ def sketch_rollup(spark, sf_dir):
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
              n_events
       FROM joined
+    ),
+    final AS (
+      SELECT event_type, b, make_timestamp(b * 1000000) AS bucket_start,
+             round(value / 100.0, 6) AS value, n_events
+      FROM filled
+    ),
+    zs AS (
+      SELECT event_type, bucket_start, value, n_events,
+             count(value) OVER w AS cnt,
+             avg(value) OVER w AS m,
+             stddev_samp(value) OVER w AS s
+      FROM final
+      WINDOW w AS (PARTITION BY event_type ORDER BY b
+                   ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
     )
-    SELECT event_type, make_timestamp(b * 1000000) AS bucket_start,
-           round(value / 100.0, 6) AS value, n_events
-    FROM filled
+    SELECT event_type, bucket_start, value, n_events,
+           CASE WHEN cnt >= 2 THEN round(m, 6) END AS roll_mean,
+           CASE WHEN cnt >= 2 THEN round(s, 6) END AS roll_std,
+           CASE WHEN cnt >= 2 AND s IS NOT NULL AND s > 0
+                THEN round((value - m) / s, 6) END AS zscore,
+           CASE WHEN cnt >= 2 AND s IS NOT NULL AND s > 0
+                THEN abs(round((value - m) / s, 6)) > 3.0 END AS is_anomaly
+    FROM zs
     """,
 )
 def resample_forward_fill(spark, sf_dir):
@@ -1968,8 +1987,15 @@ def resample_forward_fill(spark, sf_dir):
     and last event, empty cells forward-filled from the last observed
     bucket (n_events=0 marks them as generated). The grid comes from
     per-key sequence+explode — a narrow map, no calendar table, no
-    cross join; the only shuffle is the per-key fill window."""
-    from ..functions.timeseries import resample
+    cross join; the only shuffle is the per-key fill window.
+
+    r6: the filled series then flows through rolling_zscore
+    (functions/timeseries.py) — trailing-12-bucket mean/stddev with the
+    current bucket excluded, z-score, and the |z|>3 anomaly flag, the
+    standard quality-monitoring pass over a resampled metric. The
+    window reuses the same per-key partitioning, so the exchange
+    budget stays at two."""
+    from ..functions.timeseries import resample, rolling_zscore
 
     ev = t(spark, sf_dir, "events").filter(
         (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
@@ -1984,10 +2010,13 @@ def resample_forward_fill(spark, sf_dir):
     out = resample(
         ev, "event_type", "ts", "value", step_seconds=3600,
         agg="sum", fill="ffill",
-    )
-    return out.select(
+    ).select(
         "event_type", "bucket_start",
         F.round(F.col("value") / 100.0, 6).alias("value"), "n_events",
+    )
+    return rolling_zscore(
+        out, "event_type", "bucket_start", "value",
+        window_rows=12, min_periods=2, threshold=3.0,
     )
 
 
@@ -2077,14 +2106,39 @@ def scd2_customer_segments(spark, sf_dir):
       FROM events e JOIN s2 ON e.user_id = s2.user_id
       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
       GROUP BY e.user_id
+    ),
+    first AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cw
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ),
+    cohort AS (
+      SELECT CAST(f.cw AS DATE) AS cohort_week,
+             CAST((floor(epoch(a.w))::BIGINT
+                   - floor(epoch(f.cw))::BIGINT) // 604800 AS INT)
+               AS week_offset,
+             count(DISTINCT a.user_id) AS n_users
+      FROM active a JOIN first f USING (user_id)
+      GROUP BY 1, 2
     )
-    SELECT s1.user_id,
+    SELECT 'funnel' AS mode, s1.user_id,
            CAST(1 + (s2.user_id IS NOT NULL)::INT
                   + (s3.user_id IS NOT NULL)::INT AS INT) AS n_completed,
-           s1.t1 AS stage1_ts, s2.t2 AS stage2_ts, s3.t3 AS stage3_ts
+           s1.t1 AS stage1_ts, s2.t2 AS stage2_ts, s3.t3 AS stage3_ts,
+           CAST(NULL AS DATE) AS cohort_week,
+           CAST(NULL AS INT) AS week_offset,
+           CAST(NULL AS BIGINT) AS n_users
     FROM s1
     LEFT JOIN s2 ON s1.user_id = s2.user_id
     LEFT JOIN s3 ON s1.user_id = s3.user_id
+    UNION ALL
+    SELECT 'cohort', CAST(NULL AS BIGINT), CAST(NULL AS INT),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS TIMESTAMP),
+           cohort_week, week_offset, n_users
+    FROM cohort
     """,
 )
 def funnel_signup_view_purchase(spark, sf_dir):
@@ -2094,19 +2148,43 @@ def funnel_signup_view_purchase(spark, sf_dir):
     (greedy earliest-first = the minimal chain); the oracle is the
     classic k-stage min/join-chain — two independent algorithms that
     must agree exactly. At 100 TB the fold shape wins: one shuffle of
-    the event log instead of k self-joins over it."""
-    from ..functions.stats import funnel
+    the event log instead of k self-joins over it.
+
+    Arm ``cohort`` (r6): weekly cohort-retention triangle
+    (functions/stats.py:cohort_retention) — users bucketed by the week
+    of their first event, counted once per week they were active
+    since. First-seen aggregate and per-(user, week) distinct share
+    the same key partitioning, the final rollup is over the tiny
+    (cohort, offset) domain; the relational oracle recomputes the
+    triangle from scratch."""
+    from ..functions.stats import cohort_retention, funnel
 
     ev = t(spark, sf_dir, "events")
     # the hot-key cap rides through the gate: it is far above any real
     # per-user event count here, so results are provably identical
     # (greedy matching only consumes earliest events — property-tested)
     # while the bounding machinery itself runs under oracle attestation
-    return funnel(
+    fun = funnel(
         ev, "user_id", "ts", "event_type",
         ["signup", "view", "purchase"],
         max_events_per_key=100_000,
+    ).select(
+        F.lit("funnel").alias("mode"),
+        "user_id", "n_completed", "stage1_ts", "stage2_ts", "stage3_ts",
+        F.lit(None).cast("date").alias("cohort_week"),
+        F.lit(None).cast("int").alias("week_offset"),
+        F.lit(None).cast("long").alias("n_users"),
     )
+    coh = cohort_retention(ev, "user_id", "ts").select(
+        F.lit("cohort").alias("mode"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("int").alias("n_completed"),
+        F.lit(None).cast("timestamp").alias("stage1_ts"),
+        F.lit(None).cast("timestamp").alias("stage2_ts"),
+        F.lit(None).cast("timestamp").alias("stage3_ts"),
+        "cohort_week", "week_offset", "n_users",
+    )
+    return fun.unionByName(coh)
 
 
 _MD5_RGB_CSV = " || ',' || ".join(

@@ -506,17 +506,29 @@ def test_new_analytics_ops_exchange_budgets(spark):
     # arms) is a pure narrow map end-to-end — the union adds no shuffle
     import pypeman_spark.plans.scale_queries  # noqa: F401
 
+    # r6: funnel/resample entries grew arms — isolate each arm with a
+    # literal mode filter (Catalyst prunes the other union branch) or
+    # check the combined plan where the arms share one partitioning
     budgets = {
-        "funnel_signup_view_purchase": 1,
-        "scd2_customer_segments": 1,
-        "resample_forward_fill": 2,
-        "image_grid_features": 0,
+        # funnel arm alone: cap window + groupBy share one key shuffle
+        ("funnel_signup_view_purchase", "mode = 'funnel'"): 1,
+        # cohort arm: first-seen agg + per-(user,week) distinct + join
+        # alignment + tiny (cohort, offset) rollup
+        ("funnel_signup_view_purchase", "mode = 'cohort'"): 4,
+        ("scd2_customer_segments", None): 1,
+        # fill window + (key, bucket) agg; the r6 rolling_zscore window
+        # REUSES the key partitioning, so the budget must not grow
+        ("resample_forward_fill", None): 2,
+        ("image_grid_features", None): 0,
     }
-    for name, budget in budgets.items():
-        plan = plan_of(REGISTRY[name].fn(spark, SF))
+    for (name, arm), budget in budgets.items():
+        df = REGISTRY[name].fn(spark, SF)
+        if arm:
+            df = df.filter(arm)
+        plan = plan_of(df)
         assert "CartesianProduct" not in plan, name
         n = plan.replace("BroadcastExchange", "").count("Exchange")
-        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+        assert n <= budget, f"{name}[{arm}]: {n} exchanges > budget {budget}"
 
 
 def test_quality_fk_join_sizes_sanely_with_hint_off(spark):

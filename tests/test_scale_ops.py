@@ -1129,3 +1129,64 @@ def test_leakage_safe_splits_cluster_invariant(spark):
     }
     with _pytest.raises(ValueError):
         leakage_safe_splits(df, "cluster_id", {"train": 0.5, "val": 0.2})
+
+
+def test_rolling_zscore_trailing_window_and_null_discipline(spark):
+    from pypeman_spark.functions.timeseries import rolling_zscore
+    import pytest as _pytest
+
+    rows = [("a", i, float(v)) for i, v in enumerate([10, 10, 10, 10, 100])]
+    rows += [("b", 0, 5.0), ("b", 1, 5.0), ("b", 2, 5.0)]  # zero variance
+    df = spark.createDataFrame(rows, "k string, o int, v double")
+    out = {
+        (r["k"], r["o"]): (r["roll_mean"], r["roll_std"], r["zscore"],
+                           r["is_anomaly"])
+        for r in rolling_zscore(df, "k", "o", "v", window_rows=3,
+                                min_periods=2, threshold=3.0).collect()
+    }
+    # first row: no history; second: 1 point < min_periods
+    assert out[("a", 0)] == (None, None, None, None)
+    assert out[("a", 1)] == (None, None, None, None)
+    # flat history -> std 0 -> stats present, z suppressed
+    assert out[("a", 2)][0] == 10.0 and out[("a", 2)][2] is None
+    # the spike is scored against the PRECEDING window only
+    assert out[("a", 4)][0] == 10.0
+    assert out[("a", 4)][2] is None or out[("a", 4)][2] > 3  # std=0 history
+    # b: zero variance never divides by zero
+    assert all(out[("b", i)][2] is None for i in range(3))
+    with _pytest.raises(ValueError):
+        rolling_zscore(df, "k", "o", "v", window_rows=0)
+    with _pytest.raises(ValueError):
+        rolling_zscore(df, "k", "o", "v", min_periods=1)
+
+    # a genuinely varying history produces a finite z for the spike
+    rows2 = [("c", i, float(v)) for i, v in enumerate([10, 12, 8, 11, 100])]
+    df2 = spark.createDataFrame(rows2, "k string, o int, v double")
+    z = {
+        r["o"]: r for r in rolling_zscore(
+            df2, "k", "o", "v", window_rows=4, min_periods=2
+        ).collect()
+    }
+    assert z[4]["zscore"] > 3 and z[4]["is_anomaly"] is True
+    assert z[3]["is_anomaly"] is False
+
+
+def test_cohort_retention_triangle(spark):
+    from pypeman_spark.functions.stats import cohort_retention
+
+    # week of 2026-01-05 (Mon): users 1,2 start; user 1 returns the
+    # next week; user 3 starts the next week
+    rows = [
+        (1, dt.datetime(2026, 1, 6, 10)),
+        (2, dt.datetime(2026, 1, 7, 11)),
+        (1, dt.datetime(2026, 1, 13, 9)),   # week offset 1
+        (1, dt.datetime(2026, 1, 14, 9)),   # same week, counted once
+        (3, dt.datetime(2026, 1, 15, 8)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(df, "user_id", "ts").collect()
+    }
+    w1, w2 = dt.date(2026, 1, 5), dt.date(2026, 1, 12)
+    assert out == {(w1, 0): 2, (w1, 1): 1, (w2, 0): 1}
