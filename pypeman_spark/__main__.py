@@ -585,8 +585,29 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("pytest_args", nargs=argparse.REMAINDER,
                    help="arguments passed through to pytest verbatim")
 
-    args = ap.parse_args(argv)
-    args._raw_argv = list(argv) if argv is not None else sys.argv[1:]
+    raw = list(argv) if argv is not None else sys.argv[1:]
+    # The pytest verb must accept flag-first args (`pytest -k foo -x`):
+    # argparse REMAINDER only engages at the first NON-flag token, so a
+    # leading `-k` dies with "unrecognized arguments". Split manually at
+    # the verb (the reference uses click's ignore_unknown_options for
+    # the same reason) and strip one literal `--` separator so it is
+    # not forwarded into pytest's own arg parsing.
+    pytest_idx = next(
+        (
+            i for i, tok in enumerate(raw)
+            if tok == "pytest" and (i == 0 or raw[i - 1] != "--project-dir")
+        ),
+        None,
+    )
+    if pytest_idx is not None:
+        rest = raw[pytest_idx + 1:]
+        if rest and rest[0] == "--":
+            rest = rest[1:]
+        args = ap.parse_args(raw[: pytest_idx + 1])
+        args.pytest_args = rest
+    else:
+        args = ap.parse_args(raw)
+    args._raw_argv = raw
     return {
         "start": cmd_start,
         "stop": cmd_stop,

@@ -37,18 +37,15 @@ __all__ = ["check", "flag_violations", "assert_valid"]
 
 
 def _tuple_key(cols: Sequence[str]) -> Column:
-    """Null-safe composite key for uniqueness checks: a bare
-    ``concat_ws`` silently DROPS null parts, so ``(NULL, 'x')`` and
-    ``('x', NULL)`` would collide. Encode each part with a type tag
-    (``\x01N`` for NULL, ``\x01V<value>`` otherwise) before joining,
-    so nulls compare like values and distinct tuples never alias."""
-    parts = [
-        F.when(F.col(c).isNull(), F.lit("\x01N")).otherwise(
-            F.concat(F.lit("\x01V"), F.col(c).cast("string"))
-        )
-        for c in cols
-    ]
-    return F.concat_ws("\x00", *parts)
+    """Null-safe AND injective composite key for uniqueness checks: a
+    ``struct`` groups/compares field-wise with SQL null-equality
+    semantics (GROUP BY / DISTINCT / window partitioning treat
+    NULL = NULL per field), so ``(NULL, 'x')`` and ``('x', NULL)``
+    never collide and — unlike any string-encoded join — no value
+    containing a delimiter sequence can alias a different tuple. The
+    struct itself is never NULL, so ``count(key)`` counts every row
+    and ``count_distinct(key)`` counts every distinct tuple."""
+    return F.struct(*[F.col(c) for c in cols])
 
 
 def _report_rows(spark, rows):

@@ -305,11 +305,16 @@ def leakage_safe_splits(
         raise ValueError(f"split weights must sum to 1, got {total}")
     bucket = hash_bucket(F.col(cluster_col), salt)
     expr = None
-    acc = 0.0
+    # Accumulate boundaries in INTEGER bucket space: each weight is
+    # quantized once (round(w * _BUCKETS), same discipline as
+    # hash_sample) and the cumulative boundary is an exact integer
+    # sum — a float cumsum (0.7 + 0.2 == 0.8999999...) would assign a
+    # whole hash bucket to the wrong split via int() truncation.
+    boundary = 0
     names = list(weights)
     for name in names[:-1]:
-        acc += weights[name]
-        cond = bucket < int(acc * _BUCKETS)
+        boundary += int(round(weights[name] * _BUCKETS))
+        cond = bucket < boundary
         expr = (
             F.when(cond, F.lit(name)) if expr is None
             else expr.when(cond, F.lit(name))

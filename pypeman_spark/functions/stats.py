@@ -239,8 +239,13 @@ def cohort_retention(
         key_col, F.date_trunc("week", F.col(ts_col)).alias("__w")
     ).distinct()
     joined = active.join(first, key_col)
-    offset = (
-        (F.unix_timestamp("__w") - F.unix_timestamp("__cw")) / 604800
+    # DST-immune offset: date_trunc('week') is session-timezone-local,
+    # so a week span crossing spring-forward is 601200 s and a
+    # seconds/604800 truncation would yield k-1. datediff over DATEs
+    # counts calendar days regardless of the zone's UTC offsets.
+    offset = F.floor(
+        F.datediff(F.col("__w").cast("date"), F.col("__cw").cast("date"))
+        / 7
     ).cast("int")
     return (
         joined.groupBy(

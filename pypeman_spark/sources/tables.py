@@ -34,7 +34,19 @@ TABLES = [
     "embeddings",
 ]
 
-__all__ = ["load_table", "load_tables", "register_views", "TABLES"]
+__all__ = [
+    "load_table", "load_tables", "register_views", "TABLES",
+    "clear_metadata_caches",
+]
+
+
+def clear_metadata_caches() -> None:
+    """Drop the footer-metadata caches. Call after REWRITING a table
+    directory in-process (e.g. ``tools/scale_dataset.py``): the
+    lru_caches key on path only, so a rewritten layout would otherwise
+    serve stale schema/row-group stats."""
+    _nanos_ts_columns.cache_clear()
+    _parquet_chunk_stats.cache_clear()
 
 
 def _parquet_parts(path: str) -> list[str]:
@@ -60,8 +72,11 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     parts = _parquet_parts(path)
     if not parts:
         return ()
-    # one part's footer carries the layout's schema
-    schema = ds.dataset(parts[0], format="parquet").schema
+    # unify over EVERY part's footer: evolved directory layouts can
+    # carry a timestamp[ns] column only in later parts (or mix
+    # writers), and inspecting parts[0] alone would skip conversion
+    # for those columns.
+    schema = ds.dataset(parts, format="parquet").schema
     out = []
     for field in schema:
         t = field.type

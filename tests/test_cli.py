@@ -295,3 +295,29 @@ def test_pytest_passthrough_verb(tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert out.returncode != 0  # pytest exit 5: no tests collected
+
+
+def test_pytest_passthrough_flag_first(tmp_path):
+    # ADVICE r6: `pypeman pytest -k foo -x` (flag BEFORE any positional)
+    # must reach pytest — nargs=REMAINDER alone rejects it. A leading
+    # literal `--` is stripped, not forwarded into pytest's parsing.
+    (tmp_path / "test_flagfirst.py").write_text(
+        "def test_yes():\n    assert True\n\n"
+        "def test_no():\n    assert True\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "pypeman_spark", "--project-dir",
+         str(tmp_path), "pytest", "-q", "-k", "yes",
+         "-p", "no:cacheprovider", str(tmp_path / "test_flagfirst.py")],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "1 passed" in out.stdout
+    out = subprocess.run(
+        [sys.executable, "-m", "pypeman_spark", "--project-dir",
+         str(tmp_path), "pytest", "--", "-q", "-k", "yes",
+         "-p", "no:cacheprovider", str(tmp_path / "test_flagfirst.py")],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "1 passed" in out.stdout

@@ -39,7 +39,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from pypeman_spark.session import get_spark  # noqa: E402
-from pypeman_spark.sources.tables import load_table  # noqa: E402
+from pypeman_spark.sources.tables import (  # noqa: E402
+    clear_metadata_caches,
+    load_table,
+)
 
 SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pypeman_scale_sf1"
@@ -102,6 +105,9 @@ def main() -> int:
         if os.path.exists(dest):
             shutil.rmtree(dest, ignore_errors=True)
         os.replace(tmp, dest)
+        # the footer caches key on path only — a rewritten layout
+        # would otherwise serve stale schema/row-group stats in-process
+        clear_metadata_caches()
         n = spark.read.parquet(dest).count()
         print(f"wrote {name}: {n} rows")
     return 0
