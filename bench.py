@@ -90,6 +90,11 @@ HEADLINE = [
     "quality_classifier_scores",
 ]
 
+# entries whose fn() EAGERLY builds+writes a persisted index and lazily
+# returns the probe plan — bench splits their time at the fn()/save()
+# boundary into build_s / probe_s
+INDEX_ENTRIES = {"ivf_index_probe", "ivfpq_index_probe"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -125,6 +130,7 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — the timed loop reports it
         pass
     timings: dict[str, float | None] = {}
+    phases: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
     for name in headline:
         # fault-isolated: one broken query records null and moves on —
@@ -137,8 +143,21 @@ def main() -> None:
             spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             t0 = time.time()
             df = spec.fn(spark, sf_dir)
+            t1 = time.time()
             df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.time() - t0, 3)
+            t2 = time.time()
+            timings[name] = round(t2 - t0, 3)
+            if name in INDEX_ENTRIES:
+                # VERDICT r6 #4: the persisted-index entries time
+                # build+write+probe as one number; the production-
+                # relevant figure is probe-only latency against a
+                # pre-built index. fn() runs the build/write jobs
+                # EAGERLY and returns the probe plan lazily, so the
+                # fn()/save() boundary IS the build/probe boundary.
+                phases[name] = {
+                    "build_s": round(t1 - t0, 3),
+                    "probe_s": round(t2 - t1, 3),
+                }
         except Exception as exc:  # noqa: BLE001
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -152,6 +171,10 @@ def main() -> None:
         "value": None if errors else total,
         "unit": "sec",
         "queries": timings,
+        # build_s/probe_s split for persisted-index entries (VERDICT r6
+        # #4); their `queries` number stays build+probe so totals remain
+        # comparable across rounds
+        "phases": phases,
         "completed": sum(v is not None for v in timings.values()),
         "attempted": len(timings),
         "sf": sf,

@@ -39,6 +39,7 @@ __all__ = [
     "pq_ann_topk",
     "ivfpq_residual_codebooks",
     "ivfpq_index_write",
+    "ivfpq_index_append",
     "ivfpq_probe",
 ]
 
@@ -814,6 +815,58 @@ def ivfpq_index_write(
     return path
 
 
+def _load_codebooks(spark, path: str) -> list[list[list[float]]]:
+    """The persisted residual codebooks (``<path>_codebooks``) back as
+    the nested-list shape :func:`pq_encode` takes. Bounded driver-side
+    read: m * n_codes rows by construction."""
+    brows = spark.read.parquet(path + "_codebooks").collect()
+    m = 1 + max(r["j"] for r in brows)
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(brows, key=lambda r: (r["j"], r["code"])):
+        books[r["j"]].append([float(x) for x in r["cv"]])
+    return books
+
+
+def ivfpq_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Incrementally ingest new vectors into a persisted IVF+PQ index
+    (:func:`ivfpq_index_write`) — without this, a production corpus
+    refresh would rebuild the WHOLE composed index per batch
+    (VERDICT r6 task #5; :func:`ivf_index_append` covered plain IVF
+    only).
+
+    Standard IVFADC refresh semantics: the coarse quantizer
+    (persisted centroid table) AND the residual codebooks are fixed at
+    build time — new vectors are assigned to their nearest persisted
+    centroid, their residuals encoded against the persisted codebooks,
+    and the coded rows appended into the same ``partitionBy("cid")``
+    layout. Only touched cells gain files; existing partitions are
+    never read or rewritten, and :func:`ivfpq_probe` picks the rows up
+    through directory-level partition pruning with zero further work.
+    Drift is handled by periodic re-fits (a bulk rebuild), not
+    per-batch. The append is a narrow map — per-row centroid argmax +
+    per-sub-space code argmin over broadcast literals — plus the
+    write; no shuffle, and no existing index data moves."""
+    cent_rows = _centroid_rows(spark.read.parquet(path + "_centroids"))
+    books = _load_codebooks(spark, path)
+    assigned = ivf_assign(new_vectors, cent_rows, id_col=id_col, vec_col=vec_col)
+    coded = pq_encode(
+        assigned.withColumn(
+            "__r",
+            _residual(F.col(vec_col), _centroid_array(cent_rows), F.col("cid")),
+        ),
+        books,
+        vec_col="__r",
+    ).drop("__r")
+    coded.write.mode("append").partitionBy("cid").parquet(path)
+    return path
+
+
 def ivfpq_probe(
     spark,
     path: str,
@@ -843,11 +896,8 @@ def ivfpq_probe(
        only, reading vectors just for those rows via a broadcast
        semi-join back into the probed partitions."""
     cent_rows = _centroid_rows(spark.read.parquet(path + "_centroids"))
-    brows = spark.read.parquet(path + "_codebooks").collect()
-    m = 1 + max(r["j"] for r in brows)
-    books: list[list[list[float]]] = [[] for _ in range(m)]
-    for r in sorted(brows, key=lambda r: (r["j"], r["code"])):
-        books[r["j"]].append([float(x) for x in r["cv"]])
+    books = _load_codebooks(spark, path)
+    m = len(books)
     ds = len(books[0][0])
 
     probes = _probe_cells(queries, cent_rows, nprobe, query_id_col, vec_col)

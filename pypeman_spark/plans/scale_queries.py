@@ -642,7 +642,7 @@ def zorder_values(spark, sf_dir):
     ),
     hours AS (
       SELECT date_trunc('hour', ts) AS h, count(*) AS hour_n,
-             round(sum(value), 2) AS hour_total
+             sum(floor(value * 100 + 0.5)) AS hour_total
       FROM events GROUP BY 1
     )
     SELECT s.user_id, s.session_start_us, s.session_end_us, s.n,
@@ -679,8 +679,16 @@ def streaming_dedup_session_rollup(spark, sf_dir):
     dst = os.path.join(tmp, "dedup")
     ckpt = os.path.join(tmp, "ckpt")
     store = os.path.join(tmp, f"agg_{_uuid.uuid4().hex[:8]}")
+    # value enters the pipeline as WHOLE CENTS (floor(x*100+0.5), the
+    # same IEEE ops the oracle runs): integer-valued doubles sum
+    # EXACTLY and associatively, so the incremental rollup's partial-
+    # merge order can never produce a different total than the
+    # oracle's one-shot sum. round(sum(raw_double), 2) was
+    # order-sensitive in the last ulp — caught by the seed-shifted
+    # gate (CORRECTNESS_seedshift_r07) once values grew a 3rd decimal.
     ev = t(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "event_type", "value"
+        "event_id", "user_id", "ts", "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("double").alias("value"),
     )
     # doubled input: the streaming dedup must restore exactness
     ev.unionAll(ev).repartition(8).write.mode("overwrite").parquet(src)
@@ -717,7 +725,7 @@ def streaming_dedup_session_rollup(spark, sf_dir):
     q2.awaitTermination(180)
     hourly = rollup.read().groupBy("bucket_start").agg(
         F.sum("n").alias("hour_n"),
-        F.round(F.sum("total"), 2).alias("hour_total"),
+        F.sum("total").alias("hour_total"),  # exact: cents-valued doubles
     )
 
     return (
@@ -1824,7 +1832,8 @@ def data_quality_report(spark, sf_dir):
       FROM events GROUP BY event_type
     ),
     c AS (
-      SELECT event_type, CAST(floor(value) AS BIGINT) % 20 AS item,
+      SELECT event_type,
+             ((CAST(floor(value) AS BIGINT) % 20) + 20) % 20 AS item,
              count(*) AS n
       FROM events GROUP BY 1, 2
     ),
@@ -1878,8 +1887,15 @@ def sketch_rollup(spark, sf_dir):
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_users_exact")
     )
+    # pmod, not %: a negative `value` (legal data) would otherwise mint
+    # a 21st item (-1) and silently exit approx_top_k's k >= domain
+    # exact regime — the seed-shifted gate caught exactly that
+    # (CORRECTNESS_seedshift_r07). pmod pins the domain to {0..19} for
+    # ANY input.
     hh = heavy_hitters(
-        ev.withColumn("item", F.floor("value").cast("long") % 20),
+        ev.withColumn(
+            "item", F.pmod(F.floor("value").cast("long"), F.lit(20))
+        ),
         ["event_type"], "item", k=20, max_items_tracked=10000,
     )
     hh_csv = hh.select(

@@ -34,6 +34,7 @@ import shutil
 import tempfile
 import time
 import uuid as _uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
@@ -46,7 +47,15 @@ from ..message import (
     worst_state_expr,
 )
 
-__all__ = ["MessageStore", "NullMessageStore", "MemoryMessageStore", "FileMessageStore"]
+__all__ = [
+    "MessageStore", "NullMessageStore", "MemoryMessageStore",
+    "FileMessageStore", "StoreLockTimeout",
+]
+
+
+class StoreLockTimeout(RuntimeError):
+    """Another writer holds the store's lease (``.store_lock``) and it
+    did not free up within the wait budget."""
 
 _EVENT_SCHEMA = T.StructType(
     [
@@ -64,6 +73,9 @@ _EVENT_SCHEMA = T.StructType(
 class MessageStore:
     """Parquet-backed audit table with the full §2.G query surface."""
 
+    #: seconds after which an unrefreshed lease from a dead pid is stale
+    LOCK_TTL = 600.0
+
     def __init__(self, spark: SparkSession, base_path: str, channel: str = "default"):
         self.spark = spark
         self.base_path = base_path
@@ -73,6 +85,129 @@ class MessageStore:
         # id -> date side table: lets point lookups prune to ONE date
         # partition instead of scanning the whole store (see _id_dates)
         self.index_path = os.path.join(base_path, "id_index")
+        self.lock_path = os.path.join(base_path, ".store_lock")
+        self.journal_path = os.path.join(base_path, ".compact_journal")
+        # roll forward a compact() another process died in the middle of
+        self._recover()
+
+    # -- single-writer lease ---------------------------------------------
+    # The reference's file store gets single-process safety for free
+    # (one pypeman daemon owns the directory). A Spark store does not:
+    # a compact()'s directory swap racing a concurrent store() append
+    # could drop the appended rows with no error. Every mutating entry
+    # point therefore takes a lease file first (VERDICT r6 task #6).
+    # O_CREAT|O_EXCL creation is the atomic primitive; a lease whose
+    # holder pid is dead (same host) or whose mtime exceeds LOCK_TTL is
+    # broken and retaken. The unavoidable fine-print: breaking a stale
+    # lock has a tiny TOCTOU window (two breakers racing) — acceptable
+    # for a crashed-holder recovery path; live writers never race
+    # because live leases are refreshed by their mtime at creation.
+    # Readers are NOT serialized: current() on another process during a
+    # swap can transiently see an empty messages dir (documented in
+    # compact()); same-process reads are safe because compact holds the
+    # GIL-side state and finishes the swap before returning.
+
+    def _lock_is_stale(self, now: float) -> bool:
+        # pid liveness is authoritative (a long compact legitimately
+        # outlives LOCK_TTL); the mtime TTL is the fallback when the
+        # pid can't be read — e.g. a truncated lease from a crash
+        try:
+            with open(self.lock_path) as fh:
+                pid = int(fh.read().split()[0])
+        except FileNotFoundError:
+            return False  # holder released; acquire loop retries
+        except (OSError, ValueError, IndexError):
+            try:
+                return now - os.stat(self.lock_path).st_mtime > self.LOCK_TTL
+            except OSError:
+                return False
+        if pid == os.getpid():
+            return False
+        try:
+            os.kill(pid, 0)
+            return False  # holder alive
+        except ProcessLookupError:
+            return True  # same-host pid is gone
+        except OSError:
+            return False  # e.g. EPERM: alive but not ours
+
+    def _acquire_lock(self, op: str, timeout: float = 30.0) -> None:
+        os.makedirs(self.base_path, exist_ok=True)
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(
+                    self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                with os.fdopen(fd, "w") as fh:
+                    fh.write(f"{os.getpid()} {op} {time.time()}")
+                return
+            except FileExistsError:
+                if self._lock_is_stale(time.time()):
+                    try:
+                        os.unlink(self.lock_path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.monotonic() >= deadline:
+                    raise StoreLockTimeout(
+                        f"store {self.base_path} is locked by another "
+                        f"writer (op={op}, waited {timeout}s)"
+                    ) from None
+                time.sleep(0.05)
+
+    def _release_lock(self) -> None:
+        try:
+            os.unlink(self.lock_path)
+        except FileNotFoundError:
+            pass
+
+    @contextmanager
+    def _writer_lock(self, op: str, timeout: float = 30.0):
+        self._acquire_lock(op, timeout=timeout)
+        try:
+            yield
+        finally:
+            self._release_lock()
+
+    # -- crash recovery ---------------------------------------------------
+    def _recover(self) -> None:
+        """Complete a compact() swap a previous process died inside.
+
+        compact() fully writes the three fresh directories, then
+        journals the (live, fresh) pairs (tmp+rename, atomic), then
+        swaps. A crash before the journal leaves only orphan
+        ``.compact_*`` dirs — the store is untouched and the orphans
+        are swept. A crash during the swap leaves the journal — every
+        fresh dir is complete by construction, so recovery ROLLS
+        FORWARD: finish each pair's rename sequence idempotently and
+        remove the journal. Either way a reader after recovery sees
+        wholly-old or wholly-new state, never a mix."""
+        import json as _json
+
+        if os.path.isfile(self.journal_path):
+            with open(self.journal_path) as fh:
+                pairs = _json.load(fh)["pairs"]
+            for live, fresh in pairs:
+                old = live + ".old"
+                if os.path.isdir(fresh):
+                    if os.path.isdir(live) and not os.path.isdir(old):
+                        os.replace(live, old)
+                    if not os.path.isdir(live):
+                        os.replace(fresh, live)
+                shutil.rmtree(old, ignore_errors=True)
+                shutil.rmtree(fresh, ignore_errors=True)
+            os.unlink(self.journal_path)
+        # orphan temp dirs from a pre-journal crash: store is intact,
+        # the half-written output is garbage
+        if os.path.isdir(self.base_path):
+            for name in os.listdir(self.base_path):
+                if name.startswith(".compact_") and name != os.path.basename(
+                    self.journal_path
+                ):
+                    shutil.rmtree(
+                        os.path.join(self.base_path, name), ignore_errors=True
+                    )
 
     # -- writes ----------------------------------------------------------
     def store(self, df: DataFrame, state: str = PENDING) -> None:
@@ -84,12 +219,16 @@ class MessageStore:
             .withColumn("state", F.lit(state))
             .withColumn("date", F.to_date("timestamp"))
         )
-        out.write.mode("append").partitionBy("date").parquet(self.msg_path)
-        out.select("id", "date").write.mode("append").parquet(self.index_path)
+        with self._writer_lock("store"):
+            out.write.mode("append").partitionBy("date").parquet(self.msg_path)
+            out.select("id", "date").write.mode("append").parquet(
+                self.index_path
+            )
 
     def _append_events(self, rows: list[tuple]) -> None:
         df = self.spark.createDataFrame(rows, _EVENT_SCHEMA)
-        df.write.mode("append").parquet(self.event_path)
+        with self._writer_lock("events"):
+            df.write.mode("append").parquet(self.event_path)
 
     def change_message_state(self, msg_id: str, state: str) -> None:
         """``msgstore.py:110-130``."""
@@ -107,7 +246,8 @@ class MessageStore:
             F.lit(None).cast("string").alias("meta_value"),
             F.lit(time.time()).alias("event_ts"),
         )
-        ev.write.mode("append").parquet(self.event_path)
+        with self._writer_lock("events"):
+            ev.write.mode("append").parquet(self.event_path)
 
     def add_meta_from_messages(self, df: DataFrame) -> None:
         """Bulk flush of node-level ``store_meta`` captures: explode the
@@ -129,7 +269,8 @@ class MessageStore:
                 F.lit(time.time()).alias("event_ts"),
             )
         )
-        ev.write.mode("append").parquet(self.event_path)
+        with self._writer_lock("events"):
+            ev.write.mode("append").parquet(self.event_path)
 
     def add_sub_message_state(self, msg_id: str, sub_id: str, state: str) -> None:
         """``msgstore.py:74-108``."""
@@ -198,18 +339,23 @@ class MessageStore:
         dropped = []
         if not os.path.isdir(self.msg_path):
             return dropped
-        for name in sorted(os.listdir(self.msg_path)):
-            if not name.startswith("date="):
-                continue
-            try:
-                part_date = _dt.date.fromisoformat(name[5:])
-            except ValueError:
-                continue
-            if part_date < cutoff:
-                shutil.rmtree(
-                    os.path.join(self.msg_path, name), ignore_errors=True
-                )
-                dropped.append(name)
+        # under the lease: a per-partition rmtree is individually
+        # atomic and expiry is idempotent (a crash mid-sweep just
+        # leaves later partitions for the next run), but it must not
+        # interleave with a compact() swapping the same directory
+        with self._writer_lock("retention"):
+            for name in sorted(os.listdir(self.msg_path)):
+                if not name.startswith("date="):
+                    continue
+                try:
+                    part_date = _dt.date.fromisoformat(name[5:])
+                except ValueError:
+                    continue
+                if part_date < cutoff:
+                    shutil.rmtree(
+                        os.path.join(self.msg_path, name), ignore_errors=True
+                    )
+                    dropped.append(name)
         return dropped
 
     def compact(self) -> None:
@@ -221,9 +367,22 @@ class MessageStore:
         rewrites the base from ``current()`` (latest state and substates
         become base columns, tombstoned rows disappear) and re-emits
         store-meta lists as a fresh, minimal event log — schemas are
-        unchanged, so readers never see a special case. Swap is
-        directory-rename atomic per path (single-writer assumption, same
-        as the reference's file store).
+        unchanged, so readers never see a special case.
+
+        Concurrency + crash safety (VERDICT r6 #6): the whole fold —
+        snapshot through swap — runs under the writer lease, so a
+        concurrent ``store()``/event append blocks rather than landing
+        rows the swap would silently discard. The three-directory swap
+        itself is made atomic-or-completable by a journal: the fresh
+        dirs are fully written first, then ``.compact_journal`` records
+        the (live, fresh) pairs (tmp+rename), then the renames run and
+        the journal is removed. A crash anywhere leaves either an
+        untouched store (pre-journal; orphans swept on next open) or a
+        journal that :meth:`_recover` rolls FORWARD on the next open —
+        never a mixed old-messages/new-events state. Cross-process
+        readers mid-swap can transiently see a missing directory
+        (read as empty); serializing readers would need a catalog
+        layer (Delta), which the docstring above scopes out.
 
         The id→date side index is rewritten in the same pass: every
         ``store()`` appends a small parquet file to it and deletions/
@@ -234,8 +393,12 @@ class MessageStore:
         the surviving row count (~2M index rows per file), never a
         single-task coalesce(1) that would bottleneck a big store's
         compaction on one executor."""
-        cur = self.current().cache()
+        import json as _json
+
+        self._acquire_lock("compact", timeout=300.0)
+        cur = None
         try:
+            cur = self.current().cache()
             new_msg = os.path.join(self.base_path, f".compact_msg_{_uuid.uuid4().hex}")
             new_ev = os.path.join(self.base_path, f".compact_ev_{_uuid.uuid4().hex}")
             new_idx = os.path.join(self.base_path, f".compact_idx_{_uuid.uuid4().hex}")
@@ -274,18 +437,29 @@ class MessageStore:
                 .write.mode("overwrite")
                 .parquet(new_idx)
             )
-            for live, fresh in (
+            pairs = [
                 (self.msg_path, new_msg),
                 (self.event_path, new_ev),
                 (self.index_path, new_idx),
-            ):
+            ]
+            # journal BEFORE the first rename: from here a crash is
+            # rolled forward by _recover(); before here the store is
+            # untouched and the fresh dirs are swept as orphans
+            jtmp = self.journal_path + ".tmp"
+            with open(jtmp, "w") as fh:
+                _json.dump({"pairs": pairs}, fh)
+            os.replace(jtmp, self.journal_path)
+            for live, fresh in pairs:
                 old = live + ".old"
                 if os.path.isdir(live):
                     os.replace(live, old)
                 os.replace(fresh, live)
                 shutil.rmtree(old, ignore_errors=True)
+            os.unlink(self.journal_path)
         finally:
-            cur.unpersist()
+            if cur is not None:
+                cur.unpersist()
+            self._release_lock()
 
     # -- reads -----------------------------------------------------------
     def _messages(self) -> DataFrame:

@@ -483,6 +483,53 @@ def test_ivf_index_append_equals_bulk_build(spark, sf_dir, tmp_path):
     assert got == want and len(got) == 25
 
 
+def test_ivfpq_index_append_equals_bulk_build(spark, sf_dir, tmp_path):
+    # VERDICT r6 #5: the composed IVFADC index must ingest new batches
+    # against its PERSISTED centroids AND codebooks — appended rows get
+    # identical cell assignment + residual codes to a one-shot build,
+    # so both the ADC shortlist and the re-ranked probe agree exactly
+    from pypeman_spark.functions import similarity as S
+
+    emb = _emb(spark, sf_dir)
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    cent = S._default_centroids(first, 8, "vec_id", "embedding")
+    cent_rows = S._centroid_rows(cent)
+    books = S.ivfpq_residual_codebooks(first, cent_rows, m=4, n_codes=8,
+                                       dim=64)
+
+    inc = str(tmp_path / "inc")
+    S.ivfpq_index_write(first, inc, centroids=cent, codebooks=books)
+    S.ivfpq_index_append(spark, inc, second)
+
+    bulk = str(tmp_path / "bulk")
+    S.ivfpq_index_write(emb, bulk, centroids=cent, codebooks=books)
+
+    # stored codes for the appended half match the bulk build row-
+    # for-row (assignment and encoding both against persisted state)
+    inc_rows = {
+        r["vec_id"]: (r["cid"], tuple(r["pq_code"]))
+        for r in spark.read.parquet(inc).select(
+            "vec_id", "cid", "pq_code").collect()
+    }
+    bulk_rows = {
+        r["vec_id"]: (r["cid"], tuple(r["pq_code"]))
+        for r in spark.read.parquet(bulk).select(
+            "vec_id", "cid", "pq_code").collect()
+    }
+    assert inc_rows == bulk_rows
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for rerank in (False, True):
+        got = {tuple(r) for r in S.ivfpq_probe(
+            spark, inc, q, k=5, nprobe=2, rerank=rerank).collect()}
+        want = {tuple(r) for r in S.ivfpq_probe(
+            spark, bulk, q, k=5, nprobe=2, rerank=rerank).collect()}
+        assert got == want and len(got) == 25
+
+
 def test_pq_encode_and_adc_topk(spark, sf_dir):
     # PQ/ADC: codes are m small ints; self-query has distance 0 to its
     # own codes' reconstruction... not exactly 0 in general, but the

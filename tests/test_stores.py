@@ -371,3 +371,127 @@ def test_compact_rewrites_id_index(spark, tmp_path):
     assert store._id_dates(target) == [dt.date(2026, 2, 3)]
     assert store.get(target)["payload"] == "b2-3"
     assert store.get(victim) is None
+
+
+def test_writer_lock_blocks_second_writer(spark, tmp_path):
+    # VERDICT r6 #6: the store is no longer implicitly single-writer —
+    # every mutating entry point takes the .store_lock lease, so a
+    # concurrent compact/store cannot interleave with a swap
+    from pypeman_spark.store import FileMessageStore, StoreLockTimeout
+
+    store = FileMessageStore(spark, str(tmp_path / "audit"), channel="t")
+    store.store(messages_from_payloads(spark, [{"i": 1}]))
+    other = FileMessageStore(spark, str(tmp_path / "audit"), channel="t")
+
+    store._acquire_lock("test-holder")
+    try:
+        with pytest.raises(StoreLockTimeout):
+            other._acquire_lock("contender", timeout=0.3)
+        # a held LIVE lease blocks mutations on the other handle
+        t0 = time.time()
+        with pytest.raises(StoreLockTimeout):
+            with other._writer_lock("store", timeout=0.3):
+                pass
+        assert time.time() - t0 < 5
+    finally:
+        store._release_lock()
+    # released -> the other handle proceeds
+    other.store(messages_from_payloads(spark, [{"i": 2}]))
+    assert store.total() == 2
+
+
+def test_stale_lock_from_dead_pid_is_broken(spark, tmp_path):
+    from pypeman_spark.store import FileMessageStore
+
+    store = FileMessageStore(spark, str(tmp_path / "audit"), channel="t")
+    # a lease left by a crashed process: pid that cannot exist
+    import os as _os
+
+    _os.makedirs(store.base_path, exist_ok=True)
+    with open(store.lock_path, "w") as fh:
+        fh.write("999999999 crashed 0")
+    # acquire must break it and proceed, not dead-wait
+    store.store(messages_from_payloads(spark, [{"i": 1}]))
+    assert store.total() == 1
+    assert not _os.path.exists(store.lock_path)
+
+
+def test_crash_mid_compact_rolls_forward_never_mixed(spark, tmp_path):
+    # kill the process between the three swap renames: the journal is
+    # on disk, so the next open must roll FORWARD to the fully-new
+    # state — a reader never sees new messages with the old event log
+    import os as _os
+
+    from pypeman_spark.store import FileMessageStore
+
+    path = str(tmp_path / "audit")
+    store = FileMessageStore(spark, path, channel="t")
+    store.store(messages_from_payloads(spark, [{"i": i} for i in range(5)]))
+    ids = sorted(r["id"] for r in store.current().select("id").collect())
+    store.change_message_state(ids[0], "processed")
+    store.delete(ids[1])
+    expected = {
+        r["id"]: r["state"] for r in store.current().collect()
+    }
+
+    real_replace = _os.replace
+    calls = {"n": 0}
+
+    def dying_replace(src, dst):
+        # let the journal land (first replace), then die after the
+        # FIRST directory rename of the swap — messages/ is moved to
+        # .old, nothing else has happened: maximum mixed-state hazard
+        real_replace(src, dst)
+        if dst == store.journal_path:
+            return
+        calls["n"] += 1
+        if calls["n"] >= 1:
+            raise RuntimeError("simulated crash mid-swap")
+
+    _os.replace = dying_replace
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            store.compact()
+    finally:
+        _os.replace = real_replace
+    assert _os.path.isfile(store.journal_path)  # crash left the journal
+
+    # next open (a new process in real life) recovers; lease from the
+    # "crashed" holder is ours-alive here, so drop it as the crash would
+    store._release_lock()
+    recovered = FileMessageStore(spark, path, channel="t")
+    assert not _os.path.isfile(recovered.journal_path)
+    got = {r["id"]: r["state"] for r in recovered.current().collect()}
+    assert got == expected  # the compacted (new) state, complete
+    # and the store is fully functional post-recovery
+    recovered.change_message_state(ids[2], "error")
+    assert recovered.get(ids[2])["state"] == "error"
+    recovered.compact()
+    assert {
+        r["id"]: r["state"] for r in recovered.current().collect()
+    }[ids[2]] == "error"
+
+
+def test_crash_before_journal_leaves_store_untouched(spark, tmp_path):
+    # a crash while WRITING the fresh dirs (pre-journal) must leave the
+    # live store intact; the orphan .compact_* dirs are swept on open
+    import glob as _glob
+    import os as _os
+
+    from pypeman_spark.store import FileMessageStore
+
+    path = str(tmp_path / "audit")
+    store = FileMessageStore(spark, path, channel="t")
+    store.store(messages_from_payloads(spark, [{"i": i} for i in range(3)]))
+    expected = sorted(r["id"] for r in store.current().select("id").collect())
+
+    # simulate: fresh dirs half-written, process died before the journal
+    # (base_path is <path>/<channel> — the store root, not the parent)
+    _os.makedirs(_os.path.join(store.base_path, ".compact_msg_deadbeef"))
+    store._release_lock()
+
+    recovered = FileMessageStore(spark, path, channel="t")
+    assert not _glob.glob(_os.path.join(store.base_path, ".compact_*"))
+    assert sorted(
+        r["id"] for r in recovered.current().select("id").collect()
+    ) == expected
