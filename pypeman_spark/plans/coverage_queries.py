@@ -224,9 +224,7 @@ def parser_pipeline_roundtrips(spark, sf_dir):
 # Generic python nodes (rows 10, 24, 25, 31, 49, 50)
 # =====================================================================
 
-@q(
-    "generic_nodes_ctx_pipeline",
-    """
+_GENERIC_NODES_SQL = """
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            2 * CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2,
@@ -238,8 +236,9 @@ def parser_pipeline_roundtrips(spark, sf_dir):
            CAST(NULL AS VARCHAR) AS wiped_payload,
            0 AS wiped_meta_n
     FROM events WHERE event_id < 300
-    """,
-)
+    """
+
+
 def generic_nodes_ctx_pipeline(spark, sf_dir):
     """Rows 10/24/25/26-28/29/31/49/50 in one chained pipeline + join
     (consolidates the former generic_nodes_pipeline /
@@ -301,9 +300,7 @@ def generic_nodes_ctx_pipeline(spark, sf_dir):
 # Routing through real nodes + end-node chains (rows 33-39, 51, 65)
 # =====================================================================
 
-@q(
-    "routing_nodes_end_chains",
-    """
+_ROUTING_SQL = """
     WITH routed AS (
       SELECT event_id, event_type, value,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -326,8 +323,9 @@ def generic_nodes_ctx_pipeline(spark, sf_dir):
                 WHEN event_type = 'error' THEN 'boom'
                 ELSE NULL END AS err
     FROM routed
-    """,
-)
+    """
+
+
 def routing_nodes_end_chains(spark, sf_dir):
     """Rows 33/34/35/38/39/51/65: Drop with a *python-callable*
     condition (``nodes.py:54-62``), Drop/Reject with Column conditions,
@@ -371,16 +369,15 @@ def routing_nodes_end_chains(spark, sf_dir):
     )
 
 
-@q(
-    "inject_and_wait",
-    """
+_INJECT_SQL = """
     SELECT 'batch' AS src, event_id AS key,
            2 * CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_out
     FROM events WHERE event_id < 300
     UNION ALL
     SELECT 'sync', i, (i + 10) * 2 FROM range(1, 6) t(i)
-    """,
-)
+    """
+
+
 def inject_and_wait(spark, sf_dir):
     """Rows 60/67 (consolidates the former inject_mid_chain /
     handle_and_wait_sync entries — both entry-point surfaces of the
@@ -414,17 +411,57 @@ def inject_and_wait(spark, sf_dir):
     return batch.unionByName(sync)
 
 
+@q(
+    "pipeline_control_suite",
+    f"""
+    SELECT 'routing' AS mode, event_id, state, chain, final, err,
+           CAST(NULL AS BIGINT) AS k_out
+    FROM ({_ROUTING_SQL}) r
+    UNION ALL
+    SELECT 'inject_' || src, key, CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), k_out
+    FROM ({_INJECT_SQL}) i
+    """,
+)
+def pipeline_control_suite(spark, sf_dir):
+    """Composed Pipeline-control machinery (r7 consolidation of the
+    former routing_nodes_end_chains + inject_and_wait entries —
+    VERDICT r6 #7; each arm keeps its exact machinery and oracle, mode-
+    tagged under one nullable schema):
+
+    * ``routing`` — Drop (python-callable AND Column conditions),
+      Reject, RaiseError in a terminal ``when`` branch, all four
+      outcome chains + final tagging (rows 33-39/51/65);
+    * ``inject_batch`` / ``inject_sync`` — ``Pipeline.inject(at=)``
+      skipping the head node vs ``handle_and_wait`` through the full
+      chain (rows 60/67) — the k*2 vs (k+10)*2 contrast."""
+    null_s = F.lit(None).cast("string")
+    routing = routing_nodes_end_chains(spark, sf_dir).select(
+        F.lit("routing").alias("mode"),
+        "event_id", "state", "chain", "final", "err",
+        F.lit(None).cast("bigint").alias("k_out"),
+    )
+    inject = inject_and_wait(spark, sf_dir).select(
+        F.concat(F.lit("inject_"), F.col("src")).alias("mode"),
+        F.col("key").alias("event_id"),
+        null_s.alias("state"), null_s.alias("chain"),
+        null_s.alias("final"), null_s.alias("err"),
+        "k_out",
+    )
+    return routing.unionByName(inject)
+
+
 # =====================================================================
 # File lifecycle: write → read → move → read (rows 7, 43, 45)
 # =====================================================================
 
-@q(
-    "fork_write_read_move",
-    """
+_FORK_FILES_SQL = """
     SELECT doc_id, text AS content_in, text AS content_moved, 100 AS n_main
     FROM documents WHERE doc_id < 100 AND doc_id % 2 = 0
-    """,
-)
+    """
+
+
 def fork_write_read_move(spark, sf_dir):
     """Rows 7/37/43/45 in one file lifecycle (consolidates the former
     fork_side_effects / file_write_read_move entries — the fork's sink
@@ -497,14 +534,65 @@ def fork_write_read_move(spark, sf_dir):
     )
 
 
+@q(
+    "node_chain_file_suite",
+    f"""
+    SELECT 'nodes' AS mode, event_id AS key, k, k2, parity, tag, etype,
+           seen, wiped_payload, wiped_meta_n,
+           CAST(NULL AS VARCHAR) AS content_in,
+           CAST(NULL AS VARCHAR) AS content_moved,
+           CAST(NULL AS INTEGER) AS n_main
+    FROM ({_GENERIC_NODES_SQL}) g
+    UNION ALL
+    SELECT 'files', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+           content_in, content_moved, n_main
+    FROM ({_FORK_FILES_SQL}) f
+    """,
+)
+def node_chain_file_suite(spark, sf_dir):
+    """Composed Pipeline node-chain machinery (r7 consolidation of the
+    former generic_nodes_ctx_pipeline + fork_write_read_move entries —
+    VERDICT r6 #7; both arms keep their exact machinery and oracle):
+
+    * ``nodes`` — Log → SaveContext → FuncNode → passthrough FuncNode
+      → Sleep → MsgFuncNode → SaveContext → CombineCtx, plus the Empty
+      wipe join (rows 10/24-29/31/49/50);
+    * ``files`` — Pipeline.fork sink branch (Drop + FileWriter) with
+      the n_main isolation proof, then FileReader → FileMover →
+      re-read (rows 7/37/43/45)."""
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("bigint")
+    null_i = F.lit(None).cast("int")
+    nodes = generic_nodes_ctx_pipeline(spark, sf_dir).select(
+        F.lit("nodes").alias("mode"),
+        F.col("event_id").cast("bigint").alias("key"),
+        "k", "k2", "parity", "tag", "etype", "seen",
+        "wiped_payload",
+        F.col("wiped_meta_n").cast("int").alias("wiped_meta_n"),
+        null_s.alias("content_in"), null_s.alias("content_moved"),
+        null_i.alias("n_main"),
+    )
+    files = fork_write_read_move(spark, sf_dir).select(
+        F.lit("files").alias("mode"),
+        F.col("doc_id").cast("bigint").alias("key"),
+        null_l.alias("k"), null_l.alias("k2"),
+        null_s.alias("parity"), null_s.alias("tag"),
+        null_s.alias("etype"), null_s.alias("seen"),
+        null_s.alias("wiped_payload"), null_i.alias("wiped_meta_n"),
+        "content_in", "content_moved", "n_main",
+    )
+    return nodes.unionByName(files)
+
+
 # =====================================================================
 # Store lifecycle: store / change-state / delete / current
 # (rows 32, 52, 57, 58)
 # =====================================================================
 
-@q(
-    "store_lifecycle_replay",
-    """
+_STORE_LIFECYCLE_SQL = """
     WITH base AS (
       SELECT event_type,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
@@ -520,8 +608,9 @@ def fork_write_read_move(spark, sf_dir):
            CAST(sum(k) AS BIGINT) AS sum_k
     FROM (SELECT * FROM base UNION ALL SELECT * FROM replays)
     GROUP BY event_type, state
-    """,
-)
+    """
+
+
 def store_lifecycle_replay(spark, sf_dir):
     """Rows 32/52/57/58/59 in one store lifecycle (consolidates the
     former store_lifecycle / replay_batch entries — the same machinery,
@@ -581,16 +670,15 @@ def store_lifecycle_replay(spark, sf_dir):
 # Auto-retry + retry store sweep (rows 62, 63)
 # =====================================================================
 
-@q(
-    "auto_retry_sweep",
-    """
+_AUTO_RETRY_SQL = """
     SELECT event_id,
            CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 = 0
                 THEN 'wait_retry' ELSE 'processed' END AS first_state,
            'processed' AS final_state
     FROM events WHERE event_id < 200
-    """,
-)
+    """
+
+
 def auto_retry_sweep(spark, sf_dir):
     """Rows 62/63: ``auto_retry=True`` turns a transient failure into
     ``wait_retry`` tagged with the re-entry stage (``nodes.py:194-204``);
@@ -629,6 +717,49 @@ def auto_retry_sweep(spark, sf_dir):
         .otherwise(F.col("state"))
         .alias("final_state"),
     )
+
+
+@q(
+    "store_machinery_suite",
+    f"""
+    SELECT 'lifecycle' AS mode, etype, state, n, sum_k,
+           CAST(NULL AS BIGINT) AS event_id,
+           CAST(NULL AS VARCHAR) AS first_state,
+           CAST(NULL AS VARCHAR) AS final_state
+    FROM ({_STORE_LIFECYCLE_SQL}) l
+    UNION ALL
+    SELECT 'retry', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           event_id, first_state, final_state
+    FROM ({_AUTO_RETRY_SQL}) r
+    """,
+)
+def store_machinery_suite(spark, sf_dir):
+    """Composed store-machinery drains (r7 consolidation of the former
+    store_lifecycle_replay + auto_retry_sweep entries — VERDICT r6 #7;
+    both arms keep their exact machinery and oracle):
+
+    * ``lifecycle`` — FileMessageStore store → bulk state changes →
+      per-id delete + delete_many → renew/replay → current()
+      reconstruction with the Σk payload checksum (rows 32/52/57/58/59);
+    * ``retry`` — auto_retry wait_retry tagging + RetryStore sweep
+      draining after the outage heals (rows 62/63)."""
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("bigint")
+    lifecycle = store_lifecycle_replay(spark, sf_dir).select(
+        F.lit("lifecycle").alias("mode"),
+        "etype", "state", "n", "sum_k",
+        null_l.alias("event_id"),
+        null_s.alias("first_state"), null_s.alias("final_state"),
+    )
+    retry = auto_retry_sweep(spark, sf_dir).select(
+        F.lit("retry").alias("mode"),
+        null_s.alias("etype"), null_s.alias("state"),
+        null_l.alias("n"), null_l.alias("sum_k"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "first_state", "final_state",
+    )
+    return lifecycle.unionByName(retry)
 
 
 # =====================================================================
@@ -706,8 +837,7 @@ from ..functions import dedup as _D  # noqa: E402
 from ..functions import text as _TX  # noqa: E402
 from .queries import _MINHASH_SQL, _STOP_SQL, tp  # noqa: E402
 
-@q(
-    "training_data_filter",
+_TRAINING_FILTER_SQL = (
     _MINHASH_SQL.replace("WITH words", "WITH RECURSIVE words", 1)
     + f"""
     , edges AS (
@@ -753,8 +883,10 @@ from .queries import _MINHASH_SQL, _STOP_SQL, tp  # noqa: E402
     WHERE s.detected = 'en' AND s.quality >= 0.4
       AND s.ws_tokens BETWEEN 20 AND 5000
       AND s.doc_id = c.cluster_id
-    """,
+    """
 )
+
+
 def training_data_filter(spark, sf_dir):
     """The composed LLM-corpus cleaning pipeline, C4-style: language ID
     (keep en), quality threshold, token-count bounds, and near-dup

@@ -1630,9 +1630,7 @@ def corpus_stats_and_bigrams(spark, sf_dir):
 # word_repetition_ratio chain runs as that entry's `clean` arm.)
 
 
-@q(
-    "dedup_new_batch_vs_corpus",
-    """
+_DEDUP_NEW_BATCH_SQL = """
     WITH new_batch AS (
       SELECT doc_id + 2000000 AS doc_id, lang, text
       FROM documents WHERE doc_id % 3 = 0
@@ -1644,8 +1642,9 @@ def corpus_stats_and_bigrams(spark, sf_dir):
     )
     SELECT n.doc_id, n.lang FROM new_batch n
     WHERE md5(n.text) NOT IN (SELECT h FROM seen)
-    """,
-)
+    """
+
+
 def dedup_new_batch_vs_corpus(spark, sf_dir):
     """Incremental exact dedup (functions/dedup.py:
     dedupe_against_reference): a 'new crawl' — fresh docs plus re-keyed
@@ -1662,6 +1661,51 @@ def dedup_new_batch_vs_corpus(spark, sf_dir):
     )
     seen = d.filter(F.col("doc_id") < 250)
     return D.dedupe_against_reference(new_batch, seen).select("doc_id", "lang")
+
+
+def _corpus_refresh_oracle() -> str:
+    from .coverage_queries import _TRAINING_FILTER_SQL
+
+    return f"""
+    SELECT 'fresh' AS mode, doc_id, lang,
+           CAST(NULL AS DOUBLE) AS quality,
+           CAST(NULL AS BIGINT) AS ws_tokens
+    FROM ({_DEDUP_NEW_BATCH_SQL}) d
+    UNION ALL
+    SELECT 'kept', doc_id, CAST(NULL AS VARCHAR), quality, ws_tokens
+    FROM ({_TRAINING_FILTER_SQL}) t
+    """
+
+
+@q("corpus_refresh_suite", None)  # oracle attached below (import order)
+def corpus_refresh_suite(spark, sf_dir):
+    """Composed corpus-refresh machinery (r7 consolidation of the
+    former dedup_new_batch_vs_corpus + training_data_filter entries —
+    VERDICT r6 #7; both arms keep their exact machinery and oracle) —
+    the two stages a production crawl refresh runs:
+
+    * ``fresh`` — incremental exact dedup: the new batch anti-joined
+      on content hash against the shipped corpus (16 B hashes only,
+      old text never re-read);
+    * ``kept`` — the C4-style cleaning gate (language ID, quality
+      threshold, token bounds, LSH + connected-components canonical-
+      doc dedup) over the curated slice."""
+    from .coverage_queries import training_data_filter
+
+    null_s = F.lit(None).cast("string")
+    fresh = dedup_new_batch_vs_corpus(spark, sf_dir).select(
+        F.lit("fresh").alias("mode"), "doc_id", "lang",
+        F.lit(None).cast("double").alias("quality"),
+        F.lit(None).cast("bigint").alias("ws_tokens"),
+    )
+    kept = training_data_filter(spark, sf_dir).select(
+        F.lit("kept").alias("mode"), "doc_id", null_s.alias("lang"),
+        "quality", F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
+    )
+    return fresh.unionByName(kept)
+
+
+REGISTRY["corpus_refresh_suite"].oracle = _corpus_refresh_oracle()
 
 
 # (gopher_quality_filter was consolidated into gopher_signals_suite in

@@ -33,7 +33,11 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
-        master = f"local[{cpus}]"
+        # SPARK_GRAFT_MASTER lets the harness swap execution topology
+        # without code changes — e.g. "local-cluster[2,16,8192]" for a
+        # true multi-JVM run (real serialization, network shuffle,
+        # per-executor Python workers) that local[N] can't exercise
+        master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
 
     builder = (
         SparkSession.builder.master(master)
@@ -66,7 +70,51 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if not master.startswith("local["):
+        _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship pypeman_spark to executor Python workers (addPyFile zip).
+
+    ``local[N]`` executors share the driver process, so the driver's
+    sys.path covers them and module-level UDF functions (pickled BY
+    REFERENCE, e.g. the multimodal codecs) import fine. Any multi-JVM
+    master — ``local-cluster[...]`` or a real cluster — spawns
+    separate executor Python workers that need the package on their
+    path; without this, exactly the entries whose UDFs live at module
+    level die with ModuleNotFoundError (caught by the r7 local-cluster
+    run — invisible under local[32]). A real deployment ships a wheel
+    via --py-files; this is the programmatic equivalent. The zip is
+    content-hashed so a changed source tree re-ships."""
+    import hashlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    sources = sorted(
+        os.path.join(dp, f)
+        for dp, _dn, fns in os.walk(pkg_dir)
+        for f in fns
+        if f.endswith(".py")
+    )
+    h = hashlib.md5()
+    for src in sources:
+        h.update(src.encode())
+        with open(src, "rb") as fh:
+            h.update(fh.read())
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"pypeman_spark_{h.hexdigest()[:12]}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + f".tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for src in sources:
+                zf.write(src, os.path.relpath(src, parent))
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
 
 
 def stop_spark() -> None:

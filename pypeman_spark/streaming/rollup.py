@@ -80,7 +80,26 @@ class ContinuousRollup:
     # -- foreachBatch sink --------------------------------------------------
     def merge_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
         """Merge one (micro-)batch into the store. Exact for any batch
-        split because count/sum partials are associative."""
+        split because count/sum partials are associative.
+
+        Replay guard: ``foreachBatch`` is AT-LEAST-ONCE across query
+        restarts — after a crash between a completed merge and the
+        checkpoint commit, Structured Streaming re-delivers the same
+        ``batch_id``. The ``_last_batch`` marker (written tmp+rename
+        after each merge) makes the re-delivery a no-op instead of a
+        double-merge. Task-level retries WITHIN a batch need no guard
+        (Spark recomputes deterministically before the sink commits).
+        Remaining window, stated honestly: the multi-day dynamic
+        partition overwrite plus the marker write are not one atomic
+        unit — a crash between them still replays one merge; closing
+        that needs a transactional table format (Delta/Iceberg MERGE),
+        the same substitution the localCheckpoint note below makes."""
+        marker = os.path.join(self.path, "_last_batch")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                txt = fh.read().strip()
+            if txt and batch_id <= int(txt):
+                return
         spark = batch_df.sparkSession
         partials = self._partials(batch_df)
         days = [r["day"] for r in partials.select("day").distinct().collect()]
@@ -105,6 +124,10 @@ class ContinuousRollup:
             .partitionBy("day")
             .parquet(self.path)
         )
+        tmp = marker + f".tmp{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, marker)
 
     def start(self, stream_df: DataFrame, available_now: bool = True):
         """Attach to a streaming DataFrame; returns the StreamingQuery."""
