@@ -3,12 +3,15 @@
 Media are opaque ``BINARY`` columns with a typed metadata struct. The
 Spark-side machinery — schema, Arrow batch shape, ``mapInPandas``
 signatures, partition sizing — is real and tested. Codecs come in two
-families: REAL stdlib/numpy decoders for binary PPM (P6) images,
+families: REAL stdlib/numpy codecs for binary PPM (P6) images,
 non-interlaced RGB8 PNG (full zlib + filter-reconstruction pipeline,
-`decode_png_features` / `raw_rgb_to_png`) and PCM WAV audio
-(`decode_ppm_features`, `resize_ppm`, `resample_wav` — exact header
-parsing, pixel/sample math, re-encode), and deterministic fakes for
-the formats needing external libs (JPEG/MP3/MP4 — clearly marked,
+`decode_png_features` / `raw_rgb_to_png`), baseline 4:4:4 JPEG
+(DCT + stream-read Huffman tables, `decode_jpeg_features` /
+`raw_rgb_to_jpeg` — lossy, so its oracle gate is a tolerance boolean)
+and PCM WAV audio (`decode_ppm_features`, `resize_ppm`,
+`resample_wav` — exact header parsing, pixel/sample math, re-encode),
+and deterministic fakes for the formats still needing external libs
+(MP3/MP4, plus non-baseline/subsampled JPEG flavors — clearly marked,
 swappable for PIL/torchaudio on a real cluster). Both families share
 batch shapes.
 
@@ -37,6 +40,8 @@ __all__ = [
     "resample_wav",
     "decode_png_features",
     "raw_rgb_to_png",
+    "decode_jpeg_features",
+    "raw_rgb_to_jpeg",
 ]
 
 MEDIA_META_TYPE = T.StructType(
@@ -694,6 +699,535 @@ def decode_png_features(
     def _one(payload):
         try:
             w, h, px = _parse_png(payload)
+        except (ValueError, TypeError):
+            return None, None, None
+        return w, h, _grid_means(px, w, h, grid)
+
+    def _decode(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            decoded = [_one(b) for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "features": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_decode, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL JPEG codec (baseline sequential DCT, 4:4:4, 8-bit) — stdlib+numpy.
+#
+# Closes the r6 "honest stub" gap for JPEG: the encoder emits a real
+# JFIF/baseline stream (level shift → 2-D DCT → quantization → zigzag →
+# DC-differential + AC run-length Huffman coding with byte stuffing),
+# and the decoder is a genuine marker-loop decoder that reads the
+# quantization AND Huffman tables FROM THE STREAM (DQT/DHT), so it
+# round-trips any baseline 4:4:4 JPEG, not just its own output.
+# Unsupported flavors — progressive (SOF2), subsampled (4:2:0/4:2:2),
+# 12-bit, arithmetic coding — raise ValueError and route to the stub
+# path like every other codec here. JPEG is lossy by construction, so
+# the oracle gate for this codec is a tolerance boolean (the HLL
+# pattern), not exact pixel equality.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_JPEG_LUM_QT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_CHROMA_QT = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32
+
+# Huffman tables written into DHT. Codes are canonical; the decoder
+# reads whatever tables the stream carries, so the VALUES here only
+# affect compression ratio, never round-trip correctness. DC: 12
+# categories at 4 bits. AC: all 162 (run, size) symbols incl. EOB and
+# ZRL at 8 bits — complete coverage by construction (asserted in
+# tests), max canonical code 161 so the all-ones code never occurs.
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _dct_mat():
+    import math
+
+    import numpy as np
+
+    t = np.zeros((8, 8))
+    for k in range(8):
+        for n in range(8):
+            c = math.sqrt(0.25) if k else math.sqrt(0.125)
+            t[k, n] = c * math.cos(math.pi * (2 * n + 1) * k / 16)
+    return t
+
+
+def _scale_qt(qt, quality: int):
+    quality = max(1, min(100, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [max(1, min(255, (v * s + 50) // 100)) for v in qt]
+
+
+def _canonical_codes(bits, vals):
+    """(symbol -> (code, length)) for a canonical Huffman table."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+def _mag_category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _encode_jpeg(pixels, quality: int = 90) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as a baseline 4:4:4
+    JFIF JPEG."""
+    import struct
+
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    px = pixels.astype(np.float64)
+    # JFIF BT.601 RGB -> YCbCr
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    comps = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    qts = [_scale_qt(_JPEG_LUM_QT, quality),
+           _scale_qt(_JPEG_CHROMA_QT, quality)]
+    qmats = [np.array(qt, dtype=np.float64).reshape(8, 8) for qt in qts]
+    t = _dct_mat()
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    dc_tab = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    bwr = _BitWriter()
+    dc_prev = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, comp in enumerate(comps):
+                blk = np.full((8, 8), 128.0)
+                ys, xs = by * 8, bx * 8
+                sub = comp[ys : min(ys + 8, h), xs : min(xs + 8, w)]
+                blk[: sub.shape[0], : sub.shape[1]] = sub
+                # edge replication for partial blocks
+                if sub.shape[0] < 8:
+                    blk[sub.shape[0] :, :] = blk[sub.shape[0] - 1, :]
+                if sub.shape[1] < 8:
+                    blk[:, sub.shape[1] :] = blk[:, sub.shape[1] - 1][
+                        :, None
+                    ]
+                d = t @ (blk - 128.0) @ t.T
+                q = np.rint(d / qmats[min(ci, 1)]).astype(np.int64)
+                zz = [int(q.flat[_JPEG_ZIGZAG[i]]) for i in range(64)]
+                diff = zz[0] - dc_prev[ci]
+                dc_prev[ci] = zz[0]
+                cat = _mag_category(diff)
+                code, ln = dc_tab[cat]
+                bwr.put(code, ln)
+                if cat:
+                    v = diff if diff > 0 else diff + (1 << cat) - 1
+                    bwr.put(v, cat)
+                run = 0
+                last_nz = max(
+                    (i for i in range(1, 64) if zz[i]), default=0
+                )
+                for i in range(1, last_nz + 1):
+                    if zz[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tab[0xF0]  # ZRL
+                        bwr.put(code, ln)
+                        run -= 16
+                    s = _mag_category(zz[i])
+                    code, ln = ac_tab[(run << 4) | s]
+                    bwr.put(code, ln)
+                    v = zz[i] if zz[i] > 0 else zz[i] + (1 << s) - 1
+                    bwr.put(v, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_tab[0x00]  # EOB
+                    bwr.put(code, ln)
+    data = bwr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, qt in enumerate(qts):
+        zz_qt = bytes(qt[_JPEG_ZIGZAG[i]] for i in range(64))
+        out += seg(0xFFDB, bytes([tid]) + zz_qt)
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for tclass_tid, (bits, vals) in (
+        ((0x00, (_JPEG_DC_BITS, _JPEG_DC_VALS))),
+        ((0x10, (_JPEG_AC_BITS, _JPEG_AC_VALS))),
+        ((0x01, (_JPEG_DC_BITS, _JPEG_DC_VALS))),
+        ((0x11, (_JPEG_AC_BITS, _JPEG_AC_VALS))),
+    ):
+        out += seg(
+            0xFFC4, bytes([tclass_tid]) + bytes(bits) + bytes(vals)
+        )
+    out += seg(
+        0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    )
+    return out + data + b"\xff\xd9"  # EOI
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; raises
+    ValueError past the end (truncated stream)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def bit(self) -> int:
+        if not self.n:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(reader: "_BitReader", table: dict) -> int:
+    code, ln = 0, 0
+    while ln <= 16:
+        code = (code << 1) | reader.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _parse_jpeg(payload: bytes):
+    """Decode a baseline sequential 4:4:4 (or grayscale) JPEG:
+    returns ``(width, height, pixels)`` with ``pixels`` an
+    ``(h, w, 3)`` uint8 ndarray. The quantization and Huffman tables
+    are read from the stream (DQT/DHT), so any compliant baseline
+    non-subsampled file decodes — progressive, subsampled, 12-bit and
+    arithmetic-coded flavors raise ValueError (stub-path routing)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qts: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    w = h = None
+    comps = None  # [(cid, qt_id)]
+    scan_tabs = None  # [(dc_tid, ac_tid)]
+    i = 2
+    data_start = None
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI with no scan
+            break
+        (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        seg = payload[i + 4 : i + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables)
+            j = 0
+            while j < len(seg):
+                prec_id = seg[j]
+                if prec_id >> 4:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                tid = prec_id & 0x0F
+                zz = list(seg[j + 1 : j + 65])
+                if len(zz) != 64:
+                    raise ValueError("short DQT")
+                qt = [0] * 64
+                for k in range(64):
+                    qt[_JPEG_ZIGZAG[k]] = zz[k]
+                qts[tid] = qt
+                j += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            j = 0
+            while j < len(seg):
+                tc_th = seg[j]
+                bits = list(seg[j + 1 : j + 17])
+                nval = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nval])
+                if len(vals) != nval:
+                    raise ValueError("short DHT")
+                table = {}
+                code = 0
+                k = 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc_th >> 4, tc_th & 0x0F)] = table
+                j += 17 + nval
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            if nc not in (1, 3):
+                raise ValueError("only 1/3-component JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, samp, qtid = seg[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG unsupported (need 4:4:4)"
+                    )
+                comps.append((cid, qtid))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if comps is None or ns != len(comps):
+                raise ValueError("JPEG SOS/SOF component mismatch")
+            scan_tabs = []
+            for c in range(ns):
+                _cid, tt = seg[1 + 2 * c : 3 + 2 * c]
+                scan_tabs.append((tt >> 4, tt & 0x0F))
+            data_start = i + 2 + seglen
+            break
+        i += 2 + seglen
+    if data_start is None or w is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    end = payload.rfind(b"\xff\xd9")
+    if end < data_start:
+        raise ValueError("JPEG missing EOI")
+    reader = _BitReader(payload[data_start:end])
+
+    t = _dct_mat()
+    nc = len(comps)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(nc)]
+    dc_prev = [0] * nc
+    try:
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(nc):
+                    dc_tab = huff.get((0, scan_tabs[ci][0]))
+                    ac_tab = huff.get((1, scan_tabs[ci][1]))
+                    qt = qts.get(comps[ci][1])
+                    if dc_tab is None or ac_tab is None or qt is None:
+                        raise ValueError("JPEG missing table for scan")
+                    zz = [0] * 64
+                    s = _huff_decode(reader, dc_tab)
+                    diff = _extend(reader.bits(s), s) if s else 0
+                    dc_prev[ci] += diff
+                    zz[0] = dc_prev[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(reader, ac_tab)
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        size = rs & 0x0F
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _extend(reader.bits(size), size)
+                        k += 1
+                    q = np.zeros(64)
+                    for k in range(64):
+                        q[_JPEG_ZIGZAG[k]] = zz[k] * qt[_JPEG_ZIGZAG[k]]
+                    blk = t.T @ q.reshape(8, 8) @ t + 128.0
+                    planes[ci][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = blk
+    except ValueError:
+        raise
+    if nc == 1:
+        y = planes[0][:h, :w]
+        rgb = np.stack([y, y, y], axis=-1)
+    else:
+        y = planes[0][:h, :w]
+        cb = planes[1][:h, :w] - 128.0
+        cr = planes[2][:h, :w] - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+    return w, h, np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def raw_rgb_to_jpeg(
+    df: DataFrame,
+    width: int,
+    height: int,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    quality: int = 97,
+) -> DataFrame:
+    """REAL JPEG encode: pack a raw ``width*height*3``-byte RGB payload
+    into a baseline 4:4:4 JFIF JPEG (DCT → quantization → Huffman with
+    byte stuffing). Rows whose payload is not exactly that long carry
+    null content. Arrow-batched ``mapInPandas``."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(binary_col, T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_TYPE),
+        ]
+    )
+    n_bytes = width * height * 3
+
+    def _one(payload):
+        if payload is None or len(payload) != n_bytes:
+            return None
+        px = np.frombuffer(payload, dtype=np.uint8).reshape(height, width, 3)
+        return _encode_jpeg(px, quality=quality)
+
+    def _encode(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            out = [_one(b) for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    binary_col: out,
+                    "media_meta": [
+                        {
+                            "media_type": "image",
+                            "format": "jpeg",
+                            "width": width if b is not None else None,
+                            "height": height if b is not None else None,
+                            "duration_ms": None,
+                            "size_bytes": len(b) if b is not None else None,
+                        }
+                        for b in out
+                    ],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_encode, out_schema)
+
+
+def decode_jpeg_features(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    grid: int = 2,
+) -> DataFrame:
+    """REAL JPEG decode: marker loop, stream-read DQT/DHT tables,
+    Huffman + run-length entropy decode, dequantize, IDCT, YCbCr→RGB —
+    then the same ``grid × grid`` RGB-mean features as the PPM/PNG
+    decoders. Non-JPEG / unsupported-flavor / corrupt rows yield null
+    features (stub-path routing)."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def _one(payload):
+        try:
+            w, h, px = _parse_jpeg(payload)
         except (ValueError, TypeError):
             return None, None, None
         return w, h, _grid_means(px, w, h, grid)
