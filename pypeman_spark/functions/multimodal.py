@@ -42,6 +42,8 @@ __all__ = [
     "raw_rgb_to_png",
     "decode_jpeg_features",
     "raw_rgb_to_jpeg",
+    "frames_to_mp4",
+    "sample_mp4_frames",
 ]
 
 MEDIA_META_TYPE = T.StructType(
@@ -1245,3 +1247,351 @@ def decode_jpeg_features(
             )
 
     return df.select(id_col, binary_col).mapInPandas(_decode, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL MP4 (ISO-BMFF) container codec — stdlib struct only.
+#
+# Closes the container half of the r6 "MP4 is a stub" gap: the writer
+# emits a structurally valid ISO base-media file (ftyp + mdat + a full
+# moov/trak/mdia/minf/stbl sample-table chain), and the parser is a
+# genuine box walker that reconstructs per-sample (offset, size,
+# timestamp) from the REAL sample tables — stts (durations), stsz
+# (sizes), stsc (chunk runs), stco/co64 (chunk offsets) — the exact
+# machinery a production frame sampler seeks with. What stays honestly
+# stubbed is the frame PAYLOAD codec (H.264/AV1 bitstream decode needs
+# external libs); sampled frames surface as opaque bytes + real
+# timestamps, which is precisely what a training pipeline hands to a
+# GPU decode stage anyway.
+# ---------------------------------------------------------------------------
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def _full_box(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    import struct
+
+    return _mp4_box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def _encode_mp4(frames: list, fps: int = 30, timescale: int = 90000) -> bytes:
+    """Pack opaque frame payloads into a minimal valid single-track
+    ISO-BMFF file: one chunk, constant frame duration, real stbl."""
+    import struct
+
+    n = len(frames)
+    if n == 0:
+        raise ValueError("mp4 needs at least one frame")
+    delta = timescale // fps
+    duration = n * delta
+    mdat_payload = b"".join(frames)
+
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    # stco needs the absolute offset of the first frame byte: it sits
+    # right after ftyp + the mdat header (8 bytes). moov follows mdat.
+    chunk_off = len(ftyp) + 8
+
+    stsd = _full_box(
+        b"stsd",
+        0, 0,
+        struct.pack(">I", 1)
+        # one generic sample entry: fourcc 'raw ' with the 8-byte
+        # sample-entry header (6 reserved + data_reference_index)
+        + _mp4_box(b"raw ", b"\x00" * 6 + struct.pack(">H", 1)),
+    )
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full_box(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, chunk_off))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full_box(
+        b"dref", 0, 0,
+        struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b""),
+    )
+    dinf = _mp4_box(b"dinf", dref)
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdhd = _full_box(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+    )
+    hdlr = _full_box(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"pypeman\x00",
+    )
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full_box(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(
+            ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )
+        + struct.pack(">II", 0, 0),
+    )
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 1000, duration * 1000 // timescale)
+        + struct.pack(">IH", 0x10000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(
+            ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + _mp4_box(b"mdat", mdat_payload) + moov
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", data[i : i + 4])
+        btype = data[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                raise ValueError("truncated mp4 largesize box")
+            (size,) = struct.unpack(">Q", data[i + 8 : i + 16])
+            hdr = 16
+        elif size == 0:  # box extends to EOF
+            size = end - i
+        if size < hdr or i + size > end:
+            raise ValueError(f"bad mp4 box size in {btype!r}")
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def _find_box(data: bytes, path: list, start: int, end: int):
+    """(payload_start, payload_end) of the first box at a nested path."""
+    for btype, ps, pe in _walk_boxes(data, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return ps, pe
+            return _find_box(data, path[1:], ps, pe)
+    raise ValueError(f"mp4 missing box {b'/'.join(path)!r}")
+
+
+def _parse_mp4(payload: bytes):
+    """Reconstruct the sample map of the FIRST video track: returns
+    ``(timescale, [(offset, size, ts_units), ...])`` from the real
+    stts/stsz/stsc/stco(co64) tables — the full chunk-run mapping, not
+    just the single-chunk shape the writer emits."""
+    import struct
+
+    if len(payload) < 16:
+        raise ValueError("not an mp4")
+    try:
+        _find_box(payload, [b"ftyp"], 0, len(payload))
+    except ValueError:
+        raise ValueError("not an mp4 (no ftyp)") from None
+    mdia_s, mdia_e = _find_box(
+        payload, [b"moov", b"trak", b"mdia"], 0, len(payload)
+    )
+    mdhd_s, _mdhd_e = _find_box(payload, [b"mdhd"], mdia_s, mdia_e)
+    version = payload[mdhd_s]
+    if version == 1:
+        (timescale,) = struct.unpack(
+            ">I", payload[mdhd_s + 20 : mdhd_s + 24]
+        )
+    else:
+        (timescale,) = struct.unpack(
+            ">I", payload[mdhd_s + 12 : mdhd_s + 16]
+        )
+    stbl_s, stbl_e = _find_box(
+        payload, [b"minf", b"stbl"], mdia_s, mdia_e
+    )
+
+    def full(btype):
+        s, e = _find_box(payload, [btype], stbl_s, stbl_e)
+        return s + 4, e  # skip version+flags
+
+    # stts -> per-sample durations
+    s, e = full(b"stts")
+    (nent,) = struct.unpack(">I", payload[s : s + 4])
+    durations = []
+    p = s + 4
+    for _ in range(nent):
+        cnt, delta = struct.unpack(">II", payload[p : p + 8])
+        durations.extend([delta] * cnt)
+        p += 8
+    # stsz -> sizes
+    s, e = full(b"stsz")
+    fixed, n = struct.unpack(">II", payload[s : s + 8])
+    if fixed:
+        sizes = [fixed] * n
+    else:
+        sizes = list(
+            struct.unpack(f">{n}I", payload[s + 8 : s + 8 + 4 * n])
+        )
+    if len(durations) < n:
+        raise ValueError("mp4 stts/stsz disagree")
+    # stco / co64 -> chunk offsets
+    try:
+        s, e = full(b"stco")
+        (nch,) = struct.unpack(">I", payload[s : s + 4])
+        offsets = list(
+            struct.unpack(f">{nch}I", payload[s + 4 : s + 4 + 4 * nch])
+        )
+    except ValueError:
+        s, e = full(b"co64")
+        (nch,) = struct.unpack(">I", payload[s : s + 4])
+        offsets = list(
+            struct.unpack(f">{nch}Q", payload[s + 4 : s + 4 + 8 * nch])
+        )
+    # stsc -> samples-per-chunk runs
+    s, e = full(b"stsc")
+    (nsc,) = struct.unpack(">I", payload[s : s + 4])
+    runs = [
+        struct.unpack(">III", payload[s + 4 + 12 * i : s + 16 + 12 * i])
+        for i in range(nsc)
+    ]
+    samples = []
+    ts = 0
+    si = 0
+    for ri, (first_chunk, per_chunk, _desc) in enumerate(runs):
+        last_chunk = (
+            runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(offsets)
+        )
+        for ch in range(first_chunk, last_chunk + 1):
+            off = offsets[ch - 1]
+            for _ in range(per_chunk):
+                if si >= n:
+                    break
+                size = sizes[si]
+                if off + size > len(payload):
+                    raise ValueError("mp4 sample beyond file end")
+                samples.append((off, size, ts))
+                off += size
+                ts += durations[si]
+                si += 1
+    if si != n:
+        raise ValueError("mp4 chunk map does not cover all samples")
+    return timescale, samples
+
+
+def frames_to_mp4(
+    df: DataFrame,
+    frames_col: str = "frames",
+    id_col: str = "doc_id",
+    fps: int = 30,
+) -> DataFrame:
+    """REAL MP4 container encode: pack an ``array<binary>`` of opaque
+    frame payloads into a valid single-track ISO-BMFF file (ftyp +
+    mdat + full moov/stbl sample tables). Empty/null frame lists carry
+    null content."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_TYPE),
+        ]
+    )
+
+    def _one(frames):
+        if frames is None or len(frames) == 0:
+            return None
+        return _encode_mp4([bytes(f) for f in frames], fps=fps)
+
+    def _encode(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            out = [_one(f) for f in pdf[frames_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content": out,
+                    "media_meta": [
+                        {
+                            "media_type": "video",
+                            "format": "mp4",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": (
+                                len(pdf[frames_col][i]) * 1000 // fps
+                                if out[i] is not None
+                                else None
+                            ),
+                            "size_bytes": (
+                                len(out[i]) if out[i] is not None else None
+                            ),
+                        }
+                        for i in range(len(out))
+                    ],
+                }
+            )
+
+    return df.select(id_col, frames_col).mapInPandas(_encode, out_schema)
+
+
+def sample_mp4_frames(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    every_ms: int = 1000,
+) -> DataFrame:
+    """REAL container-level frame sampling: parse the MP4 sample
+    tables, pick the first sample at or after each ``every_ms`` tick,
+    and slice its ACTUAL bytes out of mdat. One output row per sampled
+    frame: ``(id, frame_idx, ts_ms, frame binary)``. Rows that are not
+    parseable MP4s yield a single null-frame row (stub-path routing).
+    The frame payload stays an opaque bitstream — decoding it is the
+    external-lib stage a production pipeline runs on GPU."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def _one(payload):
+        try:
+            timescale, samples = _parse_mp4(bytes(payload))
+        except (ValueError, TypeError):
+            return [(None, None, None)]
+        out = []
+        next_tick = 0
+        for i, (off, size, ts_units) in enumerate(samples):
+            ts_ms = ts_units * 1000 // timescale
+            if ts_ms >= next_tick:
+                out.append((i, ts_ms, bytes(payload[off : off + size])))
+                next_tick = ts_ms + every_ms
+        return out or [(None, None, None)]
+
+    def _sample(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[binary_col]):
+                for idx, ts, fr in _one(payload):
+                    ids.append(did)
+                    idxs.append(idx)
+                    tss.append(ts)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "ts_ms": pd.array(tss, dtype="Int64"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_sample, out_schema)

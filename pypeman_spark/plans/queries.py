@@ -1433,6 +1433,14 @@ def doc_fingerprint(spark, sf_dir):
       FROM (SELECT doc_id FROM documents WHERE doc_id < 20),
            (SELECT unnest(generate_series(0, 4)) * 1000 AS offset_ms)
       GROUP BY doc_id
+    ),
+    m4 AS (
+      SELECT doc_id, CAST(3 AS BIGINT) AS n_mp4_frames,
+             '0,1000,2000' AS mp4_ts_csv,
+             md5(upper(md5(text || '#0'))) || ',' ||
+             md5(upper(md5(text || '#2'))) || ',' ||
+             md5(upper(md5(text || '#4'))) AS mp4_fp_csv
+      FROM documents WHERE doc_id < 20
     )
     SELECT h.doc_id,
            round(CAST('0x' || substring(hh, 1, 4) AS INTEGER) / 65536.0, 6) AS f0,
@@ -1442,8 +1450,10 @@ def doc_fingerprint(spark, sf_dir):
            CAST(16 AS BIGINT) AS size_bytes,
            md5(regexp_replace(text, '(.).', '\1', 'g')) AS resampled_md5,
            CAST(22050 AS INTEGER) AS sample_rate,
-           f.n_frames, f.max_offset_ms
+           f.n_frames, f.max_offset_ms,
+           m.n_mp4_frames, m.mp4_ts_csv, m.mp4_fp_csv
     FROM h LEFT JOIN frames f USING (doc_id)
+         LEFT JOIN m4 m USING (doc_id)
     """,
 )
 def multimodal_pipeline(spark, sf_dir):
@@ -1458,8 +1468,17 @@ def multimodal_pipeline(spark, sf_dir):
     * video frame sampling (``sample_video_frames``) aggregated to
       per-doc ``n_frames``/``max_offset_ms`` (docs ≥ 20 stay NULL via
       the left join — proving the fan-out is keyed, not cartesian)
+    * REAL MP4 container round-trip (r7): six md5-derived frames per
+      doc packed into a valid ISO-BMFF file (``frames_to_mp4`` — real
+      ftyp/mdat/moov/stbl tables) then frame-sampled at 1 s ticks by
+      ``sample_mp4_frames``, which reconstructs per-sample
+      (offset, size, timestamp) from the REAL stts/stsz/stsc/stco
+      tables and slices actual mdat bytes — the oracle re-derives the
+      sampled frames' fingerprints and timestamps arithmetically, so
+      any bug in box layout, sample-table math or byte slicing breaks
+      the hash. The frame PAYLOAD codec stays honestly external.
 
-    All four run the real Arrow ``mapInPandas`` plumbing with
+    The first four run the real Arrow ``mapInPandas`` plumbing with
     deterministic stub codecs the oracle reproduces (schema, batching
     and partitioning are the production shape; only the codec bytes are
     fake — see functions/multimodal.py)."""
@@ -1501,7 +1520,44 @@ def multimodal_pipeline(spark, sf_dir):
             F.max("offset_ms").cast("bigint").alias("max_offset_ms"),
         )
     )
-    return img.join(rez, "doc_id").join(aud, "doc_id").join(frm, "doc_id", "left")
+    # mp4 arm: 6 frames per doc at fps=2 (500 ms apart); 1 s sampling
+    # picks frames 0/2/4 at ts 0/1000/2000 — all re-derived by the oracle
+    d20 = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    frames_df = d20.select(
+        "doc_id",
+        F.array(
+            *[
+                F.unhex(F.md5(F.concat(F.col("text"), F.lit(f"#{i}"))))
+                for i in range(6)
+            ]
+        ).alias("frames"),
+    )
+    sampled = MM.sample_mp4_frames(
+        MM.frames_to_mp4(frames_df, fps=2), every_ms=1000
+    ).withColumn("fp", F.md5(F.hex(F.col("frame"))))
+    mp4 = sampled.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_mp4_frames"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("frame_idx", "ts_ms"))),
+                lambda s: s["ts_ms"].cast("string"),
+            ),
+            ",",
+        ).alias("mp4_ts_csv"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("frame_idx", "fp"))),
+                lambda s: s["fp"],
+            ),
+            ",",
+        ).alias("mp4_fp_csv"),
+    )
+    return (
+        img.join(rez, "doc_id")
+        .join(aud, "doc_id")
+        .join(frm, "doc_id", "left")
+        .join(mp4, "doc_id", "left")
+    )
 
 
 # =====================================================================

@@ -394,3 +394,106 @@ def test_jpeg_spark_encode_decode(spark):
         raw_rgb_to_jpeg(bad, 8, 8), grid=2
     ).collect()
     assert out[0]["features"] is None
+
+
+def test_real_mp4_container_roundtrip_and_chunk_runs():
+    import struct
+
+    from pypeman_spark.functions.multimodal import (
+        _encode_mp4,
+        _full_box,
+        _mp4_box,
+        _parse_mp4,
+    )
+
+    frames = [bytes([i]) * (5 + i) for i in range(10)]
+    blob = _encode_mp4(frames, fps=5, timescale=1000)
+    ts, samples = _parse_mp4(blob)
+    assert ts == 1000 and len(samples) == 10
+    # offsets/sizes slice the exact frame bytes out of mdat
+    assert all(
+        blob[o : o + s] == frames[i] for i, (o, s, _) in enumerate(samples)
+    )
+    # constant-fps timestamps
+    assert [t for _, _, t in samples] == [i * 200 for i in range(10)]
+
+    # the general stsc chunk-run mapping (the writer only emits one
+    # chunk; a real file can split samples across chunks): hand-build
+    # a 2-chunk file — chunk 1 holds 3 samples, chunk 2 holds 2
+    sizes = [4, 5, 6, 7, 8]
+    c1 = b"".join(bytes([i]) * sizes[i] for i in range(3))
+    gap = b"XXXX"  # non-sample bytes between chunks
+    c2 = b"".join(bytes([i]) * sizes[i] for i in range(3, 5))
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    mdat = _mp4_box(b"mdat", c1 + gap + c2)
+    off1 = len(ftyp) + 8
+    off2 = off1 + len(c1) + len(gap)
+    stsd = _full_box(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1)
+        + _mp4_box(b"raw ", b"\x00" * 6 + struct.pack(">H", 1)),
+    )
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, 5, 100))
+    stsc = _full_box(
+        b"stsc", 0, 0,
+        struct.pack(">I", 2)
+        + struct.pack(">III", 1, 3, 1)   # chunk 1: 3 samples
+        + struct.pack(">III", 2, 2, 1),  # chunk 2+: 2 samples
+    )
+    stsz = _full_box(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, 5)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stco = _full_box(b"stco", 0, 0, struct.pack(">III", 2, off1, off2))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _mp4_box(b"minf", stbl)
+    mdhd = _full_box(
+        b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, 500, 500, 0, 0)
+    )
+    mdia = _mp4_box(b"mdia", mdhd + minf)
+    trak = _mp4_box(b"trak", mdia)
+    moov = _mp4_box(b"moov", _mp4_box(b"trak", b"") * 0 + trak)
+    blob2 = ftyp + mdat + moov
+    ts2, samples2 = _parse_mp4(blob2)
+    assert ts2 == 500 and len(samples2) == 5
+    expected = [bytes([i]) * sizes[i] for i in range(5)]
+    assert all(
+        blob2[o : o + s] == expected[i]
+        for i, (o, s, _) in enumerate(samples2)
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        _parse_mp4(blob[:60])
+    with pytest.raises(ValueError):
+        _parse_mp4(b"not an mp4 at all........")
+
+
+def test_mp4_spark_pack_and_sample(spark):
+    from pypeman_spark.functions.multimodal import (
+        frames_to_mp4,
+        sample_mp4_frames,
+    )
+
+    rows = [
+        (1, [bytearray(b"frame%d" % i) for i in range(6)]),
+        (2, []),  # empty -> null content -> null-frame row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, frames array<binary>")
+    packed = frames_to_mp4(df, fps=2)
+    metas = {r["doc_id"]: r["media_meta"] for r in packed.collect()}
+    assert metas[1]["format"] == "mp4" and metas[1]["duration_ms"] == 3000
+    assert metas[2]["size_bytes"] is None
+    out = sample_mp4_frames(packed, every_ms=1000).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r)
+    # fps=2 -> frames every 500 ms; 1 s ticks pick frames 0, 2, 4
+    picked = sorted((r["frame_idx"], r["ts_ms"], bytes(r["frame"]))
+                    for r in got[1])
+    assert picked == [
+        (0, 0, b"frame0"), (2, 1000, b"frame2"), (4, 2000, b"frame4")
+    ]
+    assert len(got[2]) == 1 and got[2][0]["frame"] is None
