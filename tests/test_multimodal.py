@@ -346,15 +346,15 @@ def test_jpeg_rejects_unsupported_and_corrupt():
     progressive = good[:sof0] + b"\xff\xc2" + good[sof0 + 2 :]
     with pytest.raises(ValueError, match="non-baseline"):
         _parse_jpeg(progressive)
-    # subsampled sampling factor rejected
+    # sampling factors beyond 2x2 rejected (4:2:0 itself is SUPPORTED)
     (seglen,) = struct.unpack(">H", good[sof0 + 2 : sof0 + 4])
     body = bytearray(good[sof0 + 4 : sof0 + 2 + seglen])
-    body[7] = 0x22  # comp 1 sampling 2x2
-    subsampled = (
+    body[7] = 0x31  # comp 1 sampling 3x1
+    oversampled = (
         good[: sof0 + 4] + bytes(body) + good[sof0 + 2 + seglen :]
     )
-    with pytest.raises(ValueError, match="subsampled"):
-        _parse_jpeg(subsampled)
+    with pytest.raises(ValueError, match="beyond 2x2"):
+        _parse_jpeg(oversampled)
 
 
 def test_jpeg_spark_encode_decode(spark):
@@ -497,3 +497,122 @@ def test_mp4_spark_pack_and_sample(spark):
         (0, 0, b"frame0"), (2, 1000, b"frame2"), (4, 2000, b"frame4")
     ]
     assert len(got[2]) == 1 and got[2][0]["frame"] is None
+
+
+def _mp3_frame(bitrate_idx=9, sr_idx=0, pad=0, fill=0xAB):
+    from pypeman_spark.functions.multimodal import _mp3_frame_at
+
+    hdr = bytes(
+        [0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+         (bitrate_idx << 4) | (sr_idx << 2) | (pad << 1), 0xC0]
+    )
+    flen, _, _, _ = _mp3_frame_at(hdr, 0)
+    return hdr + bytes([fill]) * (flen - 4)
+
+
+def test_real_mp3_frame_walk():
+    import pytest
+
+    from pypeman_spark.functions.multimodal import _parse_mp3
+
+    # CBR with ID3v2 head (syncsafe size) and ID3v1 trailer
+    id3 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 20]) + bytes(20)
+    stream = (
+        id3 + b"".join(_mp3_frame() for _ in range(40))
+        + b"TAG" + bytes(125)
+    )
+    sr, frames = _parse_mp3(stream)
+    assert sr == 44100 and len(frames) == 40
+    # exact duration arithmetic: frame k starts at k*1152/44100 s
+    assert frames[-1][2] == int(39 * 1152 * 1000 / 44100)
+    # frames tile the stream with no gaps
+    assert frames[0][0] == len(id3)
+    for (o1, s1, _), (o2, _, _) in zip(frames, frames[1:]):
+        assert o1 + s1 == o2
+
+    # VBR: per-frame lengths come from each frame's own header
+    vbr = b"".join(_mp3_frame(bitrate_idx=5 + (i % 7)) for i in range(30))
+    _, f2 = _parse_mp3(vbr)
+    assert len(f2) == 30
+
+    # mid-stream truncated final frame is dropped, not an error
+    _, f3 = _parse_mp3(vbr[:-50])
+    assert len(f3) == 29
+
+    with pytest.raises(ValueError):
+        _parse_mp3(b"not audio")
+    with pytest.raises(ValueError):
+        _parse_mp3(b"\xff\xfb")  # too short
+
+
+def test_mp3_spark_meta_and_segments(spark):
+    from pypeman_spark.functions.multimodal import (
+        mp3_audio_meta,
+        sample_mp3_segments,
+    )
+
+    stream = b"".join(_mp3_frame() for _ in range(80))  # ~2.09 s
+    df = spark.createDataFrame(
+        [(1, bytearray(stream)), (2, bytearray(b"junk"))],
+        "doc_id long, content binary",
+    )
+    meta = {r["doc_id"]: r for r in mp3_audio_meta(df).collect()}
+    assert meta[1]["sample_rate"] == 44100
+    assert meta[1]["n_frames"] == 80
+    assert meta[1]["duration_ms"] == int(79 * 1152 * 1000 / 44100) + \
+        1152 * 1000 // 44100
+    assert meta[2]["sample_rate"] is None
+
+    segs = {}
+    for r in sample_mp3_segments(df, every_ms=1000).collect():
+        segs.setdefault(r["doc_id"], []).append(r)
+    # ticks at 0 / >=1000 / >=2000 ms -> 3 segments of real frame bytes
+    got = sorted((r["ts_ms"], bytes(r["segment"])[:2]) for r in segs[1])
+    assert len(got) == 3 and got[0][0] == 0
+    assert all(seg[:2] == b"\xff\xeb" or seg[0] == 0xFF
+               for _, seg in got)
+    assert segs[2][0]["segment"] is None
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    # the dominant real-world flavor: 2x2 luma MCUs + box-mean chroma.
+    # Chroma detail loss is the FORMAT's, so fidelity is asserted on
+    # luma (tight) and on a grayscale image (chroma flat -> near-exact).
+    import numpy as np
+
+    from pypeman_spark.functions.multimodal import (
+        _encode_jpeg,
+        _parse_jpeg,
+    )
+
+    gx = np.linspace(0, 255, 32)
+    smooth = np.stack(
+        np.meshgrid(gx, gx) + [np.full((32, 32), 90.0)], axis=-1
+    ).astype(np.uint8)
+    blob = _encode_jpeg(smooth, quality=95, subsample=True)
+    w, h, out = _parse_jpeg(blob)
+    assert (w, h) == (32, 32)
+    assert int(np.max(np.abs(out.astype(int) - smooth.astype(int)))) <= 10
+    # 4:2:0 is actually smaller than 4:4:4 on the same content
+    assert len(blob) < len(_encode_jpeg(smooth, quality=95))
+
+    # odd (non-multiple-of-16) dims exercise partial-MCU replication
+    rng = np.random.default_rng(5)
+    odd = rng.integers(0, 256, (17, 11, 3), dtype=np.uint8).astype(
+        np.uint8
+    )
+    w, h, out = _parse_jpeg(_encode_jpeg(odd, quality=95, subsample=True))
+    assert (w, h) == (11, 17)
+
+    def luma(a):
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+    lerr = np.abs(luma(out.astype(float)) - luma(odd.astype(float)))
+    assert float(lerr.mean()) < 4
+
+    gray = np.zeros((16, 16, 3), np.uint8)
+    gray[..., :] = np.tile(
+        np.linspace(0, 255, 16).astype(np.uint8), (16, 1)
+    )[..., None]
+    w, h, out = _parse_jpeg(_encode_jpeg(gray, quality=95, subsample=True))
+    assert int(np.max(np.abs(out.astype(int) - gray.astype(int)))) <= 2

@@ -83,14 +83,22 @@ def main() -> int:
     # used get_spark() here, which masked a session-dependence bug that
     # failed 21 driver checks.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    # SPARK_GRAFT_MASTER lets the gate itself run multi-JVM (e.g.
+    # local-cluster[2,16,8192]) — real serialization + per-executor
+    # Python workers under the ORACLE comparison, not just the bench
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .appName("check_correctness")
         .getOrCreate()
     )
+    if not master.startswith("local["):
+        from pypeman_spark.session import _ship_package
+
+        _ship_package(spark)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
