@@ -112,6 +112,32 @@ assert out.count() == ev.count(), (out.count(), ev.count())
 assert out.exceptAll(ev).count() == 0
 assert ev.exceptAll(out).count() == 0
 
+# leg 3: CHECKPOINT RESTART — new files land in the source, a fresh
+# query resumes from the same checkpoint (same flaky stage) and must
+# process exactly the delta: old rows not re-emitted, new rows deduped
+ev2 = ev.withColumn("event_id", F.col("event_id") + 1_000_000)
+ev2.unionAll(ev2).repartition(4).write.mode("append").parquet(src)
+q1b = (
+    stream_dedup(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(src),
+        keys=["event_id"],
+    )
+    .mapInPandas(flaky, schema=schema)
+    .writeStream.format("parquet")
+    .option("path", dst)
+    .option("checkpointLocation", ck1)
+    .trigger(availableNow=True)
+    .start()
+)
+assert q1b.awaitTermination(300), "restart drain timed out"
+both = ev.unionAll(ev2)
+out2 = spark.read.parquet(dst)
+assert out2.count() == both.count(), (out2.count(), both.count())
+assert out2.exceptAll(both).count() == 0
+assert both.exceptAll(out2).count() == 0
+
 # exactly-once leg 2: incremental store == one-shot batch aggregation
 inc = rollup.read().select("bucket_start", "event_type", "n", "total")
 exact = ev.groupBy(
