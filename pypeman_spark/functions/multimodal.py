@@ -1735,8 +1735,8 @@ def _parse_mp3(payload: bytes):
     if end - i > 128 and payload[end - 128 : end - 125] == b"TAG":
         end -= 128
     frames = []
-    t_ms = 0.0
-    sr0 = None
+    cum_samples = 0  # integer accumulation: start_ms is exact, never
+    sr0 = None       # a float-sum truncation artifact
     while i < end:
         if end - i < 4:
             break  # trailing garbage shorter than a header
@@ -1745,8 +1745,8 @@ def _parse_mp3(payload: bytes):
             sr0 = sr
         if i + frame_len > end:
             break  # final truncated frame: ignore, like real players
-        frames.append((i, frame_len, int(t_ms)))
-        t_ms += spf * 1000.0 / sr
+        frames.append((i, frame_len, cum_samples * 1000 // sr0))
+        cum_samples += spf
         i += frame_len
     if not frames:
         raise ValueError("no mp3 frames found")
@@ -1779,9 +1779,13 @@ def mp3_audio_meta(
             sr, frames = _parse_mp3(payload)
         except (ValueError, TypeError):
             return None, None, None
-        off, size, start = frames[-1]
+        off, _size, _start = frames[-1]
         _fl, _sr, spf, _br = _mp3_frame_at(bytes(payload), off)
-        return sr, len(frames), start + spf * 1000 // sr
+        # exact: total samples over the true rate, integer division
+        total = sum(
+            _mp3_frame_at(bytes(payload), o)[2] for o, _s, _t in frames
+        )
+        return sr, len(frames), total * 1000 // sr
 
     def _meta(batches: "Iterator[pd.DataFrame]"):
         for pdf in batches:

@@ -1441,6 +1441,14 @@ def doc_fingerprint(spark, sf_dir):
              md5(upper(md5(text || '#2'))) || ',' ||
              md5(upper(md5(text || '#4'))) AS mp4_fp_csv
       FROM documents WHERE doc_id < 20
+    ),
+    m3 AS (
+      SELECT doc_id,
+             CAST(10 + doc_id % 5 AS INTEGER) AS n_mp3_frames,
+             CAST(44100 AS INTEGER) AS mp3_sample_rate,
+             CAST((10 + doc_id % 5) * 1152 * 1000 // 44100 AS BIGINT)
+               AS mp3_duration_ms
+      FROM documents WHERE doc_id < 30
     )
     SELECT h.doc_id,
            round(CAST('0x' || substring(hh, 1, 4) AS INTEGER) / 65536.0, 6) AS f0,
@@ -1451,9 +1459,11 @@ def doc_fingerprint(spark, sf_dir):
            md5(regexp_replace(text, '(.).', '\1', 'g')) AS resampled_md5,
            CAST(22050 AS INTEGER) AS sample_rate,
            f.n_frames, f.max_offset_ms,
-           m.n_mp4_frames, m.mp4_ts_csv, m.mp4_fp_csv
+           m.n_mp4_frames, m.mp4_ts_csv, m.mp4_fp_csv,
+           a.n_mp3_frames, a.mp3_sample_rate, a.mp3_duration_ms
     FROM h LEFT JOIN frames f USING (doc_id)
          LEFT JOIN m4 m USING (doc_id)
+         LEFT JOIN m3 a USING (doc_id)
     """,
 )
 def multimodal_pipeline(spark, sf_dir):
@@ -1477,6 +1487,11 @@ def multimodal_pipeline(spark, sf_dir):
       sampled frames' fingerprints and timestamps arithmetically, so
       any bug in box layout, sample-table math or byte slicing breaks
       the hash. The frame PAYLOAD codec stays honestly external.
+    * REAL MP3 frame-sync walk (r7): k=10+doc_id%5 valid-shaped CBR
+      frames per doc built Column-side; ``mp3_audio_meta`` walks the
+      headers and the oracle re-derives n_frames / sample_rate / the
+      exact integer duration — a frame-length, sync or duration-math
+      bug breaks the match. PCM decode stays honestly external.
 
     The first four run the real Arrow ``mapInPandas`` plumbing with
     deterministic stub codecs the oracle reproduces (schema, batching
@@ -1552,11 +1567,40 @@ def multimodal_pipeline(spark, sf_dir):
             ",",
         ).alias("mp4_fp_csv"),
     )
+    # mp3 arm (r7): k = 10 + doc_id % 5 valid-shaped 128 kbps @ 44100
+    # CBR frames built COLUMN-SIDE (header literal + md5-derived
+    # filler, exact 417-byte frame length), walked by the REAL
+    # frame-sync parser; n_frames / sample_rate / exact integer
+    # duration re-derived arithmetically by the oracle
+    d30 = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    kcol = (F.lit(10) + F.col("doc_id") % 5).cast("int")
+    hdr = F.lit(bytes([0xFF, 0xFB, 0x90, 0xC0]))
+    filler = F.encode(
+        F.substring(F.repeat(F.md5(F.col("text")), 13), 1, 413), "utf-8"
+    )
+    one_frame = F.concat(hdr, filler)
+    mp3_content = F.concat(
+        *[
+            F.when(F.lit(i) < kcol, one_frame).otherwise(
+                F.lit(b"")
+            )
+            for i in range(14)
+        ]
+    )
+    mp3 = MM.mp3_audio_meta(
+        d30.select("doc_id", mp3_content.alias("content"))
+    ).select(
+        "doc_id",
+        F.col("n_frames").alias("n_mp3_frames"),
+        F.col("sample_rate").alias("mp3_sample_rate"),
+        F.col("duration_ms").alias("mp3_duration_ms"),
+    )
     return (
         img.join(rez, "doc_id")
         .join(aud, "doc_id")
         .join(frm, "doc_id", "left")
         .join(mp4, "doc_id", "left")
+        .join(mp3, "doc_id", "left")
     )
 
 

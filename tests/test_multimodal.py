@@ -524,7 +524,7 @@ def test_real_mp3_frame_walk():
     sr, frames = _parse_mp3(stream)
     assert sr == 44100 and len(frames) == 40
     # exact duration arithmetic: frame k starts at k*1152/44100 s
-    assert frames[-1][2] == int(39 * 1152 * 1000 / 44100)
+    assert frames[-1][2] == 39 * 1152 * 1000 // 44100
     # frames tile the stream with no gaps
     assert frames[0][0] == len(id3)
     for (o1, s1, _), (o2, _, _) in zip(frames, frames[1:]):
@@ -559,8 +559,7 @@ def test_mp3_spark_meta_and_segments(spark):
     meta = {r["doc_id"]: r for r in mp3_audio_meta(df).collect()}
     assert meta[1]["sample_rate"] == 44100
     assert meta[1]["n_frames"] == 80
-    assert meta[1]["duration_ms"] == int(79 * 1152 * 1000 / 44100) + \
-        1152 * 1000 // 44100
+    assert meta[1]["duration_ms"] == 80 * 1152 * 1000 // 44100
     assert meta[2]["sample_rate"] is None
 
     segs = {}
