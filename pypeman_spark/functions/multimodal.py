@@ -831,10 +831,19 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
         if self.n:
             pad = 8 - self.n
             self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+
+    def marker(self, byte2: int) -> None:
+        """Emit a raw 0xFF<byte2> marker (byte-aligned, unstuffed)."""
+        self.byte_align()
+        self.buf.append(0xFF)
+        self.buf.append(byte2)
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.buf)
 
 
@@ -866,10 +875,17 @@ def _box2(comp):
     )
 
 
-def _encode_jpeg(pixels, quality: int = 90, subsample: bool = False) -> bytes:
+def _encode_jpeg(
+    pixels,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
     """Encode an ``(h, w, 3)`` uint8 RGB array as a baseline JFIF
     JPEG — 4:4:4 by default, 4:2:0 (2x2 luma sampling, box-mean
-    chroma downsample, interleaved MCUs) with ``subsample=True``."""
+    chroma downsample, interleaved MCUs) with ``subsample=True``;
+    ``restart_interval=N`` emits a DRI segment and RSTn markers every
+    N MCUs (the resync structure most real encoders write)."""
     import struct
 
     import numpy as np
@@ -901,8 +917,17 @@ def _encode_jpeg(pixels, quality: int = 90, subsample: bool = False) -> bytes:
 
     bwr = _BitWriter()
     dc_prev = [0, 0, 0]
+    mcu_count = 0
+    rst_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                bwr.marker(0xD0 + rst_n)
+                rst_n = (rst_n + 1) % 8
+                dc_prev = [0, 0, 0]
+            mcu_count += 1
             for ci, comp in enumerate(comps):
                 hi, vi = factors[ci]
                 for iby in range(vi):
@@ -973,6 +998,8 @@ def _encode_jpeg(pixels, quality: int = 90, subsample: bool = False) -> bytes:
         out += seg(
             0xFFC4, bytes([tclass_tid]) + bytes(bits) + bytes(vals)
         )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(
         0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     )
@@ -1004,6 +1031,19 @@ class _BitReader:
                 raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
         self.acc = (self.acc << 8) | byte
         self.n += 8
+
+    def consume_restart(self) -> None:
+        """Byte-align and consume an RSTn (0xFFD0-D7) marker — the
+        per-restart-interval resync real encoders emit (DRI)."""
+        self.acc = 0
+        self.n = 0  # discard pad bits to the byte boundary
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
 
     def bit(self) -> int:
         if not self.n:
@@ -1049,8 +1089,9 @@ def _parse_jpeg(payload: bytes):
     qts: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     w = h = None
-    comps = None  # [(cid, qt_id)]
+    comps = None  # [(cid, qt_id, fh, fv)]
     scan_tabs = None  # [(dc_tid, ac_tid)]
+    restart_interval = 0
     i = 2
     data_start = None
     while i + 4 <= len(payload):
@@ -1113,6 +1154,8 @@ def _parse_jpeg(payload: bytes):
                         "JPEG sampling factors beyond 2x2 unsupported"
                     )
                 comps.append((cid, qtid, fh, fv))
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")
@@ -1146,8 +1189,15 @@ def _parse_jpeg(payload: bytes):
         np.zeros((mcuy * 8 * c[3], mcux * 8 * c[2])) for c in comps
     ]
     dc_prev = [0] * nc
+    mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                reader.consume_restart()
+                dc_prev = [0] * nc  # predictors reset at each restart
+            mcu_count += 1
             for ci in range(nc):
                 _cid, qtid, fh, fv = comps[ci]
                 dc_tab = huff.get((0, scan_tabs[ci][0]))

@@ -615,3 +615,35 @@ def test_jpeg_420_subsampled_roundtrip():
     )[..., None]
     w, h, out = _parse_jpeg(_encode_jpeg(gray, quality=95, subsample=True))
     assert int(np.max(np.abs(out.astype(int) - gray.astype(int)))) <= 2
+
+
+def test_jpeg_restart_markers_roundtrip():
+    # DRI/RSTn: the resync structure most real encoders emit. The
+    # decoder must byte-align, consume the marker and reset DC
+    # predictors — decode is bit-identical to the no-DRI stream.
+    import numpy as np
+    import pytest
+
+    from pypeman_spark.functions.multimodal import (
+        _encode_jpeg,
+        _parse_jpeg,
+    )
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8).astype(np.uint8)
+    for sub in (False, True):
+        base = _parse_jpeg(_encode_jpeg(px, quality=95, subsample=sub))[2]
+        for ri in (1, 2, 5):
+            blob = _encode_jpeg(
+                px, quality=95, subsample=sub, restart_interval=ri
+            )
+            w, h, out = _parse_jpeg(blob)
+            assert (w, h) == (40, 24)
+            assert np.array_equal(out, base)
+    # a corrupted restart marker is a decode error, not garbage pixels
+    blob = _encode_jpeg(px, quality=95, restart_interval=2)
+    i = blob.find(b"\xff\xd0", 100)
+    assert i > 0
+    bad = blob[:i] + b"\xff\xc8" + blob[i + 2 :]
+    with pytest.raises(ValueError):
+        _parse_jpeg(bad)
