@@ -615,3 +615,86 @@ def test_funnel_cap_is_identity_for_under_cap_keys(spark, events):
                         max_events_per_key=len(events)).collect()
     }
     assert plain == capped
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    subsample=st.booleans(),
+    ri=st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_property(h, w, seed, subsample, ri):
+    # any dims (incl. partial blocks/MCUs), any content, with/without
+    # 4:2:0 and restart markers: decode succeeds, dims survive, and
+    # LUMA error stays within baseline-JPEG quantization bounds
+    import numpy as np
+
+    from pypeman_spark.functions.multimodal import (
+        _encode_jpeg,
+        _parse_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).astype(np.uint8)
+    blob = _encode_jpeg(
+        px, quality=95, subsample=subsample, restart_interval=ri
+    )
+    ww, hh, out = _parse_jpeg(blob)
+    assert (ww, hh) == (w, h)
+    assert out.shape == px.shape and out.dtype == np.uint8
+
+    def luma(a):
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+    lerr = np.abs(luma(out.astype(float)) - luma(px.astype(float)))
+    assert float(lerr.mean()) < 6.0
+    if not subsample:
+        assert int(
+            np.max(np.abs(out.astype(int) - px.astype(int)))
+        ) <= 40
+
+
+@given(
+    ks=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=14),   # bitrate idx
+            st.integers(min_value=0, max_value=1),    # padding bit
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    id3=st.booleans(),
+    tag=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_mp3_walk_tiles_exactly_property(ks, id3, tag):
+    # any VBR mix of bitrates/padding, with/without ID3v2 head and
+    # ID3v1 trailer: the walk finds every frame, frames tile with no
+    # gaps, and timestamps are the exact integer sample arithmetic
+    from pypeman_spark.functions.multimodal import (
+        _mp3_frame_at,
+        _parse_mp3,
+    )
+
+    def frame(br, pad):
+        hdr = bytes(
+            [0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+             (br << 4) | (0 << 2) | (pad << 1), 0xC0]
+        )
+        flen, _, _, _ = _mp3_frame_at(hdr, 0)
+        return hdr + bytes(flen - 4)
+
+    head = (
+        b"ID3\x03\x00\x00" + bytes([0, 0, 0, 9]) + bytes(9) if id3 else b""
+    )
+    body = b"".join(frame(br, pad) for br, pad in ks)
+    trailer = b"TAG" + bytes(125) if tag else b""
+    sr, frames = _parse_mp3(head + body + trailer)
+    assert sr == 44100 and len(frames) == len(ks)
+    assert frames[0][0] == len(head)
+    for (o1, s1, _), (o2, _, _) in zip(frames, frames[1:]):
+        assert o1 + s1 == o2
+    for k, (_, _, start) in enumerate(frames):
+        assert start == k * 1152 * 1000 // 44100
