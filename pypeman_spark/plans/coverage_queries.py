@@ -411,6 +411,14 @@ def inject_and_wait(spark, sf_dir):
     return batch.unionByName(sync)
 
 
+_HTTP_ENRICH_SQL = """
+    SELECT event_id,
+           2 * CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2,
+           '200' AS status
+    FROM events WHERE event_id < 300
+    """
+
+
 @q(
     "pipeline_control_suite",
     f"""
@@ -422,6 +430,10 @@ def inject_and_wait(spark, sf_dir):
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(NULL AS VARCHAR), k_out
     FROM ({_INJECT_SQL}) i
+    UNION ALL
+    SELECT 'http', event_id, CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), status, CAST(NULL AS VARCHAR), k2
+    FROM ({_HTTP_ENRICH_SQL}) h
     """,
 )
 def pipeline_control_suite(spark, sf_dir):
@@ -435,7 +447,10 @@ def pipeline_control_suite(spark, sf_dir):
       outcome chains + final tagging (rows 33-39/51/65);
     * ``inject_batch`` / ``inject_sync`` — ``Pipeline.inject(at=)``
       skipping the head node vs ``handle_and_wait`` through the full
-      chain (rows 60/67) — the k*2 vs (k+10)*2 contrast."""
+      chain (rows 60/67) — the k*2 vs (k+10)*2 contrast;
+    * ``http`` (r7 fold) — HttpRequest enrichment against a live local
+      service: Arrow-batched outbound calls, templated params, JSON
+      response into payload, status into meta (row 9)."""
     null_s = F.lit(None).cast("string")
     routing = routing_nodes_end_chains(spark, sf_dir).select(
         F.lit("routing").alias("mode"),
@@ -449,7 +464,14 @@ def pipeline_control_suite(spark, sf_dir):
         null_s.alias("final"), null_s.alias("err"),
         "k_out",
     )
-    return routing.unionByName(inject)
+    http = http_request_enrich(spark, sf_dir).select(
+        F.lit("http").alias("mode"),
+        "event_id",
+        null_s.alias("state"), null_s.alias("chain"),
+        F.col("status").alias("final"), null_s.alias("err"),
+        F.col("k2").alias("k_out"),
+    )
+    return routing.unionByName(inject).unionByName(http)
 
 
 # =====================================================================
@@ -766,15 +788,6 @@ def store_machinery_suite(spark, sf_dir):
 # Synchronous request/response (rows 9, 67)
 # =====================================================================
 
-@q(
-    "http_request_enrich",
-    """
-    SELECT event_id,
-           2 * CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2,
-           '200' AS status
-    FROM events WHERE event_id < 300
-    """,
-)
 def http_request_enrich(spark, sf_dir):
     """Row 9: HttpRequest — Arrow-batched outbound calls with templated
     query params, JSON response → payload, status into meta

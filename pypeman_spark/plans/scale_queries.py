@@ -2451,3 +2451,27 @@ def quality_classifier_scores(spark, sf_dir):
     return d.select(
         "doc_id", score.alias("score"), (score >= 0.5).alias("keep")
     )
+
+
+@q("bpe_tokenize_corpus", None)  # iterative training: no SQL oracle —
+# attested instead by tests/test_bpe.py's INDEPENDENT canonical-BPE
+# reimplementation (identical merges + counts on the same table)
+def bpe_tokenize_corpus(spark, sf_dir):
+    """Real BPE tokenizer over the corpus (functions/bpe.py): train 20
+    merges with the DISTRIBUTED formulation — one corpus-sized word-
+    frequency aggregation, then per merge one pair-count agg + one
+    regexp_replace over the vocabulary-sized symbol table (checkpointed
+    per step so lineage stays one-deep) — then count each document's
+    tokens under the learned vocabulary via the Arrow-cached encoder.
+    The count a token-budget/packing stage should consume instead of
+    whitespace tokens. Driver-COORDINATED (k tiny jobs), never
+    driver-executed."""
+    from ..functions import bpe as B
+
+    d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    merges = B.train_bpe(d, num_merges=20)
+    return (
+        B.bpe_token_count(d, merges)
+        .orderBy("doc_id")
+        .select("doc_id", "n_bpe_tokens")
+    )

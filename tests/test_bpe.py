@@ -1,0 +1,138 @@
+"""BPE tokenizer: distributed training vs an independent reference.
+
+The trainer is iterative (non-SQL-expressible), so instead of a DuckDB
+oracle the attestation is an INDEPENDENT in-test reimplementation of
+canonical BPE (collections.Counter over the word-frequency dict) that
+must produce the identical ranked merge list and identical token
+counts on the real documents table.
+"""
+
+import re
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pypeman_spark.functions import bpe
+from pypeman_spark.sources.tables import load_table
+
+
+def _reference_train(word_freq: dict, num_merges: int):
+    """Canonical BPE on a word-frequency dict — written independently
+    of functions/bpe.py (Counter-based, tuple symbols, no regex)."""
+    vocab = {
+        tuple(list(w) + [bpe._EOW]): n for w, n in word_freq.items()
+    }
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        top_cnt = max(pairs.values())
+        if top_cnt < 2:
+            break
+        # deterministic tie-break: count desc, then pair-string asc
+        pair = min(
+            (p for p, c in pairs.items() if c == top_cnt),
+            key=lambda p: f"{p[0]} {p[1]}",
+        )
+        merges.append(pair)
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == pair
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def _word_freq_py(texts):
+    wf = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.lower()):
+            if w:
+                wf[w] += 1
+    return dict(wf)
+
+
+def test_bpe_matches_independent_reference(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter("doc_id < 120")
+    texts = [r["text"] for r in d.select("text").collect()]
+    want = _reference_train(_word_freq_py(texts), 25)
+    got = bpe.train_bpe(d, num_merges=25)
+    assert got == want
+
+    # token counts agree with a direct reference encode
+    ranks = {p: i for i, p in enumerate(got)}
+    ref_counts = {}
+    for r in d.select("doc_id", "text").collect():
+        n = 0
+        for w in re.split(r"\s+", r["text"].lower()):
+            if w:
+                n += len(bpe.apply_merges(w, ranks))
+        ref_counts[r["doc_id"]] = n
+    spark_counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_token_count(d, got).collect()
+    }
+    assert spark_counts == ref_counts
+    # merging strictly reduces counts vs characters and is bounded
+    # below by whitespace tokens
+    for r in d.select("doc_id", "text").collect():
+        ws = len([w for w in re.split(r"\s+", r["text"].lower()) if w])
+        chars = sum(
+            len(w) + 1
+            for w in re.split(r"\s+", r["text"].lower())
+            if w
+        )
+        assert ws <= spark_counts[r["doc_id"]] <= chars
+
+
+def test_bpe_training_deterministic(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter("doc_id < 40")
+    a = bpe.train_bpe(d, num_merges=12)
+    b = bpe.train_bpe(d, num_merges=12)
+    assert a == b and len(a) == 12
+
+
+@given(
+    words=st.lists(
+        st.text(
+            alphabet="abcde", min_size=1, max_size=6
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.integers(min_value=0, max_value=8),
+)
+@settings(max_examples=30, deadline=None)
+def test_bpe_roundtrip_identity_property(words, k):
+    # encode then strip markers restores the exact (lowercased) text
+    # for ANY merge list learned from the same data
+    wf = Counter(words)
+    merges = _reference_train(dict(wf), k)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in words:
+        toks = bpe.apply_merges(w, ranks)
+        assert "".join(toks) == w + bpe._EOW
+
+
+def test_bpe_stops_when_dry(spark):
+    # every word unique: no pair ever reaches count 2 -> no merges
+    df = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    assert bpe.train_bpe(df, num_merges=10) == []
