@@ -67,21 +67,23 @@ def _parquet_parts(path: str) -> list[str]:
 @lru_cache(maxsize=256)
 def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     """Column names stored as timestamp[ns] in the parquet footer."""
-    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
 
-    parts = _parquet_parts(path)
-    if not parts:
-        return ()
-    # unify over EVERY part's footer: evolved directory layouts can
+    # union over EVERY part's footer: evolved directory layouts can
     # carry a timestamp[ns] column only in later parts (or mix
-    # writers), and inspecting parts[0] alone would skip conversion
-    # for those columns.
-    schema = ds.dataset(parts, format="parquet").schema
-    out = []
-    for field in schema:
-        t = field.type
-        if str(t).startswith("timestamp[ns"):
-            out.append(field.name)
+    # writers). pyarrow.dataset's default schema inference reads only
+    # the first fragment, so walk each footer explicitly — this is
+    # metadata-only, no data read.
+    out: list[str] = []
+    seen: set[str] = set()
+    for part in _parquet_parts(path):
+        for field in pq.read_schema(part):
+            name = field.name
+            if name in seen:
+                continue
+            if str(field.type).startswith("timestamp[ns"):
+                seen.add(name)
+                out.append(name)
     return tuple(out)
 
 
