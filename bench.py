@@ -96,6 +96,36 @@ HEADLINE = [
 INDEX_ENTRIES = {"ivf_index_probe", "ivfpq_index_probe"}
 
 
+def _load1() -> float | None:
+    """1-minute host load average — cheap contention telemetry."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _gc_ms(spark) -> int | None:
+    """Cumulative JVM GC time (ms) across all collectors — per-query
+    deltas expose GC ramps that masquerade as query slowdowns."""
+    try:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return int(
+            sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+        )
+    except Exception:  # noqa: BLE001 — telemetry must never fail the run
+        return None
+
+
+def _run_noop(spec, spark, sf_dir) -> float:
+    t0 = time.time()
+    spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -132,7 +162,35 @@ def main() -> None:
     timings: dict[str, float | None] = {}
     phases: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
-    for name in headline:
+    # Self-certification (VERDICT r7 task #1): the r7 official artifact
+    # was contaminated by a within-run host/GC ramp the harness could
+    # not see. Every timed slot now records its wall-clock offset, the
+    # host 1-min load and the JVM GC-time delta, and a fixed CANARY
+    # query is re-timed at mid-list and end-of-list — if the host
+    # degrades mid-run, the canary ratios flag it inside the artifact.
+    telemetry: dict[str, dict] = {}
+    run_start = time.time()
+    canary_name = headline[0]
+    canary: dict[str, object] = {"query": canary_name}
+    gc_prev = _gc_ms(spark)
+
+    def _slot_telemetry(name: str, key: str | None = None) -> None:
+        nonlocal gc_prev
+        gc_now = _gc_ms(spark)
+        telemetry[key or name] = {
+            "t_offset_s": round(time.time() - run_start, 1),
+            "load1": _load1(),
+            "gc_ms_delta": (
+                None if gc_now is None or gc_prev is None else gc_now - gc_prev
+            ),
+        }
+        gc_prev = gc_now
+
+    mid_idx = len(headline) // 2
+    for pos, name in enumerate(headline):
+        if pos == mid_idx and pos > 0 and canary_name in REGISTRY:
+            canary["mid_s"] = _run_noop(REGISTRY[canary_name], spark, sf_dir)
+            _slot_telemetry(canary_name, key="__canary_mid__")
         # fault-isolated: one broken query records null and moves on —
         # it must never zero out the whole run's perf signal
         try:
@@ -147,6 +205,9 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             t2 = time.time()
             timings[name] = round(t2 - t0, 3)
+            _slot_telemetry(name)
+            if name == canary_name:
+                canary["baseline_s"] = timings[name]
             if name in INDEX_ENTRIES:
                 # VERDICT r6 #4: the persisted-index entries time
                 # build+write+probe as one number; the production-
@@ -162,6 +223,21 @@ def main() -> None:
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+    if canary_name in REGISTRY and "baseline_s" in canary:
+        try:
+            canary["end_s"] = _run_noop(REGISTRY[canary_name], spark, sf_dir)
+            _slot_telemetry(canary_name, key="__canary_end__")
+            base = canary["baseline_s"]
+            if base and base > 0:
+                for k in ("mid", "end"):
+                    if f"{k}_s" in canary:
+                        canary[f"{k}_ratio"] = round(canary[f"{k}_s"] / base, 2)
+            ratios = [canary.get(f"{k}_ratio") for k in ("mid", "end")]
+            # >1.5x on a fixed repeated query = the HOST degraded
+            # mid-run; the artifact flags itself as contaminated
+            canary["drift_flag"] = any(r is not None and r > 1.5 for r in ratios)
+        except Exception as exc:  # noqa: BLE001
+            canary["error"] = f"{type(exc).__name__}: {exc}"[:200]
     total = round(sum(v for v in timings.values() if v is not None), 3)
     out = {
         "metric": "headline_queries_total",
@@ -178,6 +254,14 @@ def main() -> None:
         "completed": sum(v is not None for v in timings.values()),
         "attempted": len(timings),
         "sf": sf,
+        # within-run drift self-certification: a fixed query re-timed at
+        # mid-list and end-of-list; ratios ~1.0 certify a stable host,
+        # drift_flag=true marks the artifact as contaminated (r7 task #1)
+        "canary": canary,
+        # per-slot wall offset / host load1 / JVM GC-time delta — enough
+        # to post-hoc attribute any per-query anomaly to host or GC ramp
+        "telemetry": telemetry,
+        "run_started_unix": round(run_start, 1),
     }
     if errors:
         out["errors"] = errors

@@ -108,7 +108,11 @@ def train_bpe(
         # delimited string (padded so matches are whole symbols); two
         # passes because adjacent matches share the padding space
         pat = re.escape(f"{left} {right}")
-        repl = f"{left}{right}"
+        # Java Matcher replacement semantics: '$' is a group reference
+        # and '\' an escape — quote both (Matcher.quoteReplacement),
+        # else a corpus word containing '$' or '\' whose symbols win a
+        # merge kills the whole job with INVALID_REGEXP_REPLACE
+        repl = f"{left}{right}".replace("\\", "\\\\").replace("$", "\\$")
         # lookarounds keep the delimiting spaces unconsumed, so the
         # engine's left-to-right scan replaces exactly the canonical
         # non-overlapping occurrence set in ONE pass

@@ -1491,12 +1491,19 @@ def _walk_boxes(data: bytes, start: int, end: int):
 
 
 def _find_box(data: bytes, path: list, start: int, end: int):
-    """(payload_start, payload_end) of the first box at a nested path."""
+    """(payload_start, payload_end) of the first box at a nested path.
+    When a matching box doesn't contain the rest of the path, sibling
+    boxes of the same type are tried (a real file can interleave e.g.
+    multiple ``trak`` boxes; bailing on the first would miss the one
+    that actually holds the nested chain)."""
     for btype, ps, pe in _walk_boxes(data, start, end):
         if btype == path[0]:
             if len(path) == 1:
                 return ps, pe
-            return _find_box(data, path[1:], ps, pe)
+            try:
+                return _find_box(data, path[1:], ps, pe)
+            except ValueError:
+                continue
     raise ValueError(f"mp4 missing box {b'/'.join(path)!r}")
 
 
@@ -1513,9 +1520,34 @@ def _parse_mp4(payload: bytes):
         _find_box(payload, [b"ftyp"], 0, len(payload))
     except ValueError:
         raise ValueError("not an mp4 (no ftyp)") from None
-    mdia_s, mdia_e = _find_box(
-        payload, [b"moov", b"trak", b"mdia"], 0, len(payload)
-    )
+    # pick the first VIDEO trak (mdia/hdlr handler 'vide'), not just the
+    # first trak: a real MP4 whose audio trak precedes the video trak
+    # would otherwise silently yield the audio sample table as "frames"
+    moov_s, moov_e = _find_box(payload, [b"moov"], 0, len(payload))
+    mdia = first_mdia = None
+    for btype, ps, pe in _walk_boxes(payload, moov_s, moov_e):
+        if btype != b"trak":
+            continue
+        try:
+            ms, me = _find_box(payload, [b"mdia"], ps, pe)
+        except ValueError:
+            continue
+        if first_mdia is None:
+            first_mdia = (ms, me)
+        try:
+            hs, _he = _find_box(payload, [b"hdlr"], ms, me)
+            # hdlr payload: 4B version/flags, 4B pre_defined, 4B handler
+            handler = payload[hs + 8 : hs + 12]
+        except ValueError:
+            handler = b""
+        if handler == b"vide":
+            mdia = (ms, me)
+            break
+    if mdia is None:
+        if first_mdia is None:
+            raise ValueError("mp4 missing box b'moov/trak/mdia'")
+        mdia = first_mdia  # no 'vide' handler anywhere: legacy fallback
+    mdia_s, mdia_e = mdia
     mdhd_s, _mdhd_e = _find_box(payload, [b"mdhd"], mdia_s, mdia_e)
     version = payload[mdhd_s]
     if version == 1:

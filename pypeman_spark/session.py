@@ -105,10 +105,47 @@ def _ship_package(spark: SparkSession) -> None:
         h.update(src.encode())
         with open(src, "rb") as fh:
             h.update(fh.read())
-    zip_path = os.path.join(
-        tempfile.gettempdir(), f"pypeman_spark_{h.hexdigest()[:12]}.zip"
+    # per-user 0700 cache dir, never the shared /tmp root: the hash is
+    # computable from the readable source tree, so a world-writable
+    # predictable path would let another local user pre-plant a zip
+    # that addPyFile ships to every executor (arbitrary code execution)
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"pypeman_spark_pyfiles_{os.getuid()}"
     )
-    if not os.path.exists(zip_path):
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    st = os.stat(cache_dir)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+        raise RuntimeError(
+            f"refusing to ship executor zip via {cache_dir}: directory "
+            "is not exclusively ours (pre-created by another user?)"
+        )
+    zip_path = os.path.join(cache_dir, f"pypeman_spark_{h.hexdigest()[:12]}.zip")
+
+    def _zip_content_hash(path: str) -> str:
+        hz = hashlib.md5()
+        with zipfile.ZipFile(path) as zf:
+            for name in sorted(zf.namelist()):
+                hz.update(name.encode())
+                hz.update(zf.read(name))
+        return hz.hexdigest()
+
+    def _tree_content_hash() -> str:
+        ht = hashlib.md5()
+        for src in sources:
+            ht.update(os.path.relpath(src, parent).encode())
+            with open(src, "rb") as fh:
+                ht.update(fh.read())
+        return ht.hexdigest()
+
+    # trust an existing file only after re-verifying its CONTENT
+    # matches the source tree (belt to the 0700-dir braces)
+    fresh = True
+    if os.path.exists(zip_path):
+        try:
+            fresh = _zip_content_hash(zip_path) != _tree_content_hash()
+        except (OSError, zipfile.BadZipFile):
+            fresh = True
+    if fresh:
         tmp = zip_path + f".tmp{os.getpid()}"
         with zipfile.ZipFile(tmp, "w") as zf:
             for src in sources:

@@ -171,6 +171,17 @@ class MessageStore:
             self._release_lock()
 
     # -- crash recovery ---------------------------------------------------
+    def _needs_recovery(self) -> bool:
+        if os.path.isfile(self.journal_path):
+            return True
+        if os.path.isdir(self.base_path):
+            for name in os.listdir(self.base_path):
+                if name.startswith(".compact_") and name != os.path.basename(
+                    self.journal_path
+                ):
+                    return True
+        return False
+
     def _recover(self) -> None:
         """Complete a compact() swap a previous process died inside.
 
@@ -182,7 +193,27 @@ class MessageStore:
         fresh dir is complete by construction, so recovery ROLLS
         FORWARD: finish each pair's rename sequence idempotently and
         remove the journal. Either way a reader after recovery sees
-        wholly-old or wholly-new state, never a mix."""
+        wholly-old or wholly-new state, never a mix.
+
+        Runs ONLY under the writer lease: a journal or fresh dirs seen
+        while a LIVE writer holds ``.store_lock`` belong to an
+        in-flight compact() that will finish its own swap — sweeping
+        them from a second process would race the live rename sequence
+        and can delete the messages directory outright. Recovery
+        therefore only ever processes a journal whose holder is
+        provably dead (stale/absent lease)."""
+        if not self._needs_recovery():
+            return
+        if os.path.isfile(self.lock_path) and not self._lock_is_stale(time.time()):
+            return  # live writer mid-compact; it owns the journal
+        try:
+            with self._writer_lock("recover", timeout=5.0):
+                if self._needs_recovery():  # recheck under the lease
+                    self._recover_locked()
+        except StoreLockTimeout:
+            pass  # a live writer appeared; it finishes its own swap
+
+    def _recover_locked(self) -> None:
         import json as _json
 
         if os.path.isfile(self.journal_path):
@@ -398,6 +429,11 @@ class MessageStore:
         self._acquire_lock("compact", timeout=300.0)
         cur = None
         try:
+            # a previous holder may have died mid-swap after this
+            # process opened its store handle — roll forward first,
+            # now that the lease proves the journal's holder is dead
+            if self._needs_recovery():
+                self._recover_locked()
             cur = self.current().cache()
             new_msg = os.path.join(self.base_path, f".compact_msg_{_uuid.uuid4().hex}")
             new_ev = os.path.join(self.base_path, f".compact_ev_{_uuid.uuid4().hex}")

@@ -54,6 +54,28 @@ class ContinuousRollup:
         self.keys = list(keys)
         self.ts_col = ts_col
         self.value_col = value_col
+        self.checkpoint: str | None = None
+        self._query_token: str | None = None
+
+    def _current_query_token(self) -> str:
+        """Identity of the query feeding this store. Replay-guard
+        markers are only honored for the SAME query: a checkpointed
+        query's id (``<ckpt>/metadata``, stable across restarts) when
+        available, else the token :meth:`start` minted for this run.
+        Without this, a FRESH query (checkpoint reset — batch ids
+        restart at 0) pointed at an existing store would silently skip
+        every batch up to the old marker: data loss, not exactly-once."""
+        if self.checkpoint:
+            meta = os.path.join(self.checkpoint, "metadata")
+            if os.path.isfile(meta):
+                import json
+
+                try:
+                    with open(meta) as fh:
+                        return str(json.load(fh)["id"])
+                except (OSError, ValueError, KeyError):
+                    pass
+        return self._query_token or "adhoc"
 
     # -- aggregation pieces -------------------------------------------------
     def _partials(self, df: DataFrame) -> DataFrame:
@@ -95,11 +117,18 @@ class ContinuousRollup:
         that needs a transactional table format (Delta/Iceberg MERGE),
         the same substitution the localCheckpoint note below makes."""
         marker = os.path.join(self.path, "_last_batch")
+        token = self._current_query_token()
         if os.path.isfile(marker):
             with open(marker) as fh:
                 txt = fh.read().strip()
-            if txt and batch_id <= int(txt):
-                return
+            # marker format "<query_token>:<batch_id>" — skip only when
+            # the SAME query re-delivers; a fresh query's batch 0 must
+            # merge even if an old marker is present (checkpoint reset)
+            if ":" in txt:
+                mtok, _, mid = txt.rpartition(":")
+                if mtok == token and mid and batch_id <= int(mid):
+                    return
+            # legacy bare-int marker: query identity unprovable — merge
         spark = batch_df.sparkSession
         partials = self._partials(batch_df)
         days = [r["day"] for r in partials.select("day").distinct().collect()]
@@ -126,12 +155,31 @@ class ContinuousRollup:
         )
         tmp = marker + f".tmp{os.getpid()}"
         with open(tmp, "w") as fh:
-            fh.write(str(batch_id))
+            fh.write(f"{token}:{batch_id}")
         os.replace(tmp, marker)
 
-    def start(self, stream_df: DataFrame, available_now: bool = True):
-        """Attach to a streaming DataFrame; returns the StreamingQuery."""
+    def start(
+        self,
+        stream_df: DataFrame,
+        available_now: bool = True,
+        checkpoint: str | None = None,
+    ):
+        """Attach to a streaming DataFrame; returns the StreamingQuery.
+
+        With ``checkpoint``, restarts of the same checkpoint share a
+        query identity (batch re-deliveries are no-ops) while a RESET
+        checkpoint gets a new id and merges from batch 0. Without one,
+        each ``start()`` mints a fresh token — an un-checkpointed query
+        can never legitimately re-deliver across runs, so skipping on
+        an older run's marker would be data loss."""
+        import uuid as _uuid
+
+        if checkpoint:
+            self.checkpoint = checkpoint
+        self._query_token = _uuid.uuid4().hex
         writer = stream_df.writeStream.foreachBatch(self.merge_batch)
+        if self.checkpoint:
+            writer = writer.option("checkpointLocation", self.checkpoint)
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()

