@@ -88,6 +88,7 @@ HEADLINE = [
     "funnel_signup_view_purchase",
     "image_grid_features",
     "quality_classifier_scores",
+    "bpe_token_budget",
 ]
 
 # entries whose fn() EAGERLY builds+writes a persisted index and lazily

