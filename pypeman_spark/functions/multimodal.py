@@ -27,6 +27,7 @@ automatically once downstream selects only features).
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -149,16 +150,45 @@ def sample_video_frames(df: DataFrame, binary_col: str = "content",
     return frames
 
 
-def resize_media(df: DataFrame, width: int, height: int,
-                 binary_col: str = "content", id_col: str = "doc_id") -> DataFrame:
-    """Resize plumbing: binary in → binary out + updated media_meta.
+def _box_resize_rgb(px, width: int, height: int):
+    """Generic box-resample of an ``(h, w, 3)`` uint8 array to
+    ``(height, width, 3)``: per axis, a downscale averages each target
+    pixel's source span (exact box filter on the integer grid), an
+    upscale takes nearest samples. Deterministic, pure numpy."""
+    import numpy as np
 
-    STUB CODEC — the fake "resize" emits a deterministic byte string of
-    length ``width*height//256`` derived from the input bytes; a real
-    deployment swaps ``_fake_resize`` for PIL ``Image.resize`` with the
-    same Arrow batch shape. Output rows carry the new dimensions in
-    ``media_meta`` so downstream filters prune on real columns.
-    """
+    a = px.astype(np.float64)
+
+    def _axis(arr, target, axis):
+        n = arr.shape[axis]
+        if target <= n:
+            edges = (np.arange(target + 1) * n) // target
+            summed = np.add.reduceat(arr, edges[:-1], axis=axis)
+            cnt = np.diff(edges).astype(np.float64)
+            shape = [1] * arr.ndim
+            shape[axis] = target
+            return summed / cnt.reshape(shape)
+        idx = (np.arange(target) * n) // target
+        return np.take(arr, idx, axis=axis)
+
+    out = _axis(_axis(a, height, 0), width, 1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def resize_media(df: DataFrame, width: int, height: int,
+                 binary_col: str = "content", id_col: str = "doc_id",
+                 quality: int = 90) -> DataFrame:
+    """Resize: binary in → binary out + updated media_meta.
+
+    REAL for the formats this engine can decode (sniffed per payload):
+    JPEG (SOI ``FF D8``) runs decode → box-resample → re-encode through
+    the real baseline codec (``_parse_jpeg``/``_encode_jpeg``); binary
+    PPM (``P6``) runs the same box-resample back to P6. UNKNOWN formats
+    keep the deterministic stub (a ``width*height//256``-byte cycle,
+    ``format='raw'``) so the plumbing stays total — a production user
+    plugs PIL into ``_fake_resize`` for the rest. Output rows carry
+    the new dimensions (and the REAL format tag) in ``media_meta`` so
+    downstream filters prune on real columns."""
     import pandas as pd
 
     out_schema = T.StructType(
@@ -175,23 +205,47 @@ def resize_media(df: DataFrame, width: int, height: int,
         n = max(1, width * height // 256)
         return bytes(payload[i % len(payload)] for i in range(n))
 
+    def _one(payload):
+        """-> (bytes, format). Real path for jpeg/ppm, stub otherwise;
+        a payload that SNIFFS real but fails to decode yields null
+        content (corrupt-row routing, same policy as the decoders)."""
+        b = bytes(payload or b"")
+        if b[:2] == b"\xff\xd8":
+            try:
+                _w, _h, px = _parse_jpeg(b)
+                return _encode_jpeg(
+                    _box_resize_rgb(px, width, height), quality=quality
+                ), "jpeg"
+            except (ValueError, TypeError):
+                return None, "jpeg"
+        # strict P6 sniff (magic + dims + maxval 255), not just the two
+        # magic bytes: document TEXT routed through the stub arm could
+        # legitimately start with "P6" and must stay on the stub path
+        if re.match(rb"^P6\s+\d+\s+\d+\s+255\s", b[:64]):
+            try:
+                _w, _h, px = _parse_ppm(b)
+                return _encode_ppm(_box_resize_rgb(px, width, height)), "ppm"
+            except (ValueError, TypeError):
+                return None, "ppm"
+        return _fake_resize(b), "raw"
+
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [_fake_resize(b) for b in pdf[binary_col]]
+            resized = [_one(b) for b in pdf[binary_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    binary_col: resized,
+                    binary_col: [b for b, _f in resized],
                     "media_meta": [
                         {
                             "media_type": "image",
-                            "format": "raw",
-                            "width": width,
-                            "height": height,
+                            "format": f,
+                            "width": width if b is not None else None,
+                            "height": height if b is not None else None,
                             "duration_ms": None,
-                            "size_bytes": len(b),
+                            "size_bytes": len(b) if b is not None else None,
                         }
-                        for b in resized
+                        for b, f in resized
                     ],
                 }
             )

@@ -1449,6 +1449,23 @@ def doc_fingerprint(spark, sf_dir):
              CAST((10 + doc_id % 5) * 1152 * 1000 // 44100 AS BIGINT)
                AS mp3_duration_ms
       FROM documents WHERE doc_id < 30
+    ),
+    jr AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 3, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 5, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 7, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 9, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 11, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 13, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 15, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 17, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 19, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 21, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 23, 2))::INT
+               AS resized_jpeg_csv
+      FROM documents WHERE doc_id < 20
     )
     SELECT h.doc_id,
            round(CAST('0x' || substring(hh, 1, 4) AS INTEGER) / 65536.0, 6) AS f0,
@@ -1460,10 +1477,12 @@ def doc_fingerprint(spark, sf_dir):
            CAST(22050 AS INTEGER) AS sample_rate,
            f.n_frames, f.max_offset_ms,
            m.n_mp4_frames, m.mp4_ts_csv, m.mp4_fp_csv,
-           a.n_mp3_frames, a.mp3_sample_rate, a.mp3_duration_ms
+           a.n_mp3_frames, a.mp3_sample_rate, a.mp3_duration_ms,
+           j.resized_jpeg_csv
     FROM h LEFT JOIN frames f USING (doc_id)
          LEFT JOIN m4 m USING (doc_id)
          LEFT JOIN m3 a USING (doc_id)
+         LEFT JOIN jr j USING (doc_id)
     """,
 )
 def multimodal_pipeline(spark, sf_dir):
@@ -1473,7 +1492,15 @@ def multimodal_pipeline(spark, sf_dir):
     driver sample checks all four):
 
     * image decode → 8-dim features (``decode_image_features``)
-    * image resize 64×64 (``resize_media``, stub codec: 16-byte cycle)
+    * image resize 64×64 (``resize_media`` — the TEXT payloads here
+      sniff as unknown format, exercising the retained stub arm:
+      16-byte cycle)
+    * REAL JPEG resize (r8): md5-quadrant 8×8 → real q97 encode →
+      ``resize_media`` 4×4 (sniffs JPEG → real decode → box-resample →
+      re-encode) → real decode; tolerance-boolean gate (≤8/255,
+      measured worst 4.75) emits the oracle's expected quadrant CSV or
+      CODEC_ERR, and the ``media_meta.format`` tag must prove the real
+      path ran
     * audio resample 44100→22050 (``audio_resample``, stub: decimate 2×)
     * video frame sampling (``sample_video_frames``) aggregated to
       per-doc ``n_frames``/``max_offset_ms`` (docs ≥ 20 stay NULL via
@@ -1595,12 +1622,77 @@ def multimodal_pipeline(spark, sf_dir):
         F.col("sample_rate").alias("mp3_sample_rate"),
         F.col("duration_ms").alias("mp3_duration_ms"),
     )
+    # jpeg-resize arm (r8 — VERDICT r7 task #5): md5-quadrant 8x8
+    # pixels -> REAL jpeg encode (q97) -> resize_media 4x4, which for
+    # a sniffed-JPEG payload is the REAL decode -> box-resample ->
+    # re-encode chain -> REAL decode to 2x2 grid means. Box-averaging
+    # solid quadrants is exact, so the means must land within the
+    # measured codec tolerance (worst 4.75/255 over 400 colorings at
+    # q97+q97; gate 8.0) of the md5 colors — in-tolerance rows emit the
+    # oracle's expected CSV, any resize/codec bug emits CODEC_ERR; the
+    # media_meta.format tag must say 'jpeg' (proving the REAL path, not
+    # the stub, handled the payload)
+    mq = F.upper(F.md5(F.col("text")))
+    quad = [F.unhex(F.substring(mq, 1 + 6 * i, 6)) for i in range(4)]
+    jrow = [
+        F.concat(*([quad[0]] * 4 + [quad[1]] * 4)),
+        F.concat(*([quad[2]] * 4 + [quad[3]] * 4)),
+    ]
+    jpixels = F.concat(*([jrow[0]] * 4 + [jrow[1]] * 4))
+    raw8 = d20.select("doc_id", jpixels.alias("content"))
+    jrez_df = MM.resize_media(
+        MM.raw_rgb_to_jpeg(raw8, 8, 8, quality=97),
+        width=4, height=4, quality=97,
+    )
+    jfmt = jrez_df.select(
+        "doc_id", F.col("media_meta.format").alias("__fmt")
+    )
+    jfeat = MM.decode_jpeg_features(jrez_df, grid=2)
+    jexp = d20.select(
+        "doc_id",
+        F.array(
+            *[
+                F.conv(F.substring(mq, 2 * i + 1, 2), 16, 10).cast("int")
+                for i in range(12)
+            ]
+        ).alias("__exp"),
+    )
+    jerr = F.array_max(
+        F.zip_with(
+            F.col("features"),
+            F.transform(F.col("__exp"), lambda x: x.cast("double")),
+            lambda a, b: F.abs(a * 255 - b),
+        )
+    )
+    jwithin = (
+        (F.col("width") == 4)
+        & (F.col("height") == 4)
+        & (jerr <= 8.0)
+        & (F.col("__fmt") == "jpeg")
+    )
+    jrez_out = (
+        jfeat.join(jexp, "doc_id")
+        .join(jfmt, "doc_id")
+        .select(
+            "doc_id",
+            F.when(
+                jwithin,
+                F.concat_ws(
+                    ",",
+                    F.transform(F.col("__exp"), lambda x: x.cast("string")),
+                ),
+            )
+            .otherwise(F.lit("CODEC_ERR"))
+            .alias("resized_jpeg_csv"),
+        )
+    )
     return (
         img.join(rez, "doc_id")
         .join(aud, "doc_id")
         .join(frm, "doc_id", "left")
         .join(mp4, "doc_id", "left")
         .join(mp3, "doc_id", "left")
+        .join(jrez_out, "doc_id", "left")
     )
 
 

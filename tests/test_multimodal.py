@@ -647,3 +647,79 @@ def test_jpeg_restart_markers_roundtrip():
     bad = blob[:i] + b"\xff\xc8" + blob[i + 2 :]
     with pytest.raises(ValueError):
         _parse_jpeg(bad)
+
+
+def test_resize_media_real_jpeg_path(spark):
+    """A sniffed-JPEG payload takes the REAL decode→box-resample→
+    re-encode path: output is a decodable JPEG at the target dims whose
+    quadrant means stay within codec tolerance; format tag = 'jpeg'."""
+    import hashlib
+
+    import numpy as np
+
+    m = hashlib.md5(b"resize-me").digest()
+    px = np.zeros((8, 8, 3), np.uint8)
+    px[:4, :4] = np.frombuffer(m[0:3], np.uint8)
+    px[:4, 4:] = np.frombuffer(m[3:6], np.uint8)
+    px[4:, :4] = np.frombuffer(m[6:9], np.uint8)
+    px[4:, 4:] = np.frombuffer(m[9:12], np.uint8)
+    jp = MM._encode_jpeg(px, quality=97)
+    df = spark.createDataFrame([(1, bytearray(jp))], "doc_id long, content binary")
+    out = MM.resize_media(df, width=4, height=4, quality=97).collect()[0]
+    assert out["media_meta"]["format"] == "jpeg"
+    assert out["media_meta"]["width"] == 4
+    w, h, dec = MM._parse_jpeg(bytes(out["content"]))
+    assert (w, h) == (4, 4)
+    exp = np.zeros((4, 4, 3), np.float64)
+    exp[:2, :2] = np.frombuffer(m[0:3], np.uint8)
+    exp[:2, 2:] = np.frombuffer(m[3:6], np.uint8)
+    exp[2:, :2] = np.frombuffer(m[6:9], np.uint8)
+    exp[2:, 2:] = np.frombuffer(m[9:12], np.uint8)
+    assert float(np.abs(dec.astype(float) - exp).max()) <= 20.0  # per-pixel
+    q_mean = np.abs(
+        dec.reshape(2, 2, 2, 2, 3).mean(axis=(1, 3))
+        - exp.reshape(2, 2, 2, 2, 3).mean(axis=(1, 3))
+    ).max()
+    assert float(q_mean) <= 8.0  # the pipeline gate's tolerance
+
+
+def test_resize_media_real_ppm_and_stub_routing(spark):
+    """P6 payloads resize for real (valid P6 out at target dims);
+    arbitrary text — including text that merely STARTS with 'P6' —
+    stays on the deterministic stub; corrupt sniffed-JPEG yields null."""
+    import numpy as np
+
+    ppm = b"P6\n4 4\n255\n" + bytes(range(48))
+    rows = [
+        (1, bytearray(ppm)),
+        (2, bytearray(b"P6 is a nice name for a robot, not an image")),
+        (3, bytearray(b"\xff\xd8\xff\xe0 truncated junk")),
+        (4, bytearray(b"hello world")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in MM.resize_media(df, width=2, height=2).collect()}
+    w, h, px = MM._parse_ppm(bytes(got[1]["content"]))
+    assert (w, h) == (2, 2) and got[1]["media_meta"]["format"] == "ppm"
+    # 2x2 box means of the 4x4 gradient
+    src = np.frombuffer(bytes(range(48)), np.uint8).reshape(4, 4, 3)
+    exp = src.astype(float).reshape(2, 2, 2, 2, 3).mean(axis=(1, 3))
+    assert np.abs(px.astype(float) - np.rint(exp)).max() <= 1.0
+    assert got[2]["media_meta"]["format"] == "raw"  # stub, not a P6 parse
+    assert got[2]["content"] is not None
+    assert got[3]["media_meta"]["format"] == "jpeg"
+    assert got[3]["content"] is None  # corrupt-row routing
+    assert got[4]["media_meta"]["format"] == "raw"
+    assert len(bytes(got[4]["content"])) == max(1, 2 * 2 // 256)
+
+
+def test_box_resize_rgb_up_and_down(spark):
+    import numpy as np
+
+    src = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    up = MM._box_resize_rgb(src, width=6, height=4)
+    assert up.shape == (4, 6, 3)
+    # nearest upscale preserves the exact source values
+    assert set(np.unique(up)) <= set(np.unique(src))
+    down = MM._box_resize_rgb(up, width=3, height=2)
+    assert down.shape == (2, 3, 3)
+    assert np.abs(down.astype(int) - src.astype(int)).max() <= 1
