@@ -37,14 +37,12 @@ HEADLINE = [
     "two_nation_volume",
     "large_quantity_orders",
     "promo_revenue_pct",
-    "forecast_revenue_change",
     "top_supplier_revenue",
+    "supplier_parts_suite",
+    "salted_user_event_join",
     "disjunctive_predicate_revenue",
-    "min_cost_supplier",
     "important_part_stock",
     "priority_by_return_flag",
-    "supplier_count_by_part",
-    "excess_stock_suppliers",
     "rollup_revenue",
     "pivot_event_values",
     "sessionize_events",
@@ -70,7 +68,6 @@ HEADLINE = [
     "gopher_signals_suite",
     "duplicate_passages",
     "pack_and_chunk_documents",
-    "asof_range_join_purchases",
     "cumulative_customer_revenue",
     "product_profit_by_nation_year",
     "sole_returning_supplier",

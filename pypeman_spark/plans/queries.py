@@ -1882,18 +1882,17 @@ def customer_order_distribution(spark, sf_dir):
     )
 
 
-@q(
-    "salted_user_event_join",
-    """
+_SALTED_ORACLE = """
     SELECT e.user_id, u.n_events AS user_total, count(*) AS n_purchases
     FROM events e
       JOIN (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) u
         ON e.user_id = u.user_id
     WHERE e.event_type = 'purchase'
     GROUP BY e.user_id, u.n_events
-    """,
-)
-def salted_user_event_join(spark, sf_dir):
+"""
+
+
+def salted_user_event_join_arm(spark, sf_dir):
     """Skew-mitigation pattern: the fact side is salted
     (``pmod(event_id, N)``) and the dim side exploded N× so one hot
     user_id spreads over N tasks instead of one straggler. Result is
@@ -2066,17 +2065,16 @@ def two_nation_volume(spark, sf_dir):
     )
 
 
-@q(
-    "forecast_revenue_change",
-    f"""
+_FORECAST_ORACLE = f"""
     SELECT {_sql_cents_sum('l_extendedprice * l_discount')} AS revenue_delta_cents
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
-    """,
-)
+"""
+
+
 def forecast_revenue_change(spark, sf_dir):
     """TPC-H Q6 shape: pure scan-and-aggregate — every predicate pushes
     to the parquet scan and the whole query is one map-side partial agg
@@ -2096,9 +2094,7 @@ def forecast_revenue_change(spark, sf_dir):
     )
 
 
-@q(
-    "top_supplier_revenue",
-    f"""
+_Q15_ORACLE = f"""
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
              {_sql_cents_sum('l_extendedprice * (1 - l_discount)')} AS total_revenue_cents
@@ -2111,9 +2107,10 @@ def forecast_revenue_change(spark, sf_dir):
     FROM supplier JOIN rev ON s_suppkey = supplier_no
     WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
     ORDER BY s_suppkey
-    """,
-)
-def top_supplier_revenue(spark, sf_dir):
+"""
+
+
+def _top_supplier_revenue_arm(spark, sf_dir):
     """TPC-H Q15 shape (view + correlated max, without the view): one
     shuffle computes per-supplier quarterly revenue; the max is a 1-row
     aggregate broadcast back over the tiny revenue frame (never over
@@ -2141,6 +2138,47 @@ def top_supplier_revenue(spark, sf_dir):
         .select("s_suppkey", "s_name", "total_revenue_cents")
         .orderBy("s_suppkey")
     )
+
+
+@q(
+    "top_supplier_revenue",
+    f"""
+    SELECT 'q15' AS mode, s_suppkey, s_name, total_revenue_cents,
+           CAST(NULL AS BIGINT) AS revenue_delta_cents
+    FROM ({_Q15_ORACLE}) o15
+    UNION ALL
+    SELECT 'q6', NULL, NULL, NULL, revenue_delta_cents
+    FROM ({_FORECAST_ORACLE}) o6
+    """,
+)
+def top_supplier_revenue(spark, sf_dir):
+    """Composed revenue pair (r8 consolidation of the former
+    top_supplier_revenue / forecast_revenue_change entries — both
+    lineitem interval-revenue scans, so one driver check covers both;
+    each arm's machinery and oracle run verbatim, see
+    REGISTRY_CHANGES.md):
+
+    Arm ``q15``: per-supplier quarterly revenue, ties-at-the-max via a
+    1-row broadcast scalar (``_top_supplier_revenue_arm``). Arm ``q6``:
+    the pure scan-and-aggregate forecast delta
+    (``forecast_revenue_change``) — every predicate pushed to the scan,
+    one accumulator row (plan-locked in tests/test_plan_quality.py on
+    the arm function directly)."""
+    rev = _top_supplier_revenue_arm(spark, sf_dir).select(
+        F.lit("q15").alias("mode"),
+        "s_suppkey",
+        "s_name",
+        "total_revenue_cents",
+        F.lit(None).cast("long").alias("revenue_delta_cents"),
+    )
+    fc = forecast_revenue_change(spark, sf_dir).select(
+        F.lit("q6").alias("mode"),
+        F.lit(None).cast("long").alias("s_suppkey"),
+        F.lit(None).cast("string").alias("s_name"),
+        F.lit(None).cast("long").alias("total_revenue_cents"),
+        "revenue_delta_cents",
+    )
+    return rev.unionByName(fc)
 
 
 @q(
@@ -2304,9 +2342,7 @@ def rich_inactive_customers(spark, sf_dir):
 # in exact integer cents throughout)
 # =====================================================================
 
-@q(
-    "min_cost_supplier",
-    """
+_Q2_ORACLE = """
     WITH ps AS (
       SELECT l_partkey, l_suppkey,
              min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
@@ -2329,8 +2365,9 @@ def rich_inactive_customers(spark, sf_dir):
     SELECT p_partkey, p_name, s_name, n_name, cost_cents FROM j
     WHERE cost_cents = (SELECT min(cost_cents) FROM j j2
                         WHERE j2.p_partkey = j.p_partkey)
-    """,
-)
+"""
+
+
 def min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape (reference has nothing comparable — §2.I analytic
     surface): for each small part, the EUROPE supplier(s) with the
@@ -2469,9 +2506,7 @@ def priority_by_return_flag(spark, sf_dir):
     )
 
 
-@q(
-    "supplier_count_by_part",
-    """
+_Q16_ORACLE = """
     SELECT p.p_brand, p.p_type, p.p_size,
            count(DISTINCT l.l_suppkey) AS supplier_cnt
     FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
@@ -2482,8 +2517,9 @@ def priority_by_return_flag(spark, sf_dir):
         SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
       )
     GROUP BY p.p_brand, p.p_type, p.p_size
-    """,
-)
+"""
+
+
 def supplier_count_by_part(spark, sf_dir):
     """TPC-H Q16 shape: how many distinct suppliers can provide each
     (brand, type, size) bucket, excluding blacklisted suppliers
@@ -2517,9 +2553,7 @@ def supplier_count_by_part(spark, sf_dir):
     )
 
 
-@q(
-    "excess_stock_suppliers",
-    """
+_Q20_ORACLE = """
     WITH pq AS (
       SELECT l_partkey, l_suppkey,
              CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
@@ -2544,8 +2578,9 @@ def supplier_count_by_part(spark, sf_dir):
     JOIN supplier s ON s.s_suppkey = e.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
     WHERE n.n_name = 'NATION_1'
-    """,
-)
+"""
+
+
 def excess_stock_suppliers(spark, sf_dir):
     """TPC-H Q20 shape: NATION_1 suppliers who supplied a 'small%' part
     in volumes more than twice what they shipped of it in 1996 (excess
@@ -2597,6 +2632,72 @@ def excess_stock_suppliers(spark, sf_dir):
     return excess.join(
         F.broadcast(nat), F.col("s_suppkey") == F.col("l_suppkey")
     ).select("s_name", "n_parts")
+
+
+@q(
+    "supplier_parts_suite",
+    f"""
+    SELECT 'mincost' AS mode, p_partkey, p_name, s_name, n_name, cost_cents,
+           CAST(NULL AS VARCHAR) AS p_brand, CAST(NULL AS VARCHAR) AS p_type,
+           CAST(NULL AS INT) AS p_size, CAST(NULL AS BIGINT) AS supplier_cnt,
+           CAST(NULL AS BIGINT) AS n_parts
+    FROM ({_Q2_ORACLE}) o2
+    UNION ALL
+    SELECT 'suppcnt', NULL, NULL, NULL, NULL, NULL,
+           p_brand, p_type, p_size, supplier_cnt, NULL
+    FROM ({_Q16_ORACLE}) o16
+    UNION ALL
+    SELECT 'excess', NULL, NULL, s_name, NULL, NULL,
+           NULL, NULL, NULL, NULL, n_parts
+    FROM ({_Q20_ORACLE}) o20
+    """,
+)
+def supplier_parts_suite(spark, sf_dir):
+    """Composed supplier/part suite (r8 consolidation of the former
+    min_cost_supplier / supplier_count_by_part / excess_stock_suppliers
+    entries — the Q2/Q16/Q20 shapes, so one driver check covers all
+    three; each arm's machinery and oracle run verbatim, see
+    REGISTRY_CHANGES.md; per-arm plan shapes stay locked in
+    tests/test_plan_quality.py on the arm functions directly):
+
+    Arm ``mincost`` (Q2): per-part argmin-cost EUROPE supplier, window
+    min over broadcast dim chain. Arm ``suppcnt`` (Q16): distinct
+    supplier count per (brand, type, size), broadcast anti join
+    blacklist. Arm ``excess`` (Q20): suppliers shipping 'small%' parts
+    at >2x their 1996 volume, broadcast semi-join prefilter."""
+    mc = min_cost_supplier(spark, sf_dir).select(
+        F.lit("mincost").alias("mode"),
+        "p_partkey", "p_name", "s_name", "n_name", "cost_cents",
+        F.lit(None).cast("string").alias("p_brand"),
+        F.lit(None).cast("string").alias("p_type"),
+        F.lit(None).cast("int").alias("p_size"),
+        F.lit(None).cast("long").alias("supplier_cnt"),
+        F.lit(None).cast("long").alias("n_parts"),
+    )
+    sc = supplier_count_by_part(spark, sf_dir).select(
+        F.lit("suppcnt").alias("mode"),
+        F.lit(None).cast("long").alias("p_partkey"),
+        F.lit(None).cast("string").alias("p_name"),
+        F.lit(None).cast("string").alias("s_name"),
+        F.lit(None).cast("string").alias("n_name"),
+        F.lit(None).cast("long").alias("cost_cents"),
+        "p_brand", "p_type", "p_size", "supplier_cnt",
+        F.lit(None).cast("long").alias("n_parts"),
+    )
+    ex = excess_stock_suppliers(spark, sf_dir).select(
+        F.lit("excess").alias("mode"),
+        F.lit(None).cast("long").alias("p_partkey"),
+        F.lit(None).cast("string").alias("p_name"),
+        "s_name",
+        F.lit(None).cast("string").alias("n_name"),
+        F.lit(None).cast("long").alias("cost_cents"),
+        F.lit(None).cast("string").alias("p_brand"),
+        F.lit(None).cast("string").alias("p_type"),
+        F.lit(None).cast("int").alias("p_size"),
+        F.lit(None).cast("long").alias("supplier_cnt"),
+        "n_parts",
+    )
+    return mc.unionByName(sc).unionByName(ex)
 
 
 # squared L2 between two DuckDB lists via an explicit element fold —

@@ -288,9 +288,7 @@ def sole_returning_supplier(spark, sf_dir):
 # Scale-path non-equi join + window analytics
 # =====================================================================
 
-@q(
-    "asof_range_join_purchases",
-    """
+_ASOF_RANGE_ORACLE = """
     WITH p AS (
       SELECT event_id, user_id, ts FROM events
       WHERE event_type = 'purchase' AND event_id < 2000
@@ -309,8 +307,9 @@ def sole_returning_supplier(spark, sf_dir):
              ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_view_id,
            CAST(coalesce(nv.n_views, 0) AS BIGINT) AS n_views
     FROM p LEFT JOIN nv ON nv.pid = p.event_id
-    """,
-)
+"""
+
+
 def asof_range_join_purchases(spark, sf_dir):
     """Composed non-equi-join pair (consolidates the former
     asof_join_tolerance / range_join_purchase_windows entries — both
@@ -360,6 +359,57 @@ def asof_range_join_purchases(spark, sf_dir):
             F.coalesce("n_views", F.lit(0)).cast("bigint").alias("n_views"),
         )
     )
+
+
+from .queries import _SALTED_ORACLE, salted_user_event_join_arm  # noqa: E402
+
+
+@q(
+    "salted_user_event_join",
+    f"""
+    SELECT 'salted' AS mode, user_id, user_total, n_purchases,
+           CAST(NULL AS BIGINT) AS event_id,
+           CAST(NULL AS BIGINT) AS asof_view_id,
+           CAST(NULL AS BIGINT) AS n_views
+    FROM ({_SALTED_ORACLE}) os
+    UNION ALL
+    SELECT 'asof', user_id, NULL, NULL, event_id, asof_view_id, n_views
+    FROM ({_ASOF_RANGE_ORACLE}) oa
+    """,
+)
+def salted_user_event_join(spark, sf_dir):
+    """Composed event-join suite (r8 consolidation of the former
+    salted_user_event_join / asof_range_join_purchases entries — the
+    three non-trivial event-join rewrites over the same table, so one
+    driver check covers all; each arm's machinery and oracle run
+    verbatim, see REGISTRY_CHANGES.md):
+
+    Arm ``salted``: skew-mitigation salted join (fact salted via
+    pmod(event_id, 8), dim exploded 8x) proven identical to the
+    unsalted join. Arm ``asof``: asof_join's union-timeline plan (one
+    shuffle, no range explosion, strict 1 h tolerance) + range_join's
+    bucket-quantized interval count — the oracle keeps the naive
+    correlated-subquery / raw-interval formulations, proving the
+    rewrites exact."""
+    sj = salted_user_event_join_arm(spark, sf_dir).select(
+        F.lit("salted").alias("mode"),
+        "user_id",
+        "user_total",
+        "n_purchases",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("asof_view_id"),
+        F.lit(None).cast("long").alias("n_views"),
+    )
+    ar = asof_range_join_purchases(spark, sf_dir).select(
+        F.lit("asof").alias("mode"),
+        "user_id",
+        F.lit(None).cast("long").alias("user_total"),
+        F.lit(None).cast("long").alias("n_purchases"),
+        "event_id",
+        "asof_view_id",
+        "n_views",
+    )
+    return sj.unionByName(ar)
 
 
 @q(
@@ -616,9 +666,7 @@ def zorder_values(spark, sf_dir):
     )
 
 
-@q(
-    "streaming_dedup_session_rollup",
-    """
+_SDSR_ORACLE = """
     WITH x AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -648,9 +696,10 @@ def zorder_values(spark, sf_dir):
     SELECT s.user_id, s.session_start_us, s.session_end_us, s.n,
            h.hour_n, h.hour_total
     FROM sess s JOIN hours h ON date_trunc('hour', s.session_start) = h.h
-    """,
-)
-def streaming_dedup_session_rollup(spark, sf_dir):
+"""
+
+
+def _streaming_sessions_rollup_arm(spark, sf_dir):
     """Composed streaming pipeline (consolidates the former
     streaming_dedup_keys / session_window_user_counts /
     continuous_rollup_hourly entries into the stream-dedup → session →
@@ -744,9 +793,7 @@ def streaming_dedup_session_rollup(spark, sf_dir):
     )
 
 
-@q(
-    "ttl_dedup_window_counts",
-    """
+_TTL_WC_ORACLE = """
     SELECT 'wc' AS mode,
            CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
            event_type, count(*) AS n,
@@ -761,8 +808,9 @@ def streaming_dedup_session_rollup(spark, sf_dir):
       ON v.user_id = p.user_id AND v.event_type = 'view'
      AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
     WHERE p.event_type = 'purchase'
-    """,
-)
+"""
+
+
 def ttl_dedup_window_counts(spark, sf_dir):
     """Composed streaming suite (r6 consolidation of the former
     streaming_window_counts and stream_stream_interval_join entries,
@@ -932,6 +980,64 @@ def ttl_dedup_window_counts(spark, sf_dir):
         "view_id",
     )
     return wc.unionByName(ij)
+
+
+@q(
+    "streaming_dedup_session_rollup",
+    f"""
+    SELECT 'sess' AS mode, user_id, session_start_us, session_end_us, n,
+           hour_n, hour_total,
+           CAST(NULL AS VARCHAR) AS window_start,
+           CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS BIGINT) AS view_id
+    FROM ({_SDSR_ORACLE}) o1
+    UNION ALL
+    SELECT mode, NULL, NULL, NULL, n, NULL, NULL,
+           window_start, event_type, purchase_id, view_id
+    FROM ({_TTL_WC_ORACLE}) o2
+    """,
+)
+def streaming_dedup_session_rollup(spark, sf_dir):
+    """Composed streaming suite (r8 consolidation — VERDICT r7 task #7
+    — of the former streaming_dedup_session_rollup /
+    ttl_dedup_window_counts entries: ALL FIVE stateful streaming
+    operators under one driver check; each arm's machinery and oracle
+    run verbatim, see REGISTRY_CHANGES.md):
+
+    Arm ``sess`` (``_streaming_sessions_rollup_arm``): doubled input →
+    stream_dedup → native session_window sessions joined to the
+    ContinuousRollup incremental hourly store. Arms ``wc``/``ijoin``
+    (``ttl_dedup_window_counts``): doubled input → ttl_first_seen
+    first-occurrence state → watermarked tumbling window counts, plus
+    the watermark-bounded stream-stream interval join."""
+    sess = _streaming_sessions_rollup_arm(spark, sf_dir).select(
+        F.lit("sess").alias("mode"),
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n",
+        "hour_n",
+        "hour_total",
+        F.lit(None).cast("string").alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("long").alias("view_id"),
+    )
+    ttl = ttl_dedup_window_counts(spark, sf_dir).select(
+        "mode",
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("session_start_us"),
+        F.lit(None).cast("long").alias("session_end_us"),
+        "n",
+        F.lit(None).cast("long").alias("hour_n"),
+        F.lit(None).cast("double").alias("hour_total"),
+        "window_start",
+        "event_type",
+        "purchase_id",
+        "view_id",
+    )
+    return sess.unionByName(ttl)
 
 
 # =====================================================================

@@ -42,7 +42,8 @@ FLAVORS = {
 # but these four ARE the historical breakage class, so keep them and
 # accept a few seconds each at sf0.001.
 STREAMING = {
-    "ttl_dedup_window_counts",      # carries the ijoin arm too (r6)
+    # r8 fold: carries the sess + wc + ijoin arms (all five stateful
+    # streaming operators) under the one composed entry
     "streaming_dedup_session_rollup",
 }
 

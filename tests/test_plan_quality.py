@@ -75,6 +75,17 @@ def test_case_fanout_scans_source_once(spark):
         p.release()
 
 
+
+def _fn(name):
+    """Resolve a query callable: registry entry, or a fold's arm
+    function (r8 consolidations keep each arm as a plain function so
+    plan shapes stay testable per-shape)."""
+    from pypeman_spark.plans import queries as Q, scale_queries as SQ
+
+    if name in REGISTRY:
+        return REGISTRY[name].fn
+    return getattr(SQ, name, None) or getattr(Q, name)
+
 def test_round2_queries_avoid_nested_loops(spark):
     # asof/tfidf/Q9/Q21 must compile to equi-joins + windows — a
     # refactor that reintroduces a theta join would NLJ at 100 TB
@@ -85,7 +96,7 @@ def test_round2_queries_avoid_nested_loops(spark):
         "product_profit_by_nation_year",
         "sole_returning_supplier",
     ):
-        plan = plan_of(REGISTRY[name].fn(spark, SF))
+        plan = plan_of(_fn(name)(spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
     # tfidf's one BNLJ is the deliberate 1-row corpus-size scalar
@@ -356,7 +367,7 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path):
 def test_q6_is_pure_scan_aggregate(spark):
     # TPC-H Q6: every predicate must reach the parquet scan and the
     # plan must contain no join and only the 1-row final-agg exchange
-    plan = plan_of(REGISTRY["forecast_revenue_change"].fn(spark, SF))
+    plan = plan_of(_fn("forecast_revenue_change")(spark, SF))
     pushed = plan.split("PushedFilters")[1][:300]
     assert "l_shipdate" in pushed and "l_discount" in pushed \
         and "l_quantity" in pushed
@@ -368,7 +379,7 @@ def test_q15_scans_lineitem_once(spark):
     # the max-revenue subquery must read the materialized per-supplier
     # frame, not re-scan lineitem (AQE does not reuse the exchange
     # across the agg — verified r4); max comes back as a broadcast
-    plan = plan_of(REGISTRY["top_supplier_revenue"].fn(spark, SF))
+    plan = plan_of(_fn("_top_supplier_revenue_arm")(spark, SF))
     assert plan.count("lineitem.parquet") <= 1
     assert "BroadcastHashJoin" in plan
 
@@ -386,7 +397,7 @@ def test_dim_broadcasts_survive_threshold_off(spark):
         "returned_items_report": 1,          # nation
         "nation_market_share": 1,            # nation
         "two_nation_volume": 2,              # nation x2
-        "top_supplier_revenue": 1,           # 1-row max frame
+        "_top_supplier_revenue_arm": 1,      # 1-row max frame
         "product_profit_by_nation_year": 3,  # part + supplier + nation
         "sole_returning_supplier": 1,        # supplier
     }
@@ -394,7 +405,7 @@ def test_dim_broadcasts_survive_threshold_off(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         for name, n in expected.items():
-            plan = plan_of(REGISTRY[name].fn(spark, SF))
+            plan = plan_of(_fn(name)(spark, SF))
             got = plan.count("BroadcastHashJoin")
             assert got >= n, f"{name}: {got} broadcast joins, need >= {n}"
             assert "CartesianProduct" not in plan, name
@@ -413,7 +424,7 @@ def test_tpch_completion_shapes_are_scale_clean(spark):
         "supplier_count_by_part",
         "excess_stock_suppliers",
     ):
-        plan = plan_of(REGISTRY[name].fn(spark, SF))
+        plan = plan_of(_fn(name)(spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
     plan = plan_of(REGISTRY["important_part_stock"].fn(spark, SF))
@@ -422,13 +433,13 @@ def test_tpch_completion_shapes_are_scale_clean(spark):
 
     # Q2: dims broadcast; the per-part argmin must not re-shuffle the
     # ps aggregate more than once (groupBy + window share the part key)
-    plan = plan_of(REGISTRY["min_cost_supplier"].fn(spark, SF))
+    plan = plan_of(_fn("min_cost_supplier")(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2
     # Q16: the blacklist is a broadcast ANTI join, never a shuffle
-    plan = plan_of(REGISTRY["supplier_count_by_part"].fn(spark, SF))
+    plan = plan_of(_fn("supplier_count_by_part")(spark, SF))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     # Q20: part-name prefilter reaches lineitem as a broadcast semi join
-    plan = plan_of(REGISTRY["excess_stock_suppliers"].fn(spark, SF))
+    plan = plan_of(_fn("excess_stock_suppliers")(spark, SF))
     assert "LeftSemi" in plan
 
 

@@ -495,3 +495,111 @@ def test_crash_before_journal_leaves_store_untouched(spark, tmp_path):
     assert sorted(
         r["id"] for r in recovered.current().select("id").collect()
     ) == expected
+
+
+# ---- cross-process lease contention (VERDICT r7 task #8) -------------------
+
+_HOLDER = """
+import os, signal, sys, time
+lock = sys.argv[1]
+hold_s = float(sys.argv[2])
+fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+with os.fdopen(fd, "w") as fh:
+    fh.write(f"{os.getpid()} ext_compact {time.time()}")
+print("HELD", flush=True)
+time.sleep(hold_s)
+os.unlink(lock)
+print("RELEASED", flush=True)
+"""
+
+
+def _spawn_holder(lock_path, hold_s):
+    import subprocess
+    import sys
+
+    p = subprocess.Popen(
+        [sys.executable, "-c", _HOLDER, lock_path, str(hold_s)],
+        stdout=subprocess.PIPE, text=True,
+    )
+    assert p.stdout.readline().strip() == "HELD"
+    return p
+
+
+def test_store_blocks_on_live_foreign_lease_then_succeeds(spark, tmp_path):
+    """A SECOND PROCESS holds the writer lease mid-'compact'; this
+    process's store() must BLOCK (not proceed, not error) until the
+    holder releases, then land the rows."""
+    import os
+
+    from pypeman_spark.store import FileMessageStore
+
+    path = str(tmp_path / "audit")
+    store = FileMessageStore(spark, path, channel="t")
+    store.store(messages_from_payloads(spark, [{"i": 0}]))
+
+    holder = _spawn_holder(store.lock_path, 3.0)
+    t0 = time.monotonic()
+    store.store(messages_from_payloads(spark, [{"i": 1}]))  # must block
+    waited = time.monotonic() - t0
+    holder.wait(timeout=10)
+    assert waited >= 2.0, f"store() did not wait for the live lease ({waited:.1f}s)"
+    assert store.current().count() == 2
+    assert not os.path.isfile(store.lock_path)  # our lease released too
+
+
+def test_store_takes_over_sigkilled_holder_lease(spark, tmp_path):
+    """A holder process SIGKILLed mid-lease leaves a lock naming a dead
+    pid; the next store() must detect the dead holder and take over
+    promptly instead of waiting out the timeout."""
+    import os
+    import signal
+
+    from pypeman_spark.store import FileMessageStore
+
+    path = str(tmp_path / "audit")
+    store = FileMessageStore(spark, path, channel="t")
+    store.store(messages_from_payloads(spark, [{"i": 0}]))  # creates dirs
+    holder = _spawn_holder(store.lock_path, 3600.0)  # would hold forever
+    os.kill(holder.pid, signal.SIGKILL)
+    holder.wait(timeout=10)
+
+    t0 = time.monotonic()
+    store.store(messages_from_payloads(spark, [{"i": 1}]))
+    waited = time.monotonic() - t0
+    assert waited < 20.0, "stale-lease takeover took too long"
+    assert store.current().count() == 2
+    assert not os.path.isfile(store.lock_path)
+
+
+def test_concurrent_recovery_waits_for_live_compactor(spark, tmp_path):
+    """Opening a store while a FOREIGN LIVE process holds the lease and
+    a compact journal exists must leave the journal for the holder (no
+    roll-forward under a live lease), but a dead holder's journal is
+    recovered on the next open."""
+    import json as _json
+    import os
+    import signal
+
+    from pypeman_spark.store import FileMessageStore
+
+    path = str(tmp_path / "audit")
+    store = FileMessageStore(spark, path, channel="t")
+    store.store(messages_from_payloads(spark, [{"i": 0}]))
+    base = store.base_path
+    fresh = os.path.join(base, ".compact_msg_x")
+    os.makedirs(fresh)
+    with open(os.path.join(base, ".compact_journal"), "w") as fh:
+        _json.dump({"pairs": [[os.path.join(base, "events"), fresh]]}, fh)
+
+    holder = _spawn_holder(store.lock_path, 3600.0)
+    try:
+        FileMessageStore(spark, path, channel="t")  # open under live lease
+        assert os.path.isfile(os.path.join(base, ".compact_journal"))
+        assert os.path.isdir(fresh)
+    finally:
+        os.kill(holder.pid, signal.SIGKILL)
+        holder.wait(timeout=10)
+
+    FileMessageStore(spark, path, channel="t")  # holder dead -> recover
+    assert not os.path.isfile(os.path.join(base, ".compact_journal"))
+    assert not os.path.isdir(fresh)
