@@ -120,7 +120,10 @@ def main() -> int:
     # customer: permute custkey (shared with orders), jitter balance
     t, sch = read("customer")
     c = {n: t[n].to_numpy(zero_copy_only=False) for n in t.column_names}
-    n_cust = 1500
+    # domains derived from the data (dense [0, N) keys at every SF),
+    # never hardcoded: the r7 constants were sf0.01-only and collapsed
+    # keys into a 10x-smaller range at sf0.1 (caught by the r8 sf0.1 gate)
+    n_cust = int(c["c_custkey"].max()) + 1
     c["c_custkey"] = perm(c["c_custkey"], n_cust, seed, 1)
     c["c_acctbal"] = (
         c["c_acctbal"] + kj(c["c_custkey"], seed, 2, 997) / 100.0
@@ -130,13 +133,15 @@ def main() -> int:
     # supplier / part: permute their keys (shared with lineitem)
     t, sch = read("supplier")
     s = {n: t[n].to_numpy(zero_copy_only=False) for n in t.column_names}
-    s["s_suppkey"] = perm(s["s_suppkey"], 100, seed, 3)
+    n_supp = int(s["s_suppkey"].max()) + 1
+    s["s_suppkey"] = perm(s["s_suppkey"], n_supp, seed, 3)
     s["s_acctbal"] = s["s_acctbal"] + kj(s["s_suppkey"], seed, 4, 797) / 100.0
     write(args.out_dir, "supplier", s, sch)
 
     t, sch = read("part")
     p = {n: t[n].to_numpy(zero_copy_only=False) for n in t.column_names}
-    p["p_partkey"] = perm(p["p_partkey"], 2000, seed, 5)
+    n_part = int(p["p_partkey"].max()) + 1
+    p["p_partkey"] = perm(p["p_partkey"], n_part, seed, 5)
     p["p_retailprice"] = (
         p["p_retailprice"] * (1 + kj(p["p_partkey"], seed, 6, 19) / 1000.0)
     )
@@ -149,7 +154,7 @@ def main() -> int:
     # customer; date shift (constant + per-row days); price jitter
     t, sch = read("orders")
     o = {n: t[n].to_numpy(zero_copy_only=False) for n in t.column_names}
-    n_ord = 15000
+    n_ord = int(o["o_orderkey"].max()) + 1
     okey = perm(o["o_orderkey"], n_ord, seed, 8)
     o["o_orderkey"] = okey
     o["o_custkey"] = perm(o["o_custkey"], n_cust, seed, 1)
@@ -170,8 +175,8 @@ def main() -> int:
     lkey = perm(li["l_orderkey"], n_ord, seed, 8)
     rowk = lkey * 8 + li["l_linenumber"].astype(np.int64)
     li["l_orderkey"] = lkey
-    li["l_partkey"] = perm(li["l_partkey"], 2000, seed, 5)
-    li["l_suppkey"] = perm(li["l_suppkey"], 100, seed, 3)
+    li["l_partkey"] = perm(li["l_partkey"], n_part, seed, 5)
+    li["l_suppkey"] = perm(li["l_suppkey"], n_supp, seed, 3)
     li["l_quantity"] = np.clip(li["l_quantity"] + kj(rowk, seed, 11, 5), 1, None)
     li["l_extendedprice"] = (
         li["l_extendedprice"] * (1 + kj(rowk, seed, 12, 19) / 1000.0)
@@ -192,9 +197,9 @@ def main() -> int:
     # rotate event_type for a keyed ~20% of rows
     t, sch = read("events")
     e = {n: t[n].to_numpy(zero_copy_only=False) for n in t.column_names}
-    ekey = perm(e["event_id"], 10000, seed, 16)
+    ekey = perm(e["event_id"], int(e["event_id"].max()) + 1, seed, 16)
     e["event_id"] = ekey
-    e["user_id"] = perm(e["user_id"], 150, seed, 17)
+    e["user_id"] = perm(e["user_id"], int(e["user_id"].max()) + 1, seed, 17)
     sec = np.timedelta64(1, "s")
     e["ts"] = (
         e["ts"].astype("datetime64[us]")
@@ -214,7 +219,7 @@ def main() -> int:
     # via TEXT-hash tokens so duplicate groups transform identically
     t, sch = read("documents")
     d = {n: t[n].to_numpy(zero_copy_only=False) for n in t.column_names}
-    d["doc_id"] = perm(d["doc_id"], 500, seed, 20)
+    d["doc_id"] = perm(d["doc_id"], int(d["doc_id"].max()) + 1, seed, 20)
     new_text = []
     for txt in d["text"].astype(object):
         h = text_hash(txt) ^ seed
@@ -226,7 +231,9 @@ def main() -> int:
     # embeddings: vec_id perm consistent with documents; per-component
     # jitter; label rotation
     t, sch = read("embeddings")
-    vid = perm(t["vec_id"].to_numpy(), 500, seed, 20)
+    # own dense domain (vec count < doc count at sf>=0.1); same salt
+    # so at sf0.01 (equal domains) the permutation matches r7 exactly
+    vid = perm(t["vec_id"].to_numpy(), int(t["vec_id"].to_numpy().max()) + 1, seed, 20)
     emb = t["embedding"].to_pylist()
     new_emb = []
     for v, k in zip(emb, vid):
