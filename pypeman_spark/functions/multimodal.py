@@ -218,6 +218,12 @@ def resize_media(df: DataFrame, width: int, height: int,
                 ), "jpeg"
             except (ValueError, TypeError):
                 return None, "jpeg"
+        if b.startswith(_PNG_SIG):
+            try:
+                _w, _h, px = _parse_png(b)
+                return _encode_png(_box_resize_rgb(px, width, height)), "png"
+            except (ValueError, TypeError):
+                return None, "png"
         # strict P6 sniff (magic + dims + maxval 255), not just the two
         # magic bytes: document TEXT routed through the stub arm could
         # legitimately start with "P6" and must stay on the stub path

@@ -1466,6 +1466,23 @@ def doc_fingerprint(spark, sf_dir):
              || ',' || ('0x' || substr(md5(text), 23, 2))::INT
                AS resized_jpeg_csv
       FROM documents WHERE doc_id < 20
+    ),
+    pr AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 9, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 11, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 13, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 15, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 17, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 19, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 21, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 23, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 25, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 27, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 29, 2))::INT
+             || ',' || ('0x' || substr(md5(text), 31, 2))::INT
+               AS resized_png_csv
+      FROM documents WHERE doc_id < 20
     )
     SELECT h.doc_id,
            round(CAST('0x' || substring(hh, 1, 4) AS INTEGER) / 65536.0, 6) AS f0,
@@ -1478,11 +1495,13 @@ def doc_fingerprint(spark, sf_dir):
            f.n_frames, f.max_offset_ms,
            m.n_mp4_frames, m.mp4_ts_csv, m.mp4_fp_csv,
            a.n_mp3_frames, a.mp3_sample_rate, a.mp3_duration_ms,
-           j.resized_jpeg_csv
+           j.resized_jpeg_csv,
+           p.resized_png_csv
     FROM h LEFT JOIN frames f USING (doc_id)
          LEFT JOIN m4 m USING (doc_id)
          LEFT JOIN m3 a USING (doc_id)
          LEFT JOIN jr j USING (doc_id)
+         LEFT JOIN pr p USING (doc_id)
     """,
 )
 def multimodal_pipeline(spark, sf_dir):
@@ -1495,6 +1514,10 @@ def multimodal_pipeline(spark, sf_dir):
     * image resize 64×64 (``resize_media`` — the TEXT payloads here
       sniff as unknown format, exercising the retained stub arm:
       16-byte cycle)
+    * REAL PNG resize (r8): md5-quadrant 8×8 (md5 chars 9-32) → real
+      PNG encode → ``resize_media`` 4×4 (sniffs the PNG signature →
+      real inflate + filter reconstruction → box-resample → re-encode)
+      → real decode; EXACT gate (lossless codec + solid quadrants)
     * REAL JPEG resize (r8): md5-quadrant 8×8 → real q97 encode →
       ``resize_media`` 4×4 (sniffs JPEG → real decode → box-resample →
       re-encode) → real decode; tolerance-boolean gate (≤8/255,
@@ -1686,6 +1709,67 @@ def multimodal_pipeline(spark, sf_dir):
             .alias("resized_jpeg_csv"),
         )
     )
+    # png-resize arm (r8): md5-quadrant 8x8 pixels (chars 9-32 of the
+    # md5, distinct from the jpeg arm's 1-24) -> REAL PNG encode ->
+    # resize_media 4x4 (sniffs the PNG signature -> real inflate +
+    # filter reconstruction -> box-resample -> re-encode) -> REAL PNG
+    # decode to 2x2 grid means. PNG is lossless and box-averaging
+    # solid quadrants is exact, so the gate is EXACT (0.01 tolerance
+    # covers only float32 v/255*255 roundoff): in-tolerance rows emit
+    # the oracle's expected CSV, any codec/resize bug emits CODEC_ERR;
+    # media_meta.format must say 'png' (real path, not the stub).
+    pquad = [F.unhex(F.substring(mq, 9 + 6 * i, 6)) for i in range(4)]
+    prow = [
+        F.concat(*([pquad[0]] * 4 + [pquad[1]] * 4)),
+        F.concat(*([pquad[2]] * 4 + [pquad[3]] * 4)),
+    ]
+    ppixels = F.concat(*([prow[0]] * 4 + [prow[1]] * 4))
+    praw8 = d20.select("doc_id", ppixels.alias("content"))
+    prez_df = MM.resize_media(
+        MM.raw_rgb_to_png(praw8, 8, 8), width=4, height=4
+    )
+    pfmt = prez_df.select(
+        "doc_id", F.col("media_meta.format").alias("__pfmt")
+    )
+    pfeat = MM.decode_png_features(prez_df, grid=2)
+    pexp = d20.select(
+        "doc_id",
+        F.array(
+            *[
+                F.conv(F.substring(mq, 2 * i + 9, 2), 16, 10).cast("int")
+                for i in range(12)
+            ]
+        ).alias("__pexp"),
+    )
+    perr = F.array_max(
+        F.zip_with(
+            F.col("features"),
+            F.transform(F.col("__pexp"), lambda x: x.cast("double")),
+            lambda a, b: F.abs(a * 255 - b),
+        )
+    )
+    pwithin = (
+        (F.col("width") == 4)
+        & (F.col("height") == 4)
+        & (perr <= 0.01)
+        & (F.col("__pfmt") == "png")
+    )
+    prez_out = (
+        pfeat.join(pexp, "doc_id")
+        .join(pfmt, "doc_id")
+        .select(
+            "doc_id",
+            F.when(
+                pwithin,
+                F.concat_ws(
+                    ",",
+                    F.transform(F.col("__pexp"), lambda x: x.cast("string")),
+                ),
+            )
+            .otherwise(F.lit("CODEC_ERR"))
+            .alias("resized_png_csv"),
+        )
+    )
     return (
         img.join(rez, "doc_id")
         .join(aud, "doc_id")
@@ -1693,6 +1777,7 @@ def multimodal_pipeline(spark, sf_dir):
         .join(mp4, "doc_id", "left")
         .join(mp3, "doc_id", "left")
         .join(jrez_out, "doc_id", "left")
+        .join(prez_out, "doc_id", "left")
     )
 
 

@@ -683,6 +683,42 @@ def test_resize_media_real_jpeg_path(spark):
     assert float(q_mean) <= 8.0  # the pipeline gate's tolerance
 
 
+def test_resize_media_real_png_path(spark):
+    """A sniffed-PNG payload takes the REAL inflate→filter-reconstruct→
+    box-resample→re-encode path. PNG is lossless and the quadrants are
+    solid, so the round-trip is EXACT; corrupt sniffed-PNG yields null
+    content with format 'png' (same corrupt-row routing as jpeg)."""
+    import hashlib
+
+    import numpy as np
+
+    m = hashlib.md5(b"resize-me-png").digest()
+    px = np.zeros((8, 8, 3), np.uint8)
+    px[:4, :4] = np.frombuffer(m[0:3], np.uint8)
+    px[:4, 4:] = np.frombuffer(m[3:6], np.uint8)
+    px[4:, :4] = np.frombuffer(m[6:9], np.uint8)
+    px[4:, 4:] = np.frombuffer(m[9:12], np.uint8)
+    png = MM._encode_png(px)
+    corrupt = png[:40] + bytes([png[40] ^ 0xFF]) + png[41:]
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(corrupt))],
+        "doc_id long, content binary",
+    )
+    got = {r["doc_id"]: r for r in MM.resize_media(df, width=4, height=4).collect()}
+    assert got[1]["media_meta"]["format"] == "png"
+    assert got[1]["media_meta"]["width"] == 4
+    w, h, dec = MM._parse_png(bytes(got[1]["content"]))
+    assert (w, h) == (4, 4)
+    exp = np.zeros((4, 4, 3), np.uint8)
+    exp[:2, :2] = np.frombuffer(m[0:3], np.uint8)
+    exp[:2, 2:] = np.frombuffer(m[3:6], np.uint8)
+    exp[2:, :2] = np.frombuffer(m[6:9], np.uint8)
+    exp[2:, 2:] = np.frombuffer(m[9:12], np.uint8)
+    assert np.array_equal(dec, exp)
+    assert got[2]["media_meta"]["format"] == "png"
+    assert got[2]["content"] is None
+
+
 def test_resize_media_real_ppm_and_stub_routing(spark):
     """P6 payloads resize for real (valid P6 out at target dims);
     arbitrary text — including text that merely STARTS with 'P6' —
