@@ -263,14 +263,33 @@ def test_ship_package_refreshes_foreign_zip(spark):
 
     from pypeman_spark.session import _ship_package
 
+    import hashlib
+
+    import pypeman_spark
+
     _ship_package(spark)  # creates/validates the genuine zip
     cache_dir = os.path.join(
         tempfile.gettempdir(), f"pypeman_spark_pyfiles_{os.getuid()}"
     )
     assert os.stat(cache_dir).st_mode & 0o077 == 0
-    zips = [f for f in os.listdir(cache_dir) if f.endswith(".zip")]
-    assert zips
-    zpath = os.path.join(cache_dir, zips[0])
+    # the cache dir persists across sessions, so stale zips from an
+    # older source tree may coexist — compute the hash-named path the
+    # CURRENT tree ships (same derivation as _ship_package) instead of
+    # grabbing an arbitrary directory entry
+    pkg_dir = os.path.dirname(os.path.abspath(pypeman_spark.__file__))
+    sources = sorted(
+        os.path.join(dp, f)
+        for dp, _dn, fns in os.walk(pkg_dir)
+        for f in fns
+        if f.endswith(".py")
+    )
+    h = hashlib.md5()
+    for src in sources:
+        h.update(src.encode())
+        with open(src, "rb") as fh:
+            h.update(fh.read())
+    zpath = os.path.join(cache_dir, f"pypeman_spark_{h.hexdigest()[:12]}.zip")
+    assert os.path.exists(zpath)
     with zipfile.ZipFile(zpath, "w") as zf:  # attacker's planted zip
         zf.writestr("pypeman_spark/evil.py", "print('pwned')")
     _ship_package(spark)
