@@ -33,6 +33,7 @@ __all__ = [
     "upsample_mixture",
     "weighted_sample_per_group",
     "leakage_safe_splits",
+    "deterministic_shuffle",
 ]
 
 #: hash space resolution: fractions quantize to 1/1e6
@@ -322,3 +323,71 @@ def leakage_safe_splits(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+    n_shards: int | None = None,
+    pos_col: str = "global_pos",
+) -> DataFrame:
+    """Epoch-reproducible global training order: every row gets a
+    stable 0-based ``global_pos`` equal to its rank under
+    ``md5(seed ':' id)`` — the order a training job reads the corpus
+    in. Changing ``seed`` ('epoch1', …) yields an independent
+    permutation, so per-epoch reshuffles are a column change, not a
+    data movement; re-runs on any engine/cluster-size reproduce the
+    identical order (the DuckDB oracle computes the same ranks with a
+    plain ``row_number() OVER (ORDER BY md5(...))``).
+
+    Scale path: a global ``ORDER BY`` of 100 TB is a single-partition
+    sort at the limit. Instead the hash order is realized as
+    (bucket, within-bucket rank) + exact bucket offsets:
+
+    * bucket = first two hex digits of the key (a PREFIX of the sort
+      key, so concatenating buckets 0..255 in order IS the key order);
+    * per-bucket counts are a 256-row aggregate with map-side combine
+      (bounded control-plane read, this module's standard);
+    * within-bucket rank is a window over the bucket partition — each
+      sort is ~N/256 rows, spread across the cluster;
+    * ``global_pos = offset[bucket] + rank - 1`` via a 256-entry map
+      literal compiled into the plan (no join).
+
+    ``n_shards`` optionally adds a round-robin ``shard`` column
+    (``global_pos % n_shards``) so each training worker reads an
+    interleaved, equally-sized slice of the shuffled order.
+    Ties (duplicate ids under the same seed) are broken by the id
+    itself, keeping the rank total and engine-portable."""
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    bucket = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+    work = df.withColumn("__key", key).withColumn("__bucket", bucket)
+    counts = {
+        r["__bucket"]: r["cnt"]
+        for r in work.groupBy("__bucket").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    flat, acc = [], 0
+    for b in sorted(counts):
+        flat += [F.lit(b), F.lit(acc)]
+        acc += counts[b]
+    offsets = F.create_map(*flat)
+    w = Window.partitionBy("__bucket").orderBy("__key", F.col(id_col))
+    out = work.withColumn(
+        pos_col,
+        (
+            F.element_at(offsets, F.col("__bucket"))
+            + F.row_number().over(w)
+            - F.lit(1)
+        ).cast("bigint"),
+    ).drop("__key", "__bucket")
+    if n_shards:
+        out = out.withColumn(
+            "shard", (F.col(pos_col) % F.lit(n_shards)).cast("int")
+        )
+    return out

@@ -1403,6 +1403,41 @@ def corpus_sampling_pipeline(spark, sf_dir):
     ).select("doc_id", "source", "copy_idx")
 
 
+@q(
+    "corpus_shuffle",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5('epoch0:' || doc_id), doc_id) - 1
+           AS BIGINT) AS pos_epoch0,
+           CAST((row_number() OVER (
+             ORDER BY md5('epoch0:' || doc_id), doc_id) - 1) % 8
+           AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+             ORDER BY md5('epoch1:' || doc_id), doc_id) - 1
+           AS BIGINT) AS pos_epoch1
+    FROM documents
+    """,
+)
+def corpus_shuffle(spark, sf_dir):
+    """Epoch-reproducible training order + worker shards
+    (functions/sampling.py:deterministic_shuffle): every document gets
+    its exact global rank under md5('epoch0:'||id) plus a round-robin
+    8-way shard, and a SECOND epoch's independent permutation — the
+    per-epoch reshuffle a training job derives without moving data.
+    The oracle is a plain global row_number(); the engine realizes the
+    same ranks without a global sort (hash-prefix buckets + exact
+    offsets + per-bucket windows), which is the 100 TB point."""
+    from ..functions.sampling import deterministic_shuffle
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    e0 = deterministic_shuffle(d, seed="epoch0", n_shards=8).select(
+        "doc_id", F.col("global_pos").alias("pos_epoch0"), "shard"
+    )
+    e1 = deterministic_shuffle(d, seed="epoch1", pos_col="pos_epoch1")
+    return e0.join(e1, "doc_id")
+
+
 from ..functions.sampling import upsample_mixture  # noqa: E402
 from .queries import _COS  # noqa: E402
 

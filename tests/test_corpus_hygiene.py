@@ -270,3 +270,57 @@ def test_gopher_quality_signals_thresholds(spark):
     assert rows[4]["passes"] is False and rows[4]["bullet_line_frac"] > 0.9
     assert rows[5]["passes"] is False and rows[5]["alpha_word_frac"] < 0.8
     assert rows[6]["passes"] is False and rows[6]["n_required_words"] < 2
+
+
+def test_deterministic_shuffle_is_exact_global_rank(spark):
+    """The bucketed realization must equal a plain global sort rank:
+    positions are a permutation of 0..N-1, stable under repartitioning,
+    epoch seeds give different permutations, shards interleave."""
+    import hashlib
+
+    from pypeman_spark.functions.sampling import deterministic_shuffle
+
+    ids = list(range(100))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {
+        r["doc_id"]: r
+        for r in deterministic_shuffle(df, seed="epoch0", n_shards=4).collect()
+    }
+    # exact parity with a driver-side global sort of the same keys
+    expect = sorted(
+        ids, key=lambda i: (hashlib.md5(f"epoch0:{i}".encode()).hexdigest(), i)
+    )
+    for pos, i in enumerate(expect):
+        assert out[i]["global_pos"] == pos
+        assert out[i]["shard"] == pos % 4
+    # repartitioning must not change a single position
+    out7 = {
+        r["doc_id"]: r["global_pos"]
+        for r in deterministic_shuffle(
+            df.repartition(7), seed="epoch0"
+        ).collect()
+    }
+    assert out7 == {i: r["global_pos"] for i, r in out.items()}
+    # a different epoch is a genuinely different permutation
+    out_e1 = {
+        r["doc_id"]: r["global_pos"]
+        for r in deterministic_shuffle(df, seed="epoch1").collect()
+    }
+    assert out_e1 != {i: r["global_pos"] for i, r in out.items()}
+    assert sorted(out_e1.values()) == list(range(100))
+
+
+def test_deterministic_shuffle_duplicate_ids_total_order(spark):
+    """Duplicate ids under the same seed tie on the hash key; the id
+    tiebreak must still assign distinct consecutive positions (rank
+    stays a permutation, never a gap or repeat)."""
+    from pypeman_spark.functions.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame(
+        [(5,), (5,), (5,), (9,)], "doc_id long"
+    )
+    pos = sorted(
+        r["global_pos"]
+        for r in deterministic_shuffle(df, seed="s").collect()
+    )
+    assert pos == [0, 1, 2, 3]
