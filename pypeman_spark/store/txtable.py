@@ -1,0 +1,468 @@
+"""ACID multi-writer table format over plain parquet (mini Delta log).
+
+Closes the one storage gap the append-only :mod:`msgstore` documents:
+true multi-writer MERGE with snapshot isolation. The protocol is the
+published Delta Lake design (Armbrust et al., VLDB 2020) reduced to
+its load-bearing core — no proprietary code, just the public recipe:
+
+* **Immutable data files + an ordered commit log.** Every table
+  mutation writes NEW parquet files, then publishes them by creating
+  ``_txlog/<version 20 digits>.json`` with ``O_CREAT | O_EXCL`` — an
+  atomic filesystem primitive, so exactly one writer wins each
+  version. The log entry lists ``add``/``remove`` file actions.
+* **Snapshot isolation for readers.** A snapshot is the file set
+  obtained by replaying the log up to a version. Data files are never
+  mutated, so a reader's DataFrame stays consistent regardless of
+  concurrent commits; removed files are only physically deleted by an
+  explicit :meth:`vacuum`.
+* **Optimistic concurrency for writers.** A merge reads snapshot
+  version ``V``, rewrites only the key-hash buckets its updates touch,
+  then tries to commit ``V+1``. If another writer got there first, it
+  re-reads the interleaved commits: if their touched buckets are
+  DISJOINT from ours, the writes commute and we simply commit at the
+  next free version; if they intersect, our rewrite may have missed
+  their rows — we abandon our staged files and retry from the new
+  snapshot. Appends are add-only and never conflict with each other.
+* **Bucket-scoped rewrites are the 100 TB story.** The table is laid
+  out as ``data/bucket=<pmod(xxhash64(key), B)>/…``; a merge of M rows
+  touches ~min(M, B) buckets and rewrites only those, never the whole
+  table. B is chosen at table creation (4096 at warehouse scale keeps
+  a rewrite unit at ~table/4096). Readers get directory-partition
+  pruning on the bucket column for key-equality probes.
+* **Checkpoints bound log replay.** Every ``checkpoint_interval``
+  commits, the full live-file list is written beside the log
+  (``<version>.checkpoint.json``); a snapshot replays only the tail.
+
+Crash safety: a writer that dies after staging data files but before
+its commit leaves orphans that no snapshot references; :meth:`vacuum`
+deletes unreferenced files older than a grace period. A writer that
+dies mid-commit cannot corrupt the table: the record is fully written
+and fsynced under a temp name, then ``os.link``ed to the version name
+— hardlink creation is atomic and fails if the target exists (the
+same claim semantics as ``O_CREAT|O_EXCL``) while guaranteeing the
+content is complete the instant the name appears, which a direct
+O_EXCL-then-write could not.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["TxTable", "CommitConflict"]
+
+_LOG_DIR = "_txlog"
+_VERSION_DIGITS = 20
+
+
+class CommitConflict(RuntimeError):
+    """Raised when a merge exhausts its OCC retries."""
+
+
+def _version_of(fname: str) -> int:
+    return int(fname.split(".")[0])
+
+
+def _commit_name(version: int) -> str:
+    return f"{version:0{_VERSION_DIGITS}d}.json"
+
+
+class TxTable:
+    """A parquet table with an ACID commit log (see module docstring).
+
+    ``key_cols`` defines merge identity; ``n_buckets`` fixes the
+    key-hash layout for the table's lifetime (stored in version 0's
+    metadata and re-read on open, so writers can never disagree on
+    the bucketing).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: "list[str] | None" = None,
+        n_buckets: int = 16,
+        checkpoint_interval: int = 20,
+    ):
+        self.spark = spark
+        self.path = path
+        self.log_dir = os.path.join(path, _LOG_DIR)
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+        meta = self._read_meta()
+        if meta is not None:
+            self.key_cols = meta["key_cols"]
+            self.n_buckets = meta["n_buckets"]
+            self.checkpoint_interval = meta.get(
+                "checkpoint_interval", checkpoint_interval
+            )
+        else:
+            if not key_cols:
+                raise ValueError(
+                    f"new TxTable at {path} needs key_cols"
+                )
+            self.key_cols = list(key_cols)
+            self.n_buckets = int(n_buckets)
+            self.checkpoint_interval = int(checkpoint_interval)
+            self._commit(
+                expected_version=0,
+                actions=[{
+                    "meta": {
+                        "key_cols": self.key_cols,
+                        "n_buckets": self.n_buckets,
+                        "checkpoint_interval": self.checkpoint_interval,
+                    }
+                }],
+                op="create",
+                buckets=[],
+            )
+
+    # ---------------------------------------------------------- log --
+
+    def _log_files(self) -> list[str]:
+        try:
+            names = os.listdir(self.log_dir)
+        except FileNotFoundError:
+            return []
+        return sorted(n for n in names if n.endswith(".json")
+                      and not n.endswith(".checkpoint.json")
+                      and "." in n and n.split(".")[0].isdigit())
+
+    def _read_meta(self) -> "dict | None":
+        p = os.path.join(self.log_dir, _commit_name(0))
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "meta" in a:
+                    return a["meta"]
+        return None
+
+    def version(self) -> int:
+        names = self._log_files()
+        return _version_of(names[-1]) if names else -1
+
+    def _latest_checkpoint(self, upto: int) -> "tuple[int, dict] | None":
+        best = None
+        for n in os.listdir(self.log_dir):
+            if n.endswith(".checkpoint.json"):
+                v = _version_of(n)
+                if v <= upto and (best is None or v > best):
+                    best = v
+        if best is None:
+            return None
+        with open(os.path.join(self.log_dir, f"{best:0{_VERSION_DIGITS}d}.checkpoint.json")) as fh:
+            return best, json.load(fh)
+
+    def _replay(self, upto: "int | None" = None) -> "tuple[int, dict[str, dict]]":
+        """Live file set {relpath: add-info} as of ``upto`` (default:
+        latest). Replays from the newest checkpoint at or below."""
+        names = self._log_files()
+        if upto is not None:
+            names = [n for n in names if _version_of(n) <= upto]
+        if not names:
+            return -1, {}
+        live: dict[str, dict] = {}
+        start = 0
+        ckpt = self._latest_checkpoint(_version_of(names[-1]))
+        if ckpt is not None:
+            cv, state = ckpt
+            live = dict(state["live"])
+            start = cv + 1
+        for n in names:
+            v = _version_of(n)
+            if v < start:
+                continue
+            with open(os.path.join(self.log_dir, n)) as fh:
+                for line in fh:
+                    a = json.loads(line)
+                    if "add" in a:
+                        live[a["add"]["file"]] = a["add"]
+                    elif "remove" in a:
+                        live.pop(a["remove"]["file"], None)
+        return _version_of(names[-1]), live
+
+    def _commit_info(self, version: int) -> "dict | None":
+        p = os.path.join(self.log_dir, _commit_name(version))
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "commit" in a:
+                    return a["commit"]
+        return None
+
+    def history(self) -> list[dict]:
+        out = []
+        for n in self._log_files():
+            info = self._commit_info(_version_of(n))
+            if info is not None:
+                out.append(info)
+        return out
+
+    def _commit(self, expected_version: int, actions: list[dict],
+                op: str, buckets: list[int]) -> bool:
+        """Atomically publish ``actions`` as ``expected_version``.
+        Returns False (without side effects) if that version was
+        already claimed by another writer."""
+        record = list(actions) + [{
+            "commit": {
+                "version": expected_version, "op": op,
+                "buckets": sorted(buckets), "pid": os.getpid(),
+                "ts": time.time(),
+            }
+        }]
+        tmp = os.path.join(
+            self.log_dir,
+            f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}",
+        )
+        with open(tmp, "w") as fh:
+            for a in record:
+                fh.write(json.dumps(a) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        target = os.path.join(self.log_dir, _commit_name(expected_version))
+        try:
+            os.link(tmp, target)  # atomic claim; complete content
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        self._maybe_checkpoint(expected_version)
+        return True
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if version == 0 or version % self.checkpoint_interval != 0:
+            return
+        _v, live = self._replay(upto=version)
+        tmp = os.path.join(self.log_dir, f".ckpt.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "live": live}, fh)
+        os.replace(
+            tmp,
+            os.path.join(
+                self.log_dir,
+                f"{version:0{_VERSION_DIGITS}d}.checkpoint.json",
+            ),
+        )
+
+    # --------------------------------------------------------- data --
+
+    def _bucket_col(self):
+        key = F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in self.key_cols]
+        )
+        return F.pmod(F.xxhash64(key), F.lit(self.n_buckets)).cast("int")
+
+    def _stage(self, df: DataFrame) -> "list[dict]":
+        """Write ``df`` as immutable bucket-partitioned files under
+        ``data/`` with unique names; returns add-actions (NOT yet
+        committed — invisible to every snapshot until they are)."""
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        (
+            df.withColumn("bucket", self._bucket_col())
+            .write.partitionBy("bucket").mode("overwrite").parquet(staging)
+        )
+        adds = []
+        for bdir in sorted(os.listdir(staging)):
+            if not bdir.startswith("bucket="):
+                continue
+            b = int(bdir.split("=")[1])
+            tdir = os.path.join(self.data_dir, bdir)
+            os.makedirs(tdir, exist_ok=True)
+            for f in sorted(os.listdir(os.path.join(staging, bdir))):
+                if not f.endswith(".parquet"):
+                    continue
+                name = f"part-{uuid.uuid4().hex}.parquet"
+                os.replace(
+                    os.path.join(staging, bdir, f),
+                    os.path.join(tdir, name),
+                )
+                adds.append({
+                    "add": {"file": f"data/{bdir}/{name}", "bucket": b}
+                })
+        shutil.rmtree(staging, ignore_errors=True)
+        return adds
+
+    def _discard(self, adds: list[dict]) -> None:
+        for a in adds:
+            try:
+                os.unlink(os.path.join(self.path, a["add"]["file"]))
+            except OSError:
+                pass
+
+    def snapshot(self, version: "int | None" = None) -> DataFrame:
+        """The table as a DataFrame at ``version`` (default latest).
+        Stable under concurrent commits: the file list is fixed at
+        call time and data files are immutable."""
+        _v, live = self._replay(upto=version)
+        files = [os.path.join(self.path, f) for f in sorted(live)]
+        if not files:
+            # schemaless empty table: no rows, no columns to promise
+            return self.spark.createDataFrame([], "dummy int").drop("dummy")
+        return self.spark.read.option("basePath", self.data_dir).parquet(
+            *files
+        ).drop("bucket")
+
+    read = snapshot
+
+    # ---------------------------------------------------- mutations --
+
+    def append(self, df: DataFrame, max_retries: int = 20) -> int:
+        """Add-only commit: never conflicts with other appends (two
+        interleaved appends both land — union semantics)."""
+        adds = self._stage(df)
+        v = self.version()
+        for _ in range(max_retries):
+            if self._commit(
+                v + 1, adds, op="append",
+                buckets=[a["add"]["bucket"] for a in adds],
+            ):
+                return v + 1
+            v = self.version()
+        self._discard(adds)
+        raise CommitConflict(f"append lost {max_retries} version races")
+
+    def merge_upsert(self, updates: DataFrame, max_retries: int = 10) -> int:
+        """MERGE: rows matching an existing key replace it, new keys
+        insert — rewriting ONLY the buckets ``updates`` touches.
+        Serializable via OCC: retries from a fresh snapshot whenever a
+        concurrent commit touched an overlapping bucket; commits
+        directly at the next version when concurrents are disjoint
+        (bucket-disjoint writes commute)."""
+        updates = updates.cache()
+        try:
+            for _ in range(max_retries):
+                base_v, live = self._replay()
+                tb = sorted(
+                    r["b"] for r in updates.select(
+                        self._bucket_col().alias("b")
+                    ).distinct().collect()
+                )
+                touched = set(tb)
+                old = [
+                    f for f, info in live.items()
+                    if info.get("bucket") in touched
+                ]
+                if old:
+                    cur = self.spark.read.option(
+                        "basePath", self.data_dir
+                    ).parquet(
+                        *[os.path.join(self.path, f) for f in old]
+                    ).drop("bucket")
+                    merged = cur.join(
+                        updates.select(*self.key_cols),
+                        on=self.key_cols, how="left_anti",
+                    ).unionByName(updates)
+                else:
+                    merged = updates
+                adds = self._stage(merged)
+                actions = adds + [{"remove": {"file": f}} for f in old]
+                v = base_v
+                committed = False
+                while True:
+                    if self._commit(
+                        v + 1, actions, op="merge", buckets=tb
+                    ):
+                        committed = True
+                        break
+                    v += 1
+                    info = self._commit_info(v) or {}
+                    if set(info.get("buckets", [])) & touched or (
+                        info.get("op") not in ("append", "merge", "delete")
+                    ):
+                        break  # real conflict: retry from new snapshot
+                if committed:
+                    return v + 1
+                self._discard(adds)
+        finally:
+            updates.unpersist()
+        raise CommitConflict(
+            f"merge conflicted {max_retries} times on buckets"
+        )
+
+    def delete_keys(self, keys: DataFrame, max_retries: int = 10) -> int:
+        """Delete by key: bucket-scoped rewrite without the matching
+        rows (same OCC loop as merge)."""
+        keys = keys.select(*self.key_cols).cache()
+        try:
+            for _ in range(max_retries):
+                base_v, live = self._replay()
+                tb = sorted(
+                    r["b"] for r in keys.select(
+                        self._bucket_col().alias("b")
+                    ).distinct().collect()
+                )
+                touched = set(tb)
+                old = [
+                    f for f, info in live.items()
+                    if info.get("bucket") in touched
+                ]
+                if not old:
+                    return base_v  # nothing to delete
+                cur = self.spark.read.option(
+                    "basePath", self.data_dir
+                ).parquet(
+                    *[os.path.join(self.path, f) for f in old]
+                ).drop("bucket")
+                kept = cur.join(keys, on=self.key_cols, how="left_anti")
+                adds = self._stage(kept)
+                actions = adds + [{"remove": {"file": f}} for f in old]
+                v = base_v
+                committed = False
+                while True:
+                    if self._commit(
+                        v + 1, actions, op="delete", buckets=tb
+                    ):
+                        committed = True
+                        break
+                    v += 1
+                    info = self._commit_info(v) or {}
+                    if set(info.get("buckets", [])) & touched or (
+                        info.get("op") not in ("append", "merge", "delete")
+                    ):
+                        break
+                if committed:
+                    return v + 1
+                self._discard(adds)
+        finally:
+            keys.unpersist()
+        raise CommitConflict(
+            f"delete conflicted {max_retries} times on buckets"
+        )
+
+    # ------------------------------------------------- maintenance --
+
+    def vacuum(self, grace_s: float = 3600.0) -> list[str]:
+        """Physically delete files no snapshot can reference: files
+        REMOVED by some commit, and orphans staged by crashed writers
+        (on disk, never in the log) — both only once older than
+        ``grace_s`` so in-flight readers/writers finish first."""
+        _v, live = self._replay()
+        referenced = set(live)
+        removed = []
+        now = time.time()
+        for bdir in os.listdir(self.data_dir):
+            full_b = os.path.join(self.data_dir, bdir)
+            if not os.path.isdir(full_b):
+                continue
+            for f in os.listdir(full_b):
+                rel = f"data/{bdir}/{f}"
+                full = os.path.join(full_b, f)
+                if rel in referenced:
+                    continue
+                try:
+                    if now - os.stat(full).st_mtime >= grace_s:
+                        os.unlink(full)
+                        removed.append(rel)
+                except OSError:
+                    pass
+        return removed

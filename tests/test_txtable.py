@@ -1,0 +1,334 @@
+"""ACID table format (store/txtable.py): commit-log atomicity under
+genuine cross-process races, OCC merge conflict/commute semantics,
+snapshot isolation, checkpoint replay, crash-orphan vacuum."""
+
+import json
+import multiprocessing as mp
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypeman_spark.store.txtable import TxTable, _commit_name
+
+
+def _mk(spark, tmp_path, **kw):
+    kw.setdefault("key_cols", ["k"])
+    kw.setdefault("n_buckets", 4)
+    return TxTable(spark, str(tmp_path / "tbl"), **kw)
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(list(pairs), "k long, val string")
+
+
+def test_append_merge_delete_roundtrip(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    t.merge_upsert(_df(spark, [(5, "NEW"), (99, "INS")]))
+    rows = {r["k"]: r["val"] for r in t.read().collect()}
+    assert len(rows) == 11 and rows[5] == "NEW" and rows[99] == "INS"
+    assert rows[3] == "v3"  # untouched bucket rows survive the merge
+    t.delete_keys(spark.createDataFrame([(99,)], "k long"))
+    assert t.read().count() == 10
+    assert [h["op"] for h in t.history()] == [
+        "create", "append", "merge", "delete",
+    ]
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100 TB contract: a 1-key merge must remove files only in
+    that key's bucket — every other bucket's files stay live."""
+    t = _mk(spark, tmp_path, n_buckets=8)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(64)]))
+    _v, before = t._replay()
+    t.merge_upsert(_df(spark, [(7, "X")]))
+    _v, after = t._replay()
+    tb = {
+        r["b"]
+        for r in _df(spark, [(7, "X")]).select(
+            t._bucket_col().alias("b")
+        ).collect()
+    }
+    for f, info in before.items():
+        if info["bucket"] not in tb:
+            assert f in after, f"untouched bucket file {f} was removed"
+    assert any(
+        f not in after for f, i in before.items() if i["bucket"] in tb
+    )
+
+
+def test_snapshot_isolation_and_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    snap = t.snapshot()  # file list fixed NOW
+    t.merge_upsert(_df(spark, [(1, "CHANGED")]))
+    assert {r["val"] for r in snap.collect()} == {"a", "b"}
+    assert {
+        r["val"] for r in t.snapshot(version=1).collect()
+    } == {"a", "b"}  # explicit time travel
+    assert {r["val"] for r in t.read().collect()} == {"CHANGED", "b"}
+
+
+def test_reopen_reads_table_meta(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_buckets=8, checkpoint_interval=7)
+    t.append(_df(spark, [(1, "a")]))
+    t2 = TxTable(spark, str(tmp_path / "tbl"))  # no key_cols passed
+    assert t2.key_cols == ["k"] and t2.n_buckets == 8
+    assert t2.checkpoint_interval == 7
+    assert t2.read().count() == 1
+    with pytest.raises(ValueError):
+        TxTable(spark, str(tmp_path / "fresh"))  # new table needs keys
+
+
+def test_checkpoint_bounds_replay(spark, tmp_path):
+    t = _mk(spark, tmp_path, checkpoint_interval=3)
+    for i in range(7):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    ckpts = [
+        n for n in os.listdir(t.log_dir) if n.endswith(".checkpoint.json")
+    ]
+    assert ckpts  # interval 3 over 8 commits -> at least v3 and v6
+    assert t.read().count() == 7
+    # replay from checkpoint must equal full replay: drop the early log
+    # entries a checkpoint supersedes and the snapshot must not change
+    cv = max(int(n.split(".")[0]) for n in ckpts)
+    for n in list(os.listdir(t.log_dir)):
+        if n.endswith(".json") and not n.endswith(".checkpoint.json"):
+            if int(n.split(".")[0]) < cv and int(n.split(".")[0]) > 0:
+                os.unlink(os.path.join(t.log_dir, n))
+    assert t.read().count() == 7
+
+
+def test_interleaved_overlapping_merge_retries_and_wins(spark, tmp_path):
+    """Writer A merges key 1; after A reads its snapshot but BEFORE A
+    commits, writer B lands a merge touching the same bucket. A's
+    first commit attempt must fail, detect the overlap, restage from
+    the fresh snapshot and win serially: final state has BOTH B's
+    untouched-key write and A's contested-key write (A serialized
+    after B)."""
+    t_a = _mk(spark, tmp_path)
+    t_b = TxTable(spark, str(tmp_path / "tbl"))
+    t_a.append(_df(spark, [(1, "base1"), (2, "base2")]))
+
+    real_commit = t_a._commit
+    fired = {"done": False}
+
+    def hooked(expected_version, actions, op, buckets):
+        if op == "merge" and not fired["done"]:
+            fired["done"] = True
+            # concurrent writer lands first, same bucket (key 1 and 2
+            # both hash somewhere in 4 buckets; force overlap by
+            # updating the SAME key space)
+            t_b.merge_upsert(_df(spark, [(1, "from_b"), (2, "from_b")]))
+        return real_commit(expected_version, actions, op, buckets)
+
+    t_a._commit = hooked
+    t_a.merge_upsert(_df(spark, [(1, "from_a")]))
+    rows = {r["k"]: r["val"] for r in t_a.read().collect()}
+    assert rows[1] == "from_a"  # A retried on top of B and won key 1
+    assert rows[2] == "from_b"  # B's write to the uncontested key kept
+    assert fired["done"]
+
+
+def test_disjoint_bucket_merge_commits_without_restage(spark, tmp_path):
+    """When the interleaved commit touches only OTHER buckets, the
+    merge must slide to the next version WITHOUT discarding its staged
+    files (commuting writes)."""
+    t_a = _mk(spark, tmp_path, n_buckets=64)
+    t_b = TxTable(spark, str(tmp_path / "tbl"))
+    t_a.append(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    # find two keys in different buckets
+    b = {
+        r["k"]: r["b"]
+        for r in _df(spark, [(i, "") for i in range(20)])
+        .select("k", t_a._bucket_col().alias("b")).collect()
+    }
+    k1 = 0
+    k2 = next(k for k in b if b[k] != b[k1])
+    stages = {"n": 0}
+    real_stage = t_a._stage
+
+    def counting_stage(df):
+        stages["n"] += 1
+        return real_stage(df)
+
+    t_a._stage = counting_stage
+    real_commit = t_a._commit
+    fired = {"done": False}
+
+    def hooked(expected_version, actions, op, buckets):
+        if op == "merge" and not fired["done"]:
+            fired["done"] = True
+            t_b.merge_upsert(_df(spark, [(k2, "from_b")]))
+        return real_commit(expected_version, actions, op, buckets)
+
+    t_a._commit = hooked
+    t_a.merge_upsert(_df(spark, [(k1, "from_a")]))
+    rows = {r["k"]: r["val"] for r in t_a.read().collect()}
+    assert rows[k1] == "from_a" and rows[k2] == "from_b"
+    assert stages["n"] == 1  # staged exactly once: no restage needed
+
+
+def _race_commits(path, writer_id, n_commits, barrier):
+    """Child process: race raw commits through the atomic-claim
+    protocol (no Spark needed — the race is pure filesystem)."""
+    t = TxTable.__new__(TxTable)
+    t.path = path
+    t.log_dir = os.path.join(path, "_txlog")
+    t.data_dir = os.path.join(path, "data")
+    t.checkpoint_interval = 1 << 30
+    barrier.wait()
+    landed = []
+    for i in range(n_commits):
+        fake = f"data/bucket=0/w{writer_id}_c{i}.parquet"
+        v = t.version()
+        while True:
+            if t._commit(
+                v + 1, [{"add": {"file": fake, "bucket": 0}}],
+                op="append", buckets=[0],
+            ):
+                landed.append(v + 1)
+                break
+            v += 1
+    # every version this writer claimed, written to a result file
+    with open(os.path.join(path, f"result_{writer_id}"), "w") as fh:
+        json.dump(landed, fh)
+
+
+def test_cross_process_commit_race_loses_nothing(spark, tmp_path):
+    """4 real processes race 25 commits each through the hardlink
+    claim: all 100 land, every version is claimed by exactly one
+    writer, and replay sees every file — the atomicity the whole
+    format rests on, exercised with genuine concurrency."""
+    t = _mk(spark, tmp_path)
+    path = str(tmp_path / "tbl")
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(4)
+    procs = [
+        ctx.Process(target=_race_commits, args=(path, w, 25, barrier))
+        for w in range(4)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+        assert p.exitcode == 0
+    claimed = []
+    for w in range(4):
+        with open(os.path.join(path, f"result_{w}")) as fh:
+            claimed.extend(json.load(fh))
+    assert len(claimed) == 100
+    assert len(set(claimed)) == 100  # no version claimed twice
+    assert t.version() == 100  # create(0) + 100 racing commits
+    _v, live = t._replay()
+    assert len(live) == 100  # no commit's file lost from replay
+
+
+def test_crashed_writer_orphans_invisible_then_vacuumed(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    # a writer that died after staging: file on disk, never in the log
+    orphan_dir = os.path.join(t.data_dir, "bucket=0")
+    os.makedirs(orphan_dir, exist_ok=True)
+    orphan = os.path.join(orphan_dir, "part-orphan.parquet")
+    live_file = next(iter(t._replay()[1]))
+    import shutil
+
+    shutil.copyfile(os.path.join(t.path, live_file), orphan)
+    assert t.read().count() == 2  # snapshot never reads the orphan
+    # a half-written commit tmp file must not confuse the log either
+    open(os.path.join(t.log_dir, ".tmp.999.deadbeef"), "w").write("{")
+    assert t.version() == 1
+    removed = t.vacuum(grace_s=0)
+    assert "data/bucket=0/part-orphan.parquet" in removed
+    assert not os.path.exists(orphan)
+    assert t.read().count() == 2  # live files untouched
+
+
+def test_vacuumed_removed_files_gone_but_history_valid(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(i, "x") for i in range(8)]))
+    t.merge_upsert(_df(spark, [(i, "y") for i in range(8)]))
+    n_files_before = sum(
+        len(fs) for _r, _d, fs in os.walk(t.data_dir)
+    )
+    removed = t.vacuum(grace_s=0)
+    assert removed  # the merge's superseded files are reclaimable
+    assert sum(
+        len(fs) for _r, _d, fs in os.walk(t.data_dir)
+    ) == n_files_before - len(removed)
+    assert {r["val"] for r in t.read().collect()} == {"y"}
+    with pytest.raises(Exception):
+        # time travel to a vacuumed version now legitimately fails
+        t.snapshot(version=1).collect()
+
+
+def test_commit_file_is_complete_when_visible(spark, tmp_path):
+    """The version file appears only via os.link of a fully-fsynced
+    tmp — so any visible commit file parses completely."""
+    t = _mk(spark, tmp_path)
+    for i in range(5):
+        t.append(_df(spark, [(i, "v")]))
+    for n in sorted(os.listdir(t.log_dir)):
+        if n.endswith(".json") and not n.endswith(".checkpoint.json"):
+            with open(os.path.join(t.log_dir, n)) as fh:
+                lines = [json.loads(line) for line in fh]
+            assert any("commit" in a for a in lines)
+
+
+def test_merge_state_machine_vs_duckdb_sequence(spark, tmp_path, sf_dir):
+    """Apply a deterministic merge/delete sequence from real orders
+    data and check the final state against an independent relational
+    recomputation (duckdb)."""
+    import duckdb
+
+    from pypeman_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = _mk(spark, tmp_path, n_buckets=8)
+    t.append(orders.filter(F.col("k") < 1000).withColumn("src", F.lit("base")))
+    t.merge_upsert(
+        orders.filter((F.col("k") >= 500) & (F.col("k") < 1500))
+        .withColumn("cents", F.col("cents") + 1)
+        .withColumn("src", F.lit("m1"))
+    )
+    t.delete_keys(
+        orders.filter((F.col("k") % 7 == 0) & (F.col("k") < 1500))
+    )
+    t.merge_upsert(
+        orders.filter(F.col("k") < 300)
+        .withColumn("cents", F.col("cents") + 2)
+        .withColumn("src", F.lit("m2"))
+    )
+    got = sorted(
+        tuple(r) for r in t.read().select("k", "c", "cents", "src").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'"
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con.execute("""
+            WITH base AS (
+              SELECT o_orderkey k, o_custkey c,
+                     CAST(round(o_totalprice * 100) AS BIGINT) cents
+              FROM orders WHERE o_orderkey < 1500
+            )
+            SELECT k, c,
+                   CASE WHEN k < 300 THEN cents + 2
+                        WHEN k >= 500 THEN cents + 1
+                        ELSE cents END AS cents,
+                   CASE WHEN k < 300 THEN 'm2'
+                        WHEN k >= 500 THEN 'm1'
+                        ELSE 'base' END AS src
+            FROM base
+            WHERE k < 300 OR k % 7 <> 0
+        """).fetchall()
+    )
+    assert got == exp
