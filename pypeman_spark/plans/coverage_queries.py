@@ -929,3 +929,75 @@ def training_data_filter(spark, sf_dir):
         )
         .select("doc_id", "quality", "ws_tokens")
     )
+
+
+# =====================================================================
+# ACID transaction table (store/txtable.py — beyond-reference storage:
+# the mini Delta-protocol log closing the survey §7.4 "no ACID table"
+# gap; reference stores are append-only, ``pypeman/msgstore.py``)
+# =====================================================================
+
+_TXTABLE_SQL = """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ), upserted AS (
+      SELECT c_custkey, segment,
+             CASE WHEN segment = 'BUILDING'
+                  THEN bal_cents + 12345 ELSE bal_cents END AS bal_cents
+      FROM base
+    ), final AS (
+      SELECT * FROM upserted WHERE c_custkey % 7 <> 0
+    )
+    SELECT 'initial' AS arm, segment, count(*) AS n,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM base GROUP BY segment
+    UNION ALL
+    SELECT 'final' AS arm, segment, count(*) AS n,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM final GROUP BY segment
+"""
+
+
+@q("txtable_acid_suite", _TXTABLE_SQL)
+def txtable_acid_suite(spark, sf_dir):
+    """ACID table end-to-end through the REAL commit log: append all
+    customers (one log version), MERGE-upsert the BUILDING segment with
+    adjusted balances (bucket-scoped rewrite, last-write-wins by key),
+    delete every 7th key, then read BOTH the final snapshot and a
+    TIME-TRAVEL snapshot pinned at the append version — proving
+    immutable-file snapshot isolation: the initial arm must reproduce
+    the pre-merge table exactly even though later commits rewrote and
+    removed its buckets' files. Oracle recomputes both states
+    relationally. Scale: merge rewrites only touched key-hash buckets
+    (~min(M, B) of B), never the table; integer-cents sums are
+    partial-agg-order-proof."""
+    from ..store import TxTable
+
+    tmp = tempfile.mkdtemp(prefix="pypeman_txtable_")
+    tx = TxTable(
+        spark, os.path.join(tmp, "tbl"),
+        key_cols=["c_custkey"], n_buckets=8,
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    v_insert = tx.append(cust)
+    tx.merge_upsert(
+        cust.filter(F.col("segment") == "BUILDING")
+        .withColumn("bal_cents", F.col("bal_cents") + F.lit(12345))
+    )
+    tx.delete_keys(cust.filter(F.col("c_custkey") % 7 == 0))
+
+    def agg(df, arm):
+        return df.groupBy("segment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal_cents").alias("bal_cents"),
+        ).select(F.lit(arm).alias("arm"), "segment", "n", "bal_cents")
+
+    return agg(tx.snapshot(version=v_insert), "initial").unionByName(
+        agg(tx.snapshot(), "final")
+    )
