@@ -59,6 +59,11 @@ __all__ = ["TxTable", "CommitConflict"]
 _LOG_DIR = "_txlog"
 _VERSION_DIGITS = 20
 
+# Ops whose BUCKET-DISJOINT commits commute with an in-flight
+# bucket-scoped rewrite (any bucket overlap always forces a retry).
+# "create" and unknown ops are conservatively treated as conflicts.
+_COMMUTING_OPS = ("append", "merge", "delete", "compact")
+
 
 class CommitConflict(RuntimeError):
     """Raised when a merge exhausts its OCC retries."""
@@ -162,19 +167,28 @@ class TxTable:
             return best, json.load(fh)
 
     def _replay(self, upto: "int | None" = None) -> "tuple[int, dict[str, dict]]":
-        """Live file set {relpath: add-info} as of ``upto`` (default:
+        v, live, _txns = self._replay_full(upto)
+        return v, live
+
+    def _replay_full(
+        self, upto: "int | None" = None
+    ) -> "tuple[int, dict[str, dict], dict[str, int]]":
+        """Live file set {relpath: add-info} and idempotence markers
+        {txn app: last committed version} as of ``upto`` (default:
         latest). Replays from the newest checkpoint at or below."""
         names = self._log_files()
         if upto is not None:
             names = [n for n in names if _version_of(n) <= upto]
         if not names:
-            return -1, {}
+            return -1, {}, {}
         live: dict[str, dict] = {}
+        txns: dict[str, int] = {}
         start = 0
         ckpt = self._latest_checkpoint(_version_of(names[-1]))
         if ckpt is not None:
             cv, state = ckpt
             live = dict(state["live"])
+            txns = dict(state.get("txns", {}))
             start = cv + 1
         for n in names:
             v = _version_of(n)
@@ -187,7 +201,20 @@ class TxTable:
                         live[a["add"]["file"]] = a["add"]
                     elif "remove" in a:
                         live.pop(a["remove"]["file"], None)
-        return _version_of(names[-1]), live
+                    elif "commit" in a and "txn" in a["commit"]:
+                        tx = a["commit"]["txn"]
+                        txns[tx["app"]] = max(
+                            txns.get(tx["app"], -1), tx["version"]
+                        )
+        return _version_of(names[-1]), live, txns
+
+    def last_txn_version(self, app: str) -> int:
+        """Highest ``txn`` marker committed for ``app`` (-1 if none) —
+        the Delta-style idempotent-writer protocol: a streaming
+        foreachBatch passes ``txn=(query_id, batch_id)`` and a
+        re-delivered batch after restart is a provable no-op."""
+        _v, _live, txns = self._replay_full()
+        return txns.get(app, -1)
 
     def _commit_info(self, version: int) -> "dict | None":
         p = os.path.join(self.log_dir, _commit_name(version))
@@ -209,17 +236,19 @@ class TxTable:
         return out
 
     def _commit(self, expected_version: int, actions: list[dict],
-                op: str, buckets: list[int]) -> bool:
+                op: str, buckets: list[int],
+                txn: "tuple[str, int] | None" = None) -> bool:
         """Atomically publish ``actions`` as ``expected_version``.
         Returns False (without side effects) if that version was
         already claimed by another writer."""
-        record = list(actions) + [{
-            "commit": {
-                "version": expected_version, "op": op,
-                "buckets": sorted(buckets), "pid": os.getpid(),
-                "ts": time.time(),
-            }
-        }]
+        info = {
+            "version": expected_version, "op": op,
+            "buckets": sorted(buckets), "pid": os.getpid(),
+            "ts": time.time(),
+        }
+        if txn is not None:
+            info["txn"] = {"app": txn[0], "version": int(txn[1])}
+        record = list(actions) + [{"commit": info}]
         tmp = os.path.join(
             self.log_dir,
             f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}",
@@ -242,10 +271,10 @@ class TxTable:
     def _maybe_checkpoint(self, version: int) -> None:
         if version == 0 or version % self.checkpoint_interval != 0:
             return
-        _v, live = self._replay(upto=version)
+        _v, live, txns = self._replay_full(upto=version)
         tmp = os.path.join(self.log_dir, f".ckpt.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "live": live}, fh)
+            json.dump({"version": version, "live": live, "txns": txns}, fh)
         os.replace(
             tmp,
             os.path.join(
@@ -314,6 +343,35 @@ class TxTable:
 
     read = snapshot
 
+    def lookup(self, keys: DataFrame) -> DataFrame:
+        """Point reads: rows whose key appears in ``keys``, reading
+        ONLY the key-hash buckets those keys land in — ~min(K, B) of B
+        buckets' files instead of the table scan ``snapshot`` does.
+        This is the 100 TB point-probe path: B=4096 makes a single-key
+        lookup touch ~1/4096 of the table's files, driver-side, before
+        Spark ever plans the scan."""
+        keys = keys.select(*self.key_cols)
+        kb = sorted(
+            r["b"] for r in keys.select(
+                self._bucket_col().alias("b")
+            ).distinct().collect()
+        )  # bounded: <= min(distinct keys, n_buckets) rows
+        _v, live = self._replay()
+        files = [
+            os.path.join(self.path, f)
+            for f, info in sorted(live.items())
+            if info.get("bucket") in set(kb)
+        ]
+        if not files:
+            # keys hash only to empty buckets: empty result, table schema
+            # (LocalRelation after constant-folding — no files scanned)
+            return self.snapshot().where(F.lit(False))
+        return (
+            self.spark.read.option("basePath", self.data_dir)
+            .parquet(*files).drop("bucket")
+            .join(keys, on=self.key_cols, how="left_semi")
+        )
+
     # ---------------------------------------------------- mutations --
 
     def append(self, df: DataFrame, max_retries: int = 20) -> int:
@@ -331,17 +389,36 @@ class TxTable:
         self._discard(adds)
         raise CommitConflict(f"append lost {max_retries} version races")
 
-    def merge_upsert(self, updates: DataFrame, max_retries: int = 10) -> int:
+    def foreach_batch_merge(self, app: str):
+        """Structured-Streaming sink: ``writeStream.foreachBatch(
+        tx.foreach_batch_merge(query_name))`` MERGEs each micro-batch
+        exactly once — a batch re-delivered after checkpoint restart
+        carries the same (app, batch_id) txn marker and no-ops."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.merge_upsert(batch_df, txn=(app, int(batch_id)))
+
+        return _sink
+
+    def merge_upsert(self, updates: DataFrame, max_retries: int = 10,
+                     txn: "tuple[str, int] | None" = None) -> int:
         """MERGE: rows matching an existing key replace it, new keys
         insert — rewriting ONLY the buckets ``updates`` touches.
         Serializable via OCC: retries from a fresh snapshot whenever a
         concurrent commit touched an overlapping bucket; commits
         directly at the next version when concurrents are disjoint
-        (bucket-disjoint writes commute)."""
+        (bucket-disjoint writes commute).
+
+        ``txn=(app, version)`` makes the merge idempotent: if a commit
+        with the same app and version >= this one already landed, the
+        call is a no-op (exactly-once for streaming foreachBatch
+        re-deliveries after checkpoint restart)."""
         updates = updates.cache()
         try:
             for _ in range(max_retries):
-                base_v, live = self._replay()
+                base_v, live, txns = self._replay_full()
+                if txn is not None and txns.get(txn[0], -1) >= txn[1]:
+                    return base_v  # already applied — provable no-op
                 tb = sorted(
                     r["b"] for r in updates.select(
                         self._bucket_col().alias("b")
@@ -370,14 +447,14 @@ class TxTable:
                 committed = False
                 while True:
                     if self._commit(
-                        v + 1, actions, op="merge", buckets=tb
+                        v + 1, actions, op="merge", buckets=tb, txn=txn
                     ):
                         committed = True
                         break
                     v += 1
                     info = self._commit_info(v) or {}
                     if set(info.get("buckets", [])) & touched or (
-                        info.get("op") not in ("append", "merge", "delete")
+                        info.get("op") not in _COMMUTING_OPS
                     ):
                         break  # real conflict: retry from new snapshot
                 if committed:
@@ -427,7 +504,7 @@ class TxTable:
                     v += 1
                     info = self._commit_info(v) or {}
                     if set(info.get("buckets", [])) & touched or (
-                        info.get("op") not in ("append", "merge", "delete")
+                        info.get("op") not in _COMMUTING_OPS
                     ):
                         break
                 if committed:
@@ -440,6 +517,56 @@ class TxTable:
         )
 
     # ------------------------------------------------- maintenance --
+
+    def compact(self, min_files: int = 2, max_retries: int = 10) -> int:
+        """Rewrite every bucket holding >= ``min_files`` files into one
+        file each — the small-files maintenance pass a long-lived table
+        needs after many incremental merges/appends. Row-preserving,
+        and runs through the SAME OCC loop as merge: a concurrent
+        commit touching a compacting bucket invalidates the rewrite
+        (its rows would be lost) and forces a retry from the fresh
+        snapshot; disjoint-bucket commits commute. Returns the new
+        version, or the current one if nothing needed compacting."""
+        for _ in range(max_retries):
+            base_v, live = self._replay()
+            by_bucket: dict[int, list[str]] = {}
+            for f, info in live.items():
+                by_bucket.setdefault(info.get("bucket"), []).append(f)
+            todo = {b: fs for b, fs in by_bucket.items()
+                    if len(fs) >= min_files}
+            if not todo:
+                return base_v
+            old = sorted(f for fs in todo.values() for f in fs)
+            cur = self.spark.read.option(
+                "basePath", self.data_dir
+            ).parquet(
+                *[os.path.join(self.path, f) for f in old]
+            ).drop("bucket")
+            # one output file per bucket: repartition on the bucket col
+            adds = self._stage(
+                cur.repartition(len(todo), self._bucket_col())
+            )
+            actions = adds + [{"remove": {"file": f}} for f in old]
+            tb = sorted(todo)
+            touched = set(tb)
+            v = base_v
+            committed = False
+            while True:
+                if self._commit(v + 1, actions, op="compact", buckets=tb):
+                    committed = True
+                    break
+                v += 1
+                info = self._commit_info(v) or {}
+                if set(info.get("buckets", [])) & touched or (
+                    info.get("op") not in _COMMUTING_OPS
+                ):
+                    break
+            if committed:
+                return v + 1
+            self._discard(adds)
+        raise CommitConflict(
+            f"compact conflicted {max_retries} times on buckets"
+        )
 
     def vacuum(self, grace_s: float = 3600.0) -> list[str]:
         """Physically delete files no snapshot can reference: files
