@@ -167,28 +167,31 @@ class TxTable:
             return best, json.load(fh)
 
     def _replay(self, upto: "int | None" = None) -> "tuple[int, dict[str, dict]]":
-        v, live, _txns = self._replay_full(upto)
+        v, live, _txns, _schema = self._replay_full(upto)
         return v, live
 
     def _replay_full(
         self, upto: "int | None" = None
-    ) -> "tuple[int, dict[str, dict], dict[str, int]]":
-        """Live file set {relpath: add-info} and idempotence markers
-        {txn app: last committed version} as of ``upto`` (default:
+    ) -> "tuple[int, dict[str, dict], dict[str, int], str | None]":
+        """Live file set {relpath: add-info}, idempotence markers
+        {txn app: last committed version}, and the current schema JSON
+        (None until a schema action lands) as of ``upto`` (default:
         latest). Replays from the newest checkpoint at or below."""
         names = self._log_files()
         if upto is not None:
             names = [n for n in names if _version_of(n) <= upto]
         if not names:
-            return -1, {}, {}
+            return -1, {}, {}, None
         live: dict[str, dict] = {}
         txns: dict[str, int] = {}
+        schema: "str | None" = None
         start = 0
         ckpt = self._latest_checkpoint(_version_of(names[-1]))
         if ckpt is not None:
             cv, state = ckpt
             live = dict(state["live"])
             txns = dict(state.get("txns", {}))
+            schema = state.get("schema")
             start = cv + 1
         for n in names:
             v = _version_of(n)
@@ -201,20 +204,64 @@ class TxTable:
                         live[a["add"]["file"]] = a["add"]
                     elif "remove" in a:
                         live.pop(a["remove"]["file"], None)
+                    elif "schema" in a:
+                        schema = a["schema"]
                     elif "commit" in a and "txn" in a["commit"]:
                         tx = a["commit"]["txn"]
                         txns[tx["app"]] = max(
                             txns.get(tx["app"], -1), tx["version"]
                         )
-        return _version_of(names[-1]), live, txns
+        return _version_of(names[-1]), live, txns, schema
 
     def last_txn_version(self, app: str) -> int:
         """Highest ``txn`` marker committed for ``app`` (-1 if none) —
         the Delta-style idempotent-writer protocol: a streaming
         foreachBatch passes ``txn=(query_id, batch_id)`` and a
         re-delivered batch after restart is a provable no-op."""
-        _v, _live, txns = self._replay_full()
+        _v, _live, txns, _schema = self._replay_full()
         return txns.get(app, -1)
+
+    def table_schema(self, upto: "int | None" = None):
+        """The table's logical schema as of ``upto`` — from the LOG,
+        never from data-file footers (at 100 TB, schema-on-log means a
+        snapshot plans without touching any parquet metadata, and old
+        files simply null-fill columns added after they were written).
+        None before any schema action (pre-evolution tables)."""
+        from pyspark.sql.types import StructType
+
+        _v, _live, _txns, schema = self._replay_full(upto)
+        return None if schema is None else StructType.fromJson(
+            json.loads(schema)
+        )
+
+    def _evolved_schema_action(
+        self, df: DataFrame, schema_json: "str | None"
+    ) -> "list[dict]":
+        """Schema action to commit alongside ``df``'s files: the union
+        of the current table schema and ``df``'s (new columns append;
+        a same-name column with a different type is an error — silent
+        coercion at petabyte scale is how tables rot)."""
+        if schema_json is None:
+            return [{"schema": df.schema.json()}]
+        from pyspark.sql.types import StructType
+
+        cur = StructType.fromJson(json.loads(schema_json))
+        by_name = {f.name: f for f in cur.fields}
+        out = list(cur.fields)
+        changed = False
+        for f in df.schema.fields:
+            have = by_name.get(f.name)
+            if have is None:
+                out.append(f)
+                changed = True
+            elif have.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution cannot change column "
+                    f"{f.name!r}: {have.dataType} -> {f.dataType}"
+                )
+        if not changed:
+            return []
+        return [{"schema": StructType(out).json()}]
 
     def _commit_info(self, version: int) -> "dict | None":
         p = os.path.join(self.log_dir, _commit_name(version))
@@ -271,10 +318,14 @@ class TxTable:
     def _maybe_checkpoint(self, version: int) -> None:
         if version == 0 or version % self.checkpoint_interval != 0:
             return
-        _v, live, txns = self._replay_full(upto=version)
+        _v, live, txns, schema = self._replay_full(upto=version)
         tmp = os.path.join(self.log_dir, f".ckpt.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "live": live, "txns": txns}, fh)
+            json.dump(
+                {"version": version, "live": live,
+                 "txns": txns, "schema": schema},
+                fh,
+            )
         os.replace(
             tmp,
             os.path.join(
@@ -328,18 +379,35 @@ class TxTable:
             except OSError:
                 pass
 
+    def _read_files(
+        self, rel_files: "list[str]", schema_json: "str | None"
+    ) -> DataFrame:
+        """Read data files with the LOG's schema when one is recorded:
+        files written before a column was added null-fill it, and the
+        plan needs no footer merging. Falls back to footer schema for
+        pre-evolution tables."""
+        files = [os.path.join(self.path, f) for f in sorted(rel_files)]
+        reader = self.spark.read.option("basePath", self.data_dir)
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(schema_json))
+            # partition discovery still appends the bucket column even
+            # under an explicit schema — select exactly the log schema
+            return reader.schema(schema).parquet(*files).select(
+                *[f.name for f in schema.fields]
+            )
+        return reader.parquet(*files).drop("bucket")
+
     def snapshot(self, version: "int | None" = None) -> DataFrame:
         """The table as a DataFrame at ``version`` (default latest).
         Stable under concurrent commits: the file list is fixed at
         call time and data files are immutable."""
-        _v, live = self._replay(upto=version)
-        files = [os.path.join(self.path, f) for f in sorted(live)]
-        if not files:
+        _v, live, _txns, schema = self._replay_full(upto=version)
+        if not live:
             # schemaless empty table: no rows, no columns to promise
             return self.spark.createDataFrame([], "dummy int").drop("dummy")
-        return self.spark.read.option("basePath", self.data_dir).parquet(
-            *files
-        ).drop("bucket")
+        return self._read_files(sorted(live), schema)
 
     read = snapshot
 
@@ -356,20 +424,17 @@ class TxTable:
                 self._bucket_col().alias("b")
             ).distinct().collect()
         )  # bounded: <= min(distinct keys, n_buckets) rows
-        _v, live = self._replay()
-        files = [
-            os.path.join(self.path, f)
-            for f, info in sorted(live.items())
+        _v, live, _txns, schema = self._replay_full()
+        rel = [
+            f for f, info in sorted(live.items())
             if info.get("bucket") in set(kb)
         ]
-        if not files:
+        if not rel:
             # keys hash only to empty buckets: empty result, table schema
             # (LocalRelation after constant-folding — no files scanned)
             return self.snapshot().where(F.lit(False))
-        return (
-            self.spark.read.option("basePath", self.data_dir)
-            .parquet(*files).drop("bucket")
-            .join(keys, on=self.key_cols, how="left_semi")
+        return self._read_files(rel, schema).join(
+            keys, on=self.key_cols, how="left_semi"
         )
 
     # ---------------------------------------------------- mutations --
@@ -380,8 +445,10 @@ class TxTable:
         adds = self._stage(df)
         v = self.version()
         for _ in range(max_retries):
+            _bv, _live, _txns, schema = self._replay_full()
+            actions = adds + self._evolved_schema_action(df, schema)
             if self._commit(
-                v + 1, adds, op="append",
+                v + 1, actions, op="append",
                 buckets=[a["add"]["bucket"] for a in adds],
             ):
                 return v + 1
@@ -416,7 +483,7 @@ class TxTable:
         updates = updates.cache()
         try:
             for _ in range(max_retries):
-                base_v, live, txns = self._replay_full()
+                base_v, live, txns, schema = self._replay_full()
                 if txn is not None and txns.get(txn[0], -1) >= txn[1]:
                     return base_v  # already applied — provable no-op
                 tb = sorted(
@@ -429,20 +496,20 @@ class TxTable:
                     f for f, info in live.items()
                     if info.get("bucket") in touched
                 ]
+                schema_act = self._evolved_schema_action(updates, schema)
                 if old:
-                    cur = self.spark.read.option(
-                        "basePath", self.data_dir
-                    ).parquet(
-                        *[os.path.join(self.path, f) for f in old]
-                    ).drop("bucket")
+                    cur = self._read_files(old, schema)
                     merged = cur.join(
                         updates.select(*self.key_cols),
                         on=self.key_cols, how="left_anti",
-                    ).unionByName(updates)
+                    ).unionByName(updates, allowMissingColumns=True)
                 else:
                     merged = updates
                 adds = self._stage(merged)
-                actions = adds + [{"remove": {"file": f}} for f in old]
+                actions = (
+                    adds + [{"remove": {"file": f}} for f in old]
+                    + schema_act
+                )
                 v = base_v
                 committed = False
                 while True:
@@ -472,7 +539,7 @@ class TxTable:
         keys = keys.select(*self.key_cols).cache()
         try:
             for _ in range(max_retries):
-                base_v, live = self._replay()
+                base_v, live, _txns, schema = self._replay_full()
                 tb = sorted(
                     r["b"] for r in keys.select(
                         self._bucket_col().alias("b")
@@ -485,11 +552,7 @@ class TxTable:
                 ]
                 if not old:
                     return base_v  # nothing to delete
-                cur = self.spark.read.option(
-                    "basePath", self.data_dir
-                ).parquet(
-                    *[os.path.join(self.path, f) for f in old]
-                ).drop("bucket")
+                cur = self._read_files(old, schema)
                 kept = cur.join(keys, on=self.key_cols, how="left_anti")
                 adds = self._stage(kept)
                 actions = adds + [{"remove": {"file": f}} for f in old]
@@ -528,7 +591,7 @@ class TxTable:
         snapshot; disjoint-bucket commits commute. Returns the new
         version, or the current one if nothing needed compacting."""
         for _ in range(max_retries):
-            base_v, live = self._replay()
+            base_v, live, _txns, schema = self._replay_full()
             by_bucket: dict[int, list[str]] = {}
             for f, info in live.items():
                 by_bucket.setdefault(info.get("bucket"), []).append(f)
@@ -537,11 +600,7 @@ class TxTable:
             if not todo:
                 return base_v
             old = sorted(f for fs in todo.values() for f in fs)
-            cur = self.spark.read.option(
-                "basePath", self.data_dir
-            ).parquet(
-                *[os.path.join(self.path, f) for f in old]
-            ).drop("bucket")
+            cur = self._read_files(old, schema)
             # one output file per bucket: repartition on the bucket col
             adds = self._stage(
                 cur.repartition(len(todo), self._bucket_col())

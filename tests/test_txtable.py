@@ -446,3 +446,120 @@ def test_compact_commutes_with_disjoint_merge(spark, tmp_path):
     assert {r["k"] for r in t.read().collect()} == before
     assert t.history()[-1]["op"] == "compact"
     assert v == t.version()
+
+
+def test_streaming_sink_checkpoint_restart_exactly_once(spark, tmp_path):
+    """A REAL StreamingQuery drives foreach_batch_merge: drain a file
+    source into the table, then RESTART from the same checkpoint with
+    new input files — only the delta merges (no re-application of the
+    drained batches), and a third restart with nothing new is a no-op.
+    Final table state must equal the batch-computed last-write-wins."""
+    src = tmp_path / "src"
+    ck = str(tmp_path / "ck")
+    src.mkdir()
+    t = _mk(spark, tmp_path)
+    sink = t.foreach_batch_merge("stream-q")
+
+    def drain(n_files_before):
+        q = (
+            spark.readStream.schema("k long, val string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def put(name, pairs):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        ks, vs = zip(*pairs)
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64()), "val": list(vs)}),
+            str(src / name),
+        )
+
+    put("f1.parquet", [(i, f"a{i}") for i in range(8)])
+    drain(1)
+    assert {r["k"]: r["val"] for r in t.read().collect()} == {
+        i: f"a{i}" for i in range(8)
+    }
+    v_after_first = t.version()
+    txn_after_first = t.last_txn_version("stream-q")
+
+    # restart with a delta file: keys 4-11, overwriting 4-7
+    put("f2.parquet", [(i, f"b{i}") for i in range(4, 12)])
+    drain(2)
+    rows = {r["k"]: r["val"] for r in t.read().collect()}
+    assert rows == {
+        **{i: f"a{i}" for i in range(4)},
+        **{i: f"b{i}" for i in range(4, 12)},
+    }
+    assert t.last_txn_version("stream-q") > txn_after_first
+    assert t.version() > v_after_first
+
+    # restart with no new input: provably nothing happens
+    v_idle = t.version()
+    drain(2)
+    assert t.version() == v_idle
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Merging a frame with a NEW column evolves the log schema; rows
+    in untouched buckets (old physical files) null-fill it on read —
+    no footer merging, the schema comes from the log."""
+    t = _mk(spark, tmp_path, n_buckets=4)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(12)]))
+    up = spark.createDataFrame(
+        [(1, "NEW", 7.5)], "k long, val string, score double"
+    )
+    t.merge_upsert(up)
+    snap = t.read()
+    assert set(snap.columns) == {"k", "val", "score"}
+    rows = {r["k"]: (r["val"], r["score"]) for r in snap.collect()}
+    assert rows[1] == ("NEW", 7.5)
+    assert rows[2] == ("v2", None)  # old file, null-filled
+    assert [f.name for f in t.table_schema().fields] == [
+        "k", "val", "score",
+    ]
+    # lookup + delete + compact all read through the log schema
+    assert t.lookup(
+        spark.createDataFrame([(1,)], "k long")
+    ).collect()[0]["score"] == 7.5
+    t.compact()
+    assert {
+        r["k"]: (r["val"], r["score"]) for r in t.read().collect()
+    } == rows
+    # appending a SUBSET of columns null-fills the rest
+    t.append(spark.createDataFrame([(100, "app")], "k long, val string"))
+    r100 = {r["k"]: r["score"] for r in t.read().collect()}[100]
+    assert r100 is None
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(1, "a")]))
+    bad = spark.createDataFrame([(2, 3)], "k long, val long")
+    with pytest.raises(ValueError, match="cannot change column"):
+        t.merge_upsert(bad)
+    # table untouched by the failed merge
+    assert {r["k"]: r["val"] for r in t.read().collect()} == {1: "a"}
+
+
+def test_schema_survives_checkpoint_and_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path, checkpoint_interval=3)
+    t.append(_df(spark, [(0, "a")]))
+    v_pre = t.version()
+    t.merge_upsert(
+        spark.createDataFrame([(0, "a", 1.0)], "k long, val string, s double")
+    )
+    for b in range(4):
+        t.merge_upsert(_df(spark, [(b + 10, f"x{b}")]))
+    reopened = TxTable(spark, str(tmp_path / "tbl"))
+    assert [f.name for f in reopened.table_schema().fields] == [
+        "k", "val", "s",
+    ]
+    # time travel BEFORE the evolution shows the old schema
+    assert set(reopened.snapshot(version=v_pre).columns) == {"k", "val"}
