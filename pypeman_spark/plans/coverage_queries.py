@@ -957,6 +957,22 @@ _TXTABLE_SQL = """
     SELECT 'final' AS arm, segment, count(*) AS n,
            CAST(sum(bal_cents) AS BIGINT) AS bal_cents
     FROM final GROUP BY segment
+    UNION ALL
+    SELECT 'cdc_insert' AS arm, segment, count(*) AS n,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM base GROUP BY segment
+    UNION ALL
+    SELECT 'cdc_update_preimage' AS arm, segment, count(*) AS n,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM base WHERE segment = 'BUILDING' GROUP BY segment
+    UNION ALL
+    SELECT 'cdc_update_postimage' AS arm, segment, count(*) AS n,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM upserted WHERE segment = 'BUILDING' GROUP BY segment
+    UNION ALL
+    SELECT 'cdc_delete' AS arm, segment, count(*) AS n,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM upserted WHERE c_custkey % 7 = 0 GROUP BY segment
 """
 
 
@@ -969,10 +985,16 @@ def txtable_acid_suite(spark, sf_dir):
     TIME-TRAVEL snapshot pinned at the append version — proving
     immutable-file snapshot isolation: the initial arm must reproduce
     the pre-merge table exactly even though later commits rewrote and
-    removed its buckets' files. Oracle recomputes both states
-    relationally. Scale: merge rewrites only touched key-hash buckets
-    (~min(M, B) of B), never the table; integer-cents sums are
-    partial-agg-order-proof."""
+    removed its buckets' files. The cdc_* arms read the CHANGE DATA
+    FEED over the whole history: the log-reconstructed per-commit
+    diffs must classify every append row as insert, exactly the
+    BUILDING rows as update pre/post images (the merge physically
+    rewrites every cohabitant row in its buckets — rewrite noise must
+    NOT appear), and the deleted keys as deletes carrying their
+    post-merge values. Oracle recomputes all states relationally.
+    Scale: merge rewrites only touched key-hash buckets (~min(M, B)
+    of B), never the table; the feed diffs only each commit's own
+    files; integer-cents sums are partial-agg-order-proof."""
     from ..store import TxTable
 
     tmp = tempfile.mkdtemp(prefix="pypeman_txtable_")
@@ -998,6 +1020,20 @@ def txtable_acid_suite(spark, sf_dir):
             F.sum("bal_cents").alias("bal_cents"),
         ).select(F.lit(arm).alias("arm"), "segment", "n", "bal_cents")
 
-    return agg(tx.snapshot(version=v_insert), "initial").unionByName(
-        agg(tx.snapshot(), "final")
+    cdc = (
+        tx.table_changes(0)
+        .groupBy("_change_type", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal_cents").alias("bal_cents"),
+        )
+        .select(
+            F.concat(F.lit("cdc_"), F.col("_change_type")).alias("arm"),
+            "segment", "n", "bal_cents",
+        )
+    )
+    return (
+        agg(tx.snapshot(version=v_insert), "initial")
+        .unionByName(agg(tx.snapshot(), "final"))
+        .unionByName(cdc)
     )

@@ -563,3 +563,83 @@ def test_schema_survives_checkpoint_and_time_travel(spark, tmp_path):
     ]
     # time travel BEFORE the evolution shows the old schema
     assert set(reopened.snapshot(version=v_pre).columns) == {"k", "val"}
+
+
+# ------------------------------------------------------------- CDC --
+
+
+def _changes(t, from_v, to_v=None):
+    rows = t.table_changes(from_v, to_v).collect()
+    return {
+        (r["_commit_version"], r["_change_type"], r["k"]): r
+        for r in rows
+    }, rows
+
+
+def test_cdc_append_is_all_inserts(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v = t.append(_df(spark, [(1, "a"), (2, "b")]))
+    ch, rows = _changes(t, 0)
+    assert len(rows) == 2
+    assert {k[1] for k in ch} == {"insert"}
+    assert {k[0] for k in ch} == {v}
+
+
+def test_cdc_merge_classifies_and_drops_rewrite_noise(spark, tmp_path):
+    """A merge rewrites EVERY row in a touched bucket; the feed must
+    carry only the rows that logically changed."""
+    t = _mk(spark, tmp_path, n_buckets=2)  # 2 buckets: lots of cohabitants
+    v0 = t.append(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    v1 = t.merge_upsert(_df(spark, [(5, "NEW"), (99, "INS")]))
+    ch, rows = _changes(t, v0, v1)
+    assert set(ch) == {
+        (v1, "insert", 99),
+        (v1, "update_preimage", 5),
+        (v1, "update_postimage", 5),
+    }
+    assert ch[(v1, "update_preimage", 5)]["val"] == "v5"
+    assert ch[(v1, "update_postimage", 5)]["val"] == "NEW"
+    # a merge that rewrites a row to the SAME value is not a change
+    v2 = t.merge_upsert(_df(spark, [(7, "v7")]))
+    assert _changes(t, v1, v2)[1] == []
+
+
+def test_cdc_delete_and_compact(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.merge_upsert(_df(spark, [(2, "B2")]))
+    v_pre = t.version()
+    v_del = t.delete_keys(spark.createDataFrame([(2,)], "k long"))
+    ch, rows = _changes(t, v_pre)
+    assert set(ch) == {(v_del, "delete", 2)}
+    assert ch[(v_del, "delete", 2)]["val"] == "B2"  # current, not original
+    v_cmp = t.compact(min_files=1)
+    assert v_cmp > v_del
+    assert _changes(t, v_del)[1] == []  # compaction: no logical change
+
+
+def test_cdc_range_and_empty(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v1 = t.append(_df(spark, [(1, "a")]))
+    v2 = t.append(_df(spark, [(2, "b")]))
+    ch, rows = _changes(t, v1, v2)  # (v1, v2]: only the second append
+    assert set(ch) == {(v2, "insert", 2)}
+    empty = t.table_changes(v2)
+    assert empty.count() == 0
+    assert {"_change_type", "_commit_version"} <= set(empty.columns)
+
+
+def test_cdc_across_schema_evolution(spark, tmp_path):
+    """Pre/post images align even when the commit added a column: the
+    preimage (old physical file, no such column) null-fills it."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    v0 = t.append(_df(spark, [(1, "a"), (2, "b")]))
+    v1 = t.merge_upsert(spark.createDataFrame(
+        [(1, "a", 9.5)], "k long, val string, score double"
+    ))
+    ch, rows = _changes(t, v0, v1)
+    assert set(ch) == {
+        (v1, "update_preimage", 1), (v1, "update_postimage", 1),
+    }
+    assert ch[(v1, "update_preimage", 1)]["score"] is None
+    assert ch[(v1, "update_postimage", 1)]["score"] == 9.5
