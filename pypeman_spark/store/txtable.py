@@ -342,10 +342,60 @@ class TxTable:
         )
         return F.pmod(F.xxhash64(key), F.lit(self.n_buckets)).cast("int")
 
+    @staticmethod
+    def _file_stats(abspath: str) -> "tuple[dict, int] | None":
+        """Per-column [min, max] over a parquet file plus its row
+        count, read from the FOOTER only (metadata pages — no data IO;
+        EVERY parquet footer is walked, not just the first, per the
+        multi-fragment schema hazard). Only top-level columns whose
+        stats are present in every row group and JSON-representable
+        (int/float/str/bool) are kept — a column missing here is simply
+        never pruned on, which is always safe."""
+        import pyarrow.parquet as pq
+
+        try:
+            md = pq.ParquetFile(abspath).metadata
+        except Exception:
+            return None
+        agg: "dict[str, list]" = {}
+        bad: set[str] = set()
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name or name in bad:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    bad.add(name)
+                    continue
+                lo, hi = st.min, st.max
+                if not (
+                    isinstance(lo, (int, float, str, bool))
+                    and isinstance(hi, (int, float, str, bool))
+                ) or isinstance(lo, float) and (
+                    lo != lo or hi != hi  # NaN bounds are meaningless
+                ):
+                    bad.add(name)
+                    continue
+                cur = agg.get(name)
+                if cur is None:
+                    agg[name] = [lo, hi]
+                else:
+                    try:
+                        cur[0] = min(cur[0], lo)
+                        cur[1] = max(cur[1], hi)
+                    except TypeError:
+                        bad.add(name)
+        return {k: v for k, v in agg.items() if k not in bad}, md.num_rows
+
     def _stage(self, df: DataFrame) -> "list[dict]":
         """Write ``df`` as immutable bucket-partitioned files under
         ``data/`` with unique names; returns add-actions (NOT yet
-        committed — invisible to every snapshot until they are)."""
+        committed — invisible to every snapshot until they are).
+        Each add carries footer-derived per-column [min, max] stats —
+        the Delta-style data-skipping index :meth:`scan` prunes on."""
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         (
             df.withColumn("bucket", self._bucket_col())
@@ -362,13 +412,13 @@ class TxTable:
                 if not f.endswith(".parquet"):
                     continue
                 name = f"part-{uuid.uuid4().hex}.parquet"
-                os.replace(
-                    os.path.join(staging, bdir, f),
-                    os.path.join(tdir, name),
-                )
-                adds.append({
-                    "add": {"file": f"data/{bdir}/{name}", "bucket": b}
-                })
+                dst = os.path.join(tdir, name)
+                os.replace(os.path.join(staging, bdir, f), dst)
+                add = {"file": f"data/{bdir}/{name}", "bucket": b}
+                parsed = self._file_stats(dst)
+                if parsed is not None:
+                    add["stats"], add["rows"] = parsed
+                adds.append({"add": add})
         shutil.rmtree(staging, ignore_errors=True)
         return adds
 
@@ -436,6 +486,87 @@ class TxTable:
         return self._read_files(rel, schema).join(
             keys, on=self.key_cols, how="left_semi"
         )
+
+    @staticmethod
+    def _may_match(stats: "dict | None", col: str, op: str, val) -> bool:
+        """Could a file with these footer stats hold a row passing
+        ``col op val``? Missing stats (old commits, unsupported types)
+        always MAY match — skipping is an optimization, never a filter.
+        Null rows never pass a comparison predicate, so min/max (which
+        exclude nulls) are exactly the right bounds."""
+        if not stats or col not in stats:
+            return True
+        mn, mx = stats[col]
+        try:
+            if op in ("=", "=="):
+                return mn <= val <= mx
+            if op == "<":
+                return mn < val
+            if op == "<=":
+                return mn <= val
+            if op == ">":
+                return mx > val
+            if op == ">=":
+                return mx >= val
+            if op == "between":
+                lo, hi = val
+                return not (hi < mn or lo > mx)
+            if op == "in":
+                return any(mn <= v <= mx for v in val)
+        except TypeError:
+            return True  # incomparable literal/stat types: keep
+        return True  # unknown op: keep
+
+    def scan(
+        self, *preds: "tuple[str, str, object]",
+        version: "int | None" = None,
+    ) -> DataFrame:
+        """Snapshot read with DATA SKIPPING: conjunctive predicates
+        ``(column, op, literal)`` — ops ``= < <= > >= between in`` —
+        prune files whose footer [min, max] proves no row can match,
+        BEFORE Spark plans the scan; the full predicate is then still
+        applied to the surviving rows, so a pruned scan is always
+        exactly ``snapshot().where(...)``. This is the log-as-index
+        100 TB path: a time-range or id-range query over a huge table
+        reads only the files whose stats intersect the range, decided
+        driver-side from the commit log with zero file IO (stats were
+        footer-read once at write time). Beyond-reference: the
+        reference's stores scan whole date directories
+        (``pypeman/msgstore.py``). ``last_scan_info`` records
+        {files_live, files_read} for plan audits."""
+        _v, live, _txns, schema = self._replay_full(upto=version)
+        kept = [
+            f for f, info in sorted(live.items())
+            if all(
+                self._may_match(info.get("stats"), c, op, v)
+                for (c, op, v) in preds
+            )
+        ]
+        self.last_scan_info = {
+            "files_live": len(live), "files_read": len(kept),
+        }
+        cond = F.lit(True)
+        for c, op, v in preds:
+            col = F.col(c)
+            if op in ("=", "=="):
+                cond = cond & (col == v)
+            elif op == "between":
+                cond = cond & col.between(v[0], v[1])
+            elif op == "in":
+                cond = cond & col.isin(list(v))
+            elif op == "<":
+                cond = cond & (col < v)
+            elif op == "<=":
+                cond = cond & (col <= v)
+            elif op == ">":
+                cond = cond & (col > v)
+            elif op == ">=":
+                cond = cond & (col >= v)
+            else:
+                raise ValueError(f"unsupported scan op: {op!r}")
+        if not kept:
+            return self.snapshot(version=version).where(F.lit(False))
+        return self._read_files(kept, schema).where(cond)
 
     def _commit_actions(
         self, version: int

@@ -643,3 +643,80 @@ def test_cdc_across_schema_evolution(spark, tmp_path):
     }
     assert ch[(v1, "update_preimage", 1)]["score"] is None
     assert ch[(v1, "update_postimage", 1)]["score"] == 9.5
+
+
+# --------------------------------------------------- data skipping --
+
+
+def test_scan_prunes_files_by_footer_stats(spark, tmp_path):
+    """Two commits with disjoint value ranges: a range scan must read
+    only the first commit's files (decided driver-side from the log)
+    and still return exactly snapshot().where(...)."""
+    t = _mk(spark, tmp_path, n_buckets=4)
+    t.append(spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "k long, price long"))
+    t.append(spark.createDataFrame(
+        [(i, i * 10) for i in range(1000, 1100)], "k long, price long"))
+    got = t.scan(("price", "between", (0, 500)))
+    info = t.last_scan_info
+    assert info["files_read"] < info["files_live"]
+    expect = t.snapshot().where(F.col("price").between(0, 500))
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in expect.collect())
+    # a range no file can hold: zero files planned, empty result,
+    # table schema preserved
+    none = t.scan(("price", ">", 10**9))
+    assert t.last_scan_info["files_read"] == 0
+    assert none.count() == 0 and set(none.columns) == {"k", "price"}
+
+
+def test_scan_string_and_equality_pruning(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(1, "apple"), (2, "berry")], "k long, w string"))
+    t.append(spark.createDataFrame(
+        [(3, "yak"), (4, "zebra")], "k long, w string"))
+    rows = t.scan(("w", "=", "zebra")).collect()
+    assert [r["k"] for r in rows] == [4]
+    assert t.last_scan_info["files_read"] < t.last_scan_info["files_live"]
+
+
+def test_scan_missing_stats_is_safe_and_filter_still_applies(
+    spark, tmp_path
+):
+    """Stats stripped from the log (as if written by an old version):
+    nothing is pruned, but the predicate still filters rows — skipping
+    is an optimization, never the filter."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(i, i) for i in range(10)], "k long, v long"))
+    # rewrite the append commit without stats
+    name = _commit_name(1)
+    p = os.path.join(t.log_dir, name)
+    lines = [json.loads(x) for x in open(p)]
+    for a in lines:
+        if "add" in a:
+            a["add"].pop("stats", None)
+            a["add"].pop("rows", None)
+    with open(p, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    got = t.scan(("v", ">=", 8))
+    assert t.last_scan_info["files_read"] == t.last_scan_info["files_live"]
+    assert sorted(r["v"] for r in got.collect()) == [8, 9]
+
+
+def test_may_match_bounds():
+    m = TxTable._may_match
+    st = {"x": [10, 20], "s": ["bb", "dd"]}
+    assert not m(st, "x", "=", 9) and m(st, "x", "=", 10)
+    assert not m(st, "x", "<", 10) and m(st, "x", "<", 11)
+    assert not m(st, "x", ">", 20) and m(st, "x", ">", 19)
+    assert m(st, "x", "<=", 10) and m(st, "x", ">=", 20)
+    assert not m(st, "x", "between", (21, 30))
+    assert m(st, "x", "between", (20, 30))
+    assert not m(st, "x", "in", [1, 2]) and m(st, "x", "in", [1, 15])
+    assert not m(st, "s", "=", "aa") and m(st, "s", "=", "cc")
+    assert m(st, "y", "=", 0)          # no stats for column: keep
+    assert m(None, "x", "=", 0)        # no stats at all: keep
+    assert m(st, "x", "=", "str")      # incomparable types: keep
