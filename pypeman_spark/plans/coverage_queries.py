@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -973,6 +974,22 @@ _TXTABLE_SQL = """
     SELECT 'cdc_delete' AS arm, segment, count(*) AS n,
            CAST(sum(bal_cents) AS BIGINT) AS bal_cents
     FROM upserted WHERE c_custkey % 7 = 0 GROUP BY segment
+    UNION ALL
+    SELECT 'cdcs_insert' AS arm, segment, count(*) AS n,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM base GROUP BY segment
+    UNION ALL
+    SELECT 'cdcs_update_preimage' AS arm, segment, count(*) AS n,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM base WHERE segment = 'BUILDING' GROUP BY segment
+    UNION ALL
+    SELECT 'cdcs_update_postimage' AS arm, segment, count(*) AS n,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM upserted WHERE segment = 'BUILDING' GROUP BY segment
+    UNION ALL
+    SELECT 'cdcs_delete' AS arm, segment, count(*) AS n,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM upserted WHERE c_custkey % 7 = 0 GROUP BY segment
 """
 
 
@@ -991,10 +1008,15 @@ def txtable_acid_suite(spark, sf_dir):
     BUILDING rows as update pre/post images (the merge physically
     rewrites every cohabitant row in its buckets — rewrite noise must
     NOT appear), and the deleted keys as deletes carrying their
-    post-merge values. Oracle recomputes all states relationally.
-    Scale: merge rewrites only touched key-hash buckets (~min(M, B)
-    of B), never the table; the feed diffs only each commit's own
-    files; integer-cents sums are partial-agg-order-proof."""
+    post-merge values. The cdcs_* arms read the SAME feed as a
+    Structured Streaming SOURCE (store/txtable_stream.py — Python Data
+    Source API, offsets = commit versions, one Arrow diff task per
+    touched (commit, bucket)) drained with availableNow into a memory
+    sink: batch and streaming consumers of one history must agree
+    exactly. Oracle recomputes all states relationally. Scale: merge
+    rewrites only touched key-hash buckets (~min(M, B) of B), never
+    the table; the feed diffs only each commit's own files;
+    integer-cents sums are partial-agg-order-proof."""
     from ..store import TxTable
 
     tmp = tempfile.mkdtemp(prefix="pypeman_txtable_")
@@ -1020,20 +1042,29 @@ def txtable_acid_suite(spark, sf_dir):
             F.sum("bal_cents").alias("bal_cents"),
         ).select(F.lit(arm).alias("arm"), "segment", "n", "bal_cents")
 
-    cdc = (
-        tx.table_changes(0)
-        .groupBy("_change_type", "segment")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("bal_cents").alias("bal_cents"),
+    def cdc_arms(df, prefix):
+        return (
+            df.groupBy("_change_type", "segment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("bal_cents").alias("bal_cents"),
+            )
+            .select(
+                F.concat(F.lit(prefix), F.col("_change_type")).alias("arm"),
+                "segment", "n", "bal_cents",
+            )
         )
-        .select(
-            F.concat(F.lit("cdc_"), F.col("_change_type")).alias("arm"),
-            "segment", "n", "bal_cents",
-        )
+
+    sink = f"txcdc_{uuid.uuid4().hex[:12]}"
+    sq = (
+        tx.stream_changes().writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True).start()
     )
+    sq.awaitTermination(120)
     return (
         agg(tx.snapshot(version=v_insert), "initial")
         .unionByName(agg(tx.snapshot(), "final"))
-        .unionByName(cdc)
+        .unionByName(cdc_arms(tx.table_changes(0), "cdc_"))
+        .unionByName(cdc_arms(spark.table(sink), "cdcs_"))
     )

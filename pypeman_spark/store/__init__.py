@@ -8,3 +8,4 @@ from .msgstore import (  # noqa: F401
 from .persistence import KVStore, MemoryKVStore  # noqa: F401
 from .retry import RetryStore  # noqa: F401
 from .txtable import CommitConflict, TxTable  # noqa: F401
+from .txtable_stream import TxTableChangesDataSource  # noqa: F401

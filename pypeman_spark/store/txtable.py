@@ -77,6 +77,103 @@ def _commit_name(version: int) -> str:
     return f"{version:0{_VERSION_DIGITS}d}.json"
 
 
+# Module-level log readers: pure filesystem+json, no SparkSession —
+# shared by TxTable and the streaming source (txtable_stream.py), whose
+# driver-side offset worker has no session to hand around.
+
+
+def _list_log(log_dir: str) -> list[str]:
+    try:
+        names = os.listdir(log_dir)
+    except FileNotFoundError:
+        return []
+    return sorted(n for n in names if n.endswith(".json")
+                  and not n.endswith(".checkpoint.json")
+                  and "." in n and n.split(".")[0].isdigit())
+
+
+def _latest_checkpoint_of(
+    log_dir: str, upto: int
+) -> "tuple[int, dict] | None":
+    best = None
+    for n in os.listdir(log_dir):
+        if n.endswith(".checkpoint.json"):
+            v = _version_of(n)
+            if v <= upto and (best is None or v > best):
+                best = v
+    if best is None:
+        return None
+    with open(os.path.join(
+        log_dir, f"{best:0{_VERSION_DIGITS}d}.checkpoint.json"
+    )) as fh:
+        return best, json.load(fh)
+
+
+def _replay_log(
+    log_dir: str, upto: "int | None" = None
+) -> "tuple[int, dict[str, dict], dict[str, int], str | None]":
+    """(version, live {relpath: add-info}, txn markers, schema JSON)
+    as of ``upto`` (default latest), replaying from the newest
+    checkpoint at or below."""
+    names = _list_log(log_dir)
+    if upto is not None:
+        names = [n for n in names if _version_of(n) <= upto]
+    if not names:
+        return -1, {}, {}, None
+    live: dict[str, dict] = {}
+    txns: dict[str, int] = {}
+    schema: "str | None" = None
+    start = 0
+    ckpt = _latest_checkpoint_of(log_dir, _version_of(names[-1]))
+    if ckpt is not None:
+        cv, state = ckpt
+        live = dict(state["live"])
+        txns = dict(state.get("txns", {}))
+        schema = state.get("schema")
+        start = cv + 1
+    for n in names:
+        v = _version_of(n)
+        if v < start:
+            continue
+        with open(os.path.join(log_dir, n)) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "add" in a:
+                    live[a["add"]["file"]] = a["add"]
+                elif "remove" in a:
+                    live.pop(a["remove"]["file"], None)
+                elif "schema" in a:
+                    schema = a["schema"]
+                elif "commit" in a and "txn" in a["commit"]:
+                    tx = a["commit"]["txn"]
+                    txns[tx["app"]] = max(
+                        txns.get(tx["app"], -1), tx["version"]
+                    )
+    return _version_of(names[-1]), live, txns, schema
+
+
+def _commit_actions_of(
+    log_dir: str, version: int
+) -> "tuple[list[dict], list[str], dict] | None":
+    """(add-infos, removed relpaths, commit-info) of one commit."""
+    p = os.path.join(log_dir, _commit_name(version))
+    if not os.path.exists(p):
+        return None
+    adds: list[dict] = []
+    removes: list[str] = []
+    info: dict = {}
+    with open(p) as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "add" in a:
+                adds.append(a["add"])
+            elif "remove" in a:
+                removes.append(a["remove"]["file"])
+            elif "commit" in a:
+                info = a["commit"]
+    return adds, removes, info
+
+
 class TxTable:
     """A parquet table with an ACID commit log (see module docstring).
 
@@ -131,13 +228,7 @@ class TxTable:
     # ---------------------------------------------------------- log --
 
     def _log_files(self) -> list[str]:
-        try:
-            names = os.listdir(self.log_dir)
-        except FileNotFoundError:
-            return []
-        return sorted(n for n in names if n.endswith(".json")
-                      and not n.endswith(".checkpoint.json")
-                      and "." in n and n.split(".")[0].isdigit())
+        return _list_log(self.log_dir)
 
     def _read_meta(self) -> "dict | None":
         p = os.path.join(self.log_dir, _commit_name(0))
@@ -154,18 +245,6 @@ class TxTable:
         names = self._log_files()
         return _version_of(names[-1]) if names else -1
 
-    def _latest_checkpoint(self, upto: int) -> "tuple[int, dict] | None":
-        best = None
-        for n in os.listdir(self.log_dir):
-            if n.endswith(".checkpoint.json"):
-                v = _version_of(n)
-                if v <= upto and (best is None or v > best):
-                    best = v
-        if best is None:
-            return None
-        with open(os.path.join(self.log_dir, f"{best:0{_VERSION_DIGITS}d}.checkpoint.json")) as fh:
-            return best, json.load(fh)
-
     def _replay(self, upto: "int | None" = None) -> "tuple[int, dict[str, dict]]":
         v, live, _txns, _schema = self._replay_full(upto)
         return v, live
@@ -177,41 +256,7 @@ class TxTable:
         {txn app: last committed version}, and the current schema JSON
         (None until a schema action lands) as of ``upto`` (default:
         latest). Replays from the newest checkpoint at or below."""
-        names = self._log_files()
-        if upto is not None:
-            names = [n for n in names if _version_of(n) <= upto]
-        if not names:
-            return -1, {}, {}, None
-        live: dict[str, dict] = {}
-        txns: dict[str, int] = {}
-        schema: "str | None" = None
-        start = 0
-        ckpt = self._latest_checkpoint(_version_of(names[-1]))
-        if ckpt is not None:
-            cv, state = ckpt
-            live = dict(state["live"])
-            txns = dict(state.get("txns", {}))
-            schema = state.get("schema")
-            start = cv + 1
-        for n in names:
-            v = _version_of(n)
-            if v < start:
-                continue
-            with open(os.path.join(self.log_dir, n)) as fh:
-                for line in fh:
-                    a = json.loads(line)
-                    if "add" in a:
-                        live[a["add"]["file"]] = a["add"]
-                    elif "remove" in a:
-                        live.pop(a["remove"]["file"], None)
-                    elif "schema" in a:
-                        schema = a["schema"]
-                    elif "commit" in a and "txn" in a["commit"]:
-                        tx = a["commit"]["txn"]
-                        txns[tx["app"]] = max(
-                            txns.get(tx["app"], -1), tx["version"]
-                        )
-        return _version_of(names[-1]), live, txns, schema
+        return _replay_log(self.log_dir, upto)
 
     def last_txn_version(self, app: str) -> int:
         """Highest ``txn`` marker committed for ``app`` (-1 if none) —
@@ -572,22 +617,7 @@ class TxTable:
         self, version: int
     ) -> "tuple[list[dict], list[str], dict] | None":
         """(add-infos, removed relpaths, commit-info) of one commit."""
-        p = os.path.join(self.log_dir, _commit_name(version))
-        if not os.path.exists(p):
-            return None
-        adds: list[dict] = []
-        removes: list[str] = []
-        info: dict = {}
-        with open(p) as fh:
-            for line in fh:
-                a = json.loads(line)
-                if "add" in a:
-                    adds.append(a["add"])
-                elif "remove" in a:
-                    removes.append(a["remove"]["file"])
-                elif "commit" in a:
-                    info = a["commit"]
-        return adds, removes, info
+        return _commit_actions_of(self.log_dir, version)
 
     def table_changes(
         self, from_version: int, to_version: "int | None" = None
@@ -695,6 +725,23 @@ class TxTable:
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
+
+    def stream_changes(self, starting_version: int = 0) -> DataFrame:
+        """The change feed as a STREAMING DataFrame (Structured
+        Streaming source over the commit log — see
+        :mod:`.txtable_stream`): offsets are commit versions and are
+        checkpointed by Spark, so a restarted query resumes at exactly
+        the next unconsumed commit. ``starting_version`` is exclusive,
+        like :meth:`table_changes`."""
+        from .txtable_stream import TxTableChangesDataSource
+
+        self.spark.dataSource.register(TxTableChangesDataSource)
+        return (
+            self.spark.readStream.format("txtable_changes")
+            .option("path", self.path)
+            .option("startingVersion", str(int(starting_version)))
+            .load()
+        )
 
     # ---------------------------------------------------- mutations --
 

@@ -1,0 +1,268 @@
+"""TxTable CDC as a real Structured Streaming SOURCE.
+
+Spark 4's Python Data Source API (`pyspark.sql.datasource`) lets the
+change feed plug into `spark.readStream` natively: offsets are commit
+versions (checkpointed by Spark, so restarts resume exactly where the
+previous query stopped — exactly-once delivery of every logical change
+when paired with an idempotent sink such as
+:meth:`TxTable.foreach_batch_merge`), and each micro-batch fans out as
+one task per (commit, bucket). That granularity is the 100 TB story:
+the table's bucket layout means a key never crosses bucket files, so a
+commit's old-vs-new diff decomposes into independent bucket-local
+joins — a merge that touched 12 of 4096 buckets costs 12 parallel
+tasks over only those buckets' files, never a table scan and never a
+global shuffle. The diff itself runs executor-side in Arrow (pyarrow
+hash join + vectorized compare), emitting `RecordBatch`es straight
+into Spark — no row-at-a-time Python, no pandas type mangling.
+
+Semantics match :meth:`TxTable.table_changes` (the batch feed):
+``_change_type`` in insert / update_preimage / update_postimage /
+delete, ``_commit_version`` long; compact commits are row-preserving
+and skipped; rows a merge physically rewrote but did not change are
+eliminated by a null-safe full-row compare. Contracts shared with the
+batch feed: one live row per key (the merge discipline), removed files
+not yet :meth:`TxTable.vacuum`-ed, and the feed's schema is fixed when
+the query starts (columns added by later schema evolution appear after
+a restart; until then evolved commits null-fill like any old reader).
+
+Beyond-reference: the reference's stores (``pypeman/msgstore.py``) are
+append-only directories with no change log and no streaming reader.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from .txtable import (
+    _LOG_DIR,
+    _commit_actions_of,
+    _list_log,
+    _replay_log,
+    _version_of,
+)
+
+__all__ = ["TxTableChangesDataSource"]
+
+# ops that contribute logical row changes (same set as table_changes)
+_FEED_OPS = ("append", "merge", "delete")
+_META_COLS = ("_change_type", "_commit_version")
+
+
+def _bucket_of(relpath: str) -> int:
+    return int(relpath.split("bucket=")[1].split("/")[0])
+
+
+class _CommitBucketPartition(InputPartition):
+    """One commit's diff restricted to one bucket — self-contained
+    (absolute file lists + key cols + pickled Arrow schema), so read()
+    needs only pyarrow on the executor."""
+
+    def __init__(self, version, old_files, new_files, key_cols):
+        self.version = version
+        self.old_files = old_files
+        self.new_files = new_files
+        self.key_cols = key_cols
+
+
+class TxTableChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options):
+        self.path = options["path"]
+        self.log_dir = os.path.join(self.path, _LOG_DIR)
+        self.start_version = int(options.get("startingVersion") or 0)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self.arrow_out = to_arrow_schema(schema)
+        # key cols live in version 0's meta action
+        meta = {}
+        p = os.path.join(self.log_dir, f"{0:020d}.json")
+        with open(p) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "meta" in a:
+                    meta = a["meta"]
+        self.key_cols = list(meta["key_cols"])
+
+    # ------------------------------------------------------ offsets --
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        names = _list_log(self.log_dir)
+        v = _version_of(names[-1]) if names else -1
+        return {"version": max(v, self.start_version)}
+
+    # --------------------------------------------------- partitions --
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            parsed = _commit_actions_of(self.log_dir, v)
+            if parsed is None:
+                continue
+            adds, removes, info = parsed
+            if info.get("op") not in _FEED_OPS:
+                continue  # create/compact/schema-only: row-preserving
+            by_bucket: dict[int, tuple[list, list]] = {}
+            for a in adds:
+                by_bucket.setdefault(a["bucket"], ([], []))[1].append(
+                    os.path.join(self.path, a["file"])
+                )
+            for f in removes:
+                by_bucket.setdefault(_bucket_of(f), ([], []))[0].append(
+                    os.path.join(self.path, f)
+                )
+            for _b, (old, new) in sorted(by_bucket.items()):
+                parts.append(_CommitBucketPartition(
+                    v, sorted(old), sorted(new), self.key_cols
+                ))
+        if not parts:
+            # a planned batch of only row-preserving commits still
+            # needs a partition; this sentinel yields zero batches
+            parts.append(_CommitBucketPartition(-1, [], [], self.key_cols))
+        return parts
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to release: the log is the source of truth
+
+    def stop(self) -> None:
+        pass
+
+    # --------------------------------------------------------- read --
+
+    def read(self, p: _CommitBucketPartition):
+        """Executor-side bucket-local diff, all Arrow: read the
+        commit's old/new files for this bucket, hash-join on the key,
+        vectorized null-safe compare, emit RecordBatches."""
+        if p.version < 0:
+            return
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        out_schema = self.arrow_out
+        tbl_fields = [f for f in out_schema if f.name not in _META_COLS]
+        tbl_schema = pa.schema(tbl_fields)
+        keys = list(p.key_cols)
+        nonkey = [f.name for f in tbl_fields if f.name not in keys]
+
+        def load(files):
+            """Union of parquet files aligned to the FEED schema:
+            columns the file predates are typed nulls (schema
+            evolution), extras (the physical bucket partition col, or
+            post-restart evolved columns) are dropped."""
+            if not files:
+                return None
+            tabs = []
+            for f in files:
+                t = pq.read_table(f)
+                cols = {}
+                for fld in tbl_fields:
+                    if fld.name in t.column_names:
+                        cols[fld.name] = pc.cast(t[fld.name], fld.type)
+                    else:
+                        cols[fld.name] = pa.nulls(t.num_rows, fld.type)
+                tabs.append(pa.table(cols).cast(tbl_schema))
+            return pa.concat_tables(tabs)
+
+        def emit(tbl, ctype):
+            n = tbl.num_rows
+            if n == 0:
+                return
+            t = tbl.append_column(
+                "_change_type", pa.array([ctype] * n, pa.string())
+            ).append_column(
+                "_commit_version", pa.array([p.version] * n, pa.int64())
+            )
+            yield from t.cast(out_schema).to_batches()
+
+        old = load(p.old_files)
+        new = load(p.new_files)
+        if old is None and new is None:
+            return
+        if old is None:
+            yield from emit(new, "insert")
+            return
+        if new is None:
+            yield from emit(old, "delete")
+            return
+
+        o = old.append_column("__po", pa.array([True] * old.num_rows))
+        n = new.append_column("__pn", pa.array([True] * new.num_rows))
+        j = o.join(
+            n, keys=keys, join_type="full outer",
+            left_suffix="_o", right_suffix="_n",
+        )
+        in_old = pc.is_valid(j["__po"])
+        in_new = pc.is_valid(j["__pn"])
+
+        def side(tbl_j, suffix):
+            cols = {}
+            for f in tbl_fields:
+                src = f.name if f.name in keys else f.name + suffix
+                cols[f.name] = tbl_j[src]
+            return pa.table(cols).cast(tbl_schema)
+
+        yield from emit(
+            side(j.filter(pc.and_(pc.invert(in_old), in_new)), "_n"),
+            "insert",
+        )
+        yield from emit(
+            side(j.filter(pc.and_(in_old, pc.invert(in_new))), "_o"),
+            "delete",
+        )
+        both = j.filter(pc.and_(in_old, in_new))
+        if nonkey:
+            changed = None
+            for c in nonkey:
+                lo, hi = both[c + "_o"], both[c + "_n"]
+                same = pc.or_(
+                    pc.fill_null(pc.equal(lo, hi), False),
+                    pc.and_(pc.is_null(lo), pc.is_null(hi)),
+                )
+                diff = pc.invert(same)
+                changed = diff if changed is None else pc.or_(changed, diff)
+            upd = both.filter(changed)
+        else:
+            upd = both.slice(0, 0)  # key-only table: nothing can change
+        yield from emit(side(upd, "_o"), "update_preimage")
+        yield from emit(side(upd, "_n"), "update_postimage")
+
+
+class TxTableChangesDataSource(DataSource):
+    """``spark.readStream.format("txtable_changes").option("path", p)``
+    — see module docstring. Options: ``path`` (table root, required),
+    ``startingVersion`` (exclusive lower bound, default 0 = the whole
+    history)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txtable_changes"
+
+    def schema(self):
+        log_dir = os.path.join(self.options["path"], _LOG_DIR)
+        _v, _live, _txns, schema_json = _replay_log(log_dir)
+        if schema_json is None:
+            raise ValueError(
+                "txtable_changes: table has no committed schema yet "
+                "(write to it first, or pass .schema(...) explicitly)"
+            )
+        st = StructType.fromJson(json.loads(schema_json))
+        return StructType(
+            st.fields
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+            ]
+        )
+
+    def streamReader(self, schema):
+        return TxTableChangesStreamReader(schema, self.options)

@@ -720,3 +720,90 @@ def test_may_match_bounds():
     assert m(st, "y", "=", 0)          # no stats for column: keep
     assert m(None, "x", "=", 0)        # no stats at all: keep
     assert m(st, "x", "=", "str")      # incomparable types: keep
+
+
+# ------------------------------------------------- streaming CDC --
+
+
+def _drain(feed, tmp_path, name):
+    q = (feed.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def test_stream_changes_matches_batch_feed(spark, tmp_path):
+    """The streaming source over a mixed history must produce exactly
+    table_changes(0): inserts, noise-free update pre/post images,
+    deletes; compact commits contribute nothing."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    t.merge_upsert(_df(spark, [(5, "NEW"), (99, "INS")]))
+    t.delete_keys(spark.createDataFrame([(3,)], "k long"))
+    t.compact(min_files=1)
+    _drain(t.stream_changes(), tmp_path, "cdc_all")
+    got = sorted(
+        tuple(r) for r in spark.sql(
+            "select _commit_version, _change_type, k, val from cdc_all"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in t.table_changes(0).select(
+            "_commit_version", "_change_type", "k", "val"
+        ).collect()
+    )
+    assert got == want and len(got) == 14
+
+
+def test_stream_changes_restart_resumes_at_offset(spark, tmp_path):
+    """Checkpointed offsets: a restarted query delivers ONLY commits
+    after the last consumed version — exactly-once across restarts,
+    and a batch of only row-preserving commits delivers nothing."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    feed = t.stream_changes()
+    ckpt = str(tmp_path / "ckpt_resume")
+
+    def drain(qname):
+        got = []  # memory sink can't recover a checkpoint; foreachBatch can
+
+        def sink(batch_df, _bid):
+            got.extend(
+                (r["_commit_version"], r["_change_type"], r["k"])
+                for r in batch_df.collect()
+            )
+
+        q = (feed.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return sorted(got)
+
+    first = drain("cdc_r1")
+    assert [c for _, c, _ in first] == ["insert", "insert"]
+    # new commits while the query is down
+    v2 = t.merge_upsert(_df(spark, [(2, "B2")]))
+    second = drain("cdc_r2")  # fresh sink table, SAME checkpoint
+    assert second == [
+        (v2, "update_postimage", 2), (v2, "update_preimage", 2),
+    ]
+    t.compact(min_files=1)  # row-preserving only
+    assert drain("cdc_r3") == []
+
+
+def test_stream_changes_null_fills_pre_evolution_files(spark, tmp_path):
+    """A merge that added a column: the preimage comes from a physical
+    file written BEFORE the column existed and must null-fill it."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.merge_upsert(spark.createDataFrame(
+        [(1, "a", 9.5)], "k long, val string, score double"
+    ))
+    _drain(t.stream_changes(), tmp_path, "cdc_evo")
+    rows = {
+        r["_change_type"]: r
+        for r in spark.sql("select * from cdc_evo where k = 1").collect()
+    }
+    assert rows["update_preimage"]["score"] is None
+    assert rows["update_postimage"]["score"] == 9.5
+    assert rows["insert"]["score"] is None  # the v1 append row for k=1
