@@ -887,7 +887,9 @@ class TxTable:
 
     # ------------------------------------------------- maintenance --
 
-    def compact(self, min_files: int = 2, max_retries: int = 10) -> int:
+    def compact(self, min_files: int = 2, max_retries: int = 10,
+                cluster_by: "list[str] | None" = None,
+                files_per_bucket: int = 1, zorder: bool = False) -> int:
         """Rewrite every bucket holding >= ``min_files`` files into one
         file each — the small-files maintenance pass a long-lived table
         needs after many incremental merges/appends. Row-preserving,
@@ -895,22 +897,52 @@ class TxTable:
         commit touching a compacting bucket invalidates the rewrite
         (its rows would be lost) and forces a retry from the fresh
         snapshot; disjoint-bucket commits commute. Returns the new
-        version, or the current one if nothing needed compacting."""
+        version, or the current one if nothing needed compacting.
+
+        ``cluster_by`` is the OPTIMIZE-ZORDER analog: rewritten rows
+        are range-partitioned and sorted on (bucket, cluster cols) and
+        split into ``files_per_bucket`` files per bucket, so each
+        file's footer [min, max] covers a narrow slice of the cluster
+        columns — :meth:`scan` then prunes WITHIN buckets, not just
+        across commits. ``zorder=True`` Morton-interleaves exactly two
+        integer cluster columns (``functions/layout.py``) so range
+        predicates on EITHER column prune. Incremental appends undo
+        clustering gradually; re-compacting restores it — the standard
+        lakehouse maintenance loop."""
         for _ in range(max_retries):
             base_v, live, _txns, schema = self._replay_full()
             by_bucket: dict[int, list[str]] = {}
             for f, info in live.items():
                 by_bucket.setdefault(info.get("bucket"), []).append(f)
             todo = {b: fs for b, fs in by_bucket.items()
-                    if len(fs) >= min_files}
+                    if len(fs) >= min_files or (
+                        cluster_by and len(fs) >= 1
+                    )}
             if not todo:
                 return base_v
             old = sorted(f for fs in todo.values() for f in fs)
             cur = self._read_files(old, schema)
-            # one output file per bucket: repartition on the bucket col
-            adds = self._stage(
-                cur.repartition(len(todo), self._bucket_col())
-            )
+            if cluster_by:
+                if zorder:
+                    if len(cluster_by) != 2:
+                        raise ValueError(
+                            "zorder interleaving takes exactly 2 columns"
+                        )
+                    from ..functions.layout import zvalue
+
+                    sort_exprs = [zvalue(
+                        F.col(cluster_by[0]), F.col(cluster_by[1])
+                    )]
+                else:
+                    sort_exprs = [F.col(c) for c in cluster_by]
+                nparts = max(1, len(todo) * max(1, int(files_per_bucket)))
+                staged_df = cur.repartitionByRange(
+                    nparts, self._bucket_col(), *sort_exprs
+                ).sortWithinPartitions(self._bucket_col(), *sort_exprs)
+            else:
+                # one output file per bucket
+                staged_df = cur.repartition(len(todo), self._bucket_col())
+            adds = self._stage(staged_df)
             actions = adds + [{"remove": {"file": f}} for f in old]
             tb = sorted(todo)
             touched = set(tb)

@@ -807,3 +807,50 @@ def test_stream_changes_null_fills_pre_evolution_files(spark, tmp_path):
     assert rows["update_preimage"]["score"] is None
     assert rows["update_postimage"]["score"] == 9.5
     assert rows["insert"]["score"] is None  # the v1 append row for k=1
+
+
+# --------------------------------------------- clustered compaction --
+
+
+def test_compact_cluster_by_tightens_pruning(spark, tmp_path):
+    """Three interleaved-range appends: every file spans the whole
+    price domain, so scan() can prune nothing. After a clustered
+    compaction (sorted, 4 files per bucket) the same narrow scan must
+    read strictly fewer files — and still return identical rows."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    for start in (0, 1, 2):  # k % 3 slices: each spans 0..~3000
+        ks = sorted(  # scrambled order: every task's file spans the
+            range(start, 3000, 3),  # whole price domain, stats useless
+            key=lambda k: (k * 2654435761) % (1 << 32),
+        )
+        t.append(spark.createDataFrame(
+            [(k, k) for k in ks], "k long, price long"))
+    pred = ("price", "between", (100, 200))
+    before = t.scan(pred)
+    assert t.last_scan_info["files_read"] == t.last_scan_info["files_live"]
+    want = sorted(r["k"] for r in before.collect())
+
+    t.compact(min_files=1, cluster_by=["price"], files_per_bucket=4)
+    got = t.scan(pred)
+    info = t.last_scan_info
+    assert info["files_read"] < info["files_live"]
+    assert sorted(r["k"] for r in got.collect()) == want
+    # row-preserving: the whole table is intact and CDC-silent
+    assert t.snapshot().count() == 3000
+    assert t.table_changes(t.version() - 1).count() == 0
+
+
+def test_compact_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Morton clustering on (x, y): narrow scans on EITHER column must
+    prune files after compaction."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(k, k % 64, (k * 37) % 64) for k in range(4096)],
+        "k long, x long, y long"))
+    t.compact(min_files=1, cluster_by=["x", "y"],
+              files_per_bucket=8, zorder=True)
+    for col in ("x", "y"):
+        got = t.scan((col, "between", (0, 7)))
+        info = t.last_scan_info
+        assert info["files_read"] < info["files_live"], col
+        assert got.count() == 4096 // 8, col
