@@ -950,6 +950,22 @@ _TXTABLE_SQL = """
       FROM base
     ), final AS (
       SELECT * FROM upserted WHERE c_custkey % 7 <> 0
+    ), src AS (
+      SELECT c_custkey, c_custkey % 100 AS delta
+      FROM base WHERE segment = 'MACHINERY'
+    ), merged AS (
+      SELECT f.c_custkey, f.segment, f.bal_cents
+      FROM final f WHERE f.c_custkey NOT IN (SELECT c_custkey FROM src)
+      UNION ALL
+      SELECT f.c_custkey, f.segment,
+             CASE WHEN f.bal_cents > 0 THEN f.bal_cents + s.delta
+                  ELSE f.bal_cents END AS bal_cents
+      FROM final f JOIN src s USING (c_custkey)
+      WHERE s.delta % 13 <> 0
+      UNION ALL
+      SELECT s.c_custkey, 'REINSERTED' AS segment, s.delta AS bal_cents
+      FROM src s
+      WHERE s.c_custkey NOT IN (SELECT c_custkey FROM final)
     )
     SELECT 'initial' AS arm, segment, count(*) AS n,
            CAST(sum(bal_cents) AS BIGINT) AS bal_cents
@@ -990,6 +1006,15 @@ _TXTABLE_SQL = """
     SELECT 'cdcs_delete' AS arm, segment, count(*) AS n,
            CAST(sum(bal_cents) AS BIGINT) AS bal_cents
     FROM upserted WHERE c_custkey % 7 = 0 GROUP BY segment
+    UNION ALL
+    SELECT 'skipping' AS arm, segment, count(*) AS n,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM final WHERE bal_cents BETWEEN 100000 AND 400000
+    GROUP BY segment
+    UNION ALL
+    SELECT 'merge2' AS arm, segment, count(*) AS n,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM merged GROUP BY segment
 """
 
 
@@ -1013,10 +1038,15 @@ def txtable_acid_suite(spark, sf_dir):
     Source API, offsets = commit versions, one Arrow diff task per
     touched (commit, bucket)) drained with availableNow into a memory
     sink: batch and streaming consumers of one history must agree
-    exactly. Oracle recomputes all states relationally. Scale: merge
-    rewrites only touched key-hash buckets (~min(M, B) of B), never
-    the table; the feed diffs only each commit's own files;
-    integer-cents sums are partial-agg-order-proof."""
+    exactly. The skipping arm reads a balance range through scan()'s
+    footer-stats file pruner (data skipping must never drop a matching
+    row). The merge2 arm is the general MERGE INTO: conditional update
+    (t.bal + s.delta where t.bal > 0), conditional delete, and
+    expression-built inserts for previously-deleted keys — the oracle
+    recomputes the clause algebra relationally. Scale: merges rewrite
+    only touched key-hash buckets (~min(M, B) of B), never the table;
+    the feed diffs only each commit's own files; integer-cents sums
+    are partial-agg-order-proof."""
     from ..store import TxTable
 
     tmp = tempfile.mkdtemp(prefix="pypeman_txtable_")
@@ -1062,9 +1092,31 @@ def txtable_acid_suite(spark, sf_dir):
         .trigger(availableNow=True).start()
     )
     sq.awaitTermination(120)
-    return (
+    # skipping arm: the range scan goes through the footer-stats file
+    # pruner (scan() — the filter is re-applied, so the oracle proves
+    # pruning never drops a matching row)
+    skipping = agg(
+        tx.scan(("bal_cents", "between", (100000, 400000))), "skipping"
+    )
+    # plans above fixed their immutable file lists at call time; the
+    # general MERGE below (conditional update + delete + expression
+    # insert, the Delta MERGE INTO shape) mutates only the log
+    pre_merge2 = (
         agg(tx.snapshot(version=v_insert), "initial")
         .unionByName(agg(tx.snapshot(), "final"))
         .unionByName(cdc_arms(tx.table_changes(0), "cdc_"))
         .unionByName(cdc_arms(spark.table(sink), "cdcs_"))
+        .unionByName(skipping)
     )
+    tx.merge(
+        cust.filter(F.col("segment") == "MACHINERY").select(
+            "c_custkey", (F.col("c_custkey") % 100).alias("delta")
+        ),
+        when_matched_update={"bal_cents": "t.bal_cents + s.delta"},
+        when_matched_delete="s.delta % 13 = 0",
+        when_matched_condition="t.bal_cents > 0",
+        when_not_matched_insert={
+            "segment": F.lit("REINSERTED"), "bal_cents": "s.delta"
+        },
+    )
+    return pre_merge2.unionByName(agg(tx.snapshot(), "merge2"))

@@ -839,6 +839,199 @@ class TxTable:
             f"merge conflicted {max_retries} times on buckets"
         )
 
+    def merge(
+        self,
+        source: DataFrame,
+        when_matched_update: "dict[str, object] | None" = None,
+        when_matched_delete: "object | None" = None,
+        when_not_matched_insert: "dict[str, object] | bool" = True,
+        when_matched_condition: "object | None" = None,
+        max_retries: int = 10,
+        txn: "tuple[str, int] | None" = None,
+    ) -> int:
+        """Full MERGE INTO over the key columns — the general form of
+        :meth:`merge_upsert` (which stays the fast whole-row path).
+        Expressions may be Columns or SQL strings and reference the
+        target row as ``t.<col>`` and the source row as ``s.<col>``:
+
+        * ``when_matched_update={"bal": "t.bal + s.amount"}`` — update
+          listed columns (others keep their target value); applied
+          only where ``when_matched_condition`` (if given) holds.
+          Key columns cannot be updated (rows would silently change
+          bucket — the same reason Delta forbids it).
+        * ``when_matched_delete="s.amount < 0"`` — matched rows
+          satisfying the condition (or all matched, if ``True``) are
+          deleted. Delete wins over update where both apply.
+        * ``when_not_matched_insert`` — True inserts the source row
+          as-is (new source columns evolve the schema, like
+          merge_upsert); a dict builds the row per-column from
+          expressions (missing table columns null-fill); False drops
+          unmatched source rows.
+
+        Same bucket-scoped OCC as merge_upsert: only the buckets the
+        SOURCE keys hash to are rewritten (one full-outer join per
+        attempt, shuffle bounded by those buckets' rows + source), and
+        conflicts retry from a fresh snapshot unless the interleaved
+        commit's buckets are disjoint. ``txn`` gives streaming
+        foreachBatch idempotence. Source must carry one row per key —
+        the merge discipline. Matched rows the clauses leave untouched
+        are physically rewritten but unchanged, so the change feed
+        (:meth:`table_changes` / :meth:`stream_changes`) stays silent
+        about them. Reference basis: this generalizes the store
+        update semantics of ``pypeman/msgstore.py`` the way Delta's
+        MERGE generalizes upsert (Armbrust et al., VLDB 2020)."""
+        upd = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in (when_matched_update or {}).items()
+        }
+        bad_keys = set(upd) & set(self.key_cols)
+        if bad_keys:
+            raise ValueError(
+                f"merge cannot update key column(s): {sorted(bad_keys)}"
+            )
+        if when_matched_delete is True:
+            del_cond = F.lit(True)
+        elif isinstance(when_matched_delete, str):
+            del_cond = F.expr(when_matched_delete)
+        else:
+            del_cond = when_matched_delete  # Column or None
+        if isinstance(when_matched_condition, str):
+            when_matched_condition = F.expr(when_matched_condition)
+        ins_map = None
+        if isinstance(when_not_matched_insert, dict):
+            ins_map = {
+                c: (F.expr(e) if isinstance(e, str) else e)
+                for c, e in when_not_matched_insert.items()
+            }
+
+        source = source.cache()
+        try:
+            for _ in range(max_retries):
+                base_v, live, txns, schema = self._replay_full()
+                if txn is not None and txns.get(txn[0], -1) >= txn[1]:
+                    return base_v
+                tb = sorted(
+                    r["b"] for r in source.select(
+                        self._bucket_col().alias("b")
+                    ).distinct().collect()
+                )
+                touched = set(tb)
+                old = [
+                    f for f, info in live.items()
+                    if info.get("bucket") in touched
+                ]
+                # table columns + types: current schema, plus source
+                # columns when inserting as-is (schema evolution)
+                from pyspark.sql.types import StructType
+
+                types: dict = {}
+                tbl_cols: list[str] = []
+                if schema is not None:
+                    for f in StructType.fromJson(json.loads(schema)).fields:
+                        tbl_cols.append(f.name)
+                        types[f.name] = f.dataType
+                else:  # first write: the table IS the source's shape
+                    for f in source.schema.fields:
+                        tbl_cols.append(f.name)
+                        types[f.name] = f.dataType
+                schema_act = []
+                if when_not_matched_insert is True or schema is None:
+                    schema_act = self._evolved_schema_action(source, schema)
+                if when_not_matched_insert is True:
+                    for f in source.schema.fields:
+                        if f.name not in types:
+                            tbl_cols.append(f.name)
+                            types[f.name] = f.dataType
+
+                def null_of(c):
+                    return F.lit(None).cast(types[c])
+
+                s = source.withColumn("__s", F.lit(1)).alias("s")
+                if old:
+                    t = self._read_files(old, schema).withColumn(
+                        "__t", F.lit(1)
+                    ).alias("t")
+                    j = t.join(s, on=self.key_cols, how="full_outer")
+                    t_cols = set(t.columns)
+                else:
+                    j = s.withColumn("__t", F.lit(None).cast("int"))
+                    t_cols = set()
+                m_t = F.col("__t").isNotNull()
+                m_s = F.col("__s").isNotNull()
+                matched = m_t & m_s
+
+                def t_val(c):
+                    if c in self.key_cols:
+                        return F.col(c)
+                    if c in t_cols:
+                        return F.col(f"t.{c}")
+                    return null_of(c)
+
+                def s_val(c):
+                    if c in self.key_cols:
+                        return F.col(c)
+                    if c in source.columns:
+                        return F.col(f"s.{c}")
+                    return null_of(c)
+
+                upd_gate = matched if when_matched_condition is None else (
+                    matched & when_matched_condition
+                )
+                keep = F.lit(True)
+                if del_cond is not None:
+                    keep = keep & ~(matched & F.coalesce(
+                        del_cond, F.lit(False)
+                    ))
+                if when_not_matched_insert is False:
+                    keep = keep & m_t
+                out_cols = []
+                for c in tbl_cols:
+                    if c in self.key_cols:
+                        out_cols.append(F.col(c).alias(c))
+                        continue
+                    ins_v = (
+                        ins_map.get(c, null_of(c)) if ins_map is not None
+                        else s_val(c)
+                    )
+                    if c in upd:
+                        v = (
+                            F.when(upd_gate, upd[c])
+                            .when(m_t, t_val(c))
+                            .otherwise(ins_v)
+                        )
+                    else:
+                        v = F.when(m_t, t_val(c)).otherwise(ins_v)
+                    out_cols.append(v.alias(c))
+                merged = j.where(keep).select(*out_cols)
+
+                adds = self._stage(merged)
+                actions = (
+                    adds + [{"remove": {"file": f}} for f in old]
+                    + schema_act
+                )
+                v = base_v
+                committed = False
+                while True:
+                    if self._commit(
+                        v + 1, actions, op="merge", buckets=tb, txn=txn
+                    ):
+                        committed = True
+                        break
+                    v += 1
+                    info = self._commit_info(v) or {}
+                    if set(info.get("buckets", [])) & touched or (
+                        info.get("op") not in _COMMUTING_OPS
+                    ):
+                        break
+                if committed:
+                    return v + 1
+                self._discard(adds)
+        finally:
+            source.unpersist()
+        raise CommitConflict(
+            f"merge conflicted {max_retries} times on buckets"
+        )
+
     def delete_keys(self, keys: DataFrame, max_retries: int = 10) -> int:
         """Delete by key: bucket-scoped rewrite without the matching
         rows (same OCC loop as merge)."""

@@ -854,3 +854,91 @@ def test_compact_zorder_prunes_on_both_columns(spark, tmp_path):
         info = t.last_scan_info
         assert info["files_read"] < info["files_live"], col
         assert got.count() == 4096 // 8, col
+
+
+# --------------------------------------------------- general MERGE --
+
+
+def test_merge_update_expressions_and_insert(spark, tmp_path):
+    """MERGE with arithmetic update over t./s. columns, insert for
+    unmatched source keys, untouched cohabitants preserved."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(i, 100 * i) for i in range(6)], "k long, bal long"))
+    src = spark.createDataFrame(
+        [(2, 7), (4, -1), (99, 5)], "k long, amount long")
+    t.merge(
+        src,
+        when_matched_update={"bal": "t.bal + s.amount"},
+        when_not_matched_insert={"bal": "s.amount * 1000"},
+    )
+    rows = {r["k"]: r["bal"] for r in t.read().collect()}
+    assert rows == {0: 0, 1: 100, 2: 207, 3: 300, 4: 399, 5: 500,
+                    99: 5000}
+    assert "amount" not in t.read().columns  # dict insert: no evolution
+
+
+def test_merge_conditional_delete_and_update_gate(spark, tmp_path):
+    """Delete clause wins where its condition holds; update applies
+    only where when_matched_condition holds; other matched rows are
+    rewritten unchanged and stay OUT of the change feed."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "k long, bal long"))
+    v0 = t.version()
+    src = spark.createDataFrame(
+        [(1, 0), (2, 5), (3, 5), (4, 5)], "k long, amount long")
+    v1 = t.merge(
+        src,
+        when_matched_update={"bal": "t.bal + s.amount"},
+        when_matched_delete="s.amount = 0",
+        when_matched_condition="t.bal >= 30",
+        when_not_matched_insert=False,
+    )
+    rows = {r["k"]: r["bal"] for r in t.read().collect()}
+    assert rows == {2: 20, 3: 35, 4: 45}  # 1 deleted; 2 gated out
+    ch = {
+        (r["_change_type"], r["k"])
+        for r in t.table_changes(v0, v1).collect()
+    }
+    assert ch == {
+        ("delete", 1),
+        ("update_preimage", 3), ("update_postimage", 3),
+        ("update_preimage", 4), ("update_postimage", 4),
+    }  # k=2 rewritten unchanged: feed-silent
+
+
+def test_merge_insert_as_is_evolves_schema(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(_df(spark, [(1, "a")]))
+    t.merge(spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, val string, score double"))
+    rows = {r["k"]: (r["val"], r["score"]) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_merge_rejects_key_update_and_scopes_buckets(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_buckets=8)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(32)]))
+    with pytest.raises(ValueError, match="key column"):
+        t.merge(_df(spark, [(1, "x")]),
+                when_matched_update={"k": "t.k + 1"})
+    _v, before = t._replay()
+    src = _df(spark, [(3, "X")])
+    t.merge(src, when_matched_update={"val": "s.val"})
+    _v, after = t._replay()
+    tb = {r["b"] for r in src.select(t._bucket_col().alias("b")).collect()}
+    for f, info in before.items():
+        if info["bucket"] not in tb:
+            assert f in after, "merge touched an unrelated bucket"
+
+
+def test_merge_txn_idempotence(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(spark.createDataFrame([(1, 10)], "k long, bal long"))
+    src = spark.createDataFrame([(1, 5)], "k long, amount long")
+    kw = dict(when_matched_update={"bal": "t.bal + s.amount"},
+              when_not_matched_insert=False)
+    t.merge(src, txn=("job", 7), **kw)
+    t.merge(src, txn=("job", 7), **kw)  # re-delivery: provable no-op
+    assert {r["bal"] for r in t.read().collect()} == {15}
