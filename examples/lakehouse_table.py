@@ -1,0 +1,112 @@
+"""Lakehouse-style ACID table end-to-end (`store/txtable.py`).
+
+The full table lifecycle a warehouse job would run, against the real
+commit log:
+
+1. **Create + append** — customers land as an immutable, bucket-
+   partitioned snapshot (version 1).
+2. **Upsert** — a balance adjustment MERGEs by key, rewriting only the
+   touched key-hash buckets.
+3. **General MERGE INTO** — conditional update (`t.bal + s.delta`),
+   conditional delete, expression-built inserts.
+4. **Time travel** — the version-1 snapshot re-read exactly, after
+   later commits rewrote those buckets' files.
+5. **Change data feed** — the per-commit log diff, both as a batch
+   DataFrame and as a Structured Streaming source (checkpointed
+   commit-version offsets).
+6. **Data skipping** — a range scan pruned by footer min/max stats
+   recorded in the log, tightened by a clustered (sorted) compaction.
+7. **Vacuum** — physical deletion of unreferenced files past a grace
+   period.
+
+Run: ``python examples/lakehouse_table.py [sf_dir]``
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pypeman_spark import get_spark
+from pypeman_spark.sources.tables import load_table
+from pypeman_spark.store import TxTable
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("lakehouse_table", cpus=8)
+    root = tempfile.mkdtemp(prefix="lakehouse_")
+    tx = TxTable(
+        spark, os.path.join(root, "customers"),
+        key_cols=["c_custkey"], n_buckets=8,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    v1 = tx.append(cust)
+    print(f"v{v1}: appended {tx.snapshot().count()} customers")
+
+    tx.merge_upsert(
+        cust.filter(F.col("segment") == "BUILDING")
+        .withColumn("bal_cents", F.col("bal_cents") + 12345)
+    )
+    print(f"v{tx.version()}: upserted BUILDING balances")
+
+    tx.merge(
+        cust.filter(F.col("segment") == "MACHINERY").select(
+            "c_custkey", (F.col("c_custkey") % 100).alias("delta")
+        ),
+        when_matched_update={"bal_cents": "t.bal_cents + s.delta"},
+        when_matched_delete="s.delta % 13 = 0",
+        when_matched_condition="t.bal_cents > 0",
+        when_not_matched_insert=False,
+    )
+    print(f"v{tx.version()}: general MERGE over MACHINERY")
+
+    pinned = tx.snapshot(version=v1).agg(
+        F.sum("bal_cents").alias("s")
+    ).first()["s"]
+    print(f"time travel to v{v1}: total cents {pinned} (pre-merge exact)")
+
+    feed = tx.table_changes(0)
+    print("batch change feed:", {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    })
+
+    q = (
+        tx.stream_changes().writeStream.format("memory")
+        .queryName("cdc").option(
+            "checkpointLocation", os.path.join(root, "ckpt")
+        ).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    print("streaming feed rows:", spark.table("cdc").count(),
+          "(must equal batch:", feed.count(), ")")
+
+    tx.compact(min_files=1, cluster_by=["bal_cents"], files_per_bucket=4)
+    hits = tx.scan(("bal_cents", "between", (100000, 200000)))
+    print(
+        f"clustered scan: {hits.count()} rows from "
+        f"{tx.last_scan_info['files_read']}/"
+        f"{tx.last_scan_info['files_live']} files"
+    )
+
+    removed = tx.vacuum(grace_s=0.0)
+    print(f"vacuum removed {len(removed)} unreferenced files")
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
