@@ -542,6 +542,21 @@ class TxTable:
         if not stats or col not in stats:
             return True
         mn, mx = stats[col]
+
+        def _is_nan(v):
+            return isinstance(v, float) and v != v
+
+        # Spark orders NaN ABOVE every double, but parquet footer
+        # stats exclude NaN — so on float columns an upper-bound test
+        # can never prove ">" / ">=" unsatisfiable (a NaN row would
+        # pass the filter), and a NaN literal matches nothing stats
+        # can bound. Never prune in those cases.
+        if isinstance(mx, float):
+            if op in (">", ">="):
+                return True
+            vals = val if isinstance(val, (list, tuple)) else [val]
+            if any(_is_nan(v) for v in vals):
+                return True
         try:
             if op in ("=", "=="):
                 return mn <= val <= mx

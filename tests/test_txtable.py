@@ -942,3 +942,22 @@ def test_merge_txn_idempotence(spark, tmp_path):
     t.merge(src, txn=("job", 7), **kw)
     t.merge(src, txn=("job", 7), **kw)  # re-delivery: provable no-op
     assert {r["bal"] for r in t.read().collect()} == {15}
+
+
+def test_scan_never_prunes_nan_rows_on_float_gt(spark, tmp_path):
+    """Spark orders NaN above every double but footer stats exclude
+    NaN: a '>' scan on a float column must NOT prune the file whose
+    only qualifying row is NaN."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, float("nan"))], "k long, x double"))
+    got = t.scan(("x", ">", 100.0))
+    assert t.last_scan_info["files_read"] == t.last_scan_info["files_live"]
+    assert [r["k"] for r in got.collect()] == [3]  # NaN > 100.0 in Spark
+    # bounded ops stay prunable: no row (NaN included) passes between
+    assert t.scan(("x", "between", (50.0, 60.0))).count() == 0
+    # and '<' pruning is NaN-safe (NaN fails '<'), so it may prune
+    assert TxTable._may_match({"x": [1.0, 2.0]}, "x", "<", 0.5) is False
+    assert TxTable._may_match({"x": [1.0, 2.0]}, "x", ">", 99.0) is True
+    assert TxTable._may_match(
+        {"x": [1.0, 2.0]}, "x", "=", float("nan")) is True
