@@ -447,6 +447,7 @@ class TxTable:
             .write.partitionBy("bucket").mode("overwrite").parquet(staging)
         )
         adds = []
+        moved = []
         for bdir in sorted(os.listdir(staging)):
             if not bdir.startswith("bucket="):
                 continue
@@ -459,11 +460,20 @@ class TxTable:
                 name = f"part-{uuid.uuid4().hex}.parquet"
                 dst = os.path.join(tdir, name)
                 os.replace(os.path.join(staging, bdir, f), dst)
-                add = {"file": f"data/{bdir}/{name}", "bucket": b}
-                parsed = self._file_stats(dst)
-                if parsed is not None:
-                    add["stats"], add["rows"] = parsed
+                add = {
+                    "file": f"data/{bdir}/{name}", "bucket": b,
+                    "bytes": os.stat(dst).st_size,
+                }
                 adds.append({"add": add})
+                moved.append(dst)
+        # footer reads are tiny but latency-bound: at B=4096 a full
+        # append stages thousands of files — thread the metadata IO
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            for a, parsed in zip(adds, ex.map(self._file_stats, moved)):
+                if parsed is not None:
+                    a["add"]["stats"], a["add"]["rows"] = parsed
         shutil.rmtree(staging, ignore_errors=True)
         return adds
 
@@ -740,6 +750,40 @@ class TxTable:
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
+
+    def count(self, version: "int | None" = None) -> "int | None":
+        """Exact row count from the COMMIT LOG alone — zero data IO.
+        Every add action records its file's footer row count, and
+        files are immutable, so the live set's counts sum exactly (the
+        ANALYZE-free COUNT(*) a 100 TB table wants: driver-side log
+        replay, no scan). Returns None if any live file predates the
+        stats recording (fall back to ``snapshot().count()``)."""
+        _v, live, _txns, _schema = self._replay_full(upto=version)
+        total = 0
+        for info in live.values():
+            rows = info.get("rows")
+            if rows is None:
+                return None
+            total += int(rows)
+        return total
+
+    def stats(self, version: "int | None" = None) -> dict:
+        """Table-level stats from the log: live file count, buckets
+        in use, total bytes, exact rows (None when unknowable — see
+        :meth:`count`), current version. Zero data IO."""
+        v, live, _txns, _schema = self._replay_full(upto=version)
+        rows: "int | None" = 0
+        bytes_ = 0
+        buckets = set()
+        for info in live.values():
+            buckets.add(info.get("bucket"))
+            bytes_ += int(info.get("bytes", 0))
+            r = info.get("rows")
+            rows = None if (rows is None or r is None) else rows + int(r)
+        return {
+            "version": v, "files": len(live), "buckets": len(buckets),
+            "bytes": bytes_, "rows": rows,
+        }
 
     def stream_changes(self, starting_version: int = 0) -> DataFrame:
         """The change feed as a STREAMING DataFrame (Structured

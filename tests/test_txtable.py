@@ -961,3 +961,97 @@ def test_scan_never_prunes_nan_rows_on_float_gt(spark, tmp_path):
     assert TxTable._may_match({"x": [1.0, 2.0]}, "x", ">", 99.0) is True
     assert TxTable._may_match(
         {"x": [1.0, 2.0]}, "x", "=", float("nan")) is True
+
+
+# ------------------------------------------------ log-derived stats --
+
+
+def test_count_and_stats_from_log_only(spark, tmp_path):
+    """Exact COUNT(*) and table stats from commit-log replay — zero
+    data IO — must track the table through append/merge/delete/
+    compact; stripped stats (old-version logs) degrade to None."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(25)]))
+    t.merge_upsert(_df(spark, [(3, "X"), (99, "INS")]))
+    t.delete_keys(spark.createDataFrame([(0,), (1,)], "k long"))
+    t.compact(min_files=1)
+    assert t.count() == t.snapshot().count() == 24
+    s = t.stats()
+    assert s["rows"] == 24 and s["files"] == s["buckets"] == 2
+    assert s["bytes"] > 0 and s["version"] == t.version()
+    # time travel: count at the append version
+    assert t.count(version=1) == 25
+    # strip rows from one live add: count must refuse to guess
+    name = _commit_name(t.version())
+    p = os.path.join(t.log_dir, name)
+    lines = [json.loads(x) for x in open(p)]
+    for a in lines:
+        if "add" in a:
+            a["add"].pop("rows", None)
+            break
+    with open(p, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    assert t.count() is None and t.stats()["rows"] is None
+
+
+# ------------------------------------- medallion CDC chain (e2e) --
+
+
+def test_medallion_cdc_chain_exactly_once(spark, tmp_path):
+    """Bronze TxTable -> stream_changes() -> foreachBatch CDC-apply ->
+    silver TxTable: the full incremental-lakehouse loop. The apply
+    step reduces each micro-batch to the LATEST post-image per key
+    (preimages dropped, max commit version wins) and routes deletes
+    vs upserts; txn markers make re-delivered batches no-ops. After
+    every drain — including a restart with new bronze commits and an
+    empty re-drain — silver must equal bronze exactly."""
+    from pyspark.sql import Window
+
+    bronze = _mk(spark, tmp_path, n_buckets=2)
+    silver = TxTable(
+        spark, str(tmp_path / "silver"), key_cols=["k"], n_buckets=2
+    )
+    ckpt = str(tmp_path / "ckpt_medallion")
+
+    def apply_cdc(batch_df, batch_id):
+        latest = (
+            batch_df.where(F.col("_change_type") != "update_preimage")
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("k")
+                .orderBy(F.desc("_commit_version"))
+            ))
+            .where(F.col("rn") == 1)
+        ).cache()
+        ups = latest.where(
+            F.col("_change_type") != "delete").select("k", "val")
+        dels = latest.where(
+            F.col("_change_type") == "delete").select("k")
+        if ups.limit(1).count():
+            silver.merge_upsert(ups, txn=("medallion", batch_id))
+        if dels.limit(1).count():
+            silver.delete_keys(dels)  # naturally idempotent
+        latest.unpersist()
+
+    def drain():
+        q = (bronze.stream_changes().writeStream.foreachBatch(apply_cdc)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    def table(t):
+        return sorted((r["k"], r["val"]) for r in t.read().collect())
+
+    bronze.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    bronze.merge_upsert(_df(spark, [(3, "X"), (99, "INS")]))
+    drain()
+    assert table(silver) == table(bronze)
+    # new bronze commits while silver's query is down
+    bronze.delete_keys(spark.createDataFrame([(5,)], "k long"))
+    bronze.merge_upsert(_df(spark, [(3, "Y")]))
+    drain()  # restart from checkpoint: only the delta
+    assert table(silver) == table(bronze)
+    assert ("3", "Y") not in table(silver)  # sanity: values are (int, str)
+    drain()  # nothing new: provable no-op
+    assert table(silver) == table(bronze)
+    assert silver.count() == bronze.count() == 10
