@@ -7,5 +7,9 @@ from .msgstore import (  # noqa: F401
 )
 from .persistence import KVStore, MemoryKVStore  # noqa: F401
 from .retry import RetryStore  # noqa: F401
-from .txtable import CommitConflict, TxTable  # noqa: F401
+from .txtable import (  # noqa: F401
+    CommitConflict,
+    ConstraintViolation,
+    TxTable,
+)
 from .txtable_stream import TxTableChangesDataSource  # noqa: F401

@@ -54,7 +54,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["TxTable", "CommitConflict"]
+__all__ = ["TxTable", "CommitConflict", "ConstraintViolation"]
 
 _LOG_DIR = "_txlog"
 _VERSION_DIGITS = 20
@@ -67,6 +67,16 @@ _COMMUTING_OPS = ("append", "merge", "delete", "compact")
 
 class CommitConflict(RuntimeError):
     """Raised when a merge exhausts its OCC retries."""
+
+
+class ConstraintViolation(RuntimeError):
+    """Raised when a write (or ``add_constraint`` on existing data)
+    violates an active CHECK constraint. Carries ``.counts`` —
+    {constraint name: violating-row count}."""
+
+    def __init__(self, counts: "dict[str, int]"):
+        self.counts = dict(counts)
+        super().__init__(f"CHECK constraint(s) violated: {self.counts}")
 
 
 def _version_of(fname: str) -> int:
@@ -119,10 +129,11 @@ def _replay_log(
     if upto is not None:
         names = [n for n in names if _version_of(n) <= upto]
     if not names:
-        return -1, {}, {}, None
+        return -1, {}, {}, None, {}
     live: dict[str, dict] = {}
     txns: dict[str, int] = {}
     schema: "str | None" = None
+    cons: dict[str, str] = {}
     start = 0
     ckpt = _latest_checkpoint_of(log_dir, _version_of(names[-1]))
     if ckpt is not None:
@@ -130,6 +141,7 @@ def _replay_log(
         live = dict(state["live"])
         txns = dict(state.get("txns", {}))
         schema = state.get("schema")
+        cons = dict(state.get("constraints", {}))
         start = cv + 1
     for n in names:
         v = _version_of(n)
@@ -144,12 +156,17 @@ def _replay_log(
                     live.pop(a["remove"]["file"], None)
                 elif "schema" in a:
                     schema = a["schema"]
+                elif "constraint_add" in a:
+                    c = a["constraint_add"]
+                    cons[c["name"]] = c["expr"]
+                elif "constraint_drop" in a:
+                    cons.pop(a["constraint_drop"], None)
                 elif "commit" in a and "txn" in a["commit"]:
                     tx = a["commit"]["txn"]
                     txns[tx["app"]] = max(
                         txns.get(tx["app"], -1), tx["version"]
                     )
-    return _version_of(names[-1]), live, txns, schema
+    return _version_of(names[-1]), live, txns, schema, cons
 
 
 def _commit_actions_of(
@@ -256,7 +273,89 @@ class TxTable:
         {txn app: last committed version}, and the current schema JSON
         (None until a schema action lands) as of ``upto`` (default:
         latest). Replays from the newest checkpoint at or below."""
-        return _replay_log(self.log_dir, upto)
+        return _replay_log(self.log_dir, upto)[:4]
+
+    def constraints(self, upto: "int | None" = None) -> "dict[str, str]":
+        """Active CHECK constraints {name: SQL expr} as of ``upto``."""
+        return _replay_log(self.log_dir, upto)[4]
+
+    @staticmethod
+    def _violations(df: DataFrame, cons: "dict[str, str]") -> dict:
+        """{name: count of rows whose CHECK expr is FALSE} in one
+        aggregation pass (SQL semantics: NULL passes a CHECK)."""
+        row = df.agg(*[
+            F.sum(
+                F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+            ).alias(n)
+            for n, e in sorted(cons.items())
+        ]).first()
+        return {n: int(row[n]) for n in cons if row[n]}
+
+    def _validate_adds(
+        self, adds: "list[dict]", schema_json: "str | None",
+        cons: "dict[str, str]",
+    ) -> None:
+        """Enforce CHECK constraints on freshly staged files (read-back
+        of ONLY the new files — no join recompute, no table scan); on
+        violation the staged files are discarded and the commit never
+        happens."""
+        if not cons or not adds:
+            return
+        bad = self._violations(
+            self._read_files([a["add"]["file"] for a in adds], schema_json),
+            cons,
+        )
+        if bad:
+            self._discard(adds)
+            raise ConstraintViolation(bad)
+
+    def add_constraint(
+        self, name: str, expr: str, max_retries: int = 10
+    ) -> int:
+        """Register a CHECK constraint (SQL expression over the table
+        columns; NULL passes, like SQL CHECK). Existing rows are
+        validated first — OCC-retried so a data commit landing between
+        validation and the constraint commit re-validates against the
+        new snapshot. Every subsequent append/merge validates its
+        staged files before committing (``constraint`` commits are
+        non-commuting, so in-flight bucket writers retry and pick the
+        new rule up). Reference basis: Delta CHECK constraints
+        (Armbrust et al., VLDB 2020); the reference engine validates
+        per-message in Python nodes (``pypeman/nodes.py``) — here the
+        rule is declarative and enforced at the storage boundary."""
+        F.expr(expr)  # fail fast on unparseable expressions
+        for _ in range(max_retries):
+            base_v, live, _txns, schema, cons = _replay_log(self.log_dir)
+            if name in cons:
+                raise ValueError(f"constraint {name!r} already exists")
+            if live:
+                bad = self._violations(
+                    self._read_files(sorted(live), schema),
+                    {name: expr},
+                )
+                if bad:
+                    raise ConstraintViolation(bad)
+            if self._commit(
+                base_v + 1,
+                [{"constraint_add": {"name": name, "expr": expr}}],
+                op="constraint", buckets=[],
+            ):
+                return base_v + 1
+        raise CommitConflict(
+            f"add_constraint lost {max_retries} version races"
+        )
+
+    def drop_constraint(self, name: str, max_retries: int = 10) -> int:
+        for _ in range(max_retries):
+            base_v = self.version()
+            if self._commit(
+                base_v + 1, [{"constraint_drop": name}],
+                op="constraint", buckets=[],
+            ):
+                return base_v + 1
+        raise CommitConflict(
+            f"drop_constraint lost {max_retries} version races"
+        )
 
     def last_txn_version(self, app: str) -> int:
         """Highest ``txn`` marker committed for ``app`` (-1 if none) —
@@ -363,12 +462,14 @@ class TxTable:
     def _maybe_checkpoint(self, version: int) -> None:
         if version == 0 or version % self.checkpoint_interval != 0:
             return
-        _v, live, txns, schema = self._replay_full(upto=version)
+        _v, live, txns, schema, cons = _replay_log(
+            self.log_dir, upto=version
+        )
         tmp = os.path.join(self.log_dir, f".ckpt.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
             json.dump(
                 {"version": version, "live": live,
-                 "txns": txns, "schema": schema},
+                 "txns": txns, "schema": schema, "constraints": cons},
                 fh,
             )
         os.replace(
@@ -809,8 +910,12 @@ class TxTable:
         interleaved appends both land — union semantics)."""
         adds = self._stage(df)
         v = self.version()
+        validated: "dict | None" = None
         for _ in range(max_retries):
-            _bv, _live, _txns, schema = self._replay_full()
+            _bv, _live, _txns, schema, cons = _replay_log(self.log_dir)
+            if cons != validated:  # (re-)check on any rule change
+                self._validate_adds(adds, schema, cons)
+                validated = dict(cons)
             actions = adds + self._evolved_schema_action(df, schema)
             if self._commit(
                 v + 1, actions, op="append",
@@ -848,7 +953,9 @@ class TxTable:
         updates = updates.cache()
         try:
             for _ in range(max_retries):
-                base_v, live, txns, schema = self._replay_full()
+                base_v, live, txns, schema, cons = _replay_log(
+                    self.log_dir
+                )
                 if txn is not None and txns.get(txn[0], -1) >= txn[1]:
                     return base_v  # already applied — provable no-op
                 tb = sorted(
@@ -871,6 +978,7 @@ class TxTable:
                 else:
                     merged = updates
                 adds = self._stage(merged)
+                self._validate_adds(adds, schema, cons)
                 actions = (
                     adds + [{"remove": {"file": f}} for f in old]
                     + schema_act
@@ -966,7 +1074,9 @@ class TxTable:
         source = source.cache()
         try:
             for _ in range(max_retries):
-                base_v, live, txns, schema = self._replay_full()
+                base_v, live, txns, schema, cons = _replay_log(
+                    self.log_dir
+                )
                 if txn is not None and txns.get(txn[0], -1) >= txn[1]:
                     return base_v
                 tb = sorted(
@@ -1064,6 +1174,7 @@ class TxTable:
                 merged = j.where(keep).select(*out_cols)
 
                 adds = self._stage(merged)
+                self._validate_adds(adds, schema, cons)
                 actions = (
                     adds + [{"remove": {"file": f}} for f in old]
                     + schema_act

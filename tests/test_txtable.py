@@ -1055,3 +1055,90 @@ def test_medallion_cdc_chain_exactly_once(spark, tmp_path):
     drain()  # nothing new: provable no-op
     assert table(silver) == table(bronze)
     assert silver.count() == bronze.count() == 10
+
+
+# -------------------------------------------------- CHECK constraints --
+
+
+def test_check_constraint_blocks_bad_writes(spark, tmp_path):
+    from pypeman_spark.store import ConstraintViolation
+
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, bal long"))
+    t.add_constraint("bal_nonneg", "bal >= 0")
+    assert t.constraints() == {"bal_nonneg": "bal >= 0"}
+    v = t.version()
+    # violating append: rejected, no commit, no live-file change
+    with pytest.raises(ConstraintViolation) as e:
+        t.append(spark.createDataFrame([(3, -5)], "k long, bal long"))
+    assert e.value.counts == {"bal_nonneg": 1}
+    assert t.version() == v and t.count() == 2
+    # violating UPDATE expression through the general merge: rejected
+    with pytest.raises(ConstraintViolation):
+        t.merge(
+            spark.createDataFrame([(1, 100)], "k long, amount long"),
+            when_matched_update={"bal": "t.bal - s.amount"},
+            when_not_matched_insert=False,
+        )
+    assert {r["bal"] for r in t.read().collect()} == {10, 20}
+    # valid writes still flow; NULL passes a CHECK (SQL semantics)
+    t.merge_upsert(spark.createDataFrame(
+        [(3, None)], "k long, bal long"))
+    assert t.count() == 3
+    # dropping the rule re-opens the gate
+    t.drop_constraint("bal_nonneg")
+    t.append(spark.createDataFrame([(9, -1)], "k long, bal long"))
+    assert t.count() == 4
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    from pypeman_spark.store import ConstraintViolation
+
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(1, "x"), (2, "")], "k long, val string"))
+    with pytest.raises(ConstraintViolation) as e:
+        t.add_constraint("nonempty", "length(val) > 0")
+    assert e.value.counts == {"nonempty": 1}
+    assert t.constraints() == {}
+    t.add_constraint("dup", "k > 0")
+    with pytest.raises(ValueError):
+        t.add_constraint("dup", "k > 0")
+
+
+def test_constraint_survives_checkpoint_and_conflicts_merges(
+    spark, tmp_path
+):
+    """Constraints must replay from checkpoints, and a constraint
+    commit interleaving with a staged merge must force the merge to
+    RETRY (non-commuting) and enforce the new rule."""
+    from pypeman_spark.store import ConstraintViolation
+
+    t = _mk(spark, tmp_path, checkpoint_interval=2, n_buckets=2)
+    t.append(spark.createDataFrame([(1, 5)], "k long, bal long"))
+    t.add_constraint("pos", "bal > 0")
+    for i in range(3):  # roll past a checkpoint
+        t.merge_upsert(spark.createDataFrame(
+            [(10 + i, 1)], "k long, bal long"))
+    reopened = TxTable(spark, str(tmp_path / "tbl"))
+    assert reopened.constraints() == {"pos": "bal > 0"}
+
+    t2 = TxTable(spark, str(tmp_path / "tbl"))
+    real_commit = t._commit
+    fired = {"done": False}
+
+    def hooked(expected_version, actions, op, buckets, **kw):
+        if op == "merge" and not fired["done"]:
+            fired["done"] = True
+            t2.drop_constraint("pos")
+            t2.add_constraint("pos", "bal > 3")  # tighter rule lands first
+        return real_commit(expected_version, actions, op, buckets, **kw)
+
+    t._commit = hooked
+    with pytest.raises(ConstraintViolation):
+        # valid under the OLD rule (bal=1 > 0) but not the new one —
+        # the interleaved constraint commit must force re-validation
+        t.merge_upsert(spark.createDataFrame(
+            [(50, 1)], "k long, bal long"))
+    assert fired["done"]
