@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Measure TxTable's lifecycle costs at $SPARK_GRAFT_SF_DIR scale.
+
+Emits one JSON line with wall-clock seconds per operation plus the
+scale-relevant ratios the design claims:
+
+- ``merge_files_touched_frac`` — a 1%-of-keys MERGE must rewrite only
+  the buckets those keys hash to, never the table.
+- ``scan_files_frac`` — a selective range scan after clustered
+  compaction must read a small fraction of live files.
+- ``count_log_s`` vs ``count_scan_s`` — exact COUNT(*) from the log
+  is O(log), not O(data).
+- CDC costs are per-commit-diff, not per-table.
+
+Run: ``python tools/txtable_bench.py`` (sf0.1 default).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pypeman_spark.session import get_spark  # noqa: E402
+from pypeman_spark.sources.tables import load_table  # noqa: E402
+from pypeman_spark.store import TxTable  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("txtable_bench", cpus=cpus)
+    root = tempfile.mkdtemp(prefix="txbench_")
+    out: dict = {"metric": "txtable_lifecycle", "unit": "sec",
+                 "sf_dir": sf_dir}
+
+    # the synthetic lineitem does NOT keep (orderkey, linenumber)
+    # unique (118k dup pairs at sf0.1) — dedupe to honor the merge
+    # discipline (one row per key), like any real ingest would
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_shipdate",
+    ).dropDuplicates(["l_orderkey", "l_linenumber"]).cache()
+    n = li.count()
+    out["rows"] = n
+
+    tx = TxTable(
+        spark, os.path.join(root, "tbl"),
+        key_cols=["l_orderkey", "l_linenumber"], n_buckets=64,
+    )
+    t0 = time.time()
+    tx.append(li)
+    out["append_s"] = round(time.time() - t0, 3)
+
+    # 1% of keys merged: bucket-scoped rewrite
+    upd = li.where(F.col("l_orderkey") % 100 == 0).withColumn(
+        "cents", F.col("cents") + 1
+    )
+    n_upd = upd.count()
+    _v, live_before = tx._replay()
+    t0 = time.time()
+    v_m = tx.merge_upsert(upd)
+    out["merge_upsert_s"] = round(time.time() - t0, 3)
+    removed = len(tx._commit_actions(v_m)[1])
+    out["merge_rows"] = n_upd
+    out["merge_files_touched_frac"] = round(
+        removed / max(1, len(live_before)), 3
+    )  # M >> B: every bucket holds a touched key — frac is ~1 BY DESIGN
+
+    # the point-update shape (few keys per batch) is where bucket
+    # scoping pays: one order's lines must touch ~rows/B of the files
+    point = li.where(F.col("l_orderkey") == li.first()["l_orderkey"]) \
+        .withColumn("cents", F.col("cents") + 1)
+    _v, live_now = tx._replay()
+    t0 = time.time()
+    v_p = tx.merge_upsert(point)
+    out["point_merge_s"] = round(time.time() - t0, 3)
+    out["point_merge_files_touched_frac"] = round(
+        len(tx._commit_actions(v_p)[1]) / max(1, len(live_now)), 3
+    )
+
+    t0 = time.time()
+    tx.merge(
+        upd.select("l_orderkey", "l_linenumber",
+                   F.col("cents").alias("delta")),
+        when_matched_update={"cents": "t.cents + s.delta"},
+        when_not_matched_insert=False,
+    )
+    out["general_merge_s"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    feed_n = tx.table_changes(0).count()
+    out["cdc_batch_s"] = round(time.time() - t0, 3)
+    out["cdc_rows"] = feed_n
+
+    t0 = time.time()
+    q = (tx.stream_changes().writeStream.format("noop")
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    out["cdc_stream_s"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    tx.compact(min_files=1, cluster_by=["cents"], files_per_bucket=4)
+    out["clustered_compact_s"] = round(time.time() - t0, 3)
+
+    lo = int(li.agg(F.expr("percentile(cents, 0.50)")).first()[0])
+    hi = int(li.agg(F.expr("percentile(cents, 0.51)")).first()[0])
+    t0 = time.time()
+    got = tx.scan(("cents", "between", (lo, hi))).count()
+    out["scan_pruned_s"] = round(time.time() - t0, 3)
+    out["scan_rows"] = got
+    out["scan_files_frac"] = round(
+        tx.last_scan_info["files_read"]
+        / max(1, tx.last_scan_info["files_live"]), 3
+    )
+
+    t0 = time.time()
+    c_log = tx.count()
+    out["count_log_s"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    c_scan = tx.snapshot().count()
+    out["count_scan_s"] = round(time.time() - t0, 3)
+    assert c_log == c_scan, (c_log, c_scan)
+
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
