@@ -1125,6 +1125,12 @@ class TxTable:
                         if f.name not in types:
                             tbl_cols.append(f.name)
                             types[f.name] = f.dataType
+                unknown = (set(upd) | set(ins_map or {})) - set(tbl_cols)
+                if unknown:
+                    raise ValueError(
+                        f"merge targets unknown column(s): "
+                        f"{sorted(unknown)} (table has {tbl_cols})"
+                    )
 
                 def null_of(c):
                     return F.lit(None).cast(types[c])

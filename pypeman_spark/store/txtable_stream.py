@@ -195,46 +195,51 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
             yield from emit(old, "delete")
             return
 
-        o = old.append_column("__po", pa.array([True] * old.num_rows))
-        n = new.append_column("__pn", pa.array([True] * new.num_rows))
-        j = o.join(
-            n, keys=keys, join_type="full outer",
-            left_suffix="_o", right_suffix="_n",
+        # join only (keys, row-index) — Arrow's hash join rejects
+        # list/map PAYLOAD columns, so full rows are gathered by
+        # take() on the original tables instead of carried through
+        okeys = old.select(keys).append_column(
+            "__oi", pa.array(range(old.num_rows), pa.int64())
         )
-        in_old = pc.is_valid(j["__po"])
-        in_new = pc.is_valid(j["__pn"])
-
-        def side(tbl_j, suffix):
-            cols = {}
-            for f in tbl_fields:
-                src = f.name if f.name in keys else f.name + suffix
-                cols[f.name] = tbl_j[src]
-            return pa.table(cols).cast(tbl_schema)
-
+        nkeys = new.select(keys).append_column(
+            "__ni", pa.array(range(new.num_rows), pa.int64())
+        )
+        j = okeys.join(nkeys, keys=keys, join_type="full outer")
+        in_old = pc.is_valid(j["__oi"])
+        in_new = pc.is_valid(j["__ni"])
         yield from emit(
-            side(j.filter(pc.and_(pc.invert(in_old), in_new)), "_n"),
-            "insert",
+            new.take(j.filter(pc.invert(in_old))["__ni"]), "insert"
         )
         yield from emit(
-            side(j.filter(pc.and_(in_old, pc.invert(in_new))), "_o"),
-            "delete",
+            old.take(j.filter(pc.invert(in_new))["__oi"]), "delete"
         )
         both = j.filter(pc.and_(in_old, in_new))
-        if nonkey:
-            changed = None
-            for c in nonkey:
-                lo, hi = both[c + "_o"], both[c + "_n"]
+        oi, ni = both["__oi"], both["__ni"]
+        changed = None
+        for c in nonkey:
+            lo, hi = old[c].take(oi), new[c].take(ni)
+            try:
                 same = pc.or_(
                     pc.fill_null(pc.equal(lo, hi), False),
                     pc.and_(pc.is_null(lo), pc.is_null(hi)),
                 )
-                diff = pc.invert(same)
-                changed = diff if changed is None else pc.or_(changed, diff)
-            upd = both.filter(changed)
-        else:
-            upd = both.slice(0, 0)  # key-only table: nothing can change
-        yield from emit(side(upd, "_o"), "update_preimage")
-        yield from emit(side(upd, "_n"), "update_postimage")
+            except (pa.lib.ArrowNotImplementedError, pa.lib.ArrowInvalid):
+                # list/map columns: no vectorized equal — Python
+                # compare (None == None is True, matching the
+                # null-safe semantics of the batch feed)
+                same = pa.chunked_array([pa.array(
+                    [a == b for a, b in
+                     zip(lo.to_pylist(), hi.to_pylist())],
+                    pa.bool_(),
+                )])
+            diff = pc.invert(same)
+            changed = diff if changed is None else pc.or_(changed, diff)
+        if changed is None:  # key-only table: nothing can change
+            return
+        upd_o = both.filter(changed)["__oi"]
+        upd_n = both.filter(changed)["__ni"]
+        yield from emit(old.take(upd_o), "update_preimage")
+        yield from emit(new.take(upd_n), "update_postimage")
 
 
 class TxTableChangesDataSource(DataSource):

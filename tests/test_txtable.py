@@ -1142,3 +1142,40 @@ def test_constraint_survives_checkpoint_and_conflicts_merges(
         t.merge_upsert(spark.createDataFrame(
             [(50, 1)], "k long, bal long"))
     assert fired["done"]
+
+
+def test_merge_rejects_unknown_target_columns(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="unknown column"):
+        t.merge(_df(spark, [(1, "x")]),
+                when_matched_update={"nope": "s.val"})
+    with pytest.raises(ValueError, match="unknown column"):
+        t.merge(_df(spark, [(2, "y")]),
+                when_not_matched_insert={"nope": "s.val"})
+
+
+def test_stream_changes_handles_array_columns(spark, tmp_path):
+    """Arrow compute has no vectorized equal for list columns — the
+    streaming diff must fall back and still match the batch feed
+    exactly (embedding-bearing tables are the norm in this engine)."""
+    t = TxTable(spark, str(tmp_path / "tbl"), key_cols=["k"], n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, None)],
+        "k long, emb array<double>"))
+    t.merge_upsert(spark.createDataFrame(
+        [(2, [9.0, 9.0]), (3, None), (4, [5.0, 5.0])],
+        "k long, emb array<double>"))
+    _drain(t.stream_changes(), tmp_path, "cdc_arr")
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], tuple(r["emb"] or ()))
+        for r in spark.table("cdc_arr").collect()
+    )
+    want = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], tuple(r["emb"] or ()))
+        for r in t.table_changes(0).collect()
+    )
+    assert got == want
+    # k=3 re-merged with identical (null) value: rewrite noise stays out
+    assert not any(k == 3 and v == 2 for v, _c, k, _e in got)
+    assert any(c == "update_postimage" and k == 2 for _v, c, k, _e in got)
