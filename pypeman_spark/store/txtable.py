@@ -169,6 +169,38 @@ def _replay_log(
     return _version_of(names[-1]), live, txns, schema, cons
 
 
+def _schema_colmap(schema_json: "str | None") -> "dict[str, str]":
+    """{logical name: physical name} for fields whose on-disk name
+    differs (column-mapping: physical names are fixed at column birth,
+    renames are logical-only — the Delta column-mapping recipe via
+    StructField metadata)."""
+    if schema_json is None:
+        return {}
+    out = {}
+    for f in json.loads(schema_json).get("fields", []):
+        p = (f.get("metadata") or {}).get("physical")
+        if p and p != f["name"]:
+            out[f["name"]] = p
+    return out
+
+
+def _schema_dropped(schema_json: "str | None") -> list[str]:
+    """Physical names ever dropped from the table — kept inside the
+    schema JSON (extra key, ignored by StructType.fromJson) so a
+    later re-ADD of the same logical name gets a FRESH physical name
+    and can never resurrect dropped data from old files."""
+    if schema_json is None:
+        return []
+    return list(json.loads(schema_json).get("x_dropped", []))
+
+
+def _schema_json_with(struct, dropped: "list[str]") -> str:
+    d = json.loads(struct.json())
+    if dropped:
+        d["x_dropped"] = sorted(set(dropped))
+    return json.dumps(d)
+
+
 def _commit_actions_of(
     log_dir: str, version: int
 ) -> "tuple[list[dict], list[str], dict] | None":
@@ -357,6 +389,96 @@ class TxTable:
             f"drop_constraint lost {max_retries} version races"
         )
 
+    # --------------------------------------------- schema evolution --
+
+    def _guard_schema_edit(self, col: str, cons: "dict[str, str]"):
+        import re
+
+        if col in self.key_cols:
+            raise ValueError(f"cannot alter key column {col!r}")
+        for cname, cexpr in cons.items():
+            if re.search(rf"\b{re.escape(col)}\b", cexpr):
+                raise ValueError(
+                    f"constraint {cname!r} references {col!r} — "
+                    f"drop it first"
+                )
+
+    def rename_column(self, old: str, new: str,
+                      max_retries: int = 10) -> int:
+        """Rename a column WITHOUT rewriting any data: the column's
+        physical (on-disk) name is fixed at birth and recorded in the
+        field metadata; only the logical name changes (Delta's
+        column-mapping recipe). Time travel to a pre-rename version
+        shows the old name — the mapping is part of each version's
+        schema. Key columns are unrenameable (bucket layout identity);
+        columns referenced by a CHECK constraint must drop it first."""
+        from pyspark.sql.types import StructField, StructType
+
+        for _ in range(max_retries):
+            base_v, _l, _t, schema, cons = _replay_log(self.log_dir)
+            if schema is None:
+                raise ValueError("table has no schema yet")
+            self._guard_schema_edit(old, cons)
+            st = StructType.fromJson(json.loads(schema))
+            names = [f.name for f in st.fields]
+            if old not in names:
+                raise ValueError(f"no such column: {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            fields = []
+            for f in st.fields:
+                if f.name == old:
+                    md = dict(f.metadata or {})
+                    md.setdefault("physical", old)
+                    fields.append(
+                        StructField(new, f.dataType, f.nullable, md)
+                    )
+                else:
+                    fields.append(f)
+            if self._commit(
+                base_v + 1,
+                [{"schema": _schema_json_with(
+                    StructType(fields), _schema_dropped(schema)
+                )}],
+                op="schema", buckets=[],
+            ):
+                return base_v + 1
+        raise CommitConflict(
+            f"rename_column lost {max_retries} version races"
+        )
+
+    def drop_column(self, name: str, max_retries: int = 10) -> int:
+        """Drop a column WITHOUT rewriting any data — readers simply
+        stop selecting its physical column. The physical name goes on
+        the tombstone list inside the schema JSON, so a later re-ADD
+        of the same logical name is born under a fresh physical name
+        and old bytes can never resurrect into it."""
+        from pyspark.sql.types import StructType
+
+        for _ in range(max_retries):
+            base_v, _l, _t, schema, cons = _replay_log(self.log_dir)
+            if schema is None:
+                raise ValueError("table has no schema yet")
+            self._guard_schema_edit(name, cons)
+            st = StructType.fromJson(json.loads(schema))
+            hit = [f for f in st.fields if f.name == name]
+            if not hit:
+                raise ValueError(f"no such column: {name!r}")
+            physical = (hit[0].metadata or {}).get("physical", name)
+            fields = [f for f in st.fields if f.name != name]
+            if self._commit(
+                base_v + 1,
+                [{"schema": _schema_json_with(
+                    StructType(fields),
+                    _schema_dropped(schema) + [physical],
+                )}],
+                op="schema", buckets=[],
+            ):
+                return base_v + 1
+        raise CommitConflict(
+            f"drop_column lost {max_retries} version races"
+        )
+
     def last_txn_version(self, app: str) -> int:
         """Highest ``txn`` marker committed for ``app`` (-1 if none) —
         the Delta-style idempotent-writer protocol: a streaming
@@ -384,18 +506,30 @@ class TxTable:
         """Schema action to commit alongside ``df``'s files: the union
         of the current table schema and ``df``'s (new columns append;
         a same-name column with a different type is an error — silent
-        coercion at petabyte scale is how tables rot)."""
+        coercion at petabyte scale is how tables rot). A new column
+        whose name matches a previously DROPPED physical name, or any
+        live physical name, is born under a fresh physical name so old
+        files' bytes can never leak into it."""
         if schema_json is None:
             return [{"schema": df.schema.json()}]
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructField, StructType
 
         cur = StructType.fromJson(json.loads(schema_json))
+        dropped = _schema_dropped(schema_json)
+        taken_physical = set(dropped) | {
+            (f.metadata or {}).get("physical", f.name) for f in cur.fields
+        }
         by_name = {f.name: f for f in cur.fields}
         out = list(cur.fields)
         changed = False
         for f in df.schema.fields:
             have = by_name.get(f.name)
             if have is None:
+                if f.name in taken_physical:
+                    f = StructField(
+                        f.name, f.dataType, True,
+                        {"physical": f"{f.name}_{uuid.uuid4().hex[:8]}"},
+                    )
                 out.append(f)
                 changed = True
             elif have.dataType != f.dataType:
@@ -405,7 +539,7 @@ class TxTable:
                 )
         if not changed:
             return []
-        return [{"schema": StructType(out).json()}]
+        return [{"schema": _schema_json_with(StructType(out), dropped)}]
 
     def _commit_info(self, version: int) -> "dict | None":
         p = os.path.join(self.log_dir, _commit_name(version))
@@ -536,7 +670,10 @@ class TxTable:
                         bad.add(name)
         return {k: v for k, v in agg.items() if k not in bad}, md.num_rows
 
-    def _stage(self, df: DataFrame, arranged: bool = False) -> "list[dict]":
+    def _stage(
+        self, df: DataFrame, arranged: bool = False,
+        schema_json: "str | None" = None,
+    ) -> "list[dict]":
         """Write ``df`` as immutable bucket-partitioned files under
         ``data/`` with unique names; returns add-actions (NOT yet
         committed — invisible to every snapshot until they are).
@@ -553,13 +690,22 @@ class TxTable:
         the cluster so per-bucket write parallelism is enough.
         ``arranged=True`` skips the repartition for callers that
         pre-arranged the layout (clustered compaction must keep its
-        range partitioning + sort)."""
+        range partitioning + sort). ``schema_json`` supplies the
+        column mapping: renamed columns are written under their FIXED
+        physical names (key columns are unrenameable, so the bucket
+        expression always sees logical names)."""
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         if not arranged:
             df = df.repartition(self.n_buckets, self._bucket_col())
+        out = df.withColumn("bucket", self._bucket_col())
+        cm = _schema_colmap(schema_json)
+        if cm:
+            out = out.select(*[
+                F.col(c).alias(cm.get(c, c)) for c in out.columns
+            ])
         (
-            df.withColumn("bucket", self._bucket_col())
-            .write.partitionBy("bucket").mode("overwrite").parquet(staging)
+            out.write.partitionBy("bucket").mode("overwrite")
+            .parquet(staging)
         )
         adds = []
         moved = []
@@ -609,14 +755,22 @@ class TxTable:
         files = [os.path.join(self.path, f) for f in sorted(rel_files)]
         reader = self.spark.read.option("basePath", self.data_dir)
         if schema_json is not None:
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import StructField, StructType
 
             schema = StructType.fromJson(json.loads(schema_json))
-            # partition discovery still appends the bucket column even
-            # under an explicit schema — select exactly the log schema
-            return reader.schema(schema).parquet(*files).select(
-                *[f.name for f in schema.fields]
-            )
+            cm = _schema_colmap(schema_json)
+            # read under PHYSICAL names (what the files contain), then
+            # alias back to logical; partition discovery still appends
+            # the bucket column even under an explicit schema — the
+            # select drops it and fixes the order
+            phys = StructType([
+                StructField(cm.get(f.name, f.name), f.dataType, True)
+                for f in schema.fields
+            ])
+            return reader.schema(phys).parquet(*files).select(*[
+                F.col(cm.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ])
         return reader.parquet(*files).drop("bucket")
 
     def snapshot(self, version: "int | None" = None) -> DataFrame:
@@ -720,10 +874,11 @@ class TxTable:
         (``pypeman/msgstore.py``). ``last_scan_info`` records
         {files_live, files_read} for plan audits."""
         _v, live, _txns, schema = self._replay_full(upto=version)
+        cm = _schema_colmap(schema)  # stats are keyed by PHYSICAL name
         kept = [
             f for f, info in sorted(live.items())
             if all(
-                self._may_match(info.get("stats"), c, op, v)
+                self._may_match(info.get("stats"), cm.get(c, c), op, v)
                 for (c, op, v) in preds
             )
         ]
@@ -922,7 +1077,8 @@ class TxTable:
     def append(self, df: DataFrame, max_retries: int = 20) -> int:
         """Add-only commit: never conflicts with other appends (two
         interleaved appends both land — union semantics)."""
-        adds = self._stage(df)
+        _bv0, _l0, _t0, schema0, _c0 = _replay_log(self.log_dir)
+        adds = self._stage(df, schema_json=schema0)
         v = self.version()
         validated: "dict | None" = None
         for _ in range(max_retries):
@@ -983,6 +1139,7 @@ class TxTable:
                     if info.get("bucket") in touched
                 ]
                 schema_act = self._evolved_schema_action(updates, schema)
+                eff = schema_act[0]["schema"] if schema_act else schema
                 if old:
                     cur = self._read_files(old, schema)
                     merged = cur.join(
@@ -991,8 +1148,8 @@ class TxTable:
                     ).unionByName(updates, allowMissingColumns=True)
                 else:
                     merged = updates
-                adds = self._stage(merged)
-                self._validate_adds(adds, schema, cons)
+                adds = self._stage(merged, schema_json=eff)
+                self._validate_adds(adds, eff, cons)
                 actions = (
                     adds + [{"remove": {"file": f}} for f in old]
                     + schema_act
@@ -1120,6 +1277,7 @@ class TxTable:
                 schema_act = []
                 if when_not_matched_insert is True or schema is None:
                     schema_act = self._evolved_schema_action(source, schema)
+                eff = schema_act[0]["schema"] if schema_act else schema
                 if when_not_matched_insert is True:
                     for f in source.schema.fields:
                         if f.name not in types:
@@ -1193,8 +1351,8 @@ class TxTable:
                     out_cols.append(v.alias(c))
                 merged = j.where(keep).select(*out_cols)
 
-                adds = self._stage(merged)
-                self._validate_adds(adds, schema, cons)
+                adds = self._stage(merged, schema_json=eff)
+                self._validate_adds(adds, eff, cons)
                 actions = (
                     adds + [{"remove": {"file": f}} for f in old]
                     + schema_act
@@ -1243,7 +1401,7 @@ class TxTable:
                     return base_v  # nothing to delete
                 cur = self._read_files(old, schema)
                 kept = cur.join(keys, on=self.key_cols, how="left_anti")
-                adds = self._stage(kept)
+                adds = self._stage(kept, schema_json=schema)
                 actions = adds + [{"remove": {"file": f}} for f in old]
                 v = base_v
                 committed = False
@@ -1325,7 +1483,9 @@ class TxTable:
             else:
                 # one output file per bucket
                 staged_df = cur.repartition(len(todo), self._bucket_col())
-            adds = self._stage(staged_df, arranged=True)
+            adds = self._stage(
+                staged_df, arranged=True, schema_json=schema
+            )
             actions = adds + [{"remove": {"file": f}} for f in old]
             tb = sorted(todo)
             touched = set(tb)

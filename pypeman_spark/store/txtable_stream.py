@@ -80,6 +80,14 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self.arrow_out = to_arrow_schema(schema)
+        # column mapping: physical (on-disk) name per logical field —
+        # arrow schemas drop Spark field metadata, so capture it here
+        self.colmap = {
+            f.name: f.metadata["physical"]
+            for f in schema.fields
+            if f.metadata and f.metadata.get("physical")
+            and f.metadata["physical"] != f.name
+        }
         # key cols live in version 0's meta action
         meta = {}
         p = os.path.join(self.log_dir, f"{0:020d}.json")
@@ -166,8 +174,9 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
                 t = pq.read_table(f)
                 cols = {}
                 for fld in tbl_fields:
-                    if fld.name in t.column_names:
-                        cols[fld.name] = pc.cast(t[fld.name], fld.type)
+                    src = self.colmap.get(fld.name, fld.name)
+                    if src in t.column_names:
+                        cols[fld.name] = pc.cast(t[src], fld.type)
                     else:
                         cols[fld.name] = pa.nulls(t.num_rows, fld.type)
                 tabs.append(pa.table(cols).cast(tbl_schema))

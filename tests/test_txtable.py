@@ -149,9 +149,9 @@ def test_disjoint_bucket_merge_commits_without_restage(spark, tmp_path):
     stages = {"n": 0}
     real_stage = t_a._stage
 
-    def counting_stage(df):
+    def counting_stage(df, **kw):
         stages["n"] += 1
-        return real_stage(df)
+        return real_stage(df, **kw)
 
     t_a._stage = counting_stage
     real_commit = t_a._commit
@@ -1179,3 +1179,105 @@ def test_stream_changes_handles_array_columns(spark, tmp_path):
     # k=3 re-merged with identical (null) value: rewrite noise stays out
     assert not any(k == 3 and v == 2 for v, _c, k, _e in got)
     assert any(c == "update_postimage" and k == 2 for _v, c, k, _e in got)
+
+
+# ---------------------------------------- column rename/drop (mapping) --
+
+
+def test_rename_column_no_rewrite_and_time_travel(spark, tmp_path):
+    """Rename is log-only: zero files change, old files read under the
+    new logical name, a pre-rename time travel shows the old name, and
+    new writes land under the FIXED physical name (old files and new
+    files agree)."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    _v, files_before = t._replay()
+    v_pre = t.version()
+    t.rename_column("val", "label")
+    _v, files_after = t._replay()
+    assert files_before.keys() == files_after.keys()  # no rewrite
+    assert set(t.read().columns) == {"k", "label"}
+    assert {r["label"] for r in t.read().collect()} == {"a", "b"}
+    assert set(t.snapshot(version=v_pre).columns) == {"k", "val"}
+    # post-rename write joins pre-rename files seamlessly
+    t.merge_upsert(spark.createDataFrame(
+        [(2, "B2"), (3, "c")], "k long, label string"))
+    rows = {r["k"]: r["label"] for r in t.read().collect()}
+    assert rows == {1: "a", 2: "B2", 3: "c"}
+    # CDC across the rename reads everything under the CURRENT name
+    ch = t.table_changes(0)
+    assert "label" in ch.columns and "val" not in ch.columns
+    assert ch.where("_change_type = 'update_preimage'").first()[
+        "label"] == "b"
+    # reopen from disk: mapping survives the log round-trip
+    assert set(TxTable(spark, str(tmp_path / "tbl")).read().columns) == {
+        "k", "label"}
+
+
+def test_rename_guards(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="key column"):
+        t.rename_column("k", "key2")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("val", "k")
+    with pytest.raises(ValueError, match="no such column"):
+        t.rename_column("nope", "x")
+    t.add_constraint("nonempty", "length(val) > 0")
+    with pytest.raises(ValueError, match="constraint"):
+        t.rename_column("val", "text")
+
+
+def test_drop_column_and_no_resurrection(spark, tmp_path):
+    """Drop is log-only; re-adding the same logical name via evolution
+    must NOT resurrect old bytes — old rows read NULL."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, val string, score long"))
+    t.drop_column("score")
+    assert set(t.read().columns) == {"k", "val"}
+    # re-add the same name: schema evolution assigns a fresh physical
+    t.merge_upsert(spark.createDataFrame(
+        [(3, "c", 99)], "k long, val string, score long"))
+    rows = {r["k"]: r["score"] for r in t.read().collect()}
+    assert rows == {1: None, 2: None, 3: 99}  # no resurrected 10/20
+    # and the feed agrees with the current schema
+    assert {r["k"]: r["score"] for r in t.table_changes(
+        t.version() - 1).where("_change_type = 'insert'").collect()
+    } == {3: 99}
+
+
+def test_scan_prunes_on_renamed_column(spark, tmp_path):
+    """Footer stats are keyed by physical name; scan() must map the
+    logical predicate to it — pruning keeps working after a rename."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(i, i) for i in range(100)], "k long, price long"))
+    t.rename_column("price", "cost")
+    t.append(spark.createDataFrame(
+        [(i, i) for i in range(1000, 1100)], "k long, cost long"))
+    got = t.scan(("cost", "between", (1000, 1050)))
+    assert t.last_scan_info["files_read"] < t.last_scan_info["files_live"]
+    assert got.count() == 51
+
+
+def test_stream_changes_across_rename(spark, tmp_path):
+    """The streaming CDC source must apply the column mapping: files
+    written before the rename surface under the current logical name,
+    byte-identical to the batch feed."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.rename_column("val", "label")
+    t.merge_upsert(spark.createDataFrame(
+        [(2, "B2")], "k long, label string"))
+    _drain(t.stream_changes(), tmp_path, "cdc_ren")
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["label"])
+        for r in spark.table("cdc_ren").collect()
+    )
+    want = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["label"])
+        for r in t.table_changes(0).collect()
+    )
+    assert got == want
+    assert (1, "insert", 1, "a") in got  # pre-rename file, new name
