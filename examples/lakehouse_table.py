@@ -103,6 +103,21 @@ def main() -> None:
         f"{tx.last_scan_info['files_live']} files"
     )
 
+    tx.add_constraint("segment_known", "segment is not null")
+    try:
+        tx.merge_upsert(
+            tx.snapshot().limit(1).withColumn(
+                "segment", F.lit(None).cast("string")
+            )
+        )
+    except Exception as e:  # ConstraintViolation
+        print("CHECK constraint blocked a bad write:", e)
+
+    tx.rename_column("bal_cents", "balance_cents")  # log-only: no rewrite
+    print("renamed, no data rewritten:", tx.read().columns,
+          "| exact rows from the log alone:", tx.count(),
+          "| table stats:", tx.stats())
+
     removed = tx.vacuum(grace_s=0.0)
     print(f"vacuum removed {len(removed)} unreferenced files")
     shutil.rmtree(root, ignore_errors=True)
