@@ -121,10 +121,10 @@ def _latest_checkpoint_of(
 
 def _replay_log(
     log_dir: str, upto: "int | None" = None
-) -> "tuple[int, dict[str, dict], dict[str, int], str | None]":
-    """(version, live {relpath: add-info}, txn markers, schema JSON)
-    as of ``upto`` (default latest), replaying from the newest
-    checkpoint at or below."""
+) -> "tuple[int, dict[str, dict], dict[str, int], str | None, dict[str, str]]":
+    """(version, live {relpath: add-info}, txn markers, schema JSON,
+    constraints {name: SQL expr}) as of ``upto`` (default latest),
+    replaying from the newest checkpoint at or below."""
     names = _list_log(log_dir)
     if upto is not None:
         names = [n for n in names if _version_of(n) <= upto]
@@ -779,6 +779,15 @@ class TxTable:
         call time and data files are immutable."""
         _v, live, _txns, schema = self._replay_full(upto=version)
         if not live:
+            if schema is not None:
+                # emptied table (e.g. delete_keys removed every row):
+                # the committed logical schema still holds — match
+                # table_schema() and table_changes()'s empty base
+                from pyspark.sql.types import StructType
+
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(schema))
+                )
             # schemaless empty table: no rows, no columns to promise
             return self.spark.createDataFrame([], "dummy int").drop("dummy")
         return self._read_files(sorted(live), schema)
@@ -1076,17 +1085,48 @@ class TxTable:
 
     def append(self, df: DataFrame, max_retries: int = 20) -> int:
         """Add-only commit: never conflicts with other appends (two
-        interleaved appends both land — union semantics)."""
-        _bv0, _l0, _t0, schema0, _c0 = _replay_log(self.log_dir)
-        adds = self._stage(df, schema_json=schema0)
+        interleaved appends both land — union semantics).
+
+        Files are staged under the EVOLVED schema (current table schema
+        + ``df``'s new columns) so a column re-added after a drop, or
+        one whose name collides with a live/tombstoned physical name,
+        is written under its fresh physical name — staging with the
+        pre-evolution schema would silently null-fill the new column
+        (the tombstone remap points at a physical the file lacks) or
+        leak its values into a renamed column's physical slot. If a
+        concurrent schema commit (rename/drop/another writer's
+        evolution) lands between staging and commit, the physical
+        mapping our files were written under may be stale: the retry
+        loop recomputes the evolution against the fresh schema and
+        restages whenever the {logical: physical} map for ``df``'s
+        columns changed (same non-commuting-op discipline as merge)."""
+
+        def _staged_map(schema_json: "str | None") -> "dict[str, str]":
+            cm = _schema_colmap(schema_json)
+            return {c: cm.get(c, c) for c in df.columns}
+
+        _bv0, _l0, _t0, base, _c0 = _replay_log(self.log_dir)
+        schema_act = self._evolved_schema_action(df, base)
+        eff = schema_act[0]["schema"] if schema_act else base
+        adds = self._stage(df, schema_json=eff)
         v = self.version()
         validated: "dict | None" = None
         for _ in range(max_retries):
             _bv, _live, _txns, schema, cons = _replay_log(self.log_dir)
+            if schema != base:  # schema commit interleaved: re-evolve
+                base = schema
+                schema_act = self._evolved_schema_action(df, base)
+                new_eff = schema_act[0]["schema"] if schema_act else base
+                if _staged_map(new_eff) != _staged_map(eff):
+                    # staged files carry now-wrong physical names
+                    self._discard(adds)
+                    adds = self._stage(df, schema_json=new_eff)
+                    validated = None
+                eff = new_eff
             if cons != validated:  # (re-)check on any rule change
-                self._validate_adds(adds, schema, cons)
+                self._validate_adds(adds, eff, cons)
                 validated = dict(cons)
-            actions = adds + self._evolved_schema_action(df, schema)
+            actions = adds + schema_act
             if self._commit(
                 v + 1, actions, op="append",
                 buckets=[a["add"]["bucket"] for a in adds],

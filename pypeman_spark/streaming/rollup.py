@@ -128,7 +128,27 @@ class ContinuousRollup:
                 mtok, _, mid = txt.rpartition(":")
                 if mtok == token and mid and batch_id <= int(mid):
                     return
-            # legacy bare-int marker: query identity unprovable — merge
+            elif txt.isdigit() and self.checkpoint and os.path.isfile(
+                os.path.join(self.checkpoint, "metadata")
+            ):
+                # Legacy bare-int marker from a pre-token version of
+                # this store, under a checkpoint-backed query. Spark
+                # re-delivers at most the LAST uncommitted batch, so a
+                # genuine replay arrives with batch_id == marker —
+                # honor exactly that (adopting the marker under the
+                # current token), which restores the old format's
+                # replay protection. Any OTHER batch id means this is
+                # not a replay of the marker batch (a reset checkpoint
+                # restarts at 0, a continuation arrives at marker+1):
+                # merge, and the post-merge marker write upgrades the
+                # format. This avoids re-introducing the reset-time
+                # data loss the token format exists to prevent.
+                if batch_id == int(txt):
+                    tmp2 = marker + f".tmp{os.getpid()}"
+                    with open(tmp2, "w") as fh:
+                        fh.write(f"{token}:{int(txt)}")
+                    os.replace(tmp2, marker)
+                    return
         spark = batch_df.sparkSession
         partials = self._partials(batch_df)
         days = [r["day"] for r in partials.select("day").distinct().collect()]

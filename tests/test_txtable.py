@@ -1281,3 +1281,77 @@ def test_stream_changes_across_rename(spark, tmp_path):
     )
     assert got == want
     assert (1, "insert", 1, "a") in got  # pre-rename file, new name
+
+
+# ------------------------------------------------- r9 advice fixes --
+
+
+def test_append_readd_dropped_column_keeps_values(spark, tmp_path):
+    """append() must stage under the EVOLVED schema: re-adding a
+    dropped column writes its fresh physical name, so the new values
+    survive and the old (tombstoned) bytes never resurrect. Pre-fix,
+    staging with the pre-evolution schema silently nulled the new
+    column for every appended row."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame(
+        [(1, "a", 10)], "k long, val string, score long"))
+    t.drop_column("score")
+    t.append(spark.createDataFrame(
+        [(2, "b", 99)], "k long, val string, score long"))
+    rows = {r["k"]: r for r in t.read().collect()}
+    assert rows[2]["score"] == 99   # appended value survives
+    assert rows[1]["score"] is None  # dropped bytes stay dead
+
+
+def test_append_new_column_named_after_renamed_physical(spark, tmp_path):
+    """After rename a->b, appending a df with a NEW column named 'a'
+    must not write physical 'a' (which readers map to logical 'b') —
+    pre-fix the appended values leaked into the renamed column."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(spark.createDataFrame([(1, "x")], "k long, a string"))
+    t.rename_column("a", "b")
+    t.append(spark.createDataFrame(
+        [(2, "NEWB", "NEWA")], "k long, b string, a string"))
+    rows = {r["k"]: r for r in t.read().collect()}
+    assert rows[2]["b"] == "NEWB" and rows[2]["a"] == "NEWA"
+    assert rows[1]["b"] == "x" and rows[1]["a"] is None
+
+
+def test_append_restages_after_concurrent_rename(spark, tmp_path):
+    """Schema commits are non-commuting for append too: a rename
+    landing between staging and commit changes the physical mapping
+    the staged files were written under — the retry loop must detect
+    the colmap change and restage, not commit stale physicals."""
+    t_a = _mk(spark, tmp_path, n_buckets=2)
+    t_b = TxTable(spark, str(tmp_path / "tbl"))
+    t_a.append(spark.createDataFrame([(1, "old")], "k long, a string"))
+
+    real_commit = t_a._commit
+    fired = {"done": False}
+
+    def hooked(expected_version, actions, op, buckets, **kw):
+        if op == "append" and not fired["done"]:
+            fired["done"] = True
+            t_b.rename_column("a", "b")  # claims our version first
+        return real_commit(expected_version, actions, op, buckets, **kw)
+
+    t_a._commit = hooked
+    t_a.append(spark.createDataFrame([(2, "NEW")], "k long, a string"))
+    rows = {r["k"]: r for r in t_a.read().collect()}
+    # row 1's value lives under the renamed column; row 2's 'a' is a
+    # NEW logical column (fresh physical), not a write into 'b'
+    assert rows[1]["b"] == "old" and rows[1]["a"] is None
+    assert rows[2]["a"] == "NEW" and rows[2]["b"] is None
+
+
+def test_snapshot_keeps_schema_after_full_delete(spark, tmp_path):
+    """An emptied table still has its committed logical schema —
+    snapshot() must agree with table_schema(), not collapse to zero
+    columns."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.delete_keys(spark.createDataFrame([(1,), (2,)], "k long"))
+    snap = t.snapshot()
+    assert snap.count() == 0
+    assert [f.name for f in snap.schema.fields] == ["k", "val"]
+    assert snap.schema == t.table_schema()
