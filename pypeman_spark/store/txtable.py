@@ -6,10 +6,14 @@ published Delta Lake design (Armbrust et al., VLDB 2020) reduced to
 its load-bearing core — no proprietary code, just the public recipe:
 
 * **Immutable data files + an ordered commit log.** Every table
-  mutation writes NEW parquet files, then publishes them by creating
-  ``_txlog/<version 20 digits>.json`` with ``O_CREAT | O_EXCL`` — an
-  atomic filesystem primitive, so exactly one writer wins each
-  version. The log entry lists ``add``/``remove`` file actions.
+  mutation writes NEW parquet files, then publishes them through the
+  pluggable :mod:`.logstore`'s atomic CONDITIONAL PUT — "claim
+  version V iff unclaimed" — so exactly one writer wins each version.
+  The default store is one ``_txlog/<version 20 digits>.json`` file
+  per commit claimed via POSIX hardlink; the sqlite store provides
+  the same contract with no rename dependence (the shape an
+  object-store deployment needs). The log entry lists
+  ``add``/``remove`` file actions.
 * **Snapshot isolation for readers.** A snapshot is the file set
   obtained by replaying the log up to a version. Data files are never
   mutated, so a reader's DataFrame stays consistent regardless of
@@ -36,12 +40,10 @@ its load-bearing core — no proprietary code, just the public recipe:
 Crash safety: a writer that dies after staging data files but before
 its commit leaves orphans that no snapshot references; :meth:`vacuum`
 deletes unreferenced files older than a grace period. A writer that
-dies mid-commit cannot corrupt the table: the record is fully written
-and fsynced under a temp name, then ``os.link``ed to the version name
-— hardlink creation is atomic and fails if the target exists (the
-same claim semantics as ``O_CREAT|O_EXCL``) while guaranteeing the
-content is complete the instant the name appears, which a direct
-O_EXCL-then-write could not.
+dies mid-commit cannot corrupt the table: the LogStore contract
+requires the payload to be complete the instant the version becomes
+visible (the file store links a fully-fsynced temp file into place;
+the sqlite store commits the row transactionally).
 """
 
 from __future__ import annotations
@@ -63,6 +65,8 @@ _VERSION_DIGITS = 20
 # bucket-scoped rewrite (any bucket overlap always forces a retry).
 # "create" and unknown ops are conservatively treated as conflicts.
 _COMMUTING_OPS = ("append", "merge", "delete", "compact")
+
+from .logstore import LogStore, open_logstore  # noqa: E402
 
 
 class CommitConflict(RuntimeError):
@@ -87,55 +91,34 @@ def _commit_name(version: int) -> str:
     return f"{version:0{_VERSION_DIGITS}d}.json"
 
 
-# Module-level log readers: pure filesystem+json, no SparkSession —
+# Module-level log readers: pure LogStore+json, no SparkSession —
 # shared by TxTable and the streaming source (txtable_stream.py), whose
-# driver-side offset worker has no session to hand around.
+# driver-side offset worker has no session to hand around. Each
+# accepts a LogStore or a log-dir path (autodetected impl).
 
 
-def _list_log(log_dir: str) -> list[str]:
-    try:
-        names = os.listdir(log_dir)
-    except FileNotFoundError:
-        return []
-    return sorted(n for n in names if n.endswith(".json")
-                  and not n.endswith(".checkpoint.json")
-                  and "." in n and n.split(".")[0].isdigit())
-
-
-def _latest_checkpoint_of(
-    log_dir: str, upto: int
-) -> "tuple[int, dict] | None":
-    best = None
-    for n in os.listdir(log_dir):
-        if n.endswith(".checkpoint.json"):
-            v = _version_of(n)
-            if v <= upto and (best is None or v > best):
-                best = v
-    if best is None:
-        return None
-    with open(os.path.join(
-        log_dir, f"{best:0{_VERSION_DIGITS}d}.checkpoint.json"
-    )) as fh:
-        return best, json.load(fh)
+def _as_logstore(store: "LogStore | str") -> LogStore:
+    return open_logstore(store) if isinstance(store, str) else store
 
 
 def _replay_log(
-    log_dir: str, upto: "int | None" = None
+    store: "LogStore | str", upto: "int | None" = None
 ) -> "tuple[int, dict[str, dict], dict[str, int], str | None, dict[str, str]]":
     """(version, live {relpath: add-info}, txn markers, schema JSON,
     constraints {name: SQL expr}) as of ``upto`` (default latest),
     replaying from the newest checkpoint at or below."""
-    names = _list_log(log_dir)
+    store = _as_logstore(store)
+    versions = store.list_versions()
     if upto is not None:
-        names = [n for n in names if _version_of(n) <= upto]
-    if not names:
+        versions = [v for v in versions if v <= upto]
+    if not versions:
         return -1, {}, {}, None, {}
     live: dict[str, dict] = {}
     txns: dict[str, int] = {}
     schema: "str | None" = None
     cons: dict[str, str] = {}
     start = 0
-    ckpt = _latest_checkpoint_of(log_dir, _version_of(names[-1]))
+    ckpt = store.latest_checkpoint(versions[-1])
     if ckpt is not None:
         cv, state = ckpt
         live = dict(state["live"])
@@ -143,30 +126,33 @@ def _replay_log(
         schema = state.get("schema")
         cons = dict(state.get("constraints", {}))
         start = cv + 1
-    for n in names:
-        v = _version_of(n)
+    for v in versions:
         if v < start:
             continue
-        with open(os.path.join(log_dir, n)) as fh:
-            for line in fh:
-                a = json.loads(line)
-                if "add" in a:
-                    live[a["add"]["file"]] = a["add"]
-                elif "remove" in a:
-                    live.pop(a["remove"]["file"], None)
-                elif "schema" in a:
-                    schema = a["schema"]
-                elif "constraint_add" in a:
-                    c = a["constraint_add"]
-                    cons[c["name"]] = c["expr"]
-                elif "constraint_drop" in a:
-                    cons.pop(a["constraint_drop"], None)
-                elif "commit" in a and "txn" in a["commit"]:
-                    tx = a["commit"]["txn"]
-                    txns[tx["app"]] = max(
-                        txns.get(tx["app"], -1), tx["version"]
-                    )
-    return _version_of(names[-1]), live, txns, schema, cons
+        payload = store.read(v)
+        if payload is None:
+            continue
+        for line in payload.splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "add" in a:
+                live[a["add"]["file"]] = a["add"]
+            elif "remove" in a:
+                live.pop(a["remove"]["file"], None)
+            elif "schema" in a:
+                schema = a["schema"]
+            elif "constraint_add" in a:
+                c = a["constraint_add"]
+                cons[c["name"]] = c["expr"]
+            elif "constraint_drop" in a:
+                cons.pop(a["constraint_drop"], None)
+            elif "commit" in a and "txn" in a["commit"]:
+                tx = a["commit"]["txn"]
+                txns[tx["app"]] = max(
+                    txns.get(tx["app"], -1), tx["version"]
+                )
+    return versions[-1], live, txns, schema, cons
 
 
 def _schema_colmap(schema_json: "str | None") -> "dict[str, str]":
@@ -202,24 +188,25 @@ def _schema_json_with(struct, dropped: "list[str]") -> str:
 
 
 def _commit_actions_of(
-    log_dir: str, version: int
+    store: "LogStore | str", version: int
 ) -> "tuple[list[dict], list[str], dict] | None":
     """(add-infos, removed relpaths, commit-info) of one commit."""
-    p = os.path.join(log_dir, _commit_name(version))
-    if not os.path.exists(p):
+    payload = _as_logstore(store).read(version)
+    if payload is None:
         return None
     adds: list[dict] = []
     removes: list[str] = []
     info: dict = {}
-    with open(p) as fh:
-        for line in fh:
-            a = json.loads(line)
-            if "add" in a:
-                adds.append(a["add"])
-            elif "remove" in a:
-                removes.append(a["remove"]["file"])
-            elif "commit" in a:
-                info = a["commit"]
+    for line in payload.splitlines():
+        if not line.strip():
+            continue
+        a = json.loads(line)
+        if "add" in a:
+            adds.append(a["add"])
+        elif "remove" in a:
+            removes.append(a["remove"]["file"])
+        elif "commit" in a:
+            info = a["commit"]
     return adds, removes, info
 
 
@@ -230,6 +217,13 @@ class TxTable:
     key-hash layout for the table's lifetime (stored in version 0's
     metadata and re-read on open, so writers can never disagree on
     the bucketing).
+
+    ``logstore`` picks the commit-log storage (see
+    :mod:`.logstore`): ``"file"`` (default — POSIX hardlink claim),
+    ``"sqlite"`` (conditional-put with no rename dependence, the
+    object-store-shaped implementation), or a :class:`LogStore`
+    instance. On re-open the implementation is AUTODETECTED from the
+    on-disk layout, so every writer agrees with the table's creator.
     """
 
     def __init__(
@@ -239,6 +233,7 @@ class TxTable:
         key_cols: "list[str] | None" = None,
         n_buckets: int = 16,
         checkpoint_interval: int = 20,
+        logstore: "str | LogStore | None" = None,
     ):
         self.spark = spark
         self.path = path
@@ -246,6 +241,16 @@ class TxTable:
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        if isinstance(logstore, LogStore):
+            self.logstore = logstore
+        else:
+            detected = open_logstore(self.log_dir)
+            if detected.list_versions() or logstore in (None, detected.kind):
+                # existing table: layout wins — a kind mismatch here
+                # would split the log between two stores
+                self.logstore = detected
+            else:
+                self.logstore = open_logstore(self.log_dir, logstore)
         meta = self._read_meta()
         if meta is not None:
             self.key_cols = meta["key_cols"]
@@ -276,23 +281,23 @@ class TxTable:
 
     # ---------------------------------------------------------- log --
 
-    def _log_files(self) -> list[str]:
-        return _list_log(self.log_dir)
+    def _log_versions(self) -> list[int]:
+        return self.logstore.list_versions()
 
     def _read_meta(self) -> "dict | None":
-        p = os.path.join(self.log_dir, _commit_name(0))
-        if not os.path.exists(p):
+        payload = self.logstore.read(0)
+        if payload is None:
             return None
-        with open(p) as fh:
-            for line in fh:
+        for line in payload.splitlines():
+            if line.strip():
                 a = json.loads(line)
                 if "meta" in a:
                     return a["meta"]
         return None
 
     def version(self) -> int:
-        names = self._log_files()
-        return _version_of(names[-1]) if names else -1
+        versions = self._log_versions()
+        return versions[-1] if versions else -1
 
     def _replay(self, upto: "int | None" = None) -> "tuple[int, dict[str, dict]]":
         v, live, _txns, _schema = self._replay_full(upto)
@@ -305,11 +310,11 @@ class TxTable:
         {txn app: last committed version}, and the current schema JSON
         (None until a schema action lands) as of ``upto`` (default:
         latest). Replays from the newest checkpoint at or below."""
-        return _replay_log(self.log_dir, upto)[:4]
+        return _replay_log(self.logstore, upto)[:4]
 
     def constraints(self, upto: "int | None" = None) -> "dict[str, str]":
         """Active CHECK constraints {name: SQL expr} as of ``upto``."""
-        return _replay_log(self.log_dir, upto)[4]
+        return _replay_log(self.logstore, upto)[4]
 
     @staticmethod
     def _violations(df: DataFrame, cons: "dict[str, str]") -> dict:
@@ -357,7 +362,7 @@ class TxTable:
         rule is declarative and enforced at the storage boundary."""
         F.expr(expr)  # fail fast on unparseable expressions
         for _ in range(max_retries):
-            base_v, live, _txns, schema, cons = _replay_log(self.log_dir)
+            base_v, live, _txns, schema, cons = _replay_log(self.logstore)
             if name in cons:
                 raise ValueError(f"constraint {name!r} already exists")
             if live:
@@ -415,7 +420,7 @@ class TxTable:
         from pyspark.sql.types import StructField, StructType
 
         for _ in range(max_retries):
-            base_v, _l, _t, schema, cons = _replay_log(self.log_dir)
+            base_v, _l, _t, schema, cons = _replay_log(self.logstore)
             if schema is None:
                 raise ValueError("table has no schema yet")
             self._guard_schema_edit(old, cons)
@@ -456,7 +461,7 @@ class TxTable:
         from pyspark.sql.types import StructType
 
         for _ in range(max_retries):
-            base_v, _l, _t, schema, cons = _replay_log(self.log_dir)
+            base_v, _l, _t, schema, cons = _replay_log(self.logstore)
             if schema is None:
                 raise ValueError("table has no schema yet")
             self._guard_schema_edit(name, cons)
@@ -542,11 +547,11 @@ class TxTable:
         return [{"schema": _schema_json_with(StructType(out), dropped)}]
 
     def _commit_info(self, version: int) -> "dict | None":
-        p = os.path.join(self.log_dir, _commit_name(version))
-        if not os.path.exists(p):
+        payload = self.logstore.read(version)
+        if payload is None:
             return None
-        with open(p) as fh:
-            for line in fh:
+        for line in payload.splitlines():
+            if line.strip():
                 a = json.loads(line)
                 if "commit" in a:
                     return a["commit"]
@@ -554,8 +559,8 @@ class TxTable:
 
     def history(self) -> list[dict]:
         out = []
-        for n in self._log_files():
-            info = self._commit_info(_version_of(n))
+        for v in self._log_versions():
+            info = self._commit_info(v)
             if info is not None:
                 out.append(info)
         return out
@@ -563,9 +568,10 @@ class TxTable:
     def _commit(self, expected_version: int, actions: list[dict],
                 op: str, buckets: list[int],
                 txn: "tuple[str, int] | None" = None) -> bool:
-        """Atomically publish ``actions`` as ``expected_version``.
-        Returns False (without side effects) if that version was
-        already claimed by another writer."""
+        """Atomically publish ``actions`` as ``expected_version`` via
+        the LogStore's conditional put. Returns False (without side
+        effects) if that version was already claimed by another
+        writer."""
         info = {
             "version": expected_version, "op": op,
             "buckets": sorted(buckets), "pid": os.getpid(),
@@ -574,22 +580,9 @@ class TxTable:
         if txn is not None:
             info["txn"] = {"app": txn[0], "version": int(txn[1])}
         record = list(actions) + [{"commit": info}]
-        tmp = os.path.join(
-            self.log_dir,
-            f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}",
-        )
-        with open(tmp, "w") as fh:
-            for a in record:
-                fh.write(json.dumps(a) + "\n")
-            fh.flush()
-            os.fsync(fh.fileno())
-        target = os.path.join(self.log_dir, _commit_name(expected_version))
-        try:
-            os.link(tmp, target)  # atomic claim; complete content
-        except FileExistsError:
+        payload = "".join(json.dumps(a) + "\n" for a in record)
+        if not self.logstore.put_if_absent(expected_version, payload):
             return False
-        finally:
-            os.unlink(tmp)
         self._maybe_checkpoint(expected_version)
         return True
 
@@ -597,22 +590,12 @@ class TxTable:
         if version == 0 or version % self.checkpoint_interval != 0:
             return
         _v, live, txns, schema, cons = _replay_log(
-            self.log_dir, upto=version
+            self.logstore, upto=version
         )
-        tmp = os.path.join(self.log_dir, f".ckpt.{os.getpid()}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(
-                {"version": version, "live": live,
-                 "txns": txns, "schema": schema, "constraints": cons},
-                fh,
-            )
-        os.replace(
-            tmp,
-            os.path.join(
-                self.log_dir,
-                f"{version:0{_VERSION_DIGITS}d}.checkpoint.json",
-            ),
-        )
+        self.logstore.write_checkpoint(version, {
+            "version": version, "live": live,
+            "txns": txns, "schema": schema, "constraints": cons,
+        })
 
     # --------------------------------------------------------- data --
 
@@ -921,7 +904,7 @@ class TxTable:
         self, version: int
     ) -> "tuple[list[dict], list[str], dict] | None":
         """(add-infos, removed relpaths, commit-info) of one commit."""
-        return _commit_actions_of(self.log_dir, version)
+        return _commit_actions_of(self.logstore, version)
 
     def table_changes(
         self, from_version: int, to_version: "int | None" = None
@@ -960,8 +943,7 @@ class TxTable:
         _v, _live, _txns, schema_json = self._replay_full(upto=to_version)
         key = list(self.key_cols)
         parts: list[DataFrame] = []
-        for n in self._log_files():
-            v = _version_of(n)
+        for v in self._log_versions():
             if v <= from_version or v > to_version:
                 continue
             parsed = self._commit_actions(v)
@@ -1105,14 +1087,14 @@ class TxTable:
             cm = _schema_colmap(schema_json)
             return {c: cm.get(c, c) for c in df.columns}
 
-        _bv0, _l0, _t0, base, _c0 = _replay_log(self.log_dir)
+        _bv0, _l0, _t0, base, _c0 = _replay_log(self.logstore)
         schema_act = self._evolved_schema_action(df, base)
         eff = schema_act[0]["schema"] if schema_act else base
         adds = self._stage(df, schema_json=eff)
         v = self.version()
         validated: "dict | None" = None
         for _ in range(max_retries):
-            _bv, _live, _txns, schema, cons = _replay_log(self.log_dir)
+            _bv, _live, _txns, schema, cons = _replay_log(self.logstore)
             if schema != base:  # schema commit interleaved: re-evolve
                 base = schema
                 schema_act = self._evolved_schema_action(df, base)
@@ -1163,9 +1145,7 @@ class TxTable:
         updates = updates.cache()
         try:
             for _ in range(max_retries):
-                base_v, live, txns, schema, cons = _replay_log(
-                    self.log_dir
-                )
+                base_v, live, txns, schema, cons = _replay_log(self.logstore)
                 if txn is not None and txns.get(txn[0], -1) >= txn[1]:
                     return base_v  # already applied — provable no-op
                 tb = sorted(
@@ -1285,9 +1265,7 @@ class TxTable:
         source = source.cache()
         try:
             for _ in range(max_retries):
-                base_v, live, txns, schema, cons = _replay_log(
-                    self.log_dir
-                )
+                base_v, live, txns, schema, cons = _replay_log(self.logstore)
                 if txn is not None and txns.get(txn[0], -1) >= txn[1]:
                     return base_v
                 tb = sorted(

@@ -41,12 +41,11 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from .logstore import open_logstore
 from .txtable import (
     _LOG_DIR,
     _commit_actions_of,
-    _list_log,
     _replay_log,
-    _version_of,
 )
 
 __all__ = ["TxTableChangesDataSource"]
@@ -88,11 +87,13 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
             if f.metadata and f.metadata.get("physical")
             and f.metadata["physical"] != f.name
         }
-        # key cols live in version 0's meta action
+        # key cols live in version 0's meta action; the LogStore impl
+        # is autodetected from the layout (holds only paths — pickles
+        # cleanly into the driver-side offset worker)
+        self.logstore = open_logstore(self.log_dir)
         meta = {}
-        p = os.path.join(self.log_dir, f"{0:020d}.json")
-        with open(p) as fh:
-            for line in fh:
+        for line in (self.logstore.read(0) or "").splitlines():
+            if line.strip():
                 a = json.loads(line)
                 if "meta" in a:
                     meta = a["meta"]
@@ -104,8 +105,8 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        names = _list_log(self.log_dir)
-        v = _version_of(names[-1]) if names else -1
+        versions = self.logstore.list_versions()
+        v = versions[-1] if versions else -1
         return {"version": max(v, self.start_version)}
 
     # --------------------------------------------------- partitions --
@@ -113,7 +114,7 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            parsed = _commit_actions_of(self.log_dir, v)
+            parsed = _commit_actions_of(self.logstore, v)
             if parsed is None:
                 continue
             adds, removes, info = parsed

@@ -9,12 +9,26 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from pypeman_spark.store.txtable import TxTable, _commit_name
+from pypeman_spark.store.txtable import TxTable
+
+# Every test in this file runs under BOTH LogStore implementations
+# (POSIX hardlink claim vs sqlite conditional put): the commit
+# protocol's correctness must rest only on the conditional-put
+# contract, never on POSIX rename/link semantics.
+_KIND = {"logstore": "file"}
+
+
+@pytest.fixture(autouse=True, params=["file", "sqlite"])
+def logstore_kind(request):
+    _KIND["logstore"] = request.param
+    yield request.param
+    _KIND["logstore"] = "file"
 
 
 def _mk(spark, tmp_path, **kw):
     kw.setdefault("key_cols", ["k"])
     kw.setdefault("n_buckets", 4)
+    kw.setdefault("logstore", _KIND["logstore"])
     return TxTable(spark, str(tmp_path / "tbl"), **kw)
 
 
@@ -85,18 +99,15 @@ def test_checkpoint_bounds_replay(spark, tmp_path):
     t = _mk(spark, tmp_path, checkpoint_interval=3)
     for i in range(7):
         t.append(_df(spark, [(i, f"v{i}")]))
-    ckpts = [
-        n for n in os.listdir(t.log_dir) if n.endswith(".checkpoint.json")
-    ]
+    ckpts = t.logstore.list_checkpoints()
     assert ckpts  # interval 3 over 8 commits -> at least v3 and v6
     assert t.read().count() == 7
     # replay from checkpoint must equal full replay: drop the early log
     # entries a checkpoint supersedes and the snapshot must not change
-    cv = max(int(n.split(".")[0]) for n in ckpts)
-    for n in list(os.listdir(t.log_dir)):
-        if n.endswith(".json") and not n.endswith(".checkpoint.json"):
-            if int(n.split(".")[0]) < cv and int(n.split(".")[0]) > 0:
-                os.unlink(os.path.join(t.log_dir, n))
+    cv = max(ckpts)
+    for v in t.logstore.list_versions():
+        if 0 < v < cv:
+            t.logstore.delete(v)
     assert t.read().count() == 7
 
 
@@ -173,11 +184,14 @@ def test_disjoint_bucket_merge_commits_without_restage(spark, tmp_path):
 def _race_commits(path, writer_id, n_commits, barrier):
     """Child process: race raw commits through the atomic-claim
     protocol (no Spark needed — the race is pure filesystem)."""
+    from pypeman_spark.store.logstore import open_logstore
+
     t = TxTable.__new__(TxTable)
     t.path = path
     t.log_dir = os.path.join(path, "_txlog")
     t.data_dir = os.path.join(path, "data")
     t.checkpoint_interval = 1 << 30
+    t.logstore = open_logstore(t.log_dir)  # layout decides the impl
     barrier.wait()
     landed = []
     for i in range(n_commits):
@@ -270,11 +284,11 @@ def test_commit_file_is_complete_when_visible(spark, tmp_path):
     t = _mk(spark, tmp_path)
     for i in range(5):
         t.append(_df(spark, [(i, "v")]))
-    for n in sorted(os.listdir(t.log_dir)):
-        if n.endswith(".json") and not n.endswith(".checkpoint.json"):
-            with open(os.path.join(t.log_dir, n)) as fh:
-                lines = [json.loads(line) for line in fh]
-            assert any("commit" in a for a in lines)
+    for v in t.logstore.list_versions():
+        lines = [
+            json.loads(x) for x in t.logstore.read(v).splitlines() if x
+        ]
+        assert any("commit" in a for a in lines)
 
 
 def test_merge_state_machine_vs_duckdb_sequence(spark, tmp_path, sf_dir):
@@ -360,9 +374,7 @@ def test_txn_marker_survives_checkpoint(spark, tmp_path):
     t.append(_df(spark, [(0, "a")]))
     for b in range(6):
         t.merge_upsert(_df(spark, [(b, f"b{b}")]), txn=("q", b))
-    assert any(
-        n.endswith(".checkpoint.json") for n in os.listdir(t.log_dir)
-    )
+    assert t.logstore.list_checkpoints()
     reopened = TxTable(spark, str(tmp_path / "tbl"))
     assert reopened.last_txn_version("q") == 5
     assert reopened.merge_upsert(
@@ -691,16 +703,13 @@ def test_scan_missing_stats_is_safe_and_filter_still_applies(
     t.append(spark.createDataFrame(
         [(i, i) for i in range(10)], "k long, v long"))
     # rewrite the append commit without stats
-    name = _commit_name(1)
-    p = os.path.join(t.log_dir, name)
-    lines = [json.loads(x) for x in open(p)]
+    lines = [json.loads(x) for x in t.logstore.read(1).splitlines() if x]
     for a in lines:
         if "add" in a:
             a["add"].pop("stats", None)
             a["add"].pop("rows", None)
-    with open(p, "w") as fh:
-        for a in lines:
-            fh.write(json.dumps(a) + "\n")
+    t.logstore.overwrite(
+        1, "".join(json.dumps(a) + "\n" for a in lines))
     got = t.scan(("v", ">=", 8))
     assert t.last_scan_info["files_read"] == t.last_scan_info["files_live"]
     assert sorted(r["v"] for r in got.collect()) == [8, 9]
@@ -982,16 +991,14 @@ def test_count_and_stats_from_log_only(spark, tmp_path):
     # time travel: count at the append version
     assert t.count(version=1) == 25
     # strip rows from one live add: count must refuse to guess
-    name = _commit_name(t.version())
-    p = os.path.join(t.log_dir, name)
-    lines = [json.loads(x) for x in open(p)]
+    hv = t.version()
+    lines = [json.loads(x) for x in t.logstore.read(hv).splitlines() if x]
     for a in lines:
         if "add" in a:
             a["add"].pop("rows", None)
             break
-    with open(p, "w") as fh:
-        for a in lines:
-            fh.write(json.dumps(a) + "\n")
+    t.logstore.overwrite(
+        hv, "".join(json.dumps(a) + "\n" for a in lines))
     assert t.count() is None and t.stats()["rows"] is None
 
 
