@@ -1046,22 +1046,36 @@ class TxTable:
             "bytes": bytes_, "rows": rows,
         }
 
-    def stream_changes(self, starting_version: int = 0) -> DataFrame:
+    def stream_changes(
+        self, starting_version: int = 0,
+        max_commits_per_trigger: int = 0,
+        max_bytes_per_trigger: int = 0,
+    ) -> DataFrame:
         """The change feed as a STREAMING DataFrame (Structured
         Streaming source over the commit log — see
         :mod:`.txtable_stream`): offsets are commit versions and are
         checkpointed by Spark, so a restarted query resumes at exactly
         the next unconsumed commit. ``starting_version`` is exclusive,
-        like :meth:`table_changes`."""
+        like :meth:`table_changes`. ``max_commits_per_trigger`` /
+        ``max_bytes_per_trigger`` bound each micro-batch (admission
+        control for post-downtime catch-up; 0 = unbounded)."""
         from .txtable_stream import TxTableChangesDataSource
 
         self.spark.dataSource.register(TxTableChangesDataSource)
-        return (
+        reader = (
             self.spark.readStream.format("txtable_changes")
             .option("path", self.path)
             .option("startingVersion", str(int(starting_version)))
-            .load()
         )
+        if max_commits_per_trigger:
+            reader = reader.option(
+                "maxCommitsPerTrigger", str(int(max_commits_per_trigger))
+            )
+        if max_bytes_per_trigger:
+            reader = reader.option(
+                "maxBytesPerTrigger", str(int(max_bytes_per_trigger))
+            )
+        return reader.load()
 
     # ---------------------------------------------------- mutations --
 

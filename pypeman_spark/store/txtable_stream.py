@@ -76,6 +76,20 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         self.path = options["path"]
         self.log_dir = os.path.join(self.path, _LOG_DIR)
         self.start_version = int(options.get("startingVersion") or 0)
+        # admission control: bound each micro-batch to at most N
+        # commits / ~B add-bytes (0 = unbounded). Without a bound, a
+        # consumer restarted after long downtime drains the ENTIRE
+        # backlog as one micro-batch — tasks stay per-(commit,bucket)
+        # so it parallelizes, but one giant batch defeats progress
+        # tracking and sink commit granularity.
+        self.max_commits = int(options.get("maxCommitsPerTrigger") or 0)
+        self.max_bytes = int(options.get("maxBytesPerTrigger") or 0)
+        # highest end offset Spark has planned with this reader. On
+        # restart the engine re-plans the checkpointed batch via
+        # partitions(start, end) BEFORE the first latestOffset call,
+        # so the bound is always relative to the true resume point,
+        # never startingVersion.
+        self._last_planned: "int | None" = None
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self.arrow_out = to_arrow_schema(schema)
@@ -105,13 +119,51 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
+        """Log head, bounded by ``maxCommitsPerTrigger`` /
+        ``maxBytesPerTrigger`` relative to the last planned offset —
+        a long backlog drains as several paced micro-batches instead
+        of one giant one. The bytes bound reads only the LOG (each
+        add action records its file size): zero data IO. Caveat: the
+        Python data source API calls latestOffset once per micro-batch
+        under processing-time triggers but only ONCE per run under
+        ``availableNow`` (no SupportsTriggerAvailableNow seam), so a
+        bounded reader under availableNow drains one trigger's worth
+        per run — use a processing-time trigger for paced catch-up."""
         versions = self.logstore.list_versions()
-        v = versions[-1] if versions else -1
-        return {"version": max(v, self.start_version)}
+        head = versions[-1] if versions else -1
+        base = (
+            self.start_version if self._last_planned is None
+            else max(self._last_planned, self.start_version)
+        )
+        if head <= base or not (self.max_commits or self.max_bytes):
+            return {"version": max(head, self.start_version)}
+        end = base
+        admitted = 0
+        byte_budget = self.max_bytes
+        for v in versions:
+            if v <= base:
+                continue
+            if self.max_commits and admitted >= self.max_commits:
+                break
+            if self.max_bytes and admitted >= 1 and byte_budget <= 0:
+                break
+            end = v  # always admit at least one commit
+            admitted += 1
+            if self.max_bytes:
+                parsed = _commit_actions_of(self.logstore, v)
+                if parsed is not None:
+                    byte_budget -= sum(
+                        int(a.get("bytes", 0)) for a in parsed[0]
+                    )
+        return {"version": end}
 
     # --------------------------------------------------- partitions --
 
     def partitions(self, start: dict, end: dict):
+        self._last_planned = max(
+            self._last_planned if self._last_planned is not None else -1,
+            int(end["version"]),
+        )
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             parsed = _commit_actions_of(self.logstore, v)
@@ -140,7 +192,12 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         return parts
 
     def commit(self, end: dict) -> None:
-        pass  # nothing to release: the log is the source of truth
+        # nothing to release (the log is the source of truth); track
+        # the position defensively for the admission bound
+        self._last_planned = max(
+            self._last_planned if self._last_planned is not None else -1,
+            int(end["version"]),
+        )
 
     def stop(self) -> None:
         pass
@@ -256,7 +313,11 @@ class TxTableChangesDataSource(DataSource):
     """``spark.readStream.format("txtable_changes").option("path", p)``
     — see module docstring. Options: ``path`` (table root, required),
     ``startingVersion`` (exclusive lower bound, default 0 = the whole
-    history)."""
+    history), ``maxCommitsPerTrigger`` / ``maxBytesPerTrigger``
+    (admission control: bound each micro-batch to N commits / ~B
+    add-bytes of backlog; 0 or unset = unbounded; see
+    :meth:`TxTableChangesStreamReader.latestOffset` for the
+    availableNow caveat)."""
 
     @classmethod
     def name(cls) -> str:
