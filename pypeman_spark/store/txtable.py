@@ -56,7 +56,10 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["TxTable", "CommitConflict", "ConstraintViolation"]
+__all__ = [
+    "TxTable", "CommitConflict", "ConstraintViolation",
+    "VacuumedVersionError",
+]
 
 _LOG_DIR = "_txlog"
 _VERSION_DIGITS = 20
@@ -71,6 +74,22 @@ from .logstore import LogStore, open_logstore  # noqa: E402
 
 class CommitConflict(RuntimeError):
     """Raised when a merge exhausts its OCC retries."""
+
+
+class VacuumedVersionError(RuntimeError):
+    """Raised when a time-travel snapshot/scan or a change-feed read
+    references data files :meth:`TxTable.vacuum` already deleted — a
+    deterministic protocol error instead of a raw scan failure or a
+    silent partial answer (the Delta-documented behavior: the
+    retention window bounds both time travel and the CDC feed)."""
+
+    def __init__(self, what: str, missing: "list[str]"):
+        self.missing = list(missing)
+        super().__init__(
+            f"{what} references {len(self.missing)} vacuumed data "
+            f"file(s) (first: {self.missing[0]}); increase the vacuum "
+            f"grace period / retention, or read a newer version"
+        )
 
 
 class ConstraintViolation(RuntimeError):
@@ -756,11 +775,30 @@ class TxTable:
             ])
         return reader.parquet(*files).drop("bucket")
 
+    def _guard_vacuumed(self, rel_files, what: str) -> None:
+        """Deterministic failure for reads pinned at an old version:
+        raise :class:`VacuumedVersionError` if any referenced file is
+        gone. Called only on TIME-TRAVEL / change-feed paths — latest
+        snapshots never reference vacuumed files, so the hot path pays
+        no existence checks."""
+        missing = [
+            f for f in rel_files
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise VacuumedVersionError(what, sorted(missing))
+
     def snapshot(self, version: "int | None" = None) -> DataFrame:
         """The table as a DataFrame at ``version`` (default latest).
         Stable under concurrent commits: the file list is fixed at
-        call time and data files are immutable."""
+        call time and data files are immutable. A pinned ``version``
+        whose files were vacuumed raises
+        :class:`VacuumedVersionError` (never a silent partial read)."""
         _v, live, _txns, schema = self._replay_full(upto=version)
+        if version is not None:
+            self._guard_vacuumed(
+                sorted(live), f"snapshot(version={version})"
+            )
         if not live:
             if schema is not None:
                 # emptied table (e.g. delete_keys removed every row):
@@ -877,6 +915,8 @@ class TxTable:
         self.last_scan_info = {
             "files_live": len(live), "files_read": len(kept),
         }
+        if version is not None:
+            self._guard_vacuumed(kept, f"scan(version={version})")
         cond = F.lit(True)
         for c, op, v in preds:
             col = F.col(c)
@@ -953,6 +993,10 @@ class TxTable:
             op = info.get("op")
             if op not in ("append", "merge", "delete"):
                 continue  # create/compact/schema-only: no logical change
+            self._guard_vacuumed(
+                [a["file"] for a in adds] + list(removes),
+                f"table_changes commit {v}",
+            )
             new_df = (
                 self._read_files([a["file"] for a in adds], schema_json)
                 if adds else None
@@ -1540,13 +1584,74 @@ class TxTable:
             f"compact conflicted {max_retries} times on buckets"
         )
 
-    def vacuum(self, grace_s: float = 3600.0) -> list[str]:
-        """Physically delete files no snapshot can reference: files
-        REMOVED by some commit, and orphans staged by crashed writers
-        (on disk, never in the log) — both only once older than
-        ``grace_s`` so in-flight readers/writers finish first."""
+    def _min_consumer_offset(self, ttl_s: float) -> "int | None":
+        """Lowest committed offset among ACTIVE streaming CDC
+        consumers (progress markers under ``_consumers/``, refreshed
+        at every micro-batch commit); markers older than ``ttl_s`` are
+        stale (crashed/abandoned consumers) and ignored so they can
+        never pin vacuum forever. None = no active consumer."""
+        d = os.path.join(self.path, "_consumers")
+        try:
+            names = os.listdir(d)
+        except FileNotFoundError:
+            return None
+        now = time.time()
+        lo: "int | None" = None
+        for n in names:
+            if not n.endswith(".json"):
+                continue
+            p = os.path.join(d, n)
+            try:
+                if now - os.stat(p).st_mtime > ttl_s:
+                    continue
+                with open(p) as fh:
+                    v = int(json.load(fh)["version"])
+            except (OSError, ValueError, KeyError):
+                continue
+            lo = v if lo is None else min(lo, v)
+        return lo
+
+    def _removal_versions(self) -> "dict[str, int]":
+        """{relpath: version whose commit removed it} over the whole
+        log — the retention index vacuum prunes against. Full log
+        walk (checkpoints drop removed files, so they can't shortcut
+        this); vacuum is a maintenance pass, and the walk is one
+        bounded log read per commit, zero data IO."""
+        out: dict[str, int] = {}
+        for v in self._log_versions():
+            parsed = self._commit_actions(v)
+            if parsed is None:
+                continue
+            _adds, removes, _info = parsed
+            for f in removes:
+                out[f] = v
+        return out
+
+    def vacuum(
+        self, grace_s: float = 3600.0,
+        consumer_ttl_s: float = 3600.0,
+    ) -> list[str]:
+        """Physically delete files no LATEST snapshot references:
+        files REMOVED by some commit, and orphans staged by crashed
+        writers (on disk, never in the log) — both only once older
+        than ``grace_s`` so in-flight readers/writers finish first.
+
+        Retention guard: a file removed at commit ``v`` is still the
+        preimage input of the change feed at ``v`` — vacuum REFUSES to
+        delete files whose removal version is beyond the lowest
+        active streaming consumer's committed offset (progress markers
+        written by the CDC source each micro-batch; markers stale for
+        ``consumer_ttl_s`` are ignored, so a crashed consumer cannot
+        pin the table forever). Time-travel readers pinned at an old
+        version take the other side of the contract: their read raises
+        :class:`VacuumedVersionError` deterministically rather than
+        silently missing rows."""
         _v, live = self._replay()
         referenced = set(live)
+        pinned_above = self._min_consumer_offset(consumer_ttl_s)
+        removed_at = (
+            self._removal_versions() if pinned_above is not None else {}
+        )
         removed = []
         now = time.time()
         for bdir in os.listdir(self.data_dir):
@@ -1558,6 +1663,11 @@ class TxTable:
                 full = os.path.join(full_b, f)
                 if rel in referenced:
                     continue
+                if (
+                    pinned_above is not None
+                    and removed_at.get(rel, -1) > pinned_above
+                ):
+                    continue  # a lagging stream still needs this diff
                 try:
                     if now - os.stat(full).st_mtime >= grace_s:
                         os.unlink(full)

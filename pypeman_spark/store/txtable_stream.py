@@ -90,6 +90,26 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         # so the bound is always relative to the true resume point,
         # never startingVersion.
         self._last_planned: "int | None" = None
+        # progress marker: pins TxTable.vacuum() so a mid-drain/
+        # lagging stream's not-yet-consumed preimage files are never
+        # reclaimed under it (see TxTable.vacuum retention guard).
+        # The id is STABLE across restarts (derived from the reader
+        # configuration — the Python source API exposes no query id),
+        # so a restarted query replaces its dead predecessor's marker
+        # and catching up releases the pin without waiting out the
+        # TTL. Two distinct queries with identical options share a
+        # marker; the slower one is then only TTL/grace-protected and
+        # on loss gets the deterministic vacuumed-file error, never a
+        # silent wrong answer.
+        import hashlib
+
+        ident = (
+            f"{os.path.abspath(self.path)}|{self.start_version}"
+            f"|{self.max_commits}|{self.max_bytes}"
+        )
+        self._consumer_id = (
+            "q-" + hashlib.sha1(ident.encode()).hexdigest()[:16]
+        )
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self.arrow_out = to_arrow_schema(schema)
@@ -114,6 +134,16 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         self.key_cols = list(meta["key_cols"])
 
     # ------------------------------------------------------ offsets --
+
+    def _write_consumer_marker(self, version: int) -> None:
+        import time
+
+        d = os.path.join(self.path, "_consumers")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp.{self._consumer_id}")
+        with open(tmp, "w") as fh:
+            json.dump({"version": int(version), "ts": time.time()}, fh)
+        os.replace(tmp, os.path.join(d, f"{self._consumer_id}.json"))
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -164,6 +194,9 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
             self._last_planned if self._last_planned is not None else -1,
             int(end["version"]),
         )
+        # pin vacuum at our true position: on restart this runs (with
+        # the checkpointed start) before any batch completes
+        self._write_consumer_marker(int(start["version"]))
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             parsed = _commit_actions_of(self.logstore, v)
@@ -193,11 +226,13 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # nothing to release (the log is the source of truth); track
-        # the position defensively for the admission bound
+        # the position defensively for the admission bound and refresh
+        # the vacuum-pinning progress marker
         self._last_planned = max(
             self._last_planned if self._last_planned is not None else -1,
             int(end["version"]),
         )
+        self._write_consumer_marker(int(end["version"]))
 
     def stop(self) -> None:
         pass
@@ -229,7 +264,16 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
                 return None
             tabs = []
             for f in files:
-                t = pq.read_table(f)
+                try:
+                    t = pq.read_table(f)
+                except FileNotFoundError as e:
+                    raise RuntimeError(
+                        f"txtable_changes: data file {f} referenced by "
+                        f"commit {p.version} was vacuumed out from "
+                        f"under this stream; restart from a newer "
+                        f"startingVersion or raise the vacuum grace/"
+                        f"consumer TTL"
+                    ) from e
                 cols = {}
                 for fld in tbl_fields:
                     src = self.colmap.get(fld.name, fld.name)

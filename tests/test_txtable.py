@@ -1440,3 +1440,99 @@ def test_stream_changes_max_bytes_per_trigger(spark, tmp_path):
         feed, str(tmp_path / "ckpt_bytes"), want_rows=6)
     assert sum(len(rows) for _b, rows in drained) == 6
     assert all(len(rows) == 1 for _b, rows in drained)
+
+
+# --------------------------------------- vacuum retention guards --
+
+
+def test_vacuum_pinned_snapshot_raises_cleanly(spark, tmp_path):
+    """Time travel to a vacuumed version must fail DETERMINISTICALLY
+    with the protocol error, never return a silent partial snapshot;
+    the latest snapshot stays untouched."""
+    from pypeman_spark.store.txtable import VacuumedVersionError
+
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.merge_upsert(_df(spark, [(1, "A2"), (2, "B2")]))
+    assert t.vacuum(grace_s=0)  # superseded v1 files reclaimed
+    with pytest.raises(VacuumedVersionError, match="vacuumed"):
+        t.snapshot(version=1)
+    with pytest.raises(VacuumedVersionError, match="vacuumed"):
+        t.scan(("k", ">=", 0), version=1)
+    with pytest.raises(VacuumedVersionError, match="vacuumed"):
+        t.table_changes(0)  # feed range needs the deleted preimages
+    assert {r["val"] for r in t.read().collect()} == {"A2", "B2"}
+
+
+def test_vacuum_refuses_under_mid_drain_stream(spark, tmp_path):
+    """A streaming CDC consumer that died mid-drain (committed through
+    the insert commit, not yet the merge) pins vacuum: the merge's
+    preimage files survive a grace_s=0 vacuum, the restarted stream
+    finishes with correct preimages, and only once the consumer has
+    caught up does vacuum reclaim them."""
+    import time as _time
+
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))        # v1: inserts
+    t.merge_upsert(_df(spark, [(2, "B2")]))           # v2: removes v1 file
+    feed = t.stream_changes(max_commits_per_trigger=1)
+    ckpt = str(tmp_path / "ckpt_vac")
+
+    def dying_sink(bdf, bid):
+        rows = bdf.collect()
+        if rows and max(r["_commit_version"] for r in rows) >= 2:
+            raise RuntimeError("die before consuming the merge")
+
+    q = (feed.writeStream.foreachBatch(dying_sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="0 seconds").start())
+    deadline = _time.time() + 120
+    while q.isActive and _time.time() < deadline:
+        _time.sleep(0.5)
+    assert not q.isActive  # died mid-drain, marker committed at v1
+
+    # the merge's preimage is still needed by the lagging consumer
+    assert t.vacuum(grace_s=0) == []
+
+    # restarted consumer finishes the drain with preimages intact;
+    # wait until its progress marker reaches the head (the reader's
+    # commit() call trails the sink's rows) before stopping
+    def _min_marker():
+        mdir = os.path.join(t.path, "_consumers")
+        try:
+            ns = [n for n in os.listdir(mdir) if n.endswith(".json")]
+            return min(
+                int(json.load(open(os.path.join(mdir, n)))["version"])
+                for n in ns
+            ) if ns else -1
+        except (OSError, ValueError):
+            return -1
+
+    got = []
+
+    def sink2(bdf, bid):
+        got.extend(
+            (r["_commit_version"], r["_change_type"], r["k"])
+            for r in bdf.collect()
+        )
+
+    q = (feed.writeStream.foreachBatch(sink2)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="0 seconds").start())
+    deadline = _time.time() + 120
+    while _time.time() < deadline and len(got) < 2:
+        _time.sleep(0.3)
+    assert sorted(got) == [
+        (2, "update_postimage", 2), (2, "update_preimage", 2)]
+
+    # an idle consumer stays pinned one batch behind (its commit()
+    # only fires when the NEXT batch is planned) — a new commit
+    # advances the marker past the merge
+    t.append(_df(spark, [(9, "z")]))  # v3
+    while _time.time() < deadline and (len(got) < 3 or _min_marker() < 2):
+        _time.sleep(0.3)
+    q.stop()
+    assert (3, "insert", 9) in got
+
+    # caught up past the merge: vacuum may reclaim its preimages now
+    assert t.vacuum(grace_s=0)
