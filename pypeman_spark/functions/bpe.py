@@ -19,9 +19,15 @@ TOKENIZER's counts. This module implements actual BPE:
   per-batch word cache (real corpora repeat words heavily; the cache
   turns encode into a dict lookup for the bulk of tokens).
 
-Scope, stated honestly: char-level symbols with an end-of-word marker
-(the GPT-2-style byte-level alphabet is a drop-in alphabet swap, not a
-different algorithm); training is deterministic (count desc, then
+Alphabets: ``alphabet="chars"`` (default) uses char-level symbols
+with an end-of-word marker; ``alphabet="bytes"`` is the GPT-2-style
+byte-level alphabet — the word's UTF-8 bytes, each mapped through the
+published printable-unicode bijection (Radford et al. 2019, GPT-2
+``encoder.py`` recipe: 256 bytes -> 256 printable code points, no
+whitespace/control chars), so the space-delimited symbol machinery
+and every trainer work unchanged and ANY UTF-8 text round-trips
+losslessly (no unknown symbols, ever — the reason real tokenizers are
+byte-level). Training is deterministic (count desc, then
 lexicographic pair) so two runs on the same corpus produce identical
 vocabularies. The training loop is driver-COORDINATED (k merges = k
 tiny jobs) but never driver-EXECUTED — pair counting and merge
@@ -41,9 +47,84 @@ __all__ = [
     "bpe_encode",
     "bpe_token_count",
     "apply_merges",
+    "bpe_decode_token",
 ]
 
 _EOW = "</w>"  # end-of-word marker symbol (spaces impossible)
+
+_B2U: "dict[int, str] | None" = None
+
+
+def _bytes_to_unicode() -> "dict[int, str]":
+    """The GPT-2 byte -> printable-unicode bijection: printable ASCII
+    and Latin-1 ranges map to themselves, the remaining 68 bytes to
+    U+0100.. — every byte gets a visible, non-space symbol char."""
+    global _B2U
+    if _B2U is None:
+        bs = (
+            list(range(ord("!"), ord("~") + 1))
+            + list(range(ord("\xa1"), ord("\xac") + 1))
+            + list(range(ord("\xae"), ord("\xff") + 1))
+        )
+        cs = bs[:]
+        n = 0
+        for b in range(256):
+            if b not in bs:
+                bs.append(b)
+                cs.append(256 + n)
+                n += 1
+        _B2U = dict(zip(bs, (chr(c) for c in cs)))
+    return _B2U
+
+
+def _unicode_to_bytes() -> "dict[str, int]":
+    return {c: b for b, c in _bytes_to_unicode().items()}
+
+
+def _check_alphabet(alphabet: str) -> None:
+    if alphabet not in ("chars", "bytes"):
+        raise ValueError(
+            f"alphabet must be 'chars' or 'bytes', got {alphabet!r}"
+        )
+
+
+def _word_symbols_py(word: str, alphabet: str) -> list[str]:
+    """Base symbol decomposition of one word (no EOW), Python side."""
+    if alphabet == "bytes":
+        tbl = _bytes_to_unicode()
+        return [tbl[b] for b in word.encode("utf-8")]
+    return list(word)
+
+
+def _word_symbols_col(alphabet: str):
+    """Base symbol decomposition as a COLUMN over ``word`` — pure
+    built-ins for both alphabets. Bytes path: hex-encode the UTF-8
+    bytes, slide a 2-char window, look each byte up in a 256-element
+    array literal (the bijection folded into the plan)."""
+    if alphabet == "bytes":
+        tbl = _bytes_to_unicode()
+        lut = F.array(*[F.lit(tbl[b]) for b in range(256)])
+        pairs = F.regexp_extract_all(
+            F.hex(F.encode(F.col("word"), "UTF-8")), F.lit("(..)"), 1
+        )
+        return F.transform(
+            pairs,
+            lambda h: F.element_at(
+                lut, F.conv(h, 16, 10).cast("int") + 1
+            ),
+        )
+    return F.split(F.col("word"), "")
+
+
+def bpe_decode_token(token: str, alphabet: str = "chars") -> str:
+    """Invert one token back to text (strip nothing — the caller
+    handles EOW): identity for chars, byte-table inversion + UTF-8
+    decode for bytes."""
+    _check_alphabet(alphabet)
+    if alphabet == "bytes":
+        inv = _unicode_to_bytes()
+        return bytes(inv[c] for c in token).decode("utf-8")
+    return token
 
 
 def _word_freq(df: DataFrame, text_col: str) -> DataFrame:
@@ -65,6 +146,7 @@ def train_bpe(
     text_col: str = "text",
     num_merges: int = 100,
     batch: int = 1,
+    alphabet: str = "chars",
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus; returns the
     ranked merge list ``[(left, right), ...]``.
@@ -83,14 +165,17 @@ def train_bpe(
     of 50k. Merges may deviate slightly from canonical rank order
     (documented approximation); ``batch=1`` is exactly canonical, and
     :func:`train_bpe_local` gives canonical merges at production vocab
-    sizes by running the loop driver-local."""
+    sizes by running the loop driver-local. ``alphabet="bytes"`` trains
+    over the GPT-2 byte-level symbols (see module docstring) — same
+    algorithm, different base decomposition."""
+    _check_alphabet(alphabet)
     words = _word_freq(df, text_col).select(
         # "h e l l o <eow>" — symbols space-delimited so a merge is a
         # string replace and pair extraction is a split+slide
         F.concat_ws(
             " ",
             F.concat(
-                F.split(F.col("word"), ""),
+                _word_symbols_col(alphabet),
                 F.array(F.lit(_EOW)),
             ),
         ).alias("sym"),
@@ -167,6 +252,7 @@ def train_bpe_local(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 100,
+    alphabet: str = "chars",
 ) -> list[tuple[str, str]]:
     """Same merges as ``train_bpe(batch=1)``, different execution: ONE
     distributed word-frequency aggregation, then the merge loop runs
@@ -183,8 +269,11 @@ def train_bpe_local(
     import heapq
     from collections import Counter
 
+    _check_alphabet(alphabet)
     rows = _word_freq(df, text_col).collect()
-    words: list[list[str]] = [list(r["word"]) + [_EOW] for r in rows]
+    words: list[list[str]] = [
+        _word_symbols_py(r["word"], alphabet) + [_EOW] for r in rows
+    ]
     freq: list[int] = [r["n"] for r in rows]
 
     pair_counts: Counter = Counter()
@@ -248,10 +337,12 @@ def train_bpe_local(
     return merges
 
 
-def apply_merges(word: str, ranks: dict) -> list[str]:
+def apply_merges(
+    word: str, ranks: dict, alphabet: str = "chars"
+) -> list[str]:
     """Encode one word with the learned merge ranks (lowest rank
     first — the canonical BPE application order)."""
-    syms = list(word) + [_EOW]
+    syms = _word_symbols_py(word, alphabet) + [_EOW]
     while len(syms) > 1:
         best_rank = None
         best_i = -1
@@ -273,6 +364,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     out_col: str = "tokens",
     keep_cols: tuple[str, ...] = (),
+    alphabet: str = "chars",
 ) -> DataFrame:
     """Attach ``out_col``: the BPE token sequence of each document.
     Arrow-batched; a per-batch word→tokens cache collapses repeated
@@ -281,6 +373,7 @@ def bpe_encode(
     without a corpus-sized self-join back onto the input."""
     import pandas as pd
 
+    _check_alphabet(alphabet)
     ranks = {pair: i for i, pair in enumerate(merges)}
     keep_fields = [df.schema[c] for c in keep_cols]
     out_schema = T.StructType(
@@ -302,7 +395,7 @@ def bpe_encode(
                         continue
                     got = cache.get(w)
                     if got is None:
-                        got = apply_merges(w, ranks)
+                        got = apply_merges(w, ranks, alphabet)
                         cache[w] = got
                     doc.extend(got)
                 toks.append(doc)
@@ -324,12 +417,14 @@ def bpe_token_count(
     id_col: str = "doc_id",
     out_col: str = "n_bpe_tokens",
     keep_cols: tuple[str, ...] = (),
+    alphabet: str = "chars",
 ) -> DataFrame:
     """Per-document token count under the learned tokenizer — the
     number a budget/packing stage should use instead of whitespace
     counts."""
     enc = bpe_encode(
-        df, merges, text_col=text_col, id_col=id_col, keep_cols=keep_cols
+        df, merges, text_col=text_col, id_col=id_col,
+        keep_cols=keep_cols, alphabet=alphabet,
     )
     return enc.select(
         id_col, *keep_cols, F.size("tokens").cast("long").alias(out_col)

@@ -2628,6 +2628,13 @@ _BPE_OCC = (
     "(length(lower(text)) - length(replace(lower(text), '{p}', ''))) // 2"
 )
 
+# same occurrence count on the á-salted text, in BYTE lengths (the
+# pair strings are 2 ASCII bytes, hence // 2 still)
+_BPE_OCC_B = (
+    "(strlen(replace(lower(text), 'a', 'á')) - "
+    "strlen(replace(replace(lower(text), 'a', 'á'), '{p}', ''))) // 2"
+)
+
 
 @q(
     "bpe_token_budget",
@@ -2641,11 +2648,22 @@ _BPE_OCC = (
         - {_BPE_OCC.format(p='er')}
         - {_BPE_OCC.format(p='on')}
         - {_BPE_OCC.format(p='al')}
-        AS n_bpe_tokens
+        AS n_bpe_tokens,
+        -- byte-level closed form over the á-salted text (strlen =
+        -- UTF-8 byte length; the disjoint ASCII pairs can never span
+        -- a multi-byte sequence, so occurrence counts carry over)
+        strlen(regexp_replace(replace(lower(text), 'a', 'á'),
+                              '\\s', '', 'g'))
+        + CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '{_WS}')) END
+        - {_BPE_OCC_B.format(p='th')}
+        - {_BPE_OCC_B.format(p='er')}
+        - {_BPE_OCC_B.format(p='on')}
+        AS n_bpe_tokens_bytes
       FROM documents
     )
-    SELECT doc_id, source, n_bpe_tokens FROM (
-      SELECT doc_id, source, n_bpe_tokens,
+    SELECT doc_id, source, n_bpe_tokens, n_bpe_tokens_bytes FROM (
+      SELECT doc_id, source, n_bpe_tokens, n_bpe_tokens_bytes,
              sum(n_bpe_tokens) OVER (
                PARTITION BY source
                ORDER BY {_HB.format(salt='bpe_budget', id='doc_id')}, doc_id
@@ -2668,11 +2686,28 @@ def bpe_token_budget(spark, sf_dir):
     ``bpe_tokenize_corpus`` + ``tests/test_bpe.py``. At 100 TB: counts
     are a zero-shuffle map over the corpus (``keep_cols`` threads
     ``source`` through the Arrow batch — no self-join), and the budget
-    is one window per domain partition."""
+    is one window per domain partition.
+
+    Byte-level arm (VERDICT r8 task #4): the same documents are
+    á-salted (every 'a' becomes the 2-byte 'á' — deterministic on both
+    engines) and counted again under ``alphabet="bytes"`` with
+    single-level disjoint ASCII merges, so the GPT-2-style byte
+    alphabet runs through the SAME closed-form oracle (char length ->
+    UTF-8 byte length; the ASCII pairs cannot span a multi-byte
+    sequence). Multi-byte round-trip correctness is pinned by
+    ``tests/test_bpe.py``'s independent reimplementation + hypothesis
+    property over arbitrary UTF-8."""
     from ..functions import bpe as B
 
     d = tp(spark, sf_dir, "documents")
     counts = B.bpe_token_count(d, _BPE_FIXED_MERGES, keep_cols=("source",))
+    d_salted = d.withColumn(
+        "text", F.replace(F.lower(F.col("text")), F.lit("a"), F.lit("á"))
+    )
+    bcounts = B.bpe_token_count(
+        d_salted, _BPE_FIXED_MERGES[:3], out_col="n_bpe_tokens_bytes",
+        alphabet="bytes",
+    )
     kept = token_budget_sample(
         counts,
         "source",
@@ -2681,4 +2716,6 @@ def bpe_token_budget(spark, sf_dir):
         3000,
         salt="bpe_budget",
     )
-    return kept.select("doc_id", "source", "n_bpe_tokens")
+    return kept.join(bcounts, "doc_id").select(
+        "doc_id", "source", "n_bpe_tokens", "n_bpe_tokens_bytes"
+    )

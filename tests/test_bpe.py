@@ -190,3 +190,126 @@ def test_bpe_encode_keep_cols_passthrough(spark):
     rows = {r["doc_id"]: (r["source"], r["n_bpe_tokens"]) for r in out.collect()}
     # "aa" -> [aa, </w>] = 2 tokens; "bb" -> [b, b, </w>] = 3
     assert rows == {1: ("s1", 5), 2: ("s2", 2)}
+
+
+# --------------------------------------------- byte-level alphabet --
+
+
+def _sym_bytes(w):
+    tbl = bpe._bytes_to_unicode()
+    return [tbl[b] for b in w.encode("utf-8")]
+
+
+def _reference_train_alpha(word_freq: dict, num_merges: int, sym):
+    """Same independent canonical BPE as _reference_train, with a
+    pluggable base decomposition (chars vs UTF-8 bytes)."""
+    vocab = {tuple(sym(w) + [bpe._EOW]): n for w, n in word_freq.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        top_cnt = max(pairs.values())
+        if top_cnt < 2:
+            break
+        pair = min(
+            (p for p, c in pairs.items() if c == top_cnt),
+            key=lambda p: f"{p[0]} {p[1]}",
+        )
+        merges.append(pair)
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_bytes_matches_independent_reference(spark, sf_dir):
+    """alphabet='bytes': distributed trainer, driver-local trainer and
+    the independent byte-level reference all agree merge-for-merge,
+    and token counts match a direct reference encode — on a corpus
+    salted with real multi-byte UTF-8."""
+    d = load_table(spark, sf_dir, "documents").filter("doc_id < 80")
+    extra = spark.createDataFrame(
+        [(9001, "héllo wörld héllo naïve héllo wörld"),
+         (9002, "日本語 テスト 日本語 テスト wörld naïve"),
+         (9003, "héllo 日本語 emoji 😀 emoji 😀 emoji")],
+        "doc_id long, text string",
+    )
+    d = d.select("doc_id", "text").unionByName(extra)
+    texts = [r["text"] for r in d.select("text").collect()]
+    want = _reference_train_alpha(_word_freq_py(texts), 30, _sym_bytes)
+    got = bpe.train_bpe(d, num_merges=30, alphabet="bytes")
+    assert got == want
+    assert bpe.train_bpe_local(d, num_merges=30, alphabet="bytes") == want
+
+    ranks = {p: i for i, p in enumerate(got)}
+    ref_counts = {}
+    for r in d.select("doc_id", "text").collect():
+        n = 0
+        for w in re.split(r"\s+", r["text"].lower()):
+            if w:
+                n += len(bpe.apply_merges(w, ranks, "bytes"))
+        ref_counts[r["doc_id"]] = n
+    spark_counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_token_count(d, got, alphabet="bytes").collect()
+    }
+    assert spark_counts == ref_counts
+
+
+@given(
+    words=st.lists(
+        st.text(min_size=1, max_size=6).filter(
+            lambda w: not re.search(r"\s", w)
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    k=st.integers(min_value=0, max_value=10),
+)
+@settings(max_examples=40, deadline=None)
+def test_bpe_bytes_roundtrip_any_utf8_property(words, k):
+    """Byte-level encode of ARBITRARY UTF-8 (multi-byte, emoji,
+    combining marks — whatever hypothesis throws) is lossless: join a
+    word's tokens, strip the EOW, invert the byte table, decode."""
+    wf = Counter(w.lower() for w in words)
+    merges = _reference_train_alpha(dict(wf), k, _sym_bytes)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in set(w.lower() for w in words):
+        toks = bpe.apply_merges(w, ranks, "bytes")
+        joined = "".join(toks)
+        assert joined.endswith(bpe._EOW)
+        assert bpe.bpe_decode_token(
+            joined[: -len(bpe._EOW)], "bytes"
+        ) == w
+
+
+def test_bpe_bytes_vs_chars_ascii_agree(spark):
+    """On pure-ASCII input the byte table is the identity, so both
+    alphabets must learn the identical merge list."""
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low newer newest new")],
+        "doc_id long, text string",
+    )
+    assert bpe.train_bpe_local(df, num_merges=12) == bpe.train_bpe_local(
+        df, num_merges=12, alphabet="bytes"
+    )
+
+
+def test_bpe_rejects_unknown_alphabet(spark):
+    df = spark.createDataFrame([(1, "a a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="alphabet"):
+        bpe.train_bpe_local(df, alphabet="words")
