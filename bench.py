@@ -73,7 +73,6 @@ HEADLINE = [
     "sole_returning_supplier",
     "text_analysis_suite",
     "hash_stratified_sample",
-    "zorder_values",
     "decontam_report",
     "corpus_sampling_pipeline",
     "dedup_corpus_pipelines",

@@ -849,6 +849,7 @@ def http_request_enrich(spark, sf_dir):
 
 from ..functions import dedup as _D  # noqa: E402
 from ..functions import text as _TX  # noqa: E402
+from ..functions.layout import zvalue, zvalue_sql  # noqa: E402
 from .queries import _MINHASH_SQL, _STOP_SQL, tp  # noqa: E402
 
 _TRAINING_FILTER_SQL = (
@@ -1015,7 +1016,23 @@ _TXTABLE_SQL = """
     SELECT 'merge2' AS arm, segment, count(*) AS n,
            CAST(sum(bal_cents) AS BIGINT) AS bal_cents
     FROM merged GROUP BY segment
-"""
+    UNION ALL
+    SELECT 'zcompact' AS arm, segment, count(*) AS n,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM merged GROUP BY segment
+    UNION ALL
+    -- per-row Morton z-values (former zorder_values entry VERBATIM,
+    -- reshaped into the suite's arm schema): proves the bit
+    -- interleave engine-portable, next to the zcompact arm that runs
+    -- it as the table's clustered-compaction sort key
+    SELECT 'zorder' AS arm, CAST(event_id AS VARCHAR) AS segment,
+           CAST(1 AS BIGINT) AS n,
+           CAST(ZVALUE_EXPR AS BIGINT) AS bal_cents
+    FROM events WHERE event_id < 2000
+""".replace(
+    "ZVALUE_EXPR",
+    zvalue_sql("user_id", "CAST(floor(value) AS BIGINT)", 16),
+)
 
 
 @q("txtable_acid_suite", _TXTABLE_SQL)
@@ -1119,4 +1136,28 @@ def txtable_acid_suite(spark, sf_dir):
             "segment": F.lit("REINSERTED"), "bal_cents": "s.delta"
         },
     )
-    return pre_merge2.unionByName(agg(tx.snapshot(), "merge2"))
+    merge2 = agg(tx.snapshot(), "merge2")
+    # zcompact arm: OPTIMIZE-ZORDER analog — Morton-clustered
+    # compaction on (c_custkey, bal_cents) must be exactly
+    # row-preserving (oracle: the merged relation again)
+    tx.compact(
+        min_files=1, cluster_by=["c_custkey", "bal_cents"], zorder=True
+    )
+    zcompact = agg(tx.snapshot(), "zcompact")
+    # zorder arm (r9 fold of the former zorder_values entry): per-row
+    # Morton z-values over events, bit-identical to the oracle's SQL
+    # interleave — proving the zcompact sort key engine-portable
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    zorder = ev.select(
+        F.lit("zorder").alias("arm"),
+        F.col("event_id").cast("string").alias("segment"),
+        F.lit(1).cast("long").alias("n"),
+        zvalue(
+            F.col("user_id"), F.floor(F.col("value")).cast("long"), 16
+        ).alias("bal_cents"),
+    )
+    return (
+        pre_merge2.unionByName(merge2)
+        .unionByName(zcompact)
+        .unionByName(zorder)
+    )

@@ -647,23 +647,11 @@ def text_analysis_suite(spark, sf_dir):
     return tfidf.unionByName(clean)
 
 
-@q(
-    "zorder_values",
-    f"""
-    SELECT event_id,
-           {zvalue_sql('user_id', 'CAST(floor(value) AS BIGINT)', 16)} AS z
-    FROM events WHERE event_id < 2000
-    """,
-)
-def zorder_values(spark, sf_dir):
-    """Morton z-value computation (functions/layout.py:zvalue) — the
-    clustering key behind zorder_sort's two-dimensional file pruning.
-    Oracle proves the bit-interleave engine-portable."""
-    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
-    return ev.select(
-        "event_id",
-        zvalue(F.col("user_id"), F.floor(F.col("value")).cast("long"), 16).alias("z"),
-    )
+# (zorder_values was consolidated into txtable_acid_suite in round 9 —
+# the identical per-row Morton interleave runs as that suite's
+# `zorder` arm, next to the `zcompact` arm that exercises it as the
+# table's clustered-compaction sort key; the former oracle expression
+# runs verbatim inside the suite's union.)
 
 
 _SDSR_ORACLE = """
@@ -1350,7 +1338,12 @@ from ..functions.text import whitespace_token_count  # noqa: E402
         FROM capped
       ) WHERE cum <= 800
     )
-    SELECT doc_id, source, copy_idx FROM (
+    SELECT 'sample' AS arm, doc_id, source,
+           CAST(copy_idx AS BIGINT) AS copy_idx,
+           CAST(NULL AS BIGINT) AS pos_epoch0,
+           CAST(NULL AS INTEGER) AS shard,
+           CAST(NULL AS BIGINT) AS pos_epoch1
+    FROM (
       SELECT doc_id, source,
              unnest(generate_series(1,
                CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END
@@ -1361,6 +1354,22 @@ from ..functions.text import whitespace_token_count  # noqa: E402
                       THEN 1 ELSE 0 END)) AS copy_idx
       FROM budgeted
     )
+    UNION ALL
+    -- shuffle arm: the former corpus_shuffle entry VERBATIM (global
+    -- ranks the no-global-sort construction must equal), tagged
+    SELECT 'shuffle' AS arm, doc_id,
+           CAST(NULL AS VARCHAR) AS source,
+           CAST(NULL AS BIGINT) AS copy_idx,
+           CAST(row_number() OVER (
+             ORDER BY md5('epoch0:' || doc_id), doc_id) - 1
+           AS BIGINT) AS pos_epoch0,
+           CAST((row_number() OVER (
+             ORDER BY md5('epoch0:' || doc_id), doc_id) - 1) % 8
+           AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+             ORDER BY md5('epoch1:' || doc_id), doc_id) - 1
+           AS BIGINT) AS pos_epoch1
+    FROM documents
     """,
 )
 def corpus_sampling_pipeline(spark, sf_dir):
@@ -1381,7 +1390,20 @@ def corpus_sampling_pipeline(spark, sf_dir):
     explode(sequence), copy_idx emitted). At 100 TB: one tiny counts
     agg + broadcast per stage; the corpus is never shuffled for a join,
     the only sort windows run over ~margin*cap rows, and the upsample
-    is a pure projection + explode."""
+    is a pure projection + explode.
+
+    Shuffle arm (r9 fold of the former ``corpus_shuffle`` entry — both
+    are deterministic sampling-order constructions): every document
+    gets its exact global rank under md5('epoch0:'||id) plus a
+    round-robin 8-way shard, and a SECOND epoch's independent
+    permutation (functions/sampling.py:deterministic_shuffle). The
+    oracle side is a plain global ``row_number()``; the engine
+    realizes the same ranks WITHOUT a global sort (hash-prefix
+    buckets + exact offsets + per-bucket windows) — the 100 TB
+    point. The former oracle runs verbatim as this oracle's tagged
+    union branch."""
+    from ..functions.sampling import deterministic_shuffle
+
     mixed = mixture_sample(
         t(spark, sf_dir, "documents"),
         "source",
@@ -1398,44 +1420,38 @@ def corpus_sampling_pipeline(spark, sf_dir):
         800,
         salt="budget",
     )
-    return upsample_mixture(
+    sample = upsample_mixture(
         budgeted, "source", "doc_id", {"src0": 2.5, "src1": 0.3}, salt="up"
-    ).select("doc_id", "source", "copy_idx")
-
-
-@q(
-    "corpus_shuffle",
-    """
-    SELECT doc_id,
-           CAST(row_number() OVER (
-             ORDER BY md5('epoch0:' || doc_id), doc_id) - 1
-           AS BIGINT) AS pos_epoch0,
-           CAST((row_number() OVER (
-             ORDER BY md5('epoch0:' || doc_id), doc_id) - 1) % 8
-           AS INTEGER) AS shard,
-           CAST(row_number() OVER (
-             ORDER BY md5('epoch1:' || doc_id), doc_id) - 1
-           AS BIGINT) AS pos_epoch1
-    FROM documents
-    """,
-)
-def corpus_shuffle(spark, sf_dir):
-    """Epoch-reproducible training order + worker shards
-    (functions/sampling.py:deterministic_shuffle): every document gets
-    its exact global rank under md5('epoch0:'||id) plus a round-robin
-    8-way shard, and a SECOND epoch's independent permutation — the
-    per-epoch reshuffle a training job derives without moving data.
-    The oracle is a plain global row_number(); the engine realizes the
-    same ranks without a global sort (hash-prefix buckets + exact
-    offsets + per-bucket windows), which is the 100 TB point."""
-    from ..functions.sampling import deterministic_shuffle
-
+    ).select(
+        F.lit("sample").alias("arm"),
+        "doc_id",
+        "source",
+        F.col("copy_idx").cast("long").alias("copy_idx"),
+        F.lit(None).cast("long").alias("pos_epoch0"),
+        F.lit(None).cast("int").alias("shard"),
+        F.lit(None).cast("long").alias("pos_epoch1"),
+    )
     d = t(spark, sf_dir, "documents").select("doc_id")
     e0 = deterministic_shuffle(d, seed="epoch0", n_shards=8).select(
         "doc_id", F.col("global_pos").alias("pos_epoch0"), "shard"
     )
     e1 = deterministic_shuffle(d, seed="epoch1", pos_col="pos_epoch1")
-    return e0.join(e1, "doc_id")
+    shuffle = e0.join(e1, "doc_id").select(
+        F.lit("shuffle").alias("arm"),
+        "doc_id",
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("copy_idx"),
+        "pos_epoch0",
+        F.col("shard").cast("int").alias("shard"),
+        "pos_epoch1",
+    )
+    return sample.unionByName(shuffle)
+
+
+# (corpus_shuffle was consolidated into corpus_sampling_pipeline in
+# round 9 — the identical deterministic_shuffle construction runs as
+# that entry's `shuffle` arm, with the former row_number() oracle
+# verbatim as the tagged union branch.)
 
 
 from ..functions.sampling import upsample_mixture  # noqa: E402
