@@ -457,6 +457,37 @@ def cmd_tools(args) -> int:
     if args.tool == "send_from_store" and not args.dest:
         print("send_from_store requires --dest URL", file=sys.stderr)
         return 1
+    if args.tool in ("table_history", "table_stats", "table_rows"):
+        # lakehouse-store operability (the TxTable analog of
+        # view_store): history, log-derived stats + constraints, and a
+        # bounded time-travel row preview — all driver-side log reads
+        import json as _json
+
+        from .session import get_spark
+        from .store.txtable import TxTable, VacuumedVersionError
+
+        tx = TxTable(get_spark("tools"), args.store_path)
+        if args.tool == "table_history":
+            for info in tx.history():
+                print(_json.dumps(info))
+            return 0
+        if args.tool == "table_stats":
+            print(_json.dumps({
+                "stats": tx.stats(),
+                "key_cols": tx.key_cols,
+                "n_buckets": tx.n_buckets,
+                "logstore": tx.logstore.kind,
+                "constraints": tx.constraints(),
+            }))
+            return 0
+        try:
+            df = tx.snapshot(version=args.version).limit(args.count)
+            for r in df.collect():
+                print(_json.dumps(r.asDict(), default=str))
+        except VacuumedVersionError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 1
+        return 0
     if args.tool == "retention":
         if args.keep_days is None:
             print("retention requires --keep-days N", file=sys.stderr)
@@ -562,9 +593,12 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("tools", help="store utilities (view / re-send)")
     p.add_argument(
-        "tool", choices=["view_store", "send_from_store", "retention"]
+        "tool", choices=[
+            "view_store", "send_from_store", "retention",
+            "table_history", "table_stats", "table_rows",
+        ]
     )
-    p.add_argument("store_path", help="MessageStore base path")
+    p.add_argument("store_path", help="MessageStore / TxTable base path")
     p.add_argument("--channel", default="default")
     p.add_argument("--filter", "-f", action="append",
                    help="payload field filter, e.g. -f k=9 (repeatable)")
@@ -574,6 +608,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="destination URL for send_from_store")
     p.add_argument("--keep-days", type=int, default=None,
                    help="retention: drop date partitions older than N days")
+    p.add_argument("--version", type=int, default=None,
+                   help="table_rows: time-travel snapshot version")
 
     p = sub.add_parser("test", help="run the project's tests")
     p.add_argument("--module", "-m", default="tests")

@@ -32,6 +32,7 @@ class ChannelRegistry:
         self.spark = spark
         self._channels: dict[str, tuple] = {}
         self._streams: dict[str, object] = {}
+        self._tables: dict[str, object] = {}
 
     def register(self, name: str, pipeline, store, streaming_channel=None) -> None:
         self._channels[name] = (pipeline, store)
@@ -43,6 +44,57 @@ class ChannelRegistry:
 
     def get(self, name: str):
         return self._channels[name]
+
+    # -- lakehouse tables (beyond-reference: the reference's remote
+    # admin operates its stores, ``views.py:71-231``; the TxTable
+    # store gets the same operability — history, stats, constraints,
+    # time-travel reads — all driver-side log reads, zero table scans
+    # except the bounded `rows` preview) ------------------------------
+    def register_table(self, name: str, table) -> None:
+        self._tables[name] = table
+
+    def table_names(self) -> list[str]:
+        return sorted(self._tables)
+
+    def get_table(self, name: str):
+        return self._tables[name]
+
+    def table_info(self, name: str) -> dict:
+        tx = self.get_table(name)
+        return {
+            "name": name,
+            "path": tx.path,
+            "key_cols": list(tx.key_cols),
+            "n_buckets": tx.n_buckets,
+            "logstore": tx.logstore.kind,
+            "stats": tx.stats(),
+            "constraints": tx.constraints(),
+        }
+
+    def table_history(self, name: str) -> list[dict]:
+        return self.get_table(name).history()
+
+    def table_rows(
+        self, name: str, version: "int | None" = None, limit: int = 100
+    ) -> dict:
+        """Bounded preview of the table at ``version`` (time travel
+        when given; latest otherwise). Values JSON-safe via str() for
+        non-primitives."""
+        tx = self.get_table(name)
+        df = tx.snapshot(version=version).limit(int(limit))
+        rows = [
+            {
+                k: (v if isinstance(v, (int, float, str, bool, type(None)))
+                    else str(v))
+                for k, v in r.asDict().items()
+            }
+            for r in df.collect()
+        ]
+        return {
+            "name": name,
+            "version": tx.version() if version is None else int(version),
+            "rows": rows,
+        }
 
     # -- lifecycle (views.py start_channel/stop_channel) ----------------
     def channel_status(self, name: str) -> str:
@@ -120,6 +172,10 @@ class ChannelRegistry:
 
 
 _ROUTES = [
+    (re.compile(r"^/tables/?$"), "list_tables"),
+    (re.compile(r"^/tables/([^/]+)/history/?$"), "table_history"),
+    (re.compile(r"^/tables/([^/]+)/rows/?$"), "table_rows"),
+    (re.compile(r"^/tables/([^/]+)/?$"), "table_info"),
     (re.compile(r"^/channels/?$"), "list_channels"),
     (re.compile(r"^/channels/([^/]+)/start/?$"), "start"),
     (re.compile(r"^/channels/([^/]+)/stop/?$"), "stop"),
@@ -156,6 +212,42 @@ class AdminServer:
                         m = rx.match(parsed.path)
                         if not m:
                             continue
+                        if op == "list_tables":
+                            return self._json(200, {"tables": [
+                                outer.registry.table_info(n)
+                                for n in outer.registry.table_names()
+                            ]})
+                        if op == "table_info":
+                            return self._json(
+                                200, outer.registry.table_info(m.group(1))
+                            )
+                        if op == "table_history":
+                            return self._json(200, {
+                                "name": m.group(1),
+                                "history": outer.registry.table_history(
+                                    m.group(1)
+                                ),
+                            })
+                        if op == "table_rows":
+                            from ..store.txtable import VacuumedVersionError
+
+                            version = (
+                                int(q["version"]) if "version" in q else None
+                            )
+                            limit = int(q.get("limit", 100))
+                            try:
+                                return self._json(
+                                    200,
+                                    outer.registry.table_rows(
+                                        m.group(1), version=version,
+                                        limit=limit,
+                                    ),
+                                )
+                            except VacuumedVersionError as exc:
+                                # 410: the pinned version's files are
+                                # gone by retention — a deterministic
+                                # protocol answer, not a 500
+                                return self._json(410, {"error": str(exc)})
                         if op == "list_channels":
                             return self._json(200, {"channels": [
                                 {"name": n, "status": outer.registry.channel_status(n)}

@@ -164,6 +164,10 @@ class WsAdminServer:
         "preview_msg": ("channel", "msg_id"),
         "replay_msg": ("channel", "msg_id"),
         "push_msg": ("channel", "text"),
+        "tables": ("registry",),
+        "table_info": ("table",),
+        "table_history": ("table",),
+        "table_rows": ("table", "version", "limit"),
     }
 
     def _dispatch(self, raw: str) -> str:
@@ -221,6 +225,21 @@ class WsAdminServer:
             return reg.replay_msg(kw["channel"], kw["msg_id"])
         if method == "push_msg":
             return reg.push_msg(kw["channel"], kw["text"])
+        if method == "tables":
+            return [reg.table_info(n) for n in reg.table_names()]
+        if method == "table_info":
+            return reg.table_info(kw["table"])
+        if method == "table_history":
+            return {
+                "name": kw["table"],
+                "history": reg.table_history(kw["table"]),
+            }
+        if method == "table_rows":
+            return reg.table_rows(
+                kw["table"],
+                version=kw.get("version"),
+                limit=kw.get("limit") or 100,
+            )
         raise KeyError(method)
 
     def start(self) -> None:

@@ -164,3 +164,103 @@ def test_ws_admin_named_params_and_shell(ws_admin):
     assert not shell.onecmd("channels")
     assert not shell.onecmd("view chan_w missing_id")  # error printed, not raised
     assert shell.onecmd("exit") is True
+
+
+# ------------------------------------------- lakehouse table admin --
+
+
+@pytest.fixture()
+def table_admin(spark, tmp_path):
+    from pypeman_spark.store.txtable import TxTable
+
+    tx = TxTable(spark, str(tmp_path / "tbl"), key_cols=["k"], n_buckets=2)
+    tx.append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, val string"))
+    tx.merge_upsert(spark.createDataFrame([(2, "B2")], "k long, val string"))
+    tx.add_constraint("val_nonempty", "length(val) > 0")
+    reg = ChannelRegistry(spark)
+    reg.register_table("events_tbl", tx)
+    server = AdminServer(reg)
+    server.start()
+    yield server, tx
+    server.stop()
+
+
+def test_table_admin_info_and_history(table_admin):
+    server, tx = table_admin
+    status, body = _get(server, "/tables")
+    assert status == 200 and len(body["tables"]) == 1
+    info = body["tables"][0]
+    assert info["name"] == "events_tbl"
+    assert info["key_cols"] == ["k"] and info["n_buckets"] == 2
+    assert info["stats"]["rows"] == 2 and info["stats"]["version"] == 3
+    assert info["constraints"] == {"val_nonempty": "length(val) > 0"}
+    assert info["logstore"] == tx.logstore.kind
+
+    status, body = _get(server, "/tables/events_tbl/history")
+    assert status == 200
+    assert [h["op"] for h in body["history"]] == [
+        "create", "append", "merge", "constraint",
+    ]
+    status, _ = _get(server, "/tables/nope")
+    assert status == 404
+
+
+def test_table_admin_snapshot_and_time_travel(table_admin):
+    server, tx = table_admin
+    status, body = _get(server, "/tables/events_tbl/rows?limit=10")
+    assert status == 200
+    assert {r["k"]: r["val"] for r in body["rows"]} == {1: "a", 2: "B2"}
+    # time travel to the pre-merge version
+    status, body = _get(server, "/tables/events_tbl/rows?version=1")
+    assert status == 200 and body["version"] == 1
+    assert {r["k"]: r["val"] for r in body["rows"]} == {1: "a", 2: "b"}
+    # vacuumed pinned version answers 410, deterministically
+    tx.vacuum(grace_s=0)
+    status, body = _get(server, "/tables/events_tbl/rows?version=1")
+    assert status == 410 and "vacuum" in body["error"]
+
+
+def test_table_admin_over_websocket(spark, tmp_path):
+    from pypeman_spark.plans.ws_admin import WsAdminClient, WsAdminServer
+    from pypeman_spark.store.txtable import TxTable
+
+    tx = TxTable(spark, str(tmp_path / "wtbl"), key_cols=["k"], n_buckets=2)
+    tx.append(spark.createDataFrame([(5, "x")], "k long, val string"))
+    reg = ChannelRegistry(spark)
+    reg.register_table("wtbl", tx)
+    server = WsAdminServer(reg)
+    server.start()
+    try:
+        c = WsAdminClient(f"ws://127.0.0.1:{server.port}")
+        tables = c.send_command("tables")
+        assert tables[0]["name"] == "wtbl" and tables[0]["stats"]["rows"] == 1
+        hist = c.send_command("table_history", {"table": "wtbl"})
+        assert [h["op"] for h in hist["history"]] == ["create", "append"]
+        rows = c.send_command("table_rows", {"table": "wtbl", "limit": 5})
+        assert rows["rows"] == [{"k": 5, "val": "x"}]
+    finally:
+        server.stop()
+
+
+def test_table_cli_tools(spark, tmp_path, capsys):
+    """CLI parity: tools table_history / table_stats / table_rows
+    operate an existing TxTable from its path alone."""
+    from pypeman_spark.__main__ import main as cli_main
+    from pypeman_spark.store.txtable import TxTable
+
+    path = str(tmp_path / "ctbl")
+    tx = TxTable(spark, path, key_cols=["k"], n_buckets=2)
+    tx.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, val string"))
+
+    assert cli_main(["tools", "table_history", path]) == 0
+    ops = [json.loads(x)["op"] for x in capsys.readouterr().out.splitlines()]
+    assert ops == ["create", "append"]
+
+    assert cli_main(["tools", "table_stats", path]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["stats"]["rows"] == 2 and stats["key_cols"] == ["k"]
+
+    assert cli_main(["tools", "table_rows", path, "--count", "10"]) == 0
+    rows = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert {r["k"]: r["val"] for r in rows} == {1: "a", 2: "b"}
