@@ -67,7 +67,20 @@ _VERSION_DIGITS = 20
 # Ops whose BUCKET-DISJOINT commits commute with an in-flight
 # bucket-scoped rewrite (any bucket overlap always forces a retry).
 # "create" and unknown ops are conservatively treated as conflicts.
-_COMMUTING_OPS = ("append", "merge", "delete", "compact")
+_COMMUTING_OPS = (
+    "append", "merge", "delete", "compact", "update", "replace",
+)
+
+# Hive-style directory token for a NULL partition value (what Spark's
+# partitioned writer emits and its reader maps back to null).
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# Partition column types whose directory encoding round-trips exactly
+# through ``_pvalstr`` (timestamps/floats don't — their path form is
+# writer-version-dependent, so they are rejected as partition columns).
+_PARTITIONABLE_TYPES = (
+    "string", "integer", "long", "short", "byte", "date", "boolean",
+)
 
 from .logstore import LogStore, open_logstore  # noqa: E402
 
@@ -104,6 +117,37 @@ class ConstraintViolation(RuntimeError):
 
 def _version_of(fname: str) -> int:
     return int(fname.split(".")[0])
+
+
+def _pvalstr(v) -> "str | None":
+    """Canonical string form of a PARTITION value — chosen to equal
+    the decoded directory token Spark's Hive-style writer emits for
+    the :data:`_PARTITIONABLE_TYPES`, so values collected from an
+    updates DataFrame compare equal to path-derived ``parts``."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return str(v)
+
+
+def _parts_of_relpath(relpath: str) -> "dict[str, str | None]":
+    """Decode the Hive-style ``col=value`` directory segments of a
+    data-file path into {col: decoded value or None} — the ``bucket``
+    segment is the hash layout, not a partition, and is excluded."""
+    from urllib.parse import unquote
+
+    out: "dict[str, str | None]" = {}
+    for seg in relpath.split("/")[:-1]:
+        k, eq, v = seg.partition("=")
+        if not eq or k == "bucket":
+            continue
+        out[k] = None if v == _HIVE_NULL else unquote(v)
+    return out
 
 
 def _commit_name(version: int) -> str:
@@ -243,6 +287,22 @@ class TxTable:
     object-store-shaped implementation), or a :class:`LogStore`
     instance. On re-open the implementation is AUTODETECTED from the
     on-disk layout, so every writer agrees with the table's creator.
+
+    ``partition_by`` (fixed at creation, like the bucket layout)
+    adds Hive-style ``col=value`` directory partitioning ABOVE the
+    bucket dirs, with each add action recording its exact partition
+    values in the log (Delta's ``partitionValues``): :meth:`scan` and
+    the predicate DML (:meth:`delete_where` / :meth:`update_where` /
+    :meth:`replace_where`) prune files on partition predicates
+    EXACTLY — and can prove whole files inside a region, turning
+    partition-aligned deletes/overwrites into metadata-only commits;
+    when ``partition_by ⊆ key_cols``, merges and conflict detection
+    refine from buckets to (partition, bucket) scopes, so writers on
+    different dates of the same bucket commute. Partition column
+    types are restricted to the exactly-round-tripping set
+    (string/int/date/bool — no floats or timestamps, whose path
+    encoding is writer-dependent); partition columns cannot be
+    renamed, dropped, or updated in place.
     """
 
     def __init__(
@@ -253,6 +313,7 @@ class TxTable:
         n_buckets: int = 16,
         checkpoint_interval: int = 20,
         logstore: "str | LogStore | None" = None,
+        partition_by: "list[str] | None" = None,
     ):
         self.spark = spark
         self.path = path
@@ -277,6 +338,10 @@ class TxTable:
             self.checkpoint_interval = meta.get(
                 "checkpoint_interval", checkpoint_interval
             )
+            # layout identity like key_cols/n_buckets: the creator's
+            # choice wins, re-read on every open ([] for pre-partition
+            # tables — their behavior is bit-identical to before)
+            self.partition_by = list(meta.get("partition_by", []))
         else:
             if not key_cols:
                 raise ValueError(
@@ -285,6 +350,12 @@ class TxTable:
             self.key_cols = list(key_cols)
             self.n_buckets = int(n_buckets)
             self.checkpoint_interval = int(checkpoint_interval)
+            self.partition_by = list(partition_by or [])
+            if "bucket" in self.partition_by:
+                raise ValueError(
+                    "'bucket' is the hash-layout column, not a "
+                    "partition column"
+                )
             self._commit(
                 expected_version=0,
                 actions=[{
@@ -292,6 +363,10 @@ class TxTable:
                         "key_cols": self.key_cols,
                         "n_buckets": self.n_buckets,
                         "checkpoint_interval": self.checkpoint_interval,
+                        **(
+                            {"partition_by": self.partition_by}
+                            if self.partition_by else {}
+                        ),
                     }
                 }],
                 op="create",
@@ -420,6 +495,11 @@ class TxTable:
 
         if col in self.key_cols:
             raise ValueError(f"cannot alter key column {col!r}")
+        if col in self.partition_by:
+            raise ValueError(
+                f"cannot alter partition column {col!r} (directory "
+                f"layout identity)"
+            )
         for cname, cexpr in cons.items():
             if re.search(rf"\b{re.escape(col)}\b", cexpr):
                 raise ValueError(
@@ -586,7 +666,8 @@ class TxTable:
 
     def _commit(self, expected_version: int, actions: list[dict],
                 op: str, buckets: list[int],
-                txn: "tuple[str, int] | None" = None) -> bool:
+                txn: "tuple[str, int] | None" = None,
+                scopes: "set | None" = None) -> bool:
         """Atomically publish ``actions`` as ``expected_version`` via
         the LogStore's conditional put. Returns False (without side
         effects) if that version was already claimed by another
@@ -596,6 +677,12 @@ class TxTable:
             "buckets": sorted(buckets), "pid": os.getpid(),
             "ts": time.time(),
         }
+        if scopes is not None:
+            info["scopes"] = [
+                [list(p), b] for p, b in sorted(
+                    scopes, key=lambda s: (json.dumps(s[0]), s[1])
+                )
+            ]
         if txn is not None:
             info["txn"] = {"app": txn[0], "version": int(txn[1])}
         record = list(actions) + [{"commit": info}]
@@ -623,6 +710,118 @@ class TxTable:
             "\x1f", *[F.col(c).cast("string") for c in self.key_cols]
         )
         return F.pmod(F.xxhash64(key), F.lit(self.n_buckets)).cast("int")
+
+    # ----------------------------------------- write-scope tracking --
+    #
+    # A write's SCOPE is the set of (partition tuple, bucket) combos it
+    # rewrites. Unpartitioned tables scope by bucket alone (exactly the
+    # pre-partition behavior). Partitioned tables refine both conflict
+    # detection and old-file selection to the touched partitions when
+    # the scope is derivable — two writers merging into DIFFERENT dates
+    # of the same bucket commute, and a merge rewrites only the touched
+    # dates' files, not every date in the bucket.
+
+    def _touched_scopes(
+        self, df: DataFrame
+    ) -> "tuple[list[int], set | None]":
+        """(sorted touched buckets, {(partition tuple, bucket)} or
+        None). Scopes are derivable iff partition_by ⊆ key_cols — then
+        a key DETERMINES its partition, so the rows matching ``df``'s
+        keys can only live in ``df``'s own (partition, bucket) combos.
+        Otherwise None: a key may sit in a different partition than
+        the update row claims, and only bucket scoping is sound. The
+        collect is bounded by touched partitions × buckets — the same
+        control-plane budget as the existing bucket collect."""
+        pcols = self.partition_by
+        if pcols and set(pcols) <= set(self.key_cols) and (
+            set(pcols) <= set(df.columns)
+        ):
+            rows = df.select(
+                *[F.col(c) for c in pcols],
+                self._bucket_col().alias("__b"),
+            ).distinct().collect()
+            scopes = {
+                (tuple(_pvalstr(r[c]) for c in pcols), r["__b"])
+                for r in rows
+            }
+            return sorted({b for _p, b in scopes}), scopes
+        rows = df.select(
+            self._bucket_col().alias("__b")
+        ).distinct().collect()
+        return sorted(r["__b"] for r in rows), None
+
+    def _old_files(
+        self, live: "dict[str, dict]", buckets: "set[int]",
+        scopes: "set | None",
+    ) -> list:
+        """Live files a scoped rewrite must fold in: bucket-filtered,
+        partition-refined when scopes are known (a file without
+        recorded parts is conservatively included)."""
+        out = []
+        for f, info in live.items():
+            if info.get("bucket") not in buckets:
+                continue
+            if scopes is not None:
+                parts = info.get("parts")
+                if parts is not None and (
+                    tuple(parts.get(c) for c in self.partition_by),
+                    info.get("bucket"),
+                ) not in scopes:
+                    continue
+            out.append(f)
+        return out
+
+    def _scopes_of_adds(self, adds: "list[dict]") -> "set | None":
+        """Scope set of freshly staged add actions (None for
+        unpartitioned tables)."""
+        if not self.partition_by:
+            return None
+        out = set()
+        for a in adds:
+            info = a.get("add", a)
+            parts = info.get("parts") or {}
+            out.add((
+                tuple(parts.get(c) for c in self.partition_by),
+                info.get("bucket"),
+            ))
+        return out
+
+    @staticmethod
+    def _clash(
+        info: dict, buckets: "set[int]", scopes: "set | None"
+    ) -> bool:
+        """Does a concurrent commit's recorded write scope overlap
+        ours? Partition-refined only when BOTH sides recorded scopes;
+        any commit without them (pre-partition writers, schema ops)
+        falls back to bucket overlap — conservative, never unsound."""
+        other = info.get("scopes")
+        if scopes is not None and other is not None:
+            return any((tuple(p), b) in scopes for p, b in other)
+        return bool(set(info.get("buckets", [])) & buckets)
+
+    def _occ_commit(
+        self, base_v: int, actions: list, op: str, tb: list,
+        scopes: "set | None", touched: "set[int]",
+        txn: "tuple[str, int] | None" = None,
+    ) -> "int | None":
+        """One pass of the commit-else-probe loop every bucket-scoped
+        rewrite shares: claim the next version; on a race, walk the
+        interleaved commits — scope-disjoint commuting ops let us
+        re-claim directly (our rewrite is still exact), anything else
+        returns None so the caller retries from a fresh snapshot."""
+        v = base_v
+        while True:
+            if self._commit(
+                v + 1, actions, op=op, buckets=tb, txn=txn,
+                scopes=scopes,
+            ):
+                return v + 1
+            v += 1
+            info = self._commit_info(v) or {}
+            if self._clash(info, touched, scopes) or (
+                info.get("op") not in _COMMUTING_OPS
+            ):
+                return None
 
     @staticmethod
     def _file_stats(abspath: str) -> "tuple[dict, int] | None":
@@ -697,8 +896,30 @@ class TxTable:
         physical names (key columns are unrenameable, so the bucket
         expression always sees logical names)."""
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        pcols = self.partition_by
+        if pcols:
+            missing = [c for c in pcols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"partitioned table write is missing partition "
+                    f"column(s): {missing}"
+                )
+            for f in df.schema.fields:
+                if f.name in pcols and (
+                    f.dataType.typeName() not in _PARTITIONABLE_TYPES
+                ):
+                    raise ValueError(
+                        f"partition column {f.name!r} has type "
+                        f"{f.dataType.simpleString()}; supported: "
+                        f"{_PARTITIONABLE_TYPES}"
+                    )
         if not arranged:
-            df = df.repartition(self.n_buckets, self._bucket_col())
+            # optimized write: one shuffle partition (= one file) per
+            # (partition tuple, bucket) combo present in the commit
+            df = df.repartition(
+                self.n_buckets,
+                *[F.col(c) for c in pcols], self._bucket_col(),
+            )
         out = df.withColumn("bucket", self._bucket_col())
         cm = _schema_colmap(schema_json)
         if cm:
@@ -706,27 +927,35 @@ class TxTable:
                 F.col(c).alias(cm.get(c, c)) for c in out.columns
             ])
         (
-            out.write.partitionBy("bucket").mode("overwrite")
+            # partition cols are unrenameable (guarded), so their
+            # physical names equal their logical names here
+            out.write.partitionBy(*pcols, "bucket").mode("overwrite")
             .parquet(staging)
         )
         adds = []
         moved = []
-        for bdir in sorted(os.listdir(staging)):
-            if not bdir.startswith("bucket="):
+        for root, _dirs, files in sorted(os.walk(staging)):
+            reldir = os.path.relpath(root, staging)
+            segs = [] if reldir == "." else reldir.split(os.sep)
+            if not (segs and segs[-1].startswith("bucket=")):
                 continue
-            b = int(bdir.split("=")[1])
-            tdir = os.path.join(self.data_dir, bdir)
+            b = int(segs[-1].split("=")[1])
+            parts = _parts_of_relpath(reldir + "/") if pcols else {}
+            tdir = os.path.join(self.data_dir, *segs)
             os.makedirs(tdir, exist_ok=True)
-            for f in sorted(os.listdir(os.path.join(staging, bdir))):
+            for f in sorted(files):
                 if not f.endswith(".parquet"):
                     continue
                 name = f"part-{uuid.uuid4().hex}.parquet"
                 dst = os.path.join(tdir, name)
-                os.replace(os.path.join(staging, bdir, f), dst)
+                os.replace(os.path.join(root, f), dst)
                 add = {
-                    "file": f"data/{bdir}/{name}", "bucket": b,
+                    "file": "data/" + "/".join(segs + [name]),
+                    "bucket": b,
                     "bytes": os.stat(dst).st_size,
                 }
+                if parts:
+                    add["parts"] = parts
                 adds.append({"add": add})
                 moved.append(dst)
         # footer reads are tiny but latency-bound: at B=4096 a full
@@ -842,6 +1071,99 @@ class TxTable:
         )
 
     @staticmethod
+    def _part_typed(raw: str, like):
+        """Parse a decoded partition-path token with the LITERAL's
+        type, so comparisons are typed ("10" < "9" as strings, but
+        10 > 9 as ints)."""
+        import datetime
+
+        if isinstance(like, bool):
+            return raw == "true"
+        if isinstance(like, int):
+            return int(raw)
+        if isinstance(like, float):
+            return float(raw)
+        if isinstance(like, (datetime.date, datetime.datetime)):
+            return datetime.date.fromisoformat(raw)
+        return raw
+
+    @staticmethod
+    def _part_satisfies(pv: "str | None", op: str, val) -> "bool | None":
+        """Does a file whose partition value is ``pv`` satisfy
+        ``op val``? The value is constant across the file, so True /
+        False decide EVERY row at once (exact pruning AND provable
+        full-match, unlike range stats). None = undecidable
+        (unparseable literal, unknown op) — callers must keep the
+        file. A null partition value fails every comparison (SQL
+        semantics), so those files always prune."""
+        if pv is None:
+            return False
+        like = val
+        if op == "between":
+            like = val[0]
+        elif op == "in":
+            like = next(iter(val), None)
+        try:
+            typed = TxTable._part_typed(pv, like)
+            if op in ("=", "=="):
+                return typed == val
+            if op == "<":
+                return typed < val
+            if op == "<=":
+                return typed <= val
+            if op == ">":
+                return typed > val
+            if op == ">=":
+                return typed >= val
+            if op == "between":
+                return bool(val[0] <= typed <= val[1])
+            if op == "in":
+                return typed in list(val)
+        except (TypeError, ValueError):
+            return None
+        return None
+
+    def _classify_candidates(
+        self, live: "dict[str, dict]",
+        preds: "tuple[tuple[str, str, object], ...]",
+        cm: "dict[str, str]",
+    ) -> "tuple[list[str], set[str]]":
+        """(files that MAY hold a matching row, the subset PROVABLY
+        all-matching). The may-side is :meth:`scan`'s pruning —
+        partition values decide their predicates exactly, footer
+        [min, max] bounds the rest. The provable side needs every
+        predicate decided True by partition values alone: range stats
+        can never prove universality, a constant partition value
+        can."""
+        pset = set(self.partition_by)
+        cands: list[str] = []
+        full: set[str] = set()
+        for f, info in sorted(live.items()):
+            parts = info.get("parts") or {}
+            keep = True
+            all_true = bool(preds)
+            for (c, op, v) in preds:
+                if c in pset and c in parts:
+                    s = self._part_satisfies(parts[c], op, v)
+                    if s is False:
+                        keep = False
+                        break
+                    if s is not True:
+                        all_true = False
+                    continue
+                all_true = False
+                if not self._may_match(
+                    info.get("stats"), cm.get(c, c), op, v
+                ):
+                    keep = False
+                    break
+            if keep:
+                cands.append(f)
+                if all_true:
+                    full.add(f)
+        return cands, full
+
+    @staticmethod
     def _may_match(stats: "dict | None", col: str, op: str, val) -> bool:
         """Could a file with these footer stats hold a row passing
         ``col op val``? Missing stats (old commits, unsupported types)
@@ -905,18 +1227,22 @@ class TxTable:
         {files_live, files_read} for plan audits."""
         _v, live, _txns, schema = self._replay_full(upto=version)
         cm = _schema_colmap(schema)  # stats are keyed by PHYSICAL name
-        kept = [
-            f for f, info in sorted(live.items())
-            if all(
-                self._may_match(info.get("stats"), cm.get(c, c), op, v)
-                for (c, op, v) in preds
-            )
-        ]
+        kept, _full = self._classify_candidates(live, preds, cm)
         self.last_scan_info = {
             "files_live": len(live), "files_read": len(kept),
         }
         if version is not None:
             self._guard_vacuumed(kept, f"scan(version={version})")
+        cond = self._build_cond(preds)
+        if not kept:
+            return self.snapshot(version=version).where(F.lit(False))
+        return self._read_files(kept, schema).where(cond)
+
+    @staticmethod
+    def _build_cond(preds) -> "F.Column":
+        """Conjunctive Column for ``(col, op, literal)`` predicates —
+        the row-level filter matching :meth:`_classify_candidates`'s
+        file-level pruning."""
         cond = F.lit(True)
         for c, op, v in preds:
             col = F.col(c)
@@ -936,9 +1262,7 @@ class TxTable:
                 cond = cond & (col >= v)
             else:
                 raise ValueError(f"unsupported scan op: {op!r}")
-        if not kept:
-            return self.snapshot(version=version).where(F.lit(False))
-        return self._read_files(kept, schema).where(cond)
+        return cond
 
     def _commit_actions(
         self, version: int
@@ -991,7 +1315,8 @@ class TxTable:
                 continue
             adds, removes, info = parsed
             op = info.get("op")
-            if op not in ("append", "merge", "delete"):
+            if op not in ("append", "merge", "delete", "update",
+                          "replace"):
                 continue  # create/compact/schema-only: no logical change
             self._guard_vacuumed(
                 [a["file"] for a in adds] + list(removes),
@@ -1170,6 +1495,7 @@ class TxTable:
             if self._commit(
                 v + 1, actions, op="append",
                 buckets=[a["add"]["bucket"] for a in adds],
+                scopes=self._scopes_of_adds(adds),
             ):
                 return v + 1
             v = self.version()
@@ -1206,16 +1532,9 @@ class TxTable:
                 base_v, live, txns, schema, cons = _replay_log(self.logstore)
                 if txn is not None and txns.get(txn[0], -1) >= txn[1]:
                     return base_v  # already applied — provable no-op
-                tb = sorted(
-                    r["b"] for r in updates.select(
-                        self._bucket_col().alias("b")
-                    ).distinct().collect()
-                )
+                tb, scopes = self._touched_scopes(updates)
                 touched = set(tb)
-                old = [
-                    f for f, info in live.items()
-                    if info.get("bucket") in touched
-                ]
+                old = self._old_files(live, touched, scopes)
                 schema_act = self._evolved_schema_action(updates, schema)
                 eff = schema_act[0]["schema"] if schema_act else schema
                 if old:
@@ -1232,22 +1551,12 @@ class TxTable:
                     adds + [{"remove": {"file": f}} for f in old]
                     + schema_act
                 )
-                v = base_v
-                committed = False
-                while True:
-                    if self._commit(
-                        v + 1, actions, op="merge", buckets=tb, txn=txn
-                    ):
-                        committed = True
-                        break
-                    v += 1
-                    info = self._commit_info(v) or {}
-                    if set(info.get("buckets", [])) & touched or (
-                        info.get("op") not in _COMMUTING_OPS
-                    ):
-                        break  # real conflict: retry from new snapshot
-                if committed:
-                    return v + 1
+                got = self._occ_commit(
+                    base_v, actions, "merge", tb, scopes, touched,
+                    txn=txn,
+                )
+                if got is not None:
+                    return got
                 self._discard(adds)
         finally:
             updates.unpersist()
@@ -1326,16 +1635,9 @@ class TxTable:
                 base_v, live, txns, schema, cons = _replay_log(self.logstore)
                 if txn is not None and txns.get(txn[0], -1) >= txn[1]:
                     return base_v
-                tb = sorted(
-                    r["b"] for r in source.select(
-                        self._bucket_col().alias("b")
-                    ).distinct().collect()
-                )
+                tb, scopes = self._touched_scopes(source)
                 touched = set(tb)
-                old = [
-                    f for f, info in live.items()
-                    if info.get("bucket") in touched
-                ]
+                old = self._old_files(live, touched, scopes)
                 # table columns + types: current schema, plus source
                 # columns when inserting as-is (schema evolution)
                 from pyspark.sql.types import StructType
@@ -1433,22 +1735,12 @@ class TxTable:
                     adds + [{"remove": {"file": f}} for f in old]
                     + schema_act
                 )
-                v = base_v
-                committed = False
-                while True:
-                    if self._commit(
-                        v + 1, actions, op="merge", buckets=tb, txn=txn
-                    ):
-                        committed = True
-                        break
-                    v += 1
-                    info = self._commit_info(v) or {}
-                    if set(info.get("buckets", [])) & touched or (
-                        info.get("op") not in _COMMUTING_OPS
-                    ):
-                        break
-                if committed:
-                    return v + 1
+                got = self._occ_commit(
+                    base_v, actions, "merge", tb, scopes, touched,
+                    txn=txn,
+                )
+                if got is not None:
+                    return got
                 self._discard(adds)
         finally:
             source.unpersist()
@@ -1457,50 +1749,242 @@ class TxTable:
         )
 
     def delete_keys(self, keys: DataFrame, max_retries: int = 10) -> int:
-        """Delete by key: bucket-scoped rewrite without the matching
-        rows (same OCC loop as merge)."""
+        """Delete by key: scope-bound rewrite without the matching
+        rows (same OCC loop as merge; partition-refined when
+        partition_by ⊆ key_cols)."""
         keys = keys.select(*self.key_cols).cache()
         try:
             for _ in range(max_retries):
                 base_v, live, _txns, schema = self._replay_full()
-                tb = sorted(
-                    r["b"] for r in keys.select(
-                        self._bucket_col().alias("b")
-                    ).distinct().collect()
-                )
+                tb, scopes = self._touched_scopes(keys)
                 touched = set(tb)
-                old = [
-                    f for f, info in live.items()
-                    if info.get("bucket") in touched
-                ]
+                old = self._old_files(live, touched, scopes)
                 if not old:
                     return base_v  # nothing to delete
                 cur = self._read_files(old, schema)
                 kept = cur.join(keys, on=self.key_cols, how="left_anti")
                 adds = self._stage(kept, schema_json=schema)
                 actions = adds + [{"remove": {"file": f}} for f in old]
-                v = base_v
-                committed = False
-                while True:
-                    if self._commit(
-                        v + 1, actions, op="delete", buckets=tb
-                    ):
-                        committed = True
-                        break
-                    v += 1
-                    info = self._commit_info(v) or {}
-                    if set(info.get("buckets", [])) & touched or (
-                        info.get("op") not in _COMMUTING_OPS
-                    ):
-                        break
-                if committed:
-                    return v + 1
+                got = self._occ_commit(
+                    base_v, actions, "delete", tb, scopes, touched,
+                )
+                if got is not None:
+                    return got
                 self._discard(adds)
         finally:
             keys.unpersist()
         raise CommitConflict(
             f"delete conflicted {max_retries} times on buckets"
         )
+
+    # ---------------------------------------------- predicate DML --
+
+    def delete_where(
+        self, *preds: "tuple[str, str, object]", max_retries: int = 10,
+    ) -> int:
+        """``DELETE WHERE`` over conjunctive ``(col, op, literal)``
+        predicates (the grammar of :meth:`scan`). Three file classes,
+        decided driver-side from the log with zero data IO: files the
+        partition/footer-stats index proves UNTOUCHED are left alone;
+        files PROVABLY all-matching (every predicate a
+        partition-column predicate the file's constant partition
+        values satisfy) are dropped as pure METADATA — no read, no
+        rewrite; only genuinely mixed files are rewritten without the
+        matching rows. ``DELETE WHERE day < retention_cutoff`` on a
+        day-partitioned 100 TB table is a metadata-only commit. Kept
+        rows are a subset of committed rows, so CHECK constraints
+        cannot newly fail and are not re-validated. Reference basis:
+        Delta DELETE (Armbrust et al., VLDB 2020 §4.1); the change
+        feed reports the deleted rows like any delete commit."""
+        if not preds:
+            raise ValueError(
+                "delete_where with no predicates would truncate the "
+                "table — pass predicates, or delete_keys(snapshot())"
+            )
+        self._build_cond(preds)  # fail fast on unknown ops
+        for _ in range(max_retries):
+            base_v, live, _txns, schema, _cons = _replay_log(
+                self.logstore
+            )
+            cm = _schema_colmap(schema)
+            cands, full = self._classify_candidates(live, preds, cm)
+            if not cands:
+                return base_v  # provably nothing to delete
+            rewrite = [f for f in cands if f not in full]
+            adds: list[dict] = []
+            if rewrite:
+                cur = self._read_files(rewrite, schema)
+                kept = cur.where(
+                    ~F.coalesce(self._build_cond(preds), F.lit(False))
+                )
+                adds = self._stage(kept, schema_json=schema)
+            actions = adds + [{"remove": {"file": f}} for f in cands]
+            touched = {live[f].get("bucket") for f in cands} | {
+                a["add"]["bucket"] for a in adds
+            }
+            scopes = self._dml_scopes(live, cands, adds)
+            got = self._occ_commit(
+                base_v, actions, "delete", sorted(touched), scopes,
+                touched,
+            )
+            if got is not None:
+                return got
+            self._discard(adds)
+        raise CommitConflict(
+            f"delete_where conflicted {max_retries} times"
+        )
+
+    def update_where(
+        self, assignments: "dict[str, object]",
+        *preds: "tuple[str, str, object]", max_retries: int = 10,
+    ) -> int:
+        """``UPDATE SET col = expr WHERE`` — rewrites ONLY the files
+        that may hold a matching row (partition + footer-stats
+        pruning, like :meth:`delete_where`); unmatched rows inside a
+        rewritten file are carried through byte-identical, and the
+        change feed's null-safe compare reports just the really
+        updated rows. Expressions (Columns or SQL strings) see the
+        PRE-update row, SQL UPDATE semantics. Key and partition
+        columns are unassignable (rows would silently change bucket /
+        directory). CHECK constraints are re-validated on the
+        rewritten files. Reference basis: Delta UPDATE (Armbrust et
+        al., VLDB 2020 §4.1)."""
+        if not preds:
+            raise ValueError("update_where needs predicates")
+        if not assignments:
+            raise ValueError("update_where needs assignments")
+        bad = set(assignments) & (
+            set(self.key_cols) | set(self.partition_by)
+        )
+        if bad:
+            raise ValueError(
+                f"cannot update key/partition column(s): {sorted(bad)}"
+            )
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        self._build_cond(preds)
+        for _ in range(max_retries):
+            base_v, live, _txns, schema, cons = _replay_log(
+                self.logstore
+            )
+            cm = _schema_colmap(schema)
+            cands, _full = self._classify_candidates(live, preds, cm)
+            if not cands:
+                return base_v
+            unknown = set(assignments) - {
+                f.name for f in self.table_schema().fields
+            } if schema is not None else set()
+            if unknown:
+                raise ValueError(
+                    f"update targets unknown column(s): {sorted(unknown)}"
+                )
+            cur = self._read_files(cands, schema)
+            gate = F.coalesce(self._build_cond(preds), F.lit(False))
+            updated = cur.withColumns({
+                c: F.when(gate, e).otherwise(F.col(c))
+                for c, e in exprs.items()
+            })
+            adds = self._stage(updated, schema_json=schema)
+            self._validate_adds(adds, schema, cons)
+            actions = adds + [{"remove": {"file": f}} for f in cands]
+            touched = {live[f].get("bucket") for f in cands} | {
+                a["add"]["bucket"] for a in adds
+            }
+            scopes = self._dml_scopes(live, cands, adds)
+            got = self._occ_commit(
+                base_v, actions, "update", sorted(touched), scopes,
+                touched,
+            )
+            if got is not None:
+                return got
+            self._discard(adds)
+        raise CommitConflict(
+            f"update_where conflicted {max_retries} times"
+        )
+
+    def replace_where(
+        self, df: DataFrame,
+        *preds: "tuple[str, str, object]", max_retries: int = 10,
+    ) -> int:
+        """Atomic region overwrite — Delta's ``replaceWhere`` /
+        ``INSERT OVERWRITE PARTITION``: every committed row matching
+        the predicates is replaced by ``df`` in ONE commit. ``df``
+        must itself satisfy the predicates (validated first — rows
+        leaking outside the region raise before anything stages).
+        Files wholly inside the region (provable from partition
+        values) are dropped without being read; files straddling the
+        boundary are rewritten keeping only their outside rows. The
+        day-partitioned reprocessing idiom — recompute one day,
+        ``replace_where(day_df, ("day", "=", d))`` — is a metadata
+        drop + one staged write, never a table scan. CHECK
+        constraints are validated on the incoming rows."""
+        if not preds:
+            raise ValueError("replace_where needs predicates")
+        cond = self._build_cond(preds)
+        n_out = df.where(~F.coalesce(cond, F.lit(False))).count()
+        if n_out:
+            raise ValueError(
+                f"replace_where: {n_out} incoming row(s) do not "
+                f"satisfy the replace predicates"
+            )
+        for _ in range(max_retries):
+            base_v, live, _txns, schema, cons = _replay_log(
+                self.logstore
+            )
+            cm = _schema_colmap(schema)
+            cands, full = self._classify_candidates(live, preds, cm)
+            schema_act = self._evolved_schema_action(df, schema)
+            eff = schema_act[0]["schema"] if schema_act else schema
+            adds = self._stage(df, schema_json=eff)
+            rewrite = [f for f in cands if f not in full]
+            if rewrite:
+                outside = self._read_files(rewrite, schema).where(
+                    ~F.coalesce(self._build_cond(preds), F.lit(False))
+                )
+                adds += self._stage(outside, schema_json=schema)
+            self._validate_adds(adds, eff, cons)
+            actions = (
+                adds + [{"remove": {"file": f}} for f in cands]
+                + schema_act
+            )
+            touched = {live[f].get("bucket") for f in cands} | {
+                a["add"]["bucket"] for a in adds
+            }
+            scopes = self._dml_scopes(live, cands, adds)
+            got = self._occ_commit(
+                base_v, actions, "replace", sorted(touched), scopes,
+                touched,
+            )
+            if got is not None:
+                return got
+            self._discard(adds)
+        raise CommitConflict(
+            f"replace_where conflicted {max_retries} times"
+        )
+
+    def _dml_scopes(
+        self, live: "dict[str, dict]", cands: "list[str]",
+        adds: "list[dict]",
+    ) -> "set | None":
+        """Write scope of a predicate-DML commit: the (partition,
+        bucket) combos of every removed AND staged file. None for
+        unpartitioned tables, or if any touched file predates
+        partition tracking (conservative bucket scoping)."""
+        if not self.partition_by:
+            return None
+        out = set()
+        for f in cands:
+            parts = live[f].get("parts")
+            if parts is None:
+                return None
+            out.add((
+                tuple(parts.get(c) for c in self.partition_by),
+                live[f].get("bucket"),
+            ))
+        staged = self._scopes_of_adds(adds)
+        return out | (staged or set())
 
     # ------------------------------------------------- maintenance --
 
@@ -1528,15 +2012,29 @@ class TxTable:
         lakehouse maintenance loop."""
         for _ in range(max_retries):
             base_v, live, _txns, schema = self._replay_full()
-            by_bucket: dict[int, list[str]] = {}
+            # group by (partition tuple, bucket): compaction of a
+            # partitioned table targets only the scopes with churn —
+            # the cold dates of a hot bucket are never rewritten
+            by_scope: "dict[tuple, list[str]]" = {}
             for f, info in live.items():
-                by_bucket.setdefault(info.get("bucket"), []).append(f)
-            todo = {b: fs for b, fs in by_bucket.items()
+                parts = info.get("parts")
+                skey = (
+                    tuple(parts.get(c) for c in self.partition_by)
+                    if parts is not None else None,
+                    info.get("bucket"),
+                )
+                by_scope.setdefault(skey, []).append(f)
+            todo = {k: fs for k, fs in by_scope.items()
                     if len(fs) >= min_files or (
                         cluster_by and len(fs) >= 1
                     )}
             if not todo:
                 return base_v
+            scopes = (
+                set(todo)
+                if self.partition_by
+                and all(k[0] is not None for k in todo) else None
+            )
             old = sorted(f for fs in todo.values() for f in fs)
             cur = self._read_files(old, schema)
             if cluster_by:
@@ -1563,22 +2061,13 @@ class TxTable:
                 staged_df, arranged=True, schema_json=schema
             )
             actions = adds + [{"remove": {"file": f}} for f in old]
-            tb = sorted(todo)
+            tb = sorted({b for _p, b in todo})
             touched = set(tb)
-            v = base_v
-            committed = False
-            while True:
-                if self._commit(v + 1, actions, op="compact", buckets=tb):
-                    committed = True
-                    break
-                v += 1
-                info = self._commit_info(v) or {}
-                if set(info.get("buckets", [])) & touched or (
-                    info.get("op") not in _COMMUTING_OPS
-                ):
-                    break
-            if committed:
-                return v + 1
+            got = self._occ_commit(
+                base_v, actions, "compact", tb, scopes, touched,
+            )
+            if got is not None:
+                return got
             self._discard(adds)
         raise CommitConflict(
             f"compact conflicted {max_retries} times on buckets"
@@ -1654,13 +2143,12 @@ class TxTable:
         )
         removed = []
         now = time.time()
-        for bdir in os.listdir(self.data_dir):
-            full_b = os.path.join(self.data_dir, bdir)
-            if not os.path.isdir(full_b):
-                continue
-            for f in os.listdir(full_b):
-                rel = f"data/{bdir}/{f}"
-                full = os.path.join(full_b, f)
+        # recursive: partitioned layouts nest col=value dirs above the
+        # bucket dirs
+        for root, _dirs, files in os.walk(self.data_dir):
+            for f in files:
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, self.path)
                 if rel in referenced:
                     continue
                 if (

@@ -45,13 +45,14 @@ from .logstore import open_logstore
 from .txtable import (
     _LOG_DIR,
     _commit_actions_of,
+    _parts_of_relpath,
     _replay_log,
 )
 
 __all__ = ["TxTableChangesDataSource"]
 
 # ops that contribute logical row changes (same set as table_changes)
-_FEED_OPS = ("append", "merge", "delete")
+_FEED_OPS = ("append", "merge", "delete", "update", "replace")
 _META_COLS = ("_change_type", "_commit_version")
 
 
@@ -258,8 +259,11 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         def load(files):
             """Union of parquet files aligned to the FEED schema:
             columns the file predates are typed nulls (schema
-            evolution), extras (the physical bucket partition col, or
-            post-restart evolved columns) are dropped."""
+            evolution), PARTITION columns — absent from the bytes by
+            Hive-layout design — are rebuilt as constants from the
+            file's ``col=value`` path segments, extras (the physical
+            bucket partition col, or post-restart evolved columns)
+            are dropped."""
             if not files:
                 return None
             tabs = []
@@ -274,11 +278,24 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
                         f"startingVersion or raise the vacuum grace/"
                         f"consumer TTL"
                     ) from e
+                parts = _parts_of_relpath(f)
                 cols = {}
                 for fld in tbl_fields:
                     src = self.colmap.get(fld.name, fld.name)
                     if src in t.column_names:
                         cols[fld.name] = pc.cast(t[src], fld.type)
+                    elif fld.name in parts:
+                        pv = parts[fld.name]
+                        if pv is None:
+                            cols[fld.name] = pa.nulls(
+                                t.num_rows, fld.type
+                            )
+                        else:
+                            cols[fld.name] = pc.cast(
+                                pa.array([pv] * t.num_rows,
+                                         pa.string()),
+                                fld.type,
+                            )
                     else:
                         cols[fld.name] = pa.nulls(t.num_rows, fld.type)
                 tabs.append(pa.table(cols).cast(tbl_schema))
