@@ -954,6 +954,17 @@ _TXTABLE_SQL = """
     ), src AS (
       SELECT c_custkey, c_custkey % 100 AS delta
       FROM base WHERE segment = 'MACHINERY'
+    ), porders AS (
+      SELECT o_orderpriority AS prio, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), p_final AS (
+      SELECT prio, o_orderkey,
+             CASE WHEN prio = '2-HIGH' THEN cents + 77
+                  WHEN prio = '3-MEDIUM'
+                       THEN -(o_orderkey % 1000) - 1
+                  ELSE cents END AS cents
+      FROM porders WHERE prio <> '1-URGENT'
     ), merged AS (
       SELECT f.c_custkey, f.segment, f.bal_cents
       FROM final f WHERE f.c_custkey NOT IN (SELECT c_custkey FROM src)
@@ -1021,6 +1032,35 @@ _TXTABLE_SQL = """
            CAST(sum(bal_cents) AS BIGINT) AS bal_cents
     FROM merged GROUP BY segment
     UNION ALL
+    -- pdml_* arms (round 9): partitioned predicate DML recomputed
+    -- relationally — partition-region delete (metadata-only on the
+    -- Spark side), partition-scoped UPDATE, replaceWhere region
+    -- overwrite, a partition-pruned scan, and the change feed the
+    -- three DML commits must emit
+    SELECT 'pdml_final' AS arm, prio AS segment, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_final GROUP BY prio
+    UNION ALL
+    SELECT 'pdml_scan' AS arm, prio AS segment, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_final WHERE prio = '2-HIGH' GROUP BY prio
+    UNION ALL
+    SELECT 'pdml_cdc_insert' AS arm, prio AS segment, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM porders GROUP BY prio
+    UNION ALL
+    SELECT 'pdml_cdc_delete' AS arm, prio AS segment, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM porders WHERE prio = '1-URGENT' GROUP BY prio
+    UNION ALL
+    SELECT 'pdml_cdc_update_preimage' AS arm, prio AS segment,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM porders WHERE prio IN ('2-HIGH', '3-MEDIUM') GROUP BY prio
+    UNION ALL
+    SELECT 'pdml_cdc_update_postimage' AS arm, prio AS segment,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_final WHERE prio IN ('2-HIGH', '3-MEDIUM') GROUP BY prio
+    UNION ALL
     -- per-row Morton z-values (former zorder_values entry VERBATIM,
     -- reshaped into the suite's arm schema): proves the bit
     -- interleave engine-portable, next to the zcompact arm that runs
@@ -1063,7 +1103,12 @@ def txtable_acid_suite(spark, sf_dir):
     recomputes the clause algebra relationally. Scale: merges rewrite
     only touched key-hash buckets (~min(M, B) of B), never the table;
     the feed diffs only each commit's own files; integer-cents sums
-    are partial-agg-order-proof."""
+    are partial-agg-order-proof. The pdml_* arms (round 9) run the
+    partitioned predicate-DML surface — partition-region
+    delete_where (metadata-only), partition-scoped update_where,
+    replace_where region overwrite, exact partition-pruned scan, and
+    the change feed of all three — on a second table partitioned by
+    o_orderpriority with partition ⊆ key (see the inline comment)."""
     from ..store import TxTable
 
     tmp = tempfile.mkdtemp(prefix="pypeman_txtable_")
@@ -1156,8 +1201,65 @@ def txtable_acid_suite(spark, sf_dir):
             F.col("user_id"), F.floor(F.col("value")).cast("long"), 16
         ).alias("bal_cents"),
     )
+    # pdml_* arms (round 9): partitioned predicate DML on a SECOND,
+    # Hive-partitioned table (orders by o_orderpriority; partition ⊆
+    # key, so writes scope to (partition, bucket)). delete_where on
+    # the partition predicate is a METADATA-ONLY commit (whole files
+    # provably inside the region drop unread), update_where rewrites
+    # only the 2-HIGH files, replace_where atomically swaps the
+    # 3-MEDIUM region for recomputed rows, and scan() prunes to the
+    # 2-HIGH directories exactly. The pdml_cdc_* arms prove all three
+    # DML commits feed the change log correctly: region deletes as
+    # deletes, in-place updates and region replacement both as
+    # noise-free update pre/post images.
+    tx2 = TxTable(
+        spark, os.path.join(tmp, "ptbl"),
+        key_cols=["prio", "o_orderkey"], n_buckets=8,
+        partition_by=["prio"],
+    )
+    po = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"), "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tx2.append(po)
+    tx2.delete_where(("prio", "=", "1-URGENT"))
+    tx2.update_where({"cents": "cents + 77"}, ("prio", "=", "2-HIGH"))
+    tx2.replace_where(
+        po.filter(F.col("prio") == "3-MEDIUM").withColumn(
+            "cents", (-(F.col("o_orderkey") % 1000) - 1).cast("long")
+        ),
+        ("prio", "=", "3-MEDIUM"),
+    )
+
+    def pagg(df, arm):
+        return df.groupBy(F.col("prio").alias("segment")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("bal_cents"),
+        ).select(F.lit(arm).alias("arm"), "segment", "n", "bal_cents")
+
+    pdml = (
+        pagg(tx2.snapshot(), "pdml_final")
+        .unionByName(pagg(
+            tx2.scan(("prio", "=", "2-HIGH")), "pdml_scan"
+        ))
+        .unionByName(
+            tx2.table_changes(0)
+            .groupBy("_change_type", F.col("prio").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("bal_cents"),
+            )
+            .select(
+                F.concat(
+                    F.lit("pdml_cdc_"), F.col("_change_type")
+                ).alias("arm"),
+                "segment", "n", "bal_cents",
+            )
+        )
+    )
     return (
         pre_merge2.unionByName(merge2)
         .unionByName(zcompact)
         .unionByName(zorder)
+        .unionByName(pdml)
     )
