@@ -52,13 +52,14 @@ import json
 import os
 import shutil
 import time
+import typing
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = [
     "TxTable", "CommitConflict", "ConstraintViolation",
-    "VacuumedVersionError",
+    "TableProtocolError", "VacuumedVersionError",
 ]
 
 _LOG_DIR = "_txlog"
@@ -81,6 +82,35 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _PARTITIONABLE_TYPES = (
     "string", "integer", "long", "short", "byte", "date", "boolean",
 )
+
+# Protocol versions THIS code understands (the Delta minReader/
+# minWriter recipe): a table whose log demands more raises
+# TableProtocolError instead of silently misreading new constructs.
+# v1 = the original bucket-only format; v2 adds partition columns
+# (Hive layout + per-add partition values) and the update/replace
+# change-feed ops — a v1 reader would rebuild CDC rows with null
+# partition columns and skip update/replace commits entirely, and a
+# v1 writer would stage files without the partition directories.
+_SUPPORTED_READER = 2
+_SUPPORTED_WRITER = 2
+_DEFAULT_PROTOCOL = {"min_reader": 1, "min_writer": 1}
+
+
+class TableProtocolError(RuntimeError):
+    """The table's log requires a newer reader/writer protocol than
+    this code supports — refuse loudly rather than misread/corrupt."""
+
+
+class LogState(typing.NamedTuple):
+    """Replayed log state. A NamedTuple so positional unpacking and
+    the historical ``[:4]`` / ``[4]`` slices keep working."""
+
+    version: int
+    live: "dict[str, dict]"
+    txns: "dict[str, int]"
+    schema: "str | None"
+    constraints: "dict[str, str]"
+    protocol: "dict[str, int]"
 
 from .logstore import LogStore, open_logstore  # noqa: E402
 
@@ -166,20 +196,25 @@ def _as_logstore(store: "LogStore | str") -> LogStore:
 
 def _replay_log(
     store: "LogStore | str", upto: "int | None" = None
-) -> "tuple[int, dict[str, dict], dict[str, int], str | None, dict[str, str]]":
-    """(version, live {relpath: add-info}, txn markers, schema JSON,
-    constraints {name: SQL expr}) as of ``upto`` (default latest),
-    replaying from the newest checkpoint at or below."""
+) -> LogState:
+    """:class:`LogState` — (version, live {relpath: add-info}, txn
+    markers, schema JSON, constraints {name: SQL expr}, protocol
+    {min_reader, min_writer}) as of ``upto`` (default latest),
+    replaying from the newest checkpoint at or below. Raises
+    :class:`TableProtocolError` if the replayed protocol demands a
+    newer READER than this code implements — a v-old reader must fail
+    loudly, never misinterpret constructs it predates."""
     store = _as_logstore(store)
     versions = store.list_versions()
     if upto is not None:
         versions = [v for v in versions if v <= upto]
     if not versions:
-        return -1, {}, {}, None, {}
+        return LogState(-1, {}, {}, None, {}, dict(_DEFAULT_PROTOCOL))
     live: dict[str, dict] = {}
     txns: dict[str, int] = {}
     schema: "str | None" = None
     cons: dict[str, str] = {}
+    proto: dict[str, int] = dict(_DEFAULT_PROTOCOL)
     start = 0
     ckpt = store.latest_checkpoint(versions[-1])
     if ckpt is not None:
@@ -188,6 +223,7 @@ def _replay_log(
         txns = dict(state.get("txns", {}))
         schema = state.get("schema")
         cons = dict(state.get("constraints", {}))
+        proto = dict(state.get("protocol", _DEFAULT_PROTOCOL))
         start = cv + 1
     for v in versions:
         if v < start:
@@ -210,12 +246,28 @@ def _replay_log(
                 cons[c["name"]] = c["expr"]
             elif "constraint_drop" in a:
                 cons.pop(a["constraint_drop"], None)
+            elif "protocol" in a:
+                p = a["protocol"]
+                proto = {
+                    "min_reader": max(
+                        proto["min_reader"], int(p.get("min_reader", 1))
+                    ),
+                    "min_writer": max(
+                        proto["min_writer"], int(p.get("min_writer", 1))
+                    ),
+                }
             elif "commit" in a and "txn" in a["commit"]:
                 tx = a["commit"]["txn"]
                 txns[tx["app"]] = max(
                     txns.get(tx["app"], -1), tx["version"]
                 )
-    return versions[-1], live, txns, schema, cons
+    if proto["min_reader"] > _SUPPORTED_READER:
+        raise TableProtocolError(
+            f"table requires reader protocol "
+            f">= {proto['min_reader']}; this engine supports "
+            f"{_SUPPORTED_READER}"
+        )
+    return LogState(versions[-1], live, txns, schema, cons, proto)
 
 
 def _schema_colmap(schema_json: "str | None") -> "dict[str, str]":
@@ -356,19 +408,28 @@ class TxTable:
                     "'bucket' is the hash-layout column, not a "
                     "partition column"
                 )
+            actions: list[dict] = [{
+                "meta": {
+                    "key_cols": self.key_cols,
+                    "n_buckets": self.n_buckets,
+                    "checkpoint_interval": self.checkpoint_interval,
+                    **(
+                        {"partition_by": self.partition_by}
+                        if self.partition_by else {}
+                    ),
+                }
+            }]
+            if self.partition_by:
+                # partitioned layout is a protocol-v2 construct: a v1
+                # reader would null-fill partition columns in the CDC
+                # feed, a v1 writer would stage without the partition
+                # directories — both must fail loudly instead
+                actions.append({
+                    "protocol": {"min_reader": 2, "min_writer": 2}
+                })
             self._commit(
                 expected_version=0,
-                actions=[{
-                    "meta": {
-                        "key_cols": self.key_cols,
-                        "n_buckets": self.n_buckets,
-                        "checkpoint_interval": self.checkpoint_interval,
-                        **(
-                            {"partition_by": self.partition_by}
-                            if self.partition_by else {}
-                        ),
-                    }
-                }],
+                actions=actions,
                 op="create",
                 buckets=[],
             )
@@ -409,6 +470,23 @@ class TxTable:
     def constraints(self, upto: "int | None" = None) -> "dict[str, str]":
         """Active CHECK constraints {name: SQL expr} as of ``upto``."""
         return _replay_log(self.logstore, upto)[4]
+
+    def protocol(self, upto: "int | None" = None) -> "dict[str, int]":
+        """The table's reader/writer protocol requirement
+        {min_reader, min_writer} as of ``upto`` — the Delta
+        minReaderVersion/minWriterVersion recipe. Reads raise
+        :class:`TableProtocolError` during replay when min_reader
+        exceeds this engine; writes additionally check min_writer."""
+        return _replay_log(self.logstore, upto).protocol
+
+    @staticmethod
+    def _check_writer(proto: "dict[str, int]") -> None:
+        if proto.get("min_writer", 1) > _SUPPORTED_WRITER:
+            raise TableProtocolError(
+                f"table requires writer protocol "
+                f">= {proto['min_writer']}; this engine supports "
+                f"{_SUPPORTED_WRITER}"
+            )
 
     @staticmethod
     def _violations(df: DataFrame, cons: "dict[str, str]") -> dict:
@@ -456,7 +534,10 @@ class TxTable:
         rule is declarative and enforced at the storage boundary."""
         F.expr(expr)  # fail fast on unparseable expressions
         for _ in range(max_retries):
-            base_v, live, _txns, schema, cons = _replay_log(self.logstore)
+            base_v, live, _txns, schema, cons, proto = _replay_log(
+                self.logstore
+            )
+            self._check_writer(proto)
             if name in cons:
                 raise ValueError(f"constraint {name!r} already exists")
             if live:
@@ -519,7 +600,10 @@ class TxTable:
         from pyspark.sql.types import StructField, StructType
 
         for _ in range(max_retries):
-            base_v, _l, _t, schema, cons = _replay_log(self.logstore)
+            base_v, _l, _t, schema, cons, proto = _replay_log(
+                self.logstore
+            )
+            self._check_writer(proto)
             if schema is None:
                 raise ValueError("table has no schema yet")
             self._guard_schema_edit(old, cons)
@@ -560,7 +644,10 @@ class TxTable:
         from pyspark.sql.types import StructType
 
         for _ in range(max_retries):
-            base_v, _l, _t, schema, cons = _replay_log(self.logstore)
+            base_v, _l, _t, schema, cons, proto = _replay_log(
+                self.logstore
+            )
+            self._check_writer(proto)
             if schema is None:
                 raise ValueError("table has no schema yet")
             self._guard_schema_edit(name, cons)
@@ -695,12 +782,13 @@ class TxTable:
     def _maybe_checkpoint(self, version: int) -> None:
         if version == 0 or version % self.checkpoint_interval != 0:
             return
-        _v, live, txns, schema, cons = _replay_log(
+        _v, live, txns, schema, cons, proto = _replay_log(
             self.logstore, upto=version
         )
         self.logstore.write_checkpoint(version, {
             "version": version, "live": live,
             "txns": txns, "schema": schema, "constraints": cons,
+            "protocol": proto,
         })
 
     # --------------------------------------------------------- data --
@@ -1399,21 +1487,32 @@ class TxTable:
 
     def stats(self, version: "int | None" = None) -> dict:
         """Table-level stats from the log: live file count, buckets
-        in use, total bytes, exact rows (None when unknowable — see
-        :meth:`count`), current version. Zero data IO."""
-        v, live, _txns, _schema = self._replay_full(upto=version)
+        and partitions in use, total bytes, exact rows (None when
+        unknowable — see :meth:`count`), current version, protocol.
+        Zero data IO."""
+        st = _replay_log(self.logstore, upto=version)
+        v, live = st.version, st.live
         rows: "int | None" = 0
         bytes_ = 0
         buckets = set()
+        parts = set()
         for info in live.values():
             buckets.add(info.get("bucket"))
             bytes_ += int(info.get("bytes", 0))
+            if "parts" in info:
+                parts.add(
+                    tuple(sorted((info["parts"] or {}).items()))
+                )
             r = info.get("rows")
             rows = None if (rows is None or r is None) else rows + int(r)
-        return {
+        out = {
             "version": v, "files": len(live), "buckets": len(buckets),
-            "bytes": bytes_, "rows": rows,
+            "bytes": bytes_, "rows": rows, "protocol": st.protocol,
         }
+        if self.partition_by:
+            out["partition_by"] = list(self.partition_by)
+            out["partitions"] = len(parts)
+        return out
 
     def stream_changes(
         self, starting_version: int = 0,
@@ -1470,14 +1569,17 @@ class TxTable:
             cm = _schema_colmap(schema_json)
             return {c: cm.get(c, c) for c in df.columns}
 
-        _bv0, _l0, _t0, base, _c0 = _replay_log(self.logstore)
+        _bv0, _l0, _t0, base, _c0, proto0 = _replay_log(self.logstore)
+        self._check_writer(proto0)
         schema_act = self._evolved_schema_action(df, base)
         eff = schema_act[0]["schema"] if schema_act else base
         adds = self._stage(df, schema_json=eff)
         v = self.version()
         validated: "dict | None" = None
         for _ in range(max_retries):
-            _bv, _live, _txns, schema, cons = _replay_log(self.logstore)
+            _bv, _live, _txns, schema, cons, _pr = _replay_log(
+                self.logstore
+            )
             if schema != base:  # schema commit interleaved: re-evolve
                 base = schema
                 schema_act = self._evolved_schema_action(df, base)
@@ -1529,7 +1631,10 @@ class TxTable:
         updates = updates.cache()
         try:
             for _ in range(max_retries):
-                base_v, live, txns, schema, cons = _replay_log(self.logstore)
+                base_v, live, txns, schema, cons, proto = _replay_log(
+                    self.logstore
+                )
+                self._check_writer(proto)
                 if txn is not None and txns.get(txn[0], -1) >= txn[1]:
                     return base_v  # already applied — provable no-op
                 tb, scopes = self._touched_scopes(updates)
@@ -1632,7 +1737,10 @@ class TxTable:
         source = source.cache()
         try:
             for _ in range(max_retries):
-                base_v, live, txns, schema, cons = _replay_log(self.logstore)
+                base_v, live, txns, schema, cons, proto = _replay_log(
+                    self.logstore
+                )
+                self._check_writer(proto)
                 if txn is not None and txns.get(txn[0], -1) >= txn[1]:
                     return base_v
                 tb, scopes = self._touched_scopes(source)
@@ -1755,7 +1863,9 @@ class TxTable:
         keys = keys.select(*self.key_cols).cache()
         try:
             for _ in range(max_retries):
-                base_v, live, _txns, schema = self._replay_full()
+                st = _replay_log(self.logstore)
+                self._check_writer(st.protocol)
+                base_v, live, schema = st.version, st.live, st.schema
                 tb, scopes = self._touched_scopes(keys)
                 touched = set(tb)
                 old = self._old_files(live, touched, scopes)
@@ -1803,9 +1913,10 @@ class TxTable:
             )
         self._build_cond(preds)  # fail fast on unknown ops
         for _ in range(max_retries):
-            base_v, live, _txns, schema, _cons = _replay_log(
+            base_v, live, _txns, schema, _cons, proto = _replay_log(
                 self.logstore
             )
+            self._check_writer(proto)
             cm = _schema_colmap(schema)
             cands, full = self._classify_candidates(live, preds, cm)
             if not cands:
@@ -1866,9 +1977,10 @@ class TxTable:
         }
         self._build_cond(preds)
         for _ in range(max_retries):
-            base_v, live, _txns, schema, cons = _replay_log(
+            base_v, live, _txns, schema, cons, proto = _replay_log(
                 self.logstore
             )
+            self._check_writer(proto)
             cm = _schema_colmap(schema)
             cands, _full = self._classify_candidates(live, preds, cm)
             if not cands:
@@ -1889,6 +2001,13 @@ class TxTable:
             adds = self._stage(updated, schema_json=schema)
             self._validate_adds(adds, schema, cons)
             actions = adds + [{"remove": {"file": f}} for f in cands]
+            if proto["min_reader"] < 2:
+                # 'update' is a protocol-v2 change-feed op: upgrade in
+                # the same commit so a v1 CDC reader fails loudly
+                # instead of silently skipping these row changes
+                actions = actions + [
+                    {"protocol": {"min_reader": 2, "min_writer": 2}}
+                ]
             touched = {live[f].get("bucket") for f in cands} | {
                 a["add"]["bucket"] for a in adds
             }
@@ -1930,9 +2049,10 @@ class TxTable:
                 f"satisfy the replace predicates"
             )
         for _ in range(max_retries):
-            base_v, live, _txns, schema, cons = _replay_log(
+            base_v, live, _txns, schema, cons, proto = _replay_log(
                 self.logstore
             )
+            self._check_writer(proto)
             cm = _schema_colmap(schema)
             cands, full = self._classify_candidates(live, preds, cm)
             schema_act = self._evolved_schema_action(df, schema)
@@ -1949,6 +2069,12 @@ class TxTable:
                 adds + [{"remove": {"file": f}} for f in cands]
                 + schema_act
             )
+            if proto["min_reader"] < 2:
+                # 'replace' is a protocol-v2 change-feed op (see
+                # update_where)
+                actions = actions + [
+                    {"protocol": {"min_reader": 2, "min_writer": 2}}
+                ]
             touched = {live[f].get("bucket") for f in cands} | {
                 a["add"]["bucket"] for a in adds
             }
@@ -2011,7 +2137,9 @@ class TxTable:
         clustering gradually; re-compacting restores it — the standard
         lakehouse maintenance loop."""
         for _ in range(max_retries):
-            base_v, live, _txns, schema = self._replay_full()
+            st = _replay_log(self.logstore)
+            self._check_writer(st.protocol)
+            base_v, live, schema = st.version, st.live, st.schema
             # group by (partition tuple, bucket): compaction of a
             # partitioned table targets only the scopes with churn —
             # the cold dates of a hot bucket are never rewritten

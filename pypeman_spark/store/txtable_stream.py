@@ -386,7 +386,9 @@ class TxTableChangesDataSource(DataSource):
 
     def schema(self):
         log_dir = os.path.join(self.options["path"], _LOG_DIR)
-        _v, _live, _txns, schema_json, _cons = _replay_log(log_dir)
+        _v, _live, _txns, schema_json, _cons, _proto = _replay_log(
+            log_dir
+        )
         if schema_json is None:
             raise ValueError(
                 "txtable_changes: table has no committed schema yet "

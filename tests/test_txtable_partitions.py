@@ -384,3 +384,63 @@ def test_special_character_partition_values_roundtrip(spark, tmp_path):
     s = t.scan(("cat", "=", "a b/c"))
     assert {r["k"] for r in s.collect()} == {1}
     assert t.last_scan_info["files_read"] == 1
+
+
+def test_protocol_versions_partitioned_and_upgrade(spark, tmp_path):
+    """Delta minReader/minWriter recipe: partitioned tables are born
+    protocol v2; a plain table is v1 until its first predicate
+    update/replace, whose commit upgrades it ATOMICALLY (a v1 CDC
+    reader would silently skip update/replace commits)."""
+    t = _seed(spark, _mk(spark, tmp_path))
+    assert t.protocol() == {"min_reader": 2, "min_writer": 2}
+    assert t.stats()["protocol"]["min_reader"] == 2
+    assert t.stats()["partition_by"] == ["day"]
+    assert t.stats()["partitions"] == 3  # D1, D2, null
+    plain = TxTable(spark, str(tmp_path / "plain"), key_cols=["k"],
+                    n_buckets=2, logstore=_KIND["logstore"])
+    plain.append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, val string"))
+    assert plain.protocol() == {"min_reader": 1, "min_writer": 1}
+    v = plain.update_where({"val": "upper(val)"}, ("k", "=", 1))
+    assert plain.protocol() == {"min_reader": 2, "min_writer": 2}
+    # the upgrade landed in the SAME commit as the update
+    assert plain.protocol(upto=v - 1) == {
+        "min_reader": 1, "min_writer": 1,
+    }
+
+
+def test_protocol_future_versions_fail_loudly(spark, tmp_path):
+    """A log demanding a newer protocol than this engine must refuse
+    both reads and writes with TableProtocolError — never misread."""
+    import json as _json
+
+    from pypeman_spark.store.txtable import TableProtocolError
+
+    t = _seed(spark, _mk(spark, tmp_path))
+    v = t.version()
+    payload = (
+        _json.dumps({"protocol": {"min_reader": 99, "min_writer": 99}})
+        + "\n"
+        + _json.dumps({"commit": {"version": v + 1, "op": "protocol",
+                                  "buckets": []}})
+        + "\n"
+    )
+    assert t.logstore.put_if_absent(v + 1, payload)
+    with pytest.raises(TableProtocolError, match="reader protocol"):
+        t.snapshot()
+    with pytest.raises(TableProtocolError):
+        t.append(_df(spark, [(D3, 9, "x")]))
+    # pinned reads BEFORE the upgrade still work (time travel)
+    assert t.snapshot(version=v).count() == 5
+
+
+def test_protocol_survives_checkpoint(spark, tmp_path):
+    """A v2 writer's checkpoint must carry the protocol — replays
+    that shortcut through the checkpoint cannot downgrade it."""
+    t = _mk(spark, tmp_path, checkpoint_interval=2)
+    t.append(_df(spark, [(D1, 1, "a")]))
+    t.append(_df(spark, [(D1, 2, "b")]))  # v2 → checkpoint written
+    t.append(_df(spark, [(D2, 3, "c")]))
+    ck = t.logstore.latest_checkpoint(t.version())
+    assert ck is not None and ck[1]["protocol"]["min_reader"] == 2
+    assert t.protocol() == {"min_reader": 2, "min_writer": 2}
