@@ -120,6 +120,46 @@ def main() -> None:
 
     removed = tx.vacuum(grace_s=0.0)
     print(f"vacuum removed {len(removed)} unreferenced files")
+
+    # ---- partitioned table: the 100 TB layout -------------------
+    # Hive col=value dirs above the buckets, exact partition values
+    # in the log: region deletes are metadata-only, scans prune to
+    # the touched directories, writers on different days commute.
+    from pyspark.sql import functions as F2
+
+    pt = TxTable(
+        spark, os.path.join(root, "orders_by_prio"),
+        key_cols=["prio", "o_orderkey"], n_buckets=8,
+        partition_by=["prio"],
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F2.col("o_orderpriority").alias("prio"), "o_orderkey",
+        F2.round(F2.col("o_totalprice") * 100).cast("long")
+        .alias("cents"),
+    )
+    pt.append(orders)
+    print("partitioned stats:", pt.stats())  # incl. protocol v2
+    files_before = pt.stats()["files"]
+    pt.delete_where(("prio", "=", "1-URGENT"))  # metadata-only drop
+    print(
+        f"retention delete: {files_before} -> {pt.stats()['files']} "
+        f"files, no data read or rewritten"
+    )
+    pt.update_where({"cents": "cents + 1"}, ("prio", "=", "2-HIGH"))
+    hi = pt.scan(("prio", "=", "2-HIGH"))
+    print(
+        f"partition-pruned scan: {hi.count()} rows from "
+        f"{pt.last_scan_info['files_read']}/"
+        f"{pt.last_scan_info['files_live']} files"
+    )
+    pt.replace_where(  # reprocess one region atomically
+        orders.where(F2.col("prio") == "3-MEDIUM")
+        .withColumn("cents", F2.lit(0).cast("long")),
+        ("prio", "=", "3-MEDIUM"),
+    )
+    pt.compact(min_files=2, where=(("prio", "=", "2-HIGH"),))
+    print("after DML:", pt.stats(), "| history ops:",
+          [h["op"] for h in pt.history()])
     shutil.rmtree(root, ignore_errors=True)
 
 

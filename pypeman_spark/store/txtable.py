@@ -2116,7 +2116,9 @@ class TxTable:
 
     def compact(self, min_files: int = 2, max_retries: int = 10,
                 cluster_by: "list[str] | None" = None,
-                files_per_bucket: int = 1, zorder: bool = False) -> int:
+                files_per_bucket: int = 1, zorder: bool = False,
+                where: "tuple[tuple[str, str, object], ...] | None"
+                = None) -> int:
         """Rewrite every bucket holding >= ``min_files`` files into one
         file each — the small-files maintenance pass a long-lived table
         needs after many incremental merges/appends. Row-preserving,
@@ -2135,11 +2137,23 @@ class TxTable:
         integer cluster columns (``functions/layout.py``) so range
         predicates on EITHER column prune. Incremental appends undo
         clustering gradually; re-compacting restores it — the standard
-        lakehouse maintenance loop."""
+        lakehouse maintenance loop.
+
+        ``where`` (the ``(col, op, literal)`` grammar of :meth:`scan`)
+        is the OPTIMIZE-WHERE analog: only files that MAY match —
+        partition values exact, footer stats ranged — are compaction
+        candidates, so nightly maintenance on a day-partitioned table
+        targets the churned recent days instead of walking every cold
+        partition. A compaction commit never changes rows, so an
+        over-broad predicate costs rewrite IO, never correctness."""
         for _ in range(max_retries):
             st = _replay_log(self.logstore)
             self._check_writer(st.protocol)
             base_v, live, schema = st.version, st.live, st.schema
+            if where:
+                cm = _schema_colmap(schema)
+                cand, _full = self._classify_candidates(live, where, cm)
+                live = {f: live[f] for f in cand}
             # group by (partition tuple, bucket): compaction of a
             # partitioned table targets only the scopes with churn —
             # the cold dates of a hot bucket are never rewritten

@@ -444,3 +444,26 @@ def test_protocol_survives_checkpoint(spark, tmp_path):
     ck = t.logstore.latest_checkpoint(t.version())
     assert ck is not None and ck[1]["protocol"]["min_reader"] == 2
     assert t.protocol() == {"min_reader": 2, "min_writer": 2}
+
+
+def test_compact_where_targets_region_only(spark, tmp_path):
+    """OPTIMIZE WHERE: a predicate-scoped compaction rewrites only
+    the matching region's files — the cold partition's small files
+    survive untouched, rows are preserved exactly."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    for i in range(3):
+        t.append(_df(spark, [(D1, i, f"a{i}")]))
+        t.append(_df(spark, [(D2, 100 + i, f"b{i}")]))
+    _v, before = t._replay()
+    d2_before = {f for f, i in before.items()
+                 if i["parts"]["day"] == "2024-01-02"}
+    assert len(d2_before) == 3
+    t.compact(min_files=2, where=(("day", "=", D1),))
+    _v, after = t._replay()
+    assert d2_before <= set(after), "cold region rewritten"
+    d1_after = [f for f, i in after.items()
+                if i["parts"]["day"] == "2024-01-01"]
+    assert len(d1_after) == 1
+    assert {r["k"] for r in t.snapshot().collect()} == {
+        0, 1, 2, 100, 101, 102,
+    }
