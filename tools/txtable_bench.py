@@ -133,6 +133,69 @@ def main() -> None:
     out["count_scan_s"] = round(time.time() - t0, 3)
     assert c_log == c_scan, (c_log, c_scan)
 
+    # ---- partitioned lifecycle (round 9): year-partitioned table,
+    # partition ⊆ key so merges scope to (partition, bucket). The
+    # claims under test: partition-region DELETE is metadata-only
+    # (zero staged files), scans prune to one partition's directories,
+    # and a one-partition merge touches ~1/P of a bucket's files.
+    pli = li.withColumn("year", F.year("l_shipdate").cast("int"))
+    years = sorted(r["year"] for r in pli.select("year").distinct().collect())
+    pt = TxTable(
+        spark, os.path.join(root, "ptbl"),
+        key_cols=["year", "l_orderkey", "l_linenumber"], n_buckets=64,
+        partition_by=["year"],
+    )
+    t0 = time.time()
+    pt.append(pli)
+    out["p_append_s"] = round(time.time() - t0, 3)
+    out["p_partitions"] = len(years)
+    out["p_files"] = pt.stats()["files"]
+
+    y_hot = years[len(years) // 2]
+    _v, plive = pt._replay()
+    pupd = pli.where(
+        (F.col("year") == y_hot) & (F.col("l_orderkey") % 100 == 0)
+    ).withColumn("cents", F.col("cents") + 1)
+    t0 = time.time()
+    v_pm = pt.merge_upsert(pupd)
+    out["p_merge_one_partition_s"] = round(time.time() - t0, 3)
+    out["p_merge_files_touched_frac"] = round(
+        len(pt._commit_actions(v_pm)[1]) / max(1, len(plive)), 3
+    )  # expect ~1/P (only the hot year's files of the touched buckets)
+
+    t0 = time.time()
+    got = pt.scan(("year", "=", y_hot)).count()
+    out["p_scan_partition_s"] = round(time.time() - t0, 3)
+    out["p_scan_files_frac"] = round(
+        pt.last_scan_info["files_read"]
+        / max(1, pt.last_scan_info["files_live"]), 3
+    )
+    out["p_scan_rows"] = got
+
+    files_before = pt.stats()["files"]
+    t0 = time.time()
+    v_d = pt.delete_where(("year", "=", years[0]))
+    out["p_delete_region_s"] = round(time.time() - t0, 3)
+    padds, premoves, _pi = pt._commit_actions(v_d)
+    out["p_delete_staged_files"] = len(padds)  # MUST be 0: metadata-only
+    out["p_delete_dropped_files"] = len(premoves)
+    out["p_files_after_delete"] = pt.stats()["files"]
+    assert len(padds) == 0, "partition-region delete staged files"
+    assert files_before - len(premoves) == pt.stats()["files"]
+
+    t0 = time.time()
+    pt.update_where({"cents": "cents + 1"}, ("year", "=", y_hot))
+    out["p_update_region_s"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pt.replace_where(
+        pli.where(F.col("year") == years[-1])
+        .withColumn("cents", F.lit(0).cast("long")),
+        ("year", "=", years[-1]),
+    )
+    out["p_replace_region_s"] = round(time.time() - t0, 3)
+    assert pt.count() == pt.snapshot().count()
+
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
 
