@@ -36,6 +36,16 @@ its load-bearing core — no proprietary code, just the public recipe:
 * **Checkpoints bound log replay.** Every ``checkpoint_interval``
   commits, the full live-file list is written beside the log
   (``<version>.checkpoint.json``); a snapshot replays only the tail.
+* **Deletion vectors (merge-on-read deletes).** ``delete_where(...,
+  mode="dv")`` marks row POSITIONS deleted in the commit log instead
+  of rewriting the files that hold them — the Delta/Iceberg
+  deletion-vector design: a point delete against a 100 TB table is a
+  metadata-sized commit (positions, zlib+base85, in the log entry),
+  not a gigabyte file rewrite. Every reader (snapshot / scan / lookup
+  / DML rewrites / CDC / compaction) applies the vectors; ``compact``
+  materializes them away. Oversized vectors escalate per file to a
+  copy-on-write rewrite, so vectors stay metadata-sized by
+  construction.
 
 Crash safety: a writer that dies after staging data files but before
 its commit leaves orphans that no snapshot references; :meth:`vacuum`
@@ -91,8 +101,12 @@ _PARTITIONABLE_TYPES = (
 # change-feed ops — a v1 reader would rebuild CDC rows with null
 # partition columns and skip update/replace commits entirely, and a
 # v1 writer would stage files without the partition directories.
-_SUPPORTED_READER = 2
-_SUPPORTED_WRITER = 2
+# v3 adds deletion vectors ("dv" actions): a v2 reader would return
+# rows a dv commit already deleted (silent resurrection), so the
+# first dv commit bumps min_reader/min_writer to 3 in the same
+# atomic commit.
+_SUPPORTED_READER = 3
+_SUPPORTED_WRITER = 3
 _DEFAULT_PROTOCOL = {"min_reader": 1, "min_writer": 1}
 
 
@@ -184,6 +198,58 @@ def _commit_name(version: int) -> str:
     return f"{version:0{_VERSION_DIGITS}d}.json"
 
 
+# ------------------------------------------------ deletion vectors --
+#
+# A deletion vector is the set of ROW POSITIONS (parquet row indexes,
+# 0-based within one immutable data file) a delete marked dead without
+# rewriting the file. It rides in the commit log itself as a "dv"
+# action — {"file", "pos" (sorted uint64le, zlib, base85), "card"} —
+# and in replayed state as live[file]["dv"], so checkpoints carry it
+# for free and a "remove" of the file drops it with the file. Each dv
+# action holds the CUMULATIVE vector for its file (successive deletes
+# re-publish the union), so replay is last-writer-wins per file and
+# the change feed diffs consecutive vectors for the newly dead rows.
+
+
+def _dv_encode(positions) -> "tuple[str, int]":
+    """(base85(zlib(sorted uint64le positions)), cardinality)."""
+    import array
+    import base64
+    import sys
+    import zlib
+
+    a = array.array("Q", sorted({int(p) for p in positions}))
+    if sys.byteorder != "little":
+        a.byteswap()
+    return (
+        base64.b85encode(zlib.compress(a.tobytes(), 6)).decode("ascii"),
+        len(a),
+    )
+
+
+def _dv_decode(pos: str) -> "list[int]":
+    """Sorted row positions of an encoded deletion vector."""
+    import array
+    import base64
+    import sys
+    import zlib
+
+    a = array.array("Q")
+    a.frombytes(zlib.decompress(base64.b85decode(pos)))
+    if sys.byteorder != "little":
+        a.byteswap()
+    return a.tolist()
+
+
+def _file_uri(abspath: str) -> str:
+    """``abspath`` in exactly the form Spark's ``_metadata.file_path``
+    reports it (Hadoop Path.toString: ``file:`` + percent-encoded
+    path, single slash) — the join key the DV anti-join matches on."""
+    from urllib.request import pathname2url
+
+    return "file:" + pathname2url(os.path.abspath(abspath))
+
+
 # Module-level log readers: pure LogStore+json, no SparkSession —
 # shared by TxTable and the streaming source (txtable_stream.py), whose
 # driver-side offset worker has no session to hand around. Each
@@ -239,6 +305,13 @@ def _replay_log(
                 live[a["add"]["file"]] = a["add"]
             elif "remove" in a:
                 live.pop(a["remove"]["file"], None)
+            elif "dv" in a:
+                f = a["dv"]["file"]
+                if f in live:  # cumulative vector, last writer wins
+                    live[f] = {**live[f], "dv": {
+                        "pos": a["dv"]["pos"],
+                        "card": int(a["dv"]["card"]),
+                    }}
             elif "schema" in a:
                 schema = a["schema"]
             elif "constraint_add" in a:
@@ -304,13 +377,15 @@ def _schema_json_with(struct, dropped: "list[str]") -> str:
 
 def _commit_actions_of(
     store: "LogStore | str", version: int
-) -> "tuple[list[dict], list[str], dict] | None":
-    """(add-infos, removed relpaths, commit-info) of one commit."""
+) -> "tuple[list[dict], list[str], list[dict], dict] | None":
+    """(add-infos, removed relpaths, dv actions, commit-info) of one
+    commit."""
     payload = _as_logstore(store).read(version)
     if payload is None:
         return None
     adds: list[dict] = []
     removes: list[str] = []
+    dvs: list[dict] = []
     info: dict = {}
     for line in payload.splitlines():
         if not line.strip():
@@ -320,9 +395,11 @@ def _commit_actions_of(
             adds.append(a["add"])
         elif "remove" in a:
             removes.append(a["remove"]["file"])
+        elif "dv" in a:
+            dvs.append(a["dv"])
         elif "commit" in a:
             info = a["commit"]
-    return adds, removes, info
+    return adds, removes, dvs, info
 
 
 class TxTable:
@@ -542,7 +619,7 @@ class TxTable:
                 raise ValueError(f"constraint {name!r} already exists")
             if live:
                 bad = self._violations(
-                    self._read_files(sorted(live), schema),
+                    self._read_files(sorted(live), schema, dvs=live),
                     {name: expr},
                 )
                 if bad:
@@ -1065,14 +1142,38 @@ class TxTable:
                 pass
 
     def _read_files(
-        self, rel_files: "list[str]", schema_json: "str | None"
+        self, rel_files: "list[str]", schema_json: "str | None",
+        dvs: "dict[str, dict] | None" = None,
+        with_meta: bool = False,
     ) -> DataFrame:
         """Read data files with the LOG's schema when one is recorded:
         files written before a column was added null-fill it, and the
         plan needs no footer merging. Falls back to footer schema for
-        pre-evolution tables."""
+        pre-evolution tables.
+
+        ``dvs`` is a {relpath: add-info} mapping (typically the live
+        set); files whose info carries a deletion vector get their
+        dead positions filtered out via a broadcast anti-join on
+        (``_metadata.file_path``, ``_metadata.row_index``) — the
+        vector side is metadata-sized by construction (oversized
+        deletes escalate to rewrites at write time), so this is a
+        BroadcastHashJoin LeftAnti: no shuffle of the data side.
+        ``with_meta=True`` keeps the file-path/row-index columns
+        (``__txdv_fp``/``__txdv_ri``) for callers that need row
+        positions (the DV writer and the change feed)."""
         files = [os.path.join(self.path, f) for f in sorted(rel_files)]
         reader = self.spark.read.option("basePath", self.data_dir)
+        dvmap: "dict[str, str]" = {}
+        if dvs:
+            for f in rel_files:
+                d = (dvs.get(f) or {}).get("dv")
+                if d and int(d.get("card", 0)) > 0:
+                    dvmap[f] = d["pos"]
+        need_meta = with_meta or bool(dvmap)
+        meta_cols = [
+            F.col("_metadata.file_path").alias("__txdv_fp"),
+            F.col("_metadata.row_index").alias("__txdv_ri"),
+        ]
         if schema_json is not None:
             from pyspark.sql.types import StructField, StructType
 
@@ -1086,11 +1187,32 @@ class TxTable:
                 StructField(cm.get(f.name, f.name), f.dataType, True)
                 for f in schema.fields
             ])
-            return reader.schema(phys).parquet(*files).select(*[
+            sel = [
                 F.col(cm.get(f.name, f.name)).alias(f.name)
                 for f in schema.fields
-            ])
-        return reader.parquet(*files).drop("bucket")
+            ]
+            out = reader.schema(phys).parquet(*files).select(
+                *sel, *(meta_cols if need_meta else [])
+            )
+        else:
+            raw = reader.parquet(*files)
+            sel = [F.col(c) for c in raw.columns if c != "bucket"]
+            out = raw.select(*sel, *(meta_cols if need_meta else []))
+        if dvmap:
+            pairs = []
+            for f, pos in dvmap.items():
+                uri = _file_uri(os.path.join(self.path, f))
+                pairs.extend((uri, int(p)) for p in _dv_decode(pos))
+            dvdf = self.spark.createDataFrame(
+                pairs, "__txdv_fp string, __txdv_ri long"
+            )
+            out = out.join(
+                F.broadcast(dvdf), ["__txdv_fp", "__txdv_ri"],
+                "left_anti",
+            )
+        if need_meta and not with_meta:
+            out = out.drop("__txdv_fp", "__txdv_ri")
+        return out
 
     def _guard_vacuumed(self, rel_files, what: str) -> None:
         """Deterministic failure for reads pinned at an old version:
@@ -1128,7 +1250,7 @@ class TxTable:
                 )
             # schemaless empty table: no rows, no columns to promise
             return self.spark.createDataFrame([], "dummy int").drop("dummy")
-        return self._read_files(sorted(live), schema)
+        return self._read_files(sorted(live), schema, dvs=live)
 
     read = snapshot
 
@@ -1154,7 +1276,7 @@ class TxTable:
             # keys hash only to empty buckets: empty result, table schema
             # (LocalRelation after constant-folding — no files scanned)
             return self.snapshot().where(F.lit(False))
-        return self._read_files(rel, schema).join(
+        return self._read_files(rel, schema, dvs=live).join(
             keys, on=self.key_cols, how="left_semi"
         )
 
@@ -1324,7 +1446,7 @@ class TxTable:
         cond = self._build_cond(preds)
         if not kept:
             return self.snapshot(version=version).where(F.lit(False))
-        return self._read_files(kept, schema).where(cond)
+        return self._read_files(kept, schema, dvs=live).where(cond)
 
     @staticmethod
     def _build_cond(preds) -> "F.Column":
@@ -1354,8 +1476,9 @@ class TxTable:
 
     def _commit_actions(
         self, version: int
-    ) -> "tuple[list[dict], list[str], dict] | None":
-        """(add-infos, removed relpaths, commit-info) of one commit."""
+    ) -> "tuple[list[dict], list[str], list[dict], dict] | None":
+        """(add-infos, removed relpaths, dv actions, commit-info) of
+        one commit."""
         return _commit_actions_of(self.logstore, version)
 
     def table_changes(
@@ -1482,7 +1605,7 @@ class TxTable:
             rows = info.get("rows")
             if rows is None:
                 return None
-            total += int(rows)
+            total += int(rows) - int((info.get("dv") or {}).get("card", 0))
         return total
 
     def stats(self, version: "int | None" = None) -> dict:
@@ -1504,11 +1627,20 @@ class TxTable:
                     tuple(sorted((info["parts"] or {}).items()))
                 )
             r = info.get("rows")
-            rows = None if (rows is None or r is None) else rows + int(r)
+            rows = None if (rows is None or r is None) else (
+                rows + int(r) - int((info.get("dv") or {}).get("card", 0))
+            )
+        ndv = sum(1 for i in live.values() if i.get("dv"))
         out = {
             "version": v, "files": len(live), "buckets": len(buckets),
             "bytes": bytes_, "rows": rows, "protocol": st.protocol,
         }
+        if ndv:
+            out["dv_files"] = ndv
+            out["dv_rows"] = sum(
+                int((i.get("dv") or {}).get("card", 0))
+                for i in live.values()
+            )
         if self.partition_by:
             out["partition_by"] = list(self.partition_by)
             out["partitions"] = len(parts)
@@ -1643,7 +1775,7 @@ class TxTable:
                 schema_act = self._evolved_schema_action(updates, schema)
                 eff = schema_act[0]["schema"] if schema_act else schema
                 if old:
-                    cur = self._read_files(old, schema)
+                    cur = self._read_files(old, schema, dvs=live)
                     merged = cur.join(
                         updates.select(*self.key_cols),
                         on=self.key_cols, how="left_anti",
@@ -1781,7 +1913,7 @@ class TxTable:
 
                 s = source.withColumn("__s", F.lit(1)).alias("s")
                 if old:
-                    t = self._read_files(old, schema).withColumn(
+                    t = self._read_files(old, schema, dvs=live).withColumn(
                         "__t", F.lit(1)
                     ).alias("t")
                     j = t.join(s, on=self.key_cols, how="full_outer")
@@ -1871,7 +2003,7 @@ class TxTable:
                 old = self._old_files(live, touched, scopes)
                 if not old:
                     return base_v  # nothing to delete
-                cur = self._read_files(old, schema)
+                cur = self._read_files(old, schema, dvs=live)
                 kept = cur.join(keys, on=self.key_cols, how="left_anti")
                 adds = self._stage(kept, schema_json=schema)
                 actions = adds + [{"remove": {"file": f}} for f in old]
@@ -1924,7 +2056,7 @@ class TxTable:
             rewrite = [f for f in cands if f not in full]
             adds: list[dict] = []
             if rewrite:
-                cur = self._read_files(rewrite, schema)
+                cur = self._read_files(rewrite, schema, dvs=live)
                 kept = cur.where(
                     ~F.coalesce(self._build_cond(preds), F.lit(False))
                 )
@@ -1992,7 +2124,7 @@ class TxTable:
                 raise ValueError(
                     f"update targets unknown column(s): {sorted(unknown)}"
                 )
-            cur = self._read_files(cands, schema)
+            cur = self._read_files(cands, schema, dvs=live)
             gate = F.coalesce(self._build_cond(preds), F.lit(False))
             updated = cur.withColumns({
                 c: F.when(gate, e).otherwise(F.col(c))
@@ -2060,7 +2192,7 @@ class TxTable:
             adds = self._stage(df, schema_json=eff)
             rewrite = [f for f in cands if f not in full]
             if rewrite:
-                outside = self._read_files(rewrite, schema).where(
+                outside = self._read_files(rewrite, schema, dvs=live).where(
                     ~F.coalesce(self._build_cond(preds), F.lit(False))
                 )
                 adds += self._stage(outside, schema_json=schema)
@@ -2178,7 +2310,7 @@ class TxTable:
                 and all(k[0] is not None for k in todo) else None
             )
             old = sorted(f for fs in todo.values() for f in fs)
-            cur = self._read_files(old, schema)
+            cur = self._read_files(old, schema, dvs=live)
             if cluster_by:
                 if zorder:
                     if len(cluster_by) != 2:

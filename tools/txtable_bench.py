@@ -176,7 +176,7 @@ def main() -> None:
     t0 = time.time()
     v_d = pt.delete_where(("year", "=", years[0]))
     out["p_delete_region_s"] = round(time.time() - t0, 3)
-    padds, premoves, _pi = pt._commit_actions(v_d)
+    padds, premoves, _pdv, _pi = pt._commit_actions(v_d)
     out["p_delete_staged_files"] = len(padds)  # MUST be 0: metadata-only
     out["p_delete_dropped_files"] = len(premoves)
     out["p_files_after_delete"] = pt.stats()["files"]
