@@ -1524,7 +1524,7 @@ class TxTable:
             parsed = self._commit_actions(v)
             if parsed is None:
                 continue
-            adds, removes, info = parsed
+            adds, removes, dvs, info = parsed
             op = info.get("op")
             if op not in ("append", "merge", "delete", "update",
                           "replace"):
@@ -2385,7 +2385,7 @@ class TxTable:
             parsed = self._commit_actions(v)
             if parsed is None:
                 continue
-            _adds, removes, _info = parsed
+            _adds, removes, _dvs, _info = parsed
             for f in removes:
                 out[f] = v
         return out

@@ -203,7 +203,7 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
             parsed = _commit_actions_of(self.logstore, v)
             if parsed is None:
                 continue
-            adds, removes, info = parsed
+            adds, removes, _dvs, info = parsed
             if info.get("op") not in _FEED_OPS:
                 continue  # create/compact/schema-only: row-preserving
             by_bucket: dict[int, tuple[list, list]] = {}
