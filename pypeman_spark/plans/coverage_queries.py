@@ -965,6 +965,9 @@ _TXTABLE_SQL = """
                        THEN -(o_orderkey % 1000) - 1
                   ELSE cents END AS cents
       FROM porders WHERE prio <> '1-URGENT'
+    ), p_dv AS (
+      SELECT * FROM p_final
+      WHERE NOT (prio = '5-LOW' AND o_orderkey < 3000)
     ), merged AS (
       SELECT f.c_custkey, f.segment, f.bal_cents
       FROM final f WHERE f.c_custkey NOT IN (SELECT c_custkey FROM src)
@@ -1060,6 +1063,23 @@ _TXTABLE_SQL = """
     SELECT 'pdml_cdc_update_postimage' AS arm, prio AS segment,
            count(*) AS n, CAST(sum(cents) AS BIGINT) AS bal_cents
     FROM p_final WHERE prio IN ('2-HIGH', '3-MEDIUM') GROUP BY prio
+    UNION ALL
+    -- dv_* arms (round 10): deletion-vector delete of the low-key
+    -- 5-LOW orders — snapshot after the merge-on-read delete, the
+    -- newly-dead rows the change feed must report, and the snapshot
+    -- again after compaction materializes the vectors (identical)
+    SELECT 'dv_final' AS arm, prio AS segment, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dv GROUP BY prio
+    UNION ALL
+    SELECT 'dv_cdc_delete' AS arm, prio AS segment, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_final WHERE prio = '5-LOW' AND o_orderkey < 3000
+    GROUP BY prio
+    UNION ALL
+    SELECT 'dv_compact' AS arm, prio AS segment, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dv GROUP BY prio
     UNION ALL
     -- per-row Morton z-values (former zorder_values entry VERBATIM,
     -- reshaped into the suite's arm schema): proves the bit
@@ -1257,9 +1277,41 @@ def txtable_acid_suite(spark, sf_dir):
             )
         )
     )
+    # dv_* arms (round 10): MERGE-ON-READ delete — delete_where(
+    # mode="dv") publishes the matching ROW POSITIONS as a cumulative
+    # deletion-vector action in the commit log (a metadata-sized
+    # commit; files too small for a vector to pay off escalate to the
+    # copy-on-write rewrite, with identical semantics — which is
+    # exactly what the oracle checks). dv_cdc_delete proves the feed
+    # reports the newly-dead rows; dv_compact proves compaction
+    # materializes the vector away without changing a single row.
+    dv_from = tx2.version()
+    tx2.delete_where(
+        ("prio", "=", "5-LOW"), ("o_orderkey", "<", 3000), mode="dv",
+    )
+    dv_final = pagg(tx2.snapshot(), "dv_final")
+    dv_cdc = (
+        tx2.table_changes(dv_from)
+        .groupBy("_change_type", F.col("prio").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("bal_cents"),
+        )
+        .select(
+            F.concat(
+                F.lit("dv_cdc_"), F.col("_change_type")
+            ).alias("arm"),
+            "segment", "n", "bal_cents",
+        )
+    )
+    tx2.compact(min_files=99)  # only dv-carrying buckets qualify
+    dv_compact = pagg(tx2.snapshot(), "dv_compact")
     return (
         pre_merge2.unionByName(merge2)
         .unionByName(zcompact)
         .unionByName(zorder)
         .unionByName(pdml)
+        .unionByName(dv_final)
+        .unionByName(dv_cdc)
+        .unionByName(dv_compact)
     )

@@ -211,6 +211,18 @@ def _commit_name(version: int) -> str:
 # the change feed diffs consecutive vectors for the newly dead rows.
 
 
+# Escalation bounds keeping vectors metadata-sized BY CONSTRUCTION
+# (the log is the metadata plane; a vector that outgrows these is no
+# longer a metadata-sized commit and the file is copy-on-write
+# rewritten instead): a file whose CUMULATIVE dead fraction would
+# reach _DV_MAX_FRAC, whose new match count exceeds _DV_MAX_POSITIONS
+# (pre-collect bound — positions are gathered driver-side), or whose
+# encoded vector exceeds _DV_MAX_ENCODED escalates.
+_DV_MAX_FRAC = 0.5
+_DV_MAX_POSITIONS = 1 << 21
+_DV_MAX_ENCODED = 1 << 20
+
+
 def _dv_encode(positions) -> "tuple[str, int]":
     """(base85(zlib(sorted uint64le positions)), cardinality)."""
     import array
@@ -243,11 +255,16 @@ def _dv_decode(pos: str) -> "list[int]":
 
 def _file_uri(abspath: str) -> str:
     """``abspath`` in exactly the form Spark's ``_metadata.file_path``
-    reports it (Hadoop Path.toString: ``file:`` + percent-encoded
-    path, single slash) — the join key the DV anti-join matches on."""
-    from urllib.request import pathname2url
+    reports it (Hadoop ``Path.toString``: ``file:`` + single slash +
+    the path percent-encoded per RFC 3986 *path* rules — space becomes
+    ``%20`` but sub-delims like the ``=`` of ``bucket=N`` stay bare;
+    ``pathname2url`` would over-encode ``=`` and silently break the
+    DV join) — the join key the DV reads match on."""
+    from urllib.parse import quote
 
-    return "file:" + pathname2url(os.path.abspath(abspath))
+    return "file:" + quote(
+        os.path.abspath(abspath), safe="/:@!$&'()*+,;="
+    )
 
 
 # Module-level log readers: pure LogStore+json, no SparkSession —
@@ -1509,6 +1526,13 @@ class TxTable:
         time travel bounds the feed. The driver-side loop is one
         bounded log read per commit in the range (control-plane; an
         incremental consumer's range is its own churn window).
+
+        Deletion vectors: a dv commit's NEWLY dead positions (each
+        action's cumulative vector minus the file's previous one,
+        tracked across the walk from the ``from_version`` snapshot)
+        surface as ``delete`` rows, and every preimage read filters
+        the rows already dead BEFORE the commit — a rewrite of a
+        dv-carrying file never re-reports its dead rows.
         """
         if to_version is None:
             to_version = self.version()
@@ -1517,28 +1541,83 @@ class TxTable:
         # align even across schema evolution
         _v, _live, _txns, schema_json = self._replay_full(upto=to_version)
         key = list(self.key_cols)
+        # running dv state (file -> cumulative dv dict) from the
+        # from_version snapshot forward; maintained across SKIPPED
+        # commits too (a compact drops a dv with its file)
+        dvstate: "dict[str, dict]" = {
+            f: dict(i["dv"])
+            for f, i in _replay_log(
+                self.logstore, upto=from_version
+            ).live.items()
+            if i.get("dv")
+        } if from_version >= 0 else {}
         parts: list[DataFrame] = []
         for v in self._log_versions():
-            if v <= from_version or v > to_version:
-                continue
+            if v <= from_version:
+                continue  # dvstate already seeded by the replay above
+            if v > to_version:
+                break
             parsed = self._commit_actions(v)
             if parsed is None:
                 continue
             adds, removes, dvs, info = parsed
             op = info.get("op")
-            if op not in ("append", "merge", "delete", "update",
-                          "replace"):
+            emit = op in ("append", "merge", "delete", "update",
+                          "replace")
+            # (1) dv diffs: newly-dead rows of this commit
+            pairs: "list[tuple[str, int]]" = []
+            for d in dvs:
+                prev = dvstate.get(d["file"])
+                prevpos = (
+                    set(_dv_decode(prev["pos"])) if prev else set()
+                )
+                newly = sorted(set(_dv_decode(d["pos"])) - prevpos)
+                dvstate[d["file"]] = {
+                    "pos": d["pos"], "card": int(d["card"]),
+                }
+                if emit and newly:
+                    uri = _file_uri(os.path.join(self.path, d["file"]))
+                    pairs.extend((uri, p) for p in newly)
+            # (2) preimages of removed files drop their already-dead
+            # rows; state for removed files ends here either way
+            old_dvs = {
+                f: {"dv": dvstate[f]} for f in removes if f in dvstate
+            }
+            for f in removes:
+                dvstate.pop(f, None)
+            if not emit:
                 continue  # create/compact/schema-only: no logical change
             self._guard_vacuumed(
-                [a["file"] for a in adds] + list(removes),
+                [a["file"] for a in adds] + list(removes)
+                + [d["file"] for d in dvs],
                 f"table_changes commit {v}",
             )
+            if pairs:
+                posdf = self.spark.createDataFrame(
+                    pairs, "__txdv_fp string, __txdv_ri long"
+                )
+                dv_files = sorted({d["file"] for d in dvs})
+                parts.append(
+                    self._read_files(
+                        dv_files, schema_json, with_meta=True
+                    ).join(
+                        F.broadcast(posdf),
+                        ["__txdv_fp", "__txdv_ri"], "inner",
+                    ).drop("__txdv_fp", "__txdv_ri").withColumn(
+                        "_change_type", F.lit("delete")
+                    ).withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    )
+                )
+            if not adds and not removes:
+                continue  # dv-only commit: fully handled above
             new_df = (
                 self._read_files([a["file"] for a in adds], schema_json)
                 if adds else None
             )
             old_df = (
-                self._read_files(removes, schema_json) if removes else None
+                self._read_files(removes, schema_json, dvs=old_dvs)
+                if removes else None
             )
             cols = [
                 f.name for f in (new_df or old_df).schema.fields
@@ -2023,6 +2102,7 @@ class TxTable:
 
     def delete_where(
         self, *preds: "tuple[str, str, object]", max_retries: int = 10,
+        mode: str = "rewrite",
     ) -> int:
         """``DELETE WHERE`` over conjunctive ``(col, op, literal)``
         predicates (the grammar of :meth:`scan`). Three file classes,
@@ -2037,11 +2117,31 @@ class TxTable:
         rows are a subset of committed rows, so CHECK constraints
         cannot newly fail and are not re-validated. Reference basis:
         Delta DELETE (Armbrust et al., VLDB 2020 §4.1); the change
-        feed reports the deleted rows like any delete commit."""
+        feed reports the deleted rows like any delete commit.
+
+        ``mode="dv"`` is the MERGE-ON-READ variant (Delta/Iceberg
+        deletion vectors): mixed files are not rewritten — the
+        matching ROW POSITIONS are published as a cumulative "dv"
+        action in the commit log, so a point delete against a 100 TB
+        table is a metadata-sized commit regardless of how big the
+        files holding the rows are. Provably all-matching files are
+        still dropped as pure metadata (strictly better than a
+        full-cover vector), and a file whose vector would outgrow the
+        metadata plane (cumulative dead fraction >= 50 %, or an
+        encoded vector past ~1 MB) ESCALATES to the copy-on-write
+        rewrite — vectors stay metadata-sized by construction. The
+        first dv commit bumps the table protocol to v3 atomically
+        (a pre-dv reader would silently resurrect deleted rows).
+        :meth:`compact` materializes vectors away."""
         if not preds:
             raise ValueError(
                 "delete_where with no predicates would truncate the "
                 "table — pass predicates, or delete_keys(snapshot())"
+            )
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(
+                f"delete_where mode must be 'rewrite' or 'dv', "
+                f"got {mode!r}"
             )
         self._build_cond(preds)  # fail fast on unknown ops
         for _ in range(max_retries):
@@ -2053,7 +2153,15 @@ class TxTable:
             cands, full = self._classify_candidates(live, preds, cm)
             if not cands:
                 return base_v  # provably nothing to delete
-            rewrite = [f for f in cands if f not in full]
+            mixed = [f for f in cands if f not in full]
+            dv_acts: list[dict] = []
+            if mode == "dv" and mixed:
+                dv_acts, rewrite = self._dv_plan(mixed, preds, schema,
+                                                 live)
+                if not dv_acts and not rewrite and not full:
+                    return base_v  # nothing actually matched
+            else:
+                rewrite = mixed
             adds: list[dict] = []
             if rewrite:
                 cur = self._read_files(rewrite, schema, dvs=live)
@@ -2061,11 +2169,24 @@ class TxTable:
                     ~F.coalesce(self._build_cond(preds), F.lit(False))
                 )
                 adds = self._stage(kept, schema_json=schema)
-            actions = adds + [{"remove": {"file": f}} for f in cands]
-            touched = {live[f].get("bucket") for f in cands} | {
+            removed = sorted(full) + rewrite
+            touched_files = removed + [
+                a["dv"]["file"] for a in dv_acts
+            ]
+            actions = (
+                adds + [{"remove": {"file": f}} for f in removed]
+                + dv_acts
+            )
+            if dv_acts and proto.get("min_reader", 1) < 3:
+                # first dv commit: pre-v3 readers would resurrect
+                # deleted rows — upgrade in the SAME atomic commit
+                actions.append(
+                    {"protocol": {"min_reader": 3, "min_writer": 3}}
+                )
+            touched = {live[f].get("bucket") for f in touched_files} | {
                 a["add"]["bucket"] for a in adds
             }
-            scopes = self._dml_scopes(live, cands, adds)
+            scopes = self._dml_scopes(live, touched_files, adds)
             got = self._occ_commit(
                 base_v, actions, "delete", sorted(touched), scopes,
                 touched,
@@ -2076,6 +2197,76 @@ class TxTable:
         raise CommitConflict(
             f"delete_where conflicted {max_retries} times"
         )
+
+    def _dv_plan(
+        self, files: "list[str]",
+        preds: "tuple[tuple[str, str, object], ...]",
+        schema: "str | None", live: "dict[str, dict]",
+    ) -> "tuple[list[dict], list[str]]":
+        """(dv actions, files escalating to copy-on-write) for a
+        ``mode="dv"`` delete: match ``preds`` over ``files`` with the
+        row positions exposed, decide PER FILE from counts alone
+        (before any position is collected) whether the cumulative
+        vector stays inside the metadata bounds, then gather positions
+        only for the files that do. Already-dead rows are filtered at
+        read (``dvs=live``) so they can't be re-matched; each action
+        publishes the CUMULATIVE union with the file's existing
+        vector (replay is last-writer-wins per file)."""
+        cond = F.coalesce(self._build_cond(preds), F.lit(False))
+        uri2rel = {
+            _file_uri(os.path.join(self.path, f)): f for f in files
+        }
+        matched = self._read_files(
+            files, schema, dvs=live, with_meta=True
+        ).where(cond).select("__txdv_fp", "__txdv_ri")
+        counts = {
+            uri2rel[r["__txdv_fp"]]: int(r["cnt"])
+            for r in matched.groupBy("__txdv_fp").agg(
+                F.count("*").alias("cnt")
+            ).collect()
+        }
+        escalate: list[str] = []
+        dv_files: list[str] = []
+        for f, cnt in sorted(counts.items()):
+            info = live[f]
+            rows = info.get("rows")
+            prev_card = int((info.get("dv") or {}).get("card", 0))
+            if (
+                rows is None  # pre-stats file: fraction unknowable
+                or cnt > _DV_MAX_POSITIONS
+                or (prev_card + cnt) >= _DV_MAX_FRAC * int(rows)
+            ):
+                escalate.append(f)
+            else:
+                dv_files.append(f)
+        dv_acts: list[dict] = []
+        if dv_files:
+            want = {
+                u for u, rel in uri2rel.items() if rel in set(dv_files)
+            }
+            per: "dict[str, set[int]]" = {}
+            for r in matched.where(
+                F.col("__txdv_fp").isin(list(want))
+            ).collect():
+                per.setdefault(
+                    uri2rel[r["__txdv_fp"]], set()
+                ).add(int(r["__txdv_ri"]))
+            for f in dv_files:
+                newpos = per.get(f)
+                if not newpos:
+                    continue  # counted then raced? counts said >0
+                prev = (live[f].get("dv") or {}).get("pos")
+                allpos = newpos | (
+                    set(_dv_decode(prev)) if prev else set()
+                )
+                enc, card = _dv_encode(allpos)
+                if len(enc) > _DV_MAX_ENCODED:
+                    escalate.append(f)
+                else:
+                    dv_acts.append(
+                        {"dv": {"file": f, "pos": enc, "card": card}}
+                    )
+        return dv_acts, sorted(escalate)
 
     def update_where(
         self, assignments: "dict[str, object]",
@@ -2277,7 +2468,12 @@ class TxTable:
         candidates, so nightly maintenance on a day-partitioned table
         targets the churned recent days instead of walking every cold
         partition. A compaction commit never changes rows, so an
-        over-broad predicate costs rewrite IO, never correctness."""
+        over-broad predicate costs rewrite IO, never correctness.
+
+        Files carrying a DELETION VECTOR are always candidates
+        regardless of ``min_files``: the rewrite reads them with the
+        vector applied and drops it with the file — compaction is how
+        merge-on-read deletes are materialized away."""
         for _ in range(max_retries):
             st = _replay_log(self.logstore)
             self._check_writer(st.protocol)
@@ -2301,7 +2497,7 @@ class TxTable:
             todo = {k: fs for k, fs in by_scope.items()
                     if len(fs) >= min_files or (
                         cluster_by and len(fs) >= 1
-                    )}
+                    ) or any(live[f].get("dv") for f in fs)}
             if not todo:
                 return base_v
             scopes = (

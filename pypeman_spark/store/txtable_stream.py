@@ -19,7 +19,11 @@ Semantics match :meth:`TxTable.table_changes` (the batch feed):
 ``_change_type`` in insert / update_preimage / update_postimage /
 delete, ``_commit_version`` long; compact commits are row-preserving
 and skipped; rows a merge physically rewrote but did not change are
-eliminated by a null-safe full-row compare. Contracts shared with the
+eliminated by a null-safe full-row compare. Deletion-vector commits
+(``delete_where(..., mode="dv")``) emit exactly the newly-dead rows
+as ``delete`` — the planner diffs each cumulative vector against the
+file's previous one — and every preimage read filters rows already
+dead before the commit, so a later rewrite never re-reports them. Contracts shared with the
 batch feed: one live row per key (the merge discipline), removed files
 not yet :meth:`TxTable.vacuum`-ed, and the feed's schema is fixed when
 the query starts (columns added by later schema evolution appear after
@@ -45,6 +49,7 @@ from .logstore import open_logstore
 from .txtable import (
     _LOG_DIR,
     _commit_actions_of,
+    _dv_decode,
     _parts_of_relpath,
     _replay_log,
 )
@@ -63,13 +68,23 @@ def _bucket_of(relpath: str) -> int:
 class _CommitBucketPartition(InputPartition):
     """One commit's diff restricted to one bucket — self-contained
     (absolute file lists + key cols + pickled Arrow schema), so read()
-    needs only pyarrow on the executor."""
+    needs only pyarrow on the executor.
 
-    def __init__(self, version, old_files, new_files, key_cols):
+    ``old_dvs`` maps an old (removed) file's absolute path to its
+    ENCODED pre-commit deletion vector: those rows were already
+    reported dead by an earlier dv commit and are filtered out of the
+    preimage. ``dv_deletes`` is a list of (absolute path, newly-dead
+    positions) for a deletion-vector commit — the partition emits
+    exactly those rows as ``delete``, no diff join."""
+
+    def __init__(self, version, old_files, new_files, key_cols,
+                 old_dvs=None, dv_deletes=None):
         self.version = version
         self.old_files = old_files
         self.new_files = new_files
         self.key_cols = key_cols
+        self.old_dvs = old_dvs or {}
+        self.dv_deletes = dv_deletes or []
 
 
 class TxTableChangesStreamReader(DataSourceStreamReader):
@@ -199,12 +214,40 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         # the checkpointed start) before any batch completes
         self._write_consumer_marker(int(start["version"]))
         parts = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+        sv = int(start["version"])
+        # running dv state (relpath -> encoded cumulative vector) from
+        # the batch-start snapshot forward: newly-dead diffing and
+        # preimage filtering need the PRE-commit vector of each file.
+        # The replay is checkpoint-bounded and driver-side (planning).
+        dvstate: "dict[str, str]" = {
+            f: i["dv"]["pos"]
+            for f, i in _replay_log(self.logstore, upto=sv).live.items()
+            if i.get("dv")
+        }
+        for v in range(sv + 1, int(end["version"]) + 1):
             parsed = _commit_actions_of(self.logstore, v)
             if parsed is None:
                 continue
-            adds, removes, _dvs, info = parsed
-            if info.get("op") not in _FEED_OPS:
+            adds, removes, dvs, info = parsed
+            feed = info.get("op") in _FEED_OPS
+            dv_by_bucket: "dict[int, list]" = {}
+            for d in dvs:
+                prev = dvstate.get(d["file"])
+                prevpos = set(_dv_decode(prev)) if prev else set()
+                newly = sorted(set(_dv_decode(d["pos"])) - prevpos)
+                dvstate[d["file"]] = d["pos"]
+                if feed and newly:
+                    dv_by_bucket.setdefault(
+                        _bucket_of(d["file"]), []
+                    ).append(
+                        (os.path.join(self.path, d["file"]), newly)
+                    )
+            old_dvs_all: "dict[str, str]" = {}
+            for f in removes:
+                prev = dvstate.pop(f, None)
+                if prev is not None and feed:
+                    old_dvs_all[os.path.join(self.path, f)] = prev
+            if not feed:
                 continue  # create/compact/schema-only: row-preserving
             by_bucket: dict[int, tuple[list, list]] = {}
             for a in adds:
@@ -217,7 +260,15 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
                 )
             for _b, (old, new) in sorted(by_bucket.items()):
                 parts.append(_CommitBucketPartition(
-                    v, sorted(old), sorted(new), self.key_cols
+                    v, sorted(old), sorted(new), self.key_cols,
+                    old_dvs={
+                        p: old_dvs_all[p] for p in old
+                        if p in old_dvs_all
+                    },
+                ))
+            for _b, items in sorted(dv_by_bucket.items()):
+                parts.append(_CommitBucketPartition(
+                    v, [], [], self.key_cols, dv_deletes=items,
                 ))
         if not parts:
             # a planned batch of only row-preserving commits still
@@ -256,16 +307,22 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         keys = list(p.key_cols)
         nonkey = [f.name for f in tbl_fields if f.name not in keys]
 
-        def load(files):
+        def load(files, dead=None, take=None):
             """Union of parquet files aligned to the FEED schema:
             columns the file predates are typed nulls (schema
             evolution), PARTITION columns — absent from the bytes by
             Hive-layout design — are rebuilt as constants from the
             file's ``col=value`` path segments, extras (the physical
             bucket partition col, or post-restart evolved columns)
-            are dropped."""
+            are dropped. ``dead`` maps a path to its encoded deletion
+            vector — those ROW POSITIONS are dropped (already-dead
+            preimage rows); ``take`` maps a path to the positions to
+            KEEP (dv-delete emission). Positions are row indexes in
+            the file, which ``read_table`` preserves."""
             if not files:
                 return None
+            import numpy as np
+
             tabs = []
             for f in files:
                 try:
@@ -278,6 +335,12 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
                         f"startingVersion or raise the vacuum grace/"
                         f"consumer TTL"
                     ) from e
+                if take is not None and f in take:
+                    t = t.take(pa.array(take[f], pa.int64()))
+                elif dead is not None and f in dead:
+                    mask = np.ones(t.num_rows, dtype=bool)
+                    mask[np.asarray(_dv_decode(dead[f]), dtype=np.int64)] = False
+                    t = t.filter(pa.array(mask))
                 parts = _parts_of_relpath(f)
                 cols = {}
                 for fld in tbl_fields:
@@ -312,7 +375,14 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
             )
             yield from t.cast(out_schema).to_batches()
 
-        old = load(p.old_files)
+        dvd = getattr(p, "dv_deletes", None) or []
+        if dvd:
+            # deletion-vector commit: emit exactly the newly-dead rows
+            files = [f for f, _pos in dvd]
+            t = load(files, take={f: pos for f, pos in dvd})
+            yield from emit(t, "delete")
+            return
+        old = load(p.old_files, dead=getattr(p, "old_dvs", None))
         new = load(p.new_files)
         if old is None and new is None:
             return

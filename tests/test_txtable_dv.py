@@ -1,0 +1,264 @@
+"""Deletion vectors (store/txtable.py ``delete_where(mode="dv")``):
+merge-on-read deletes as metadata-sized commits — cumulative vector
+union, per-file escalation to copy-on-write, protocol v3 bump, every
+reader applying the vectors, CDC newly-dead diffing (batch and
+streaming), compaction materializing them away.
+
+Reference basis: Delta deletion vectors (merge-on-read DELETE) /
+Iceberg positional delete files — public designs; the positions ride
+in the commit log itself here because the log IS the metadata plane.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import pypeman_spark.store.txtable as txmod
+from pypeman_spark.store.txtable import (
+    TableProtocolError,
+    TxTable,
+    _dv_decode,
+    _dv_encode,
+    _file_uri,
+)
+
+_KIND = {"logstore": "file"}
+
+
+@pytest.fixture(autouse=True, params=["file", "sqlite"])
+def logstore_kind(request):
+    _KIND["logstore"] = request.param
+    yield request.param
+    _KIND["logstore"] = "file"
+
+
+def _mk(spark, tmp_path, **kw):
+    kw.setdefault("key_cols", ["k"])
+    kw.setdefault("n_buckets", 4)
+    kw.setdefault("logstore", _KIND["logstore"])
+    return TxTable(spark, str(tmp_path / "tbl"), **kw)
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(list(pairs), "k long, val string")
+
+
+def _feed_counts(df):
+    return {
+        r["_change_type"]: r["cnt"]
+        for r in df.groupBy("_change_type").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    }
+
+
+def test_dv_encode_decode_roundtrip():
+    pos = [5, 1, 99, 1 << 40, 0]
+    enc, card = _dv_encode(pos)
+    assert card == 5
+    assert _dv_decode(enc) == sorted(set(pos))
+
+
+def test_file_uri_matches_hadoop_path_form():
+    """Regression: pathname2url percent-encodes '=', Hadoop Path does
+    not — a '%3D' in the join key silently disabled every DV filter."""
+    u = _file_uri("/tmp/a b/data/bucket=3/part-x.parquet")
+    assert "bucket=3" in u and "%3D" not in u
+    assert "a%20b" in u  # space IS encoded, like Hadoop Path
+    assert u.startswith("file:/") and not u.startswith("file:///")
+
+
+def test_dv_delete_marks_rows_without_rewriting_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(40)]))
+    _v, live_before = t._replay()
+    v = t.delete_where(("k", ">=", 35), mode="dv")
+    _v, live_after = t._replay()
+    # same physical files — the delete was metadata-only
+    assert set(live_before) == set(live_after)
+    adds, removes, dvs, info = t._commit_actions(v)
+    assert not adds and not removes and dvs and info["op"] == "delete"
+    assert sum(d["card"] for d in dvs) == 5
+    # every reader applies the vector
+    assert t.count() == 35
+    assert t.snapshot().count() == 35
+    assert t.read().count() == 35
+    assert t.scan(("k", ">=", 30)).count() == 5
+    assert {r["k"] for r in t.snapshot().collect()} == set(range(35))
+    st = t.stats()
+    assert st["rows"] == 35 and st["dv_rows"] == 5
+
+
+def test_dv_commit_bumps_protocol_to_v3_atomically(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    assert t.protocol()["min_reader"] < 3
+    v = t.delete_where(("k", "=", 3), mode="dv")
+    assert t.protocol() == {"min_reader": 3, "min_writer": 3}
+    # the bump rides IN the dv commit, not a separate one
+    payload = t.logstore.read(v)
+    assert '"protocol"' in payload and '"dv"' in payload
+    # a pre-dv reader must refuse loudly (silent resurrection is the
+    # failure mode the bump exists to prevent)
+    old = txmod._SUPPORTED_READER
+    txmod._SUPPORTED_READER = 2
+    try:
+        with pytest.raises(TableProtocolError):
+            t._replay_full()
+    finally:
+        txmod._SUPPORTED_READER = old
+
+
+def test_dv_cumulative_union_across_commits(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_buckets=1)  # one file, both deletes hit it
+    t.append(_df(spark, [(i, f"v{i}") for i in range(30)]))
+    t.delete_where(("k", ">=", 25), mode="dv")
+    v2 = t.delete_where(("k", "between", (20, 22)), mode="dv")
+    assert t.count() == 22
+    # the second action republishes the UNION (replay is last-writer-
+    # wins per file, so each vector must be self-contained)
+    _adds, _removes, dvs, _info = t._commit_actions(v2)
+    assert len(dvs) == 1 and dvs[0]["card"] == 8
+    assert {r["k"] for r in t.snapshot().collect()} == (
+        set(range(20)) | {23, 24}
+    )
+
+
+def test_dv_escalates_to_rewrite_when_fraction_large(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(100)]))
+    _v, before = t._replay()
+    v = t.delete_where(("k", "<", 60), mode="dv")  # 60 % >= _DV_MAX_FRAC
+    adds, removes, dvs, _info = t._commit_actions(v)
+    assert not dvs and adds and removes  # copy-on-write, no vector
+    assert t.count() == 40
+    assert t.stats().get("dv_files", 0) == 0
+    # escalation means protocol stays pre-v3 (no dv construct written)
+    assert t.protocol()["min_reader"] < 3
+
+
+def test_dv_nothing_matched_no_commit(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    v_before = t.version()
+    assert t.delete_where(("k", ">", 1000), mode="dv") == v_before
+    assert t.version() == v_before
+
+
+def test_dv_rows_stay_dead_under_dml_and_merge(spark, tmp_path):
+    """Reads feeding DML rewrites apply the vector, so a later merge /
+    update / compact permanently materializes the delete instead of
+    resurrecting the rows."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    t.delete_where(("k", "in", (3, 7, 11)), mode="dv")
+    assert t.count() == 17
+    t.merge_upsert(_df(spark, [(4, "NEW"), (50, "INS")]))
+    assert t.lookup(spark.createDataFrame([(3,), (4,)], "k long")
+                    ).count() == 1  # 3 is dead, 4 updated
+    t.update_where({"val": "upper(val)"}, ("k", "<", 100))
+    got = {r["k"]: r["val"] for r in t.snapshot().collect()}
+    assert set(got) == (set(range(20)) - {3, 7, 11}) | {50}
+    assert got[4] == "NEW"
+    assert t.count() == 18
+
+
+def test_dv_compact_materializes_vectors(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(30)]))
+    t.delete_where(("k", ">=", 26), mode="dv")
+    assert t.stats()["dv_files"] >= 1
+    pre_compact_v = t.version()
+    # min_files high: ONLY the dv-carrying buckets qualify
+    t.compact(min_files=99)
+    st = t.stats()
+    assert st.get("dv_files", 0) == 0 and st["rows"] == 26
+    assert t.snapshot().count() == 26
+    # compact is row-preserving: the feed contributes nothing for it
+    assert t.table_changes(pre_compact_v).count() == 0
+    # time travel to the pre-compact version still applies the vector
+    assert t.snapshot(version=pre_compact_v).count() == 26
+
+
+def test_dv_cdc_batch_newly_dead_diffing(spark, tmp_path):
+    """Each dv commit's feed contribution is its NEWLY dead rows —
+    the cumulative republish never re-reports earlier deletes — and
+    a preimage read of a later rewrite drops already-dead rows."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(30)]))        # v1
+    t.delete_where(("k", ">=", 27), mode="dv")                     # v2
+    t.delete_where(("k", "between", (24, 25)), mode="dv")          # v3
+    t.merge_upsert(_df(spark, [(0, "NEW")]))                       # v4
+    assert _feed_counts(t.table_changes(1, 2)) == {"delete": 3}
+    assert _feed_counts(t.table_changes(2, 3)) == {"delete": 2}
+    assert sorted(
+        r["k"] for r in t.table_changes(2, 3).collect()
+    ) == [24, 25]
+    # the merge rewrote the (single-bucket) file: its preimage must
+    # exclude the 5 dead rows, so the diff is exactly the one update
+    assert _feed_counts(t.table_changes(3, 4)) == {
+        "update_preimage": 1, "update_postimage": 1,
+    }
+    assert _feed_counts(t.table_changes(0)) == {
+        "insert": 30, "delete": 5,
+        "update_preimage": 1, "update_postimage": 1,
+    }
+
+
+def test_dv_cdc_stream_matches_batch_feed(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    t.delete_where(("k", ">=", 17), mode="dv")
+    t.delete_where(("k", "=", 0), mode="dv")
+    t.merge_upsert(_df(spark, [(5, "NEW"), (50, "INS")]))
+    t.compact(min_files=1)  # materializes; must add nothing to feed
+    q = (t.stream_changes().writeStream.format("memory")
+         .queryName("dv_cdc")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql(
+        "select _commit_version, _change_type, k, val from dv_cdc"
+    ).collect())
+    want = sorted(tuple(r) for r in t.table_changes(0).select(
+        "_commit_version", "_change_type", "k", "val"
+    ).collect())
+    assert got == want
+    types = _feed_counts(spark.table("dv_cdc"))
+    assert types == {
+        "insert": 21, "delete": 4,
+        "update_preimage": 1, "update_postimage": 1,
+    }
+
+
+def test_dv_partitioned_full_match_still_metadata_remove(
+    spark, tmp_path
+):
+    """In dv mode a provably all-matching file is DROPPED, not
+    vectored — a metadata remove beats a full-cover vector."""
+    t = _mk(spark, tmp_path, n_buckets=2, partition_by=["day"])
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "d1" if i < 100 else "d2") for i in range(200)],
+        "k long, val string, day string",
+    )
+    t.append(df)
+    v = t.delete_where(("day", "=", "d1"), mode="dv")
+    adds, removes, dvs, _info = t._commit_actions(v)
+    assert removes and not dvs and not adds
+    assert t.count() == 100
+    # mixed predicate, small fraction: d2 files get vectors (the d1
+    # files are already gone, nothing escalates)
+    v2 = t.delete_where(("k", ">=", 190), mode="dv")
+    _adds, removes2, dvs2, _info2 = t._commit_actions(v2)
+    assert dvs2 and not removes2
+    assert t.count() == 90
+
+
+def test_dv_vacuum_keeps_vectored_files(spark, tmp_path):
+    """A dv'd file is still LIVE — vacuum must never touch it."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    t.delete_where(("k", "=", 1), mode="dv")
+    assert t.vacuum(grace_s=0.0) == []
+    assert t.count() == 9
