@@ -37,7 +37,8 @@ its load-bearing core — no proprietary code, just the public recipe:
   commits, the full live-file list is written beside the log
   (``<version>.checkpoint.json``); a snapshot replays only the tail.
 * **Deletion vectors (merge-on-read deletes).** ``delete_where(...,
-  mode="dv")`` marks row POSITIONS deleted in the commit log instead
+  mode="dv")`` / ``delete_keys(..., mode="dv")`` mark row POSITIONS
+  deleted in the commit log instead
   of rewriting the files that hold them — the Delta/Iceberg
   deletion-vector design: a point delete against a 100 TB table is a
   metadata-sized commit (positions, zlib+base85, in the log entry),
@@ -1756,6 +1757,91 @@ class TxTable:
             )
         return reader.load()
 
+    def drain_changes_available(
+        self, foreach_batch, checkpoint: str,
+        starting_version: int = 0,
+        max_commits_per_trigger: int = 0,
+        max_bytes_per_trigger: int = 0,
+        max_runs: int = 1000, run_timeout_s: float = 300.0,
+    ) -> dict:
+        """PACED availableNow catch-up over the change feed: run
+        ``availableNow`` queries (same checkpoint, so exactly-once
+        composes across runs) until the stream's committed offset
+        reaches the log head observed at drain start, then stop.
+
+        Why: the Python data source API has no
+        ``SupportsTriggerAvailableNow`` seam, so under availableNow
+        Spark calls ``latestOffset`` ONCE and a bounded reader
+        (``maxCommitsPerTrigger`` / ``maxBytesPerTrigger``) drains one
+        trigger's worth per run — admission control silently caps the
+        whole run instead of pacing it. This driver-side loop restores
+        the pacing: each run is one bounded micro-batch, progress is
+        read from the reader's own committed-offset marker (the same
+        file that pins :meth:`vacuum`), and a post-downtime backlog
+        of N commits drains in ceil(N / bound) runs — bounded sink
+        commits, never one giant batch. Returns ``{"runs",
+        "end_version", "target"}``.
+
+        Progress is read from the query CHECKPOINT itself (the last
+        batch in ``commits/`` and its planned end offset in
+        ``offsets/`` — Spark's documented streaming-checkpoint
+        layout), not the reader's vacuum-pinning marker: the source
+        ``commit()`` callback for a run's final batch only fires at
+        the NEXT run's initialization, so the marker lags one run
+        behind what the sink has durably committed."""
+        import glob as _glob
+        import time as _time
+
+        target = self.version()
+
+        def committed() -> int:
+            done = [
+                int(os.path.basename(p))
+                for p in _glob.glob(
+                    os.path.join(checkpoint, "commits", "*")
+                )
+                if os.path.basename(p).isdigit()
+            ]
+            if not done:
+                return -1
+            try:
+                with open(os.path.join(
+                    checkpoint, "offsets", str(max(done))
+                )) as fh:
+                    # v1 header, metadata line, one offset line per
+                    # source — ours is the single source
+                    return int(
+                        json.loads(fh.read().splitlines()[-1])["version"]
+                    )
+            except (OSError, ValueError, KeyError, IndexError):
+                return -1
+
+        runs = 0
+        while runs < max_runs and committed() < target:
+            q = (
+                self.stream_changes(
+                    starting_version, max_commits_per_trigger,
+                    max_bytes_per_trigger,
+                )
+                .writeStream.foreachBatch(foreach_batch)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            deadline = _time.time() + run_timeout_s
+            q.awaitTermination(run_timeout_s)
+            if q.isActive:
+                q.stop()
+                if _time.time() >= deadline:
+                    raise TimeoutError(
+                        f"drain_changes_available: run {runs + 1} "
+                        f"exceeded {run_timeout_s}s"
+                    )
+            runs += 1
+        return {
+            "runs": runs, "end_version": committed(), "target": target,
+        }
+
     # ---------------------------------------------------- mutations --
 
     def append(self, df: DataFrame, max_retries: int = 20) -> int:
@@ -2067,10 +2153,23 @@ class TxTable:
             f"merge conflicted {max_retries} times on buckets"
         )
 
-    def delete_keys(self, keys: DataFrame, max_retries: int = 10) -> int:
+    def delete_keys(self, keys: DataFrame, max_retries: int = 10,
+                    mode: str = "rewrite") -> int:
         """Delete by key: scope-bound rewrite without the matching
         rows (same OCC loop as merge; partition-refined when
-        partition_by ⊆ key_cols)."""
+        partition_by ⊆ key_cols).
+
+        ``mode="dv"`` is the GDPR-shaped point-delete fast path: the
+        matching rows' POSITIONS publish as deletion-vector actions
+        (see :meth:`delete_where`) instead of rewriting the touched
+        buckets — deleting K keys from a 100 TB table is K positions
+        of commit-log metadata, zero data rewritten. Same per-file
+        escalation bounds; first dv commit bumps the protocol to v3."""
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(
+                f"delete_keys mode must be 'rewrite' or 'dv', "
+                f"got {mode!r}"
+            )
         keys = keys.select(*self.key_cols).cache()
         try:
             for _ in range(max_retries):
@@ -2082,10 +2181,35 @@ class TxTable:
                 old = self._old_files(live, touched, scopes)
                 if not old:
                     return base_v  # nothing to delete
-                cur = self._read_files(old, schema, dvs=live)
-                kept = cur.join(keys, on=self.key_cols, how="left_anti")
-                adds = self._stage(kept, schema_json=schema)
-                actions = adds + [{"remove": {"file": f}} for f in old]
+                dv_acts: list[dict] = []
+                if mode == "dv":
+                    matched = self._read_files(
+                        old, schema, dvs=live, with_meta=True
+                    ).join(
+                        keys, on=self.key_cols, how="left_semi"
+                    ).select("__txdv_fp", "__txdv_ri")
+                    dv_acts, rewrite = self._dv_plan_matched(
+                        matched, old, live
+                    )
+                    if not dv_acts and not rewrite:
+                        return base_v  # no key present: provable no-op
+                else:
+                    rewrite = old
+                adds: list[dict] = []
+                if rewrite:
+                    cur = self._read_files(rewrite, schema, dvs=live)
+                    kept = cur.join(
+                        keys, on=self.key_cols, how="left_anti"
+                    )
+                    adds = self._stage(kept, schema_json=schema)
+                actions = (
+                    adds + [{"remove": {"file": f}} for f in rewrite]
+                    + dv_acts
+                )
+                if dv_acts and st.protocol.get("min_reader", 1) < 3:
+                    actions.append(
+                        {"protocol": {"min_reader": 3, "min_writer": 3}}
+                    )
                 got = self._occ_commit(
                     base_v, actions, "delete", tb, scopes, touched,
                 )
@@ -2213,12 +2337,21 @@ class TxTable:
         publishes the CUMULATIVE union with the file's existing
         vector (replay is last-writer-wins per file)."""
         cond = F.coalesce(self._build_cond(preds), F.lit(False))
-        uri2rel = {
-            _file_uri(os.path.join(self.path, f)): f for f in files
-        }
         matched = self._read_files(
             files, schema, dvs=live, with_meta=True
         ).where(cond).select("__txdv_fp", "__txdv_ri")
+        return self._dv_plan_matched(matched, files, live)
+
+    def _dv_plan_matched(
+        self, matched: DataFrame, files: "list[str]",
+        live: "dict[str, dict]",
+    ) -> "tuple[list[dict], list[str]]":
+        """Escalation core shared by predicate and by-key dv deletes:
+        ``matched`` carries the to-delete rows' (``__txdv_fp``,
+        ``__txdv_ri``) — see :meth:`_dv_plan` for the contract."""
+        uri2rel = {
+            _file_uri(os.path.join(self.path, f)): f for f in files
+        }
         counts = {
             uri2rel[r["__txdv_fp"]]: int(r["cnt"])
             for r in matched.groupBy("__txdv_fp").agg(

@@ -764,6 +764,34 @@ def test_stream_changes_matches_batch_feed(spark, tmp_path):
     assert got == want and len(got) == 14
 
 
+def test_drain_available_paced_catchup(spark, tmp_path):
+    """availableNow + a bounded reader drains one trigger's worth per
+    run (no SupportsTriggerAvailableNow seam in the Python source
+    API) — drain_changes_available loops runs until the committed
+    offset reaches the drain-start head: a 20-commit backlog at
+    maxCommitsPerTrigger=5 takes exactly 4 bounded runs, one shared
+    checkpoint keeps it exactly-once, and re-draining is a 0-run
+    no-op."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    for i in range(20):
+        t.append(_df(spark, [(100 * i + j, f"v{i}") for j in range(3)]))
+    batches = []
+
+    def fb(df, _bid):
+        batches.append(df.count())
+
+    res = t.drain_changes_available(
+        fb, str(tmp_path / "ck"), max_commits_per_trigger=5,
+    )
+    assert res["runs"] == 4
+    assert res["end_version"] == res["target"] == t.version()
+    assert sum(batches) == 60  # every insert exactly once
+    res2 = t.drain_changes_available(
+        fb, str(tmp_path / "ck"), max_commits_per_trigger=5,
+    )
+    assert res2["runs"] == 0 and sum(batches) == 60
+
+
 def test_stream_changes_restart_resumes_at_offset(spark, tmp_path):
     """Checkpointed offsets: a restarted query delivers ONLY commits
     after the last consumed version — exactly-once across restarts,

@@ -255,6 +255,32 @@ def test_dv_partitioned_full_match_still_metadata_remove(
     assert t.count() == 90
 
 
+def test_dv_delete_keys_point_delete(spark, tmp_path):
+    """GDPR-shaped point delete: delete_keys(mode='dv') publishes
+    positions, rewrites nothing, and the feed reports the rows."""
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(50)]))
+    _v, live_before = t._replay()
+    v = t.delete_keys(
+        spark.createDataFrame([(7,), (31,)], "k long"), mode="dv"
+    )
+    _v, live_after = t._replay()
+    assert set(live_before) == set(live_after)  # zero files rewritten
+    adds, removes, dvs, _info = t._commit_actions(v)
+    assert not adds and not removes and sum(d["card"] for d in dvs) == 2
+    assert t.count() == 48
+    assert t.lookup(spark.createDataFrame([(7,), (8,)], "k long")
+                    ).count() == 1
+    assert sorted(
+        r["k"] for r in t.table_changes(v - 1, v).collect()
+    ) == [7, 31]
+    # absent keys: provable no-op, no commit
+    assert t.delete_keys(
+        spark.createDataFrame([(999,)], "k long"), mode="dv"
+    ) == v
+    assert t.version() == v
+
+
 def test_dv_vacuum_keeps_vectored_files(spark, tmp_path):
     """A dv'd file is still LIVE — vacuum must never touch it."""
     t = _mk(spark, tmp_path, n_buckets=1)
