@@ -467,3 +467,190 @@ def test_compact_where_targets_region_only(spark, tmp_path):
     assert {r["k"] for r in t.snapshot().collect()} == {
         0, 1, 2, 100, 101, 102,
     }
+
+
+# ----------------------------- concurrent partitioned-DML races --
+#
+# The partition-scoped OCC commute logic gets the same treatment
+# plain merge got in tests/test_txtable.py: genuine cross-process
+# races through the conditional-put claim (no Spark in the children —
+# the race is pure log protocol), plus full-Spark DML-vs-DML
+# interleavings injected at the commit seam.
+
+
+def _race_scoped_commits(path, writer_id, n_commits, part, barrier):
+    """Child process: race partition-scoped commits through
+    _occ_commit's claim-else-probe loop. Records every landed version
+    and how many times the loop signalled a FULL retry (scope clash
+    -> caller must rebuild from a fresh snapshot)."""
+    import json
+    import os
+
+    from pypeman_spark.store.logstore import open_logstore
+
+    t = TxTable.__new__(TxTable)
+    t.path = path
+    t.log_dir = os.path.join(path, "_txlog")
+    t.data_dir = os.path.join(path, "data")
+    t.checkpoint_interval = 1 << 30
+    t.logstore = open_logstore(t.log_dir)
+    barrier.wait()
+    landed, retries = [], 0
+    for i in range(n_commits):
+        while True:
+            base_v = t.version()
+            fake = (
+                f"data/day={part}/bucket=0/w{writer_id}_c{i}.parquet"
+            )
+            got = t._occ_commit(
+                base_v,
+                [{"add": {"file": fake, "bucket": 0,
+                          "parts": {"day": part}}}],
+                "merge", [0], {((part,), 0)}, {0},
+            )
+            if got is not None:
+                landed.append(got)
+                break
+            retries += 1  # clash: rebuild-from-snapshot signalled
+    with open(os.path.join(path, f"scoped_{writer_id}"), "w") as fh:
+        json.dump({"landed": landed, "retries": retries}, fh)
+
+
+def _run_scoped_race(tmp_path, parts):
+    import json
+    import multiprocessing as mp
+    import os
+
+    path = str(tmp_path / "ptbl")
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(len(parts))
+    procs = [
+        ctx.Process(
+            target=_race_scoped_commits,
+            args=(path, w, 15, part, barrier),
+        )
+        for w, part in enumerate(parts)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(180)
+        assert p.exitcode == 0
+    out = []
+    for w in range(len(parts)):
+        with open(os.path.join(path, f"scoped_{w}")) as fh:
+            out.append(json.load(fh))
+    return out
+
+
+def test_cross_process_disjoint_partition_dml_commutes(
+    spark, tmp_path
+):
+    """4 processes racing 15 commits each, every writer in its OWN
+    partition of the same bucket: all 60 land, each version claimed
+    once, and NO writer is ever told to rebuild from a fresh snapshot
+    — partition-disjoint DML commutes at full concurrency."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    _seed(spark, t)
+    base = t.version()
+    res = _run_scoped_race(
+        tmp_path, ["2024-03-01", "2024-03-02", "2024-03-03",
+                   "2024-03-04"],
+    )
+    landed = [v for r in res for v in r["landed"]]
+    assert len(landed) == 60 and len(set(landed)) == 60
+    assert t.version() == base + 60
+    assert sum(r["retries"] for r in res) == 0
+
+
+def test_cross_process_same_partition_dml_serializes(
+    spark, tmp_path
+):
+    """The converse: 3 processes hammering the SAME (partition,
+    bucket) scope — every commit still lands exactly once (lossless),
+    and the clash path actually fired (writers were sent back to a
+    fresh snapshot at least once under real contention)."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    _seed(spark, t)
+    base = t.version()
+    res = _run_scoped_race(
+        tmp_path, ["2024-03-01", "2024-03-01", "2024-03-01"],
+    )
+    landed = [v for r in res for v in r["landed"]]
+    assert len(landed) == 45 and len(set(landed)) == 45
+    assert t.version() == base + 45
+    assert sum(r["retries"] for r in res) > 0
+
+
+def test_update_where_retries_over_same_partition_replace(
+    spark, tmp_path
+):
+    """Full-Spark DML race at the commit seam: replace_where lands on
+    D1 between update_where's snapshot and its commit. Same scope ->
+    the update must rebuild from the fresh snapshot and apply over
+    the REPLACED rows (retrying with the stale rewrite would resurrect
+    the pre-replace region)."""
+    t_a = _mk(spark, tmp_path, n_buckets=1)
+    _seed(spark, t_a)
+    t_b = TxTable(spark, str(tmp_path / "ptbl"))
+    real_commit = t_a._commit
+    fired = {"n": 0}
+
+    def hooked(expected_version, actions, op, buckets, **kw):
+        if op == "update" and fired["n"] == 0:
+            fired["n"] += 1
+            t_b.replace_where(
+                _df(spark, [(D1, 7, "repl7"), (D1, 8, "repl8")]),
+                ("day", "=", D1),
+            )
+        return real_commit(
+            expected_version, actions, op, buckets, **kw
+        )
+
+    t_a._commit = hooked
+    t_a.update_where({"val": "upper(val)"}, ("day", "=", D1))
+    rows = {r["k"]: r["val"] for r in t_a.snapshot().collect()}
+    # D1 region = B's replacement with A's update over it; D2 + the
+    # null-partition row untouched
+    assert rows[7] == "REPL7" and rows[8] == "REPL8"
+    assert 1 not in rows and 2 not in rows
+    assert rows[3] == "c" and rows[4] == "d" and rows[5] == "e"
+    assert [h["op"] for h in t_a.history()[-2:]] == [
+        "replace", "update",
+    ]
+
+
+def test_update_where_commutes_past_disjoint_partition_merge(
+    spark, tmp_path
+):
+    """Disjoint partitions, full Spark: a D2 merge landing mid-flight
+    must NOT force the D1 update to restage — the claim walks past
+    the commuting commit (staged exactly once), and both writes are
+    visible."""
+    t_a = _mk(spark, tmp_path, n_buckets=1)
+    _seed(spark, t_a)
+    t_b = TxTable(spark, str(tmp_path / "ptbl"))
+    real_commit = t_a._commit
+    real_stage = t_a._stage
+    fired = {"n": 0}
+    stages = {"n": 0}
+
+    def hooked_stage(df, **kw):
+        stages["n"] += 1
+        return real_stage(df, **kw)
+
+    def hooked(expected_version, actions, op, buckets, **kw):
+        if op == "update" and fired["n"] == 0:
+            fired["n"] += 1
+            t_b.merge_upsert(_df(spark, [(D2, 99, "d2new")]))
+        return real_commit(
+            expected_version, actions, op, buckets, **kw
+        )
+
+    t_a._commit = hooked
+    t_a._stage = hooked_stage
+    t_a.update_where({"val": "upper(val)"}, ("day", "=", D1))
+    assert stages["n"] == 1  # no restage: disjoint scopes commute
+    rows = {r["k"]: r["val"] for r in t_a.snapshot().collect()}
+    assert rows[1] == "A" and rows[2] == "B"
+    assert rows[99] == "d2new" and rows[3] == "c"
