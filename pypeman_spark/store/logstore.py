@@ -28,6 +28,18 @@ so they pickle cleanly into Spark tasks and survive ``fork``/
 ``spawn`` into writer processes. :func:`open_logstore` autodetects
 the implementation from the on-disk layout so concurrent writers and
 re-openers can never disagree about which log they are speaking to.
+
+Object-store fault tolerance (chaos-tested in
+``tests/test_txtable_chaos.py``): the table layer absorbs S3-shaped
+failures around this seam — reads that briefly lag a successful put
+retry with backoff (``txtable._read_committed``) and a LISTED commit
+that never becomes readable raises ``LogReadError`` instead of
+silently replaying an incomplete live set; listings that lag a
+version the handle itself committed or previously saw are retried by
+``txtable._MonotonicLogStore`` (session read-your-own-writes /
+monotonic reads); and a crash between a durable conditional put and
+the client ack leaves a fully valid commit whose staged files are
+log-referenced, never vacuum-eligible orphans.
 """
 
 from __future__ import annotations

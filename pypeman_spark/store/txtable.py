@@ -36,6 +36,11 @@ its load-bearing core — no proprietary code, just the public recipe:
 * **Checkpoints bound log replay.** Every ``checkpoint_interval``
   commits, the full live-file list is written beside the log
   (``<version>.checkpoint.json``); a snapshot replays only the tail.
+  :meth:`TxTable.truncate_log` bounds log STORAGE the same way:
+  entries a checkpoint supersedes are dropped (active CDC consumers
+  and a requested time-travel window pin the floor), and any read
+  that would need them raises :class:`LogTruncatedError` — surviving
+  checkpoints stay readable as coarse time-travel anchors.
 * **Deletion vectors (merge-on-read deletes).** ``delete_where(...,
   mode="dv")`` / ``delete_keys(..., mode="dv")`` mark row POSITIONS
   deleted in the commit log instead
@@ -71,6 +76,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 __all__ = [
     "TxTable", "CommitConflict", "ConstraintViolation",
     "TableProtocolError", "VacuumedVersionError",
+    "LogReadError", "LogTruncatedError",
 ]
 
 _LOG_DIR = "_txlog"
@@ -114,6 +120,16 @@ _DEFAULT_PROTOCOL = {"min_reader": 1, "min_writer": 1}
 class TableProtocolError(RuntimeError):
     """The table's log requires a newer reader/writer protocol than
     this code supports — refuse loudly rather than misread/corrupt."""
+
+
+class LogReadError(RuntimeError):
+    """A commit the log LISTED could not be read even after bounded
+    retries. The LogStore contract makes a version's payload complete
+    the instant it becomes visible, so this is either sustained
+    object-store read lag or a lost/corrupt log object — either way
+    the only safe answer is loud failure: silently skipping a listed
+    commit would replay an inconsistent live set (phantom or
+    resurrected rows) or drop rows from the change feed."""
 
 
 class LogState(typing.NamedTuple):
@@ -278,6 +294,121 @@ def _as_logstore(store: "LogStore | str") -> LogStore:
     return open_logstore(store) if isinstance(store, str) else store
 
 
+class LogTruncatedError(RuntimeError):
+    """The read needs commit-log entries :meth:`TxTable.truncate_log`
+    dropped — time travel below the retention floor, or a change-feed
+    range starting under it. Deterministic refusal, the same contract
+    :class:`VacuumedVersionError` gives vacuumed data files."""
+
+
+def _log_floor(store: "LogStore | str") -> int:
+    """The log-retention floor (0 = never truncated): versions below
+    it were dropped by :meth:`TxTable.truncate_log` and reads needing
+    them must raise :class:`LogTruncatedError`. Persisted as a sidecar
+    under the log dir (atomic replace), readable by any store whose
+    impl exposes ``log_dir``."""
+    store = _as_logstore(store)
+    d = getattr(getattr(store, "inner", store), "log_dir", None)
+    if not d:
+        return 0
+    try:
+        with open(os.path.join(d, "floor.json")) as fh:
+            return int(json.load(fh)["floor"])
+    except (OSError, ValueError, KeyError):
+        return 0
+
+
+class _MonotonicLogStore(LogStore):
+    """Session read-your-own-writes over any LogStore: remembers the
+    highest version this handle has COMMITTED or ever SEEN listed,
+    and refuses to go backwards — a stale listing (object-store
+    prefix lag) below the watermark is retried with backoff and
+    raises :class:`LogReadError` if it never settles, instead of
+    silently replaying a table state that misses commits this very
+    process knows exist. Transparent otherwise: every other call
+    delegates to the wrapped store, so impl-specific behavior
+    (hardlink vs sqlite conditional put) is untouched."""
+
+    def __init__(self, inner: "LogStore"):
+        self.inner = inner
+        self.known = -1
+
+    @property
+    def kind(self):  # noqa: D401 - delegate identity
+        return self.inner.kind
+
+    def list_versions(self) -> "list[int]":
+        import time as _time
+
+        out = self.inner.list_versions()
+        if self.known >= 0 and (not out or out[-1] < self.known):
+            for i in range(5):
+                _time.sleep(0.05 * (2 ** i))
+                out = self.inner.list_versions()
+                if out and out[-1] >= self.known:
+                    break
+            else:
+                newest = out[-1] if out else None
+                raise LogReadError(
+                    f"log listing is stale: this handle knows version "
+                    f"{self.known} exists but the newest listed is "
+                    f"{newest}; refusing to read a state that misses "
+                    f"known commits"
+                )
+        if out:
+            self.known = max(self.known, out[-1])
+        return out
+
+    def put_if_absent(self, version: int, payload: str) -> bool:
+        ok = self.inner.put_if_absent(version, payload)
+        if ok:
+            self.known = max(self.known, version)
+        return ok
+
+    def read(self, version: int) -> "str | None":
+        return self.inner.read(version)
+
+    def latest_checkpoint(self, upto: int):
+        return self.inner.latest_checkpoint(upto)
+
+    def write_checkpoint(self, version: int, state: dict) -> None:
+        return self.inner.write_checkpoint(version, state)
+
+    def list_checkpoints(self) -> "list[int]":
+        return self.inner.list_checkpoints()
+
+    def delete(self, version: int) -> None:
+        return self.inner.delete(version)
+
+    def overwrite(self, version: int, payload: str) -> None:
+        return self.inner.overwrite(version, payload)
+
+
+def _read_committed(
+    store: "LogStore", version: int, what: str,
+    retries: int = 5, backoff_s: float = 0.05,
+) -> str:
+    """Read a version ``list_versions`` SHOWED, absorbing transient
+    object-store read lag (brief exponential backoff — the payload
+    must appear, it was visible) and raising :class:`LogReadError` if
+    it never does. This is the eventual-consistency seam: a store
+    whose reads briefly trail its listings costs retries here, never
+    a silently incomplete replay."""
+    import time as _time
+
+    for i in range(retries):
+        payload = store.read(version)
+        if payload is not None:
+            return payload
+        if i + 1 < retries:
+            _time.sleep(backoff_s * (2 ** i))
+    raise LogReadError(
+        f"commit {version} is listed but unreadable after {retries} "
+        f"attempts ({what}); refusing to proceed with an incomplete "
+        f"log — check the log store for lost objects"
+    )
+
+
 def _replay_log(
     store: "LogStore | str", upto: "int | None" = None
 ) -> LogState:
@@ -291,8 +422,28 @@ def _replay_log(
     store = _as_logstore(store)
     versions = store.list_versions()
     if upto is not None:
+        fl = _log_floor(store)
+        if upto < fl and (
+            # a surviving checkpoint EXACTLY at upto still answers the
+            # read whole (no entries needed) — retention keeps
+            # checkpointed versions travelable as coarse anchors
+            (ck := store.latest_checkpoint(upto)) is None
+            or ck[0] != upto
+        ):
+            raise LogTruncatedError(
+                f"version {upto} predates the log-retention floor "
+                f"{fl} (truncate_log dropped its commits) and no "
+                f"checkpoint survives at exactly that version"
+            )
         versions = [v for v in versions if v <= upto]
-    if not versions:
+    # the effective as-of version: the caller's bound when given (a
+    # truncated log may list fewer entries than the bound covers —
+    # the checkpoint lookup below must still see the full target),
+    # else the listed head
+    target = upto if upto is not None else (
+        versions[-1] if versions else -1
+    )
+    if target < 0:
         return LogState(-1, {}, {}, None, {}, dict(_DEFAULT_PROTOCOL))
     live: dict[str, dict] = {}
     txns: dict[str, int] = {}
@@ -300,7 +451,7 @@ def _replay_log(
     cons: dict[str, str] = {}
     proto: dict[str, int] = dict(_DEFAULT_PROTOCOL)
     start = 0
-    ckpt = store.latest_checkpoint(versions[-1])
+    ckpt = store.latest_checkpoint(target)
     if ckpt is not None:
         cv, state = ckpt
         live = dict(state["live"])
@@ -312,9 +463,7 @@ def _replay_log(
     for v in versions:
         if v < start:
             continue
-        payload = store.read(v)
-        if payload is None:
-            continue
+        payload = _read_committed(store, v, "log replay")
         for line in payload.splitlines():
             if not line.strip():
                 continue
@@ -358,7 +507,13 @@ def _replay_log(
             f">= {proto['min_reader']}; this engine supports "
             f"{_SUPPORTED_READER}"
         )
-    return LogState(versions[-1], live, txns, schema, cons, proto)
+    # version = what the state reflects: the listed head, or the
+    # checkpoint when a truncated log lists nothing past it
+    return LogState(
+        max(versions[-1] if versions else -1,
+            ckpt[0] if ckpt is not None else -1),
+        live, txns, schema, cons, proto,
+    )
 
 
 def _schema_colmap(schema_json: "str | None") -> "dict[str, str]":
@@ -397,10 +552,16 @@ def _commit_actions_of(
     store: "LogStore | str", version: int
 ) -> "tuple[list[dict], list[str], list[dict], dict] | None":
     """(add-infos, removed relpaths, dv actions, commit-info) of one
-    commit."""
-    payload = _as_logstore(store).read(version)
-    if payload is None:
-        return None
+    commit. None only for a version the log never listed; a LISTED
+    version that cannot be read raises :class:`LogReadError` (after
+    the retry window) — the change feed silently skipping a commit
+    would lose rows."""
+    store = _as_logstore(store)
+    payload = store.read(version)
+    if payload is None:  # slow path only: lag vs genuinely unlisted
+        if version not in store.list_versions():
+            return None
+        payload = _read_committed(store, version, "commit actions")
     adds: list[dict] = []
     removes: list[str] = []
     dvs: list[dict] = []
@@ -478,6 +639,10 @@ class TxTable:
                 self.logstore = detected
             else:
                 self.logstore = open_logstore(self.log_dir, logstore)
+        if not isinstance(self.logstore, _MonotonicLogStore):
+            # session read-your-own-writes: this handle must never
+            # replay a listing below a version it committed or saw
+            self.logstore = _MonotonicLogStore(self.logstore)
         meta = self._read_meta()
         if meta is not None:
             self.key_cols = meta["key_cols"]
@@ -1537,6 +1702,13 @@ class TxTable:
         """
         if to_version is None:
             to_version = self.version()
+        fl = _log_floor(self.logstore)
+        if from_version < fl:
+            raise LogTruncatedError(
+                f"change feed from version {from_version} needs "
+                f"commits below the log-retention floor {fl}; the "
+                f"earliest available feed is table_changes({fl})"
+            )
         # one schema for every contributing version: old files written
         # before a later-added column null-fill it, so pre/post images
         # align even across schema evolution
@@ -2718,6 +2890,63 @@ class TxTable:
             for f in removes:
                 out[f] = v
         return out
+
+    def truncate_log(
+        self, retain_versions: int = 0,
+        consumer_ttl_s: float = 3600.0,
+    ) -> list[int]:
+        """LOG retention — the commit-log counterpart of
+        :meth:`vacuum`'s data retention: drop log entries a checkpoint
+        supersedes, so a long-lived table's log stays bounded instead
+        of growing one entry per commit forever (at warehouse commit
+        rates the log itself becomes the scale problem — a million
+        tiny objects every maintenance pass has to list and the
+        vacuum walk has to read).
+
+        The floor is the NEWEST CHECKPOINT at or below every bound:
+        ``head - retain_versions`` (keep a time-travel window) and
+        the lowest active CDC consumer's offset + 1 (a mid-drain
+        stream's unread commits are never dropped; markers stale past
+        ``consumer_ttl_s`` are ignored, like vacuum). Entries strictly
+        between version 0 (the table-meta commit, always kept) and the
+        floor are deleted; the floor persists as a sidecar written
+        BEFORE any delete, so a crash mid-truncation leaves only
+        harmless already-guarded leftovers that the next call sweeps.
+
+        Contracts after truncation (all deterministic, never silent):
+        time travel below the floor raises :class:`LogTruncatedError`
+        — except at versions where an older checkpoint survives, which
+        remain readable as coarse anchors; the change feed (batch and
+        streaming) is available from the floor forward and raises
+        below it. Returns the dropped versions."""
+        versions = self._log_versions()
+        head = versions[-1] if versions else -1
+        cap = head - int(retain_versions)
+        lo = self._min_consumer_offset(consumer_ttl_s)
+        if lo is not None:
+            cap = min(cap, lo + 1)
+        anchors = [
+            c for c in self.logstore.list_checkpoints() if c <= cap
+        ]
+        cur = _log_floor(self.logstore)
+        target = max([cur] + anchors)
+        if target > cur:
+            # intent first: a floor above surviving entries is safe
+            # (reads below it refuse); entries >= floor never deleted
+            d = getattr(
+                getattr(self.logstore, "inner", self.logstore),
+                "log_dir", self.log_dir,
+            )
+            tmp = os.path.join(d, ".tmp.floor")
+            with open(tmp, "w") as fh:
+                json.dump({"floor": int(target)}, fh)
+            os.replace(tmp, os.path.join(d, "floor.json"))
+        dropped = []
+        for v in versions:
+            if 0 < v < target:
+                self.logstore.delete(v)
+                dropped.append(v)
+        return dropped
 
     def vacuum(
         self, grace_s: float = 3600.0,

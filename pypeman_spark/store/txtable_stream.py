@@ -48,8 +48,10 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from .logstore import open_logstore
 from .txtable import (
     _LOG_DIR,
+    LogTruncatedError,
     _commit_actions_of,
     _dv_decode,
+    _log_floor,
     _parts_of_relpath,
     _replay_log,
 )
@@ -215,6 +217,15 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         self._write_consumer_marker(int(start["version"]))
         parts = []
         sv = int(start["version"])
+        fl = _log_floor(self.logstore)
+        if sv < fl:
+            raise LogTruncatedError(
+                f"txtable_changes: checkpointed offset {sv} is below "
+                f"the log-retention floor {fl} — the unread commits "
+                f"were truncated; restart from startingVersion >= "
+                f"{fl} (or raise the consumer TTL so an active "
+                f"stream pins truncation)"
+            )
         # running dv state (relpath -> encoded cumulative vector) from
         # the batch-start snapshot forward: newly-dead diffing and
         # preimage filtering need the PRE-commit vector of each file.
