@@ -586,3 +586,23 @@ def test_sketch_rollup_ships_partials_not_values(spark):
     # 1-2 each incl. the 5-row join alignment — lock the ceiling
     assert n <= 8, f"{n} exchanges"
     assert "hll_union_agg" in plan or "hll_sketch_agg" in plan
+
+
+def test_dv_filter_is_broadcast_anti_join_no_shuffle(spark, tmp_path):
+    """Deletion-vector reads must stay a BroadcastHashJoin LeftAnti on
+    the metadata-sized vector side — a shuffle of the DATA side here
+    would turn every dv'd snapshot read into a table-wide exchange at
+    100 TB."""
+    from pypeman_spark.store.txtable import TxTable
+
+    t = TxTable(spark, str(tmp_path / "dvtbl"), key_cols=["id"],
+                n_buckets=2)
+    t.append(spark.range(0, 200).select(
+        "id", (F.col("id") % 5).alias("v")))
+    t.delete_where(("id", "<", 10), mode="dv")
+    plan = plan_of(t.snapshot())
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the one exchange allowed is the broadcast itself
+    assert "ShuffleExchange" not in plan.replace(
+        "BroadcastExchange", "")
+    assert t.snapshot().count() == 190
