@@ -18,6 +18,11 @@ commit log:
    recorded in the log, tightened by a clustered (sorted) compaction.
 7. **Vacuum** — physical deletion of unreferenced files past a grace
    period.
+8. **Deletion vectors** — merge-on-read point deletes: positions in
+   the commit log, zero files rewritten; compaction materializes
+   them away.
+9. **Log retention** — ``truncate_log`` drops entries a checkpoint
+   supersedes, bounding log storage for long-lived tables.
 
 Run: ``python examples/lakehouse_table.py [sf_dir]``
 """
@@ -131,6 +136,7 @@ def main() -> None:
         spark, os.path.join(root, "orders_by_prio"),
         key_cols=["prio", "o_orderkey"], n_buckets=8,
         partition_by=["prio"],
+        checkpoint_interval=3,  # frequent anchors for the demo
     )
     orders = load_table(spark, sf_dir, "orders").select(
         F2.col("o_orderpriority").alias("prio"), "o_orderkey",
@@ -160,6 +166,35 @@ def main() -> None:
     pt.compact(min_files=2, where=(("prio", "=", "2-HIGH"),))
     print("after DML:", pt.stats(), "| history ops:",
           [h["op"] for h in pt.history()])
+
+    # ---- deletion vectors: merge-on-read point deletes ----------
+    # GDPR-shaped: delete a handful of keys from a big table as a
+    # metadata-sized commit (row positions in the log), not a bucket
+    # rewrite; every reader applies the vector, the change feed
+    # reports exactly the newly-dead rows, compact materializes.
+    victims = pt.snapshot().where(
+        F2.col("prio") == "5-LOW"
+    ).select("prio", "o_orderkey").limit(3)
+    v_before = pt.version()
+    pt.delete_keys(victims, mode="dv")
+    st = pt.stats()
+    print(
+        f"dv point delete: {st.get('dv_rows', 0)} rows marked dead "
+        f"across {st.get('dv_files', 0)} files, 0 rewritten "
+        f"(protocol v{pt.protocol()['min_reader']}); feed reports "
+        f"{pt.table_changes(v_before).count()} deletes"
+    )
+    pt.compact(min_files=99)  # only dv-carrying buckets rewrite
+    print("after materializing compact:",
+          {k: pt.stats().get(k) for k in ("rows", "dv_files")})
+
+    # ---- log retention: bound the commit log itself -------------
+    dropped = pt.truncate_log()
+    print(
+        f"truncate_log dropped {len(dropped)} superseded log "
+        f"entries; earliest change feed is now "
+        f"table_changes({max(dropped) if dropped else 0})"
+    )
     shutil.rmtree(root, ignore_errors=True)
 
 
