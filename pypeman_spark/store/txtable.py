@@ -2524,6 +2524,19 @@ class TxTable:
         uri2rel = {
             _file_uri(os.path.join(self.path, f)): f for f in files
         }
+        # two bounded driver reads over one cached match: counts first
+        # (decide per-file BEFORE collecting any position), positions
+        # only for files staying under the caps
+        matched = matched.cache()
+        try:
+            return self._dv_plan_cached(matched, uri2rel, live)
+        finally:
+            matched.unpersist()
+
+    def _dv_plan_cached(
+        self, matched: DataFrame, uri2rel: "dict[str, str]",
+        live: "dict[str, dict]",
+    ) -> "tuple[list[dict], list[str]]":
         counts = {
             uri2rel[r["__txdv_fp"]]: int(r["cnt"])
             for r in matched.groupBy("__txdv_fp").agg(

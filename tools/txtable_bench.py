@@ -196,6 +196,55 @@ def main() -> None:
     out["p_replace_region_s"] = round(time.time() - t0, 3)
     assert pt.count() == pt.snapshot().count()
 
+    # ---- deletion vectors (round 10): the point-delete fast path.
+    # Claims under test: a dv delete stages ZERO files and its commit
+    # is metadata-sized regardless of table size; the same delete in
+    # rewrite mode pays a bucket rewrite; reads with vectors applied
+    # stay a broadcast anti-join (no data-side shuffle).
+    some = li.orderBy("l_orderkey", "l_linenumber").limit(10).collect()
+    k1 = [(r["l_orderkey"], r["l_linenumber"]) for r in some[:5]]
+    k2 = [(r["l_orderkey"], r["l_linenumber"]) for r in some[5:]]
+    kdf = spark.createDataFrame(k1, "l_orderkey long, l_linenumber long")
+    t0 = time.time()
+    v_dv = tx.delete_keys(kdf, mode="dv")
+    out["dv_point_delete_s"] = round(time.time() - t0, 3)
+    dv_adds, dv_rm, dv_acts, _di = tx._commit_actions(v_dv)
+    out["dv_staged_files"] = len(dv_adds)  # MUST be 0: merge-on-read
+    out["dv_marked_rows"] = sum(d["card"] for d in dv_acts)
+    out["dv_commit_bytes"] = len(tx.logstore.read(v_dv) or "")
+    assert not dv_adds and not dv_rm and dv_acts
+    t0 = time.time()
+    c_dv = tx.snapshot().count()
+    out["dv_read_s"] = round(time.time() - t0, 3)
+    assert c_dv == tx.count()
+    # the same-shape delete, copy-on-write: pays the bucket rewrite
+    kdf2 = spark.createDataFrame(k2, "l_orderkey long, l_linenumber long")
+    t0 = time.time()
+    v_rw = tx.delete_keys(kdf2)
+    out["rw_point_delete_s"] = round(time.time() - t0, 3)
+    rw_adds, _rm, _dv2, _i2 = tx._commit_actions(v_rw)
+    out["rw_staged_files"] = len(rw_adds)
+
+    # ---- log retention (round 10): entries a checkpoint supersedes
+    # drop; the loop is one conditional delete per superseded entry
+    from pypeman_spark.store.txtable import _replay_log  # noqa: E402
+
+    st = _replay_log(tx.logstore)
+    tx.logstore.write_checkpoint(st.version, {
+        "version": st.version, "live": st.live, "txns": st.txns,
+        "schema": st.schema, "constraints": st.constraints,
+        "protocol": st.protocol,
+    })
+    entries_before = len(tx._log_versions())
+    t0 = time.time()
+    # ttl 0: the availableNow CDC stream above is finished, not a
+    # live consumer — don't let its marker pin retention for an hour
+    dropped = tx.truncate_log(consumer_ttl_s=0.0)
+    out["log_truncate_s"] = round(time.time() - t0, 3)
+    out["log_entries_before"] = entries_before
+    out["log_entries_after"] = len(tx._log_versions())
+    assert tx.count() == c_dv - 5  # rewrite delete took 5 more
+
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
 
