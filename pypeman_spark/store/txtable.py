@@ -2326,7 +2326,8 @@ class TxTable:
         )
 
     def delete_keys(self, keys: DataFrame, max_retries: int = 10,
-                    mode: str = "rewrite") -> int:
+                    mode: str = "rewrite",
+                    txn: "tuple[str, int] | None" = None) -> int:
         """Delete by key: scope-bound rewrite without the matching
         rows (same OCC loop as merge; partition-refined when
         partition_by ⊆ key_cols).
@@ -2348,6 +2349,8 @@ class TxTable:
                 st = _replay_log(self.logstore)
                 self._check_writer(st.protocol)
                 base_v, live, schema = st.version, st.live, st.schema
+                if txn is not None and st.txns.get(txn[0], -1) >= txn[1]:
+                    return base_v  # already applied — provable no-op
                 tb, scopes = self._touched_scopes(keys)
                 touched = set(tb)
                 old = self._old_files(live, touched, scopes)
@@ -2384,6 +2387,7 @@ class TxTable:
                     )
                 got = self._occ_commit(
                     base_v, actions, "delete", tb, scopes, touched,
+                    txn=txn,
                 )
                 if got is not None:
                     return got
@@ -2399,6 +2403,7 @@ class TxTable:
     def delete_where(
         self, *preds: "tuple[str, str, object]", max_retries: int = 10,
         mode: str = "rewrite",
+        txn: "tuple[str, int] | None" = None,
     ) -> int:
         """``DELETE WHERE`` over conjunctive ``(col, op, literal)``
         predicates (the grammar of :meth:`scan`). Three file classes,
@@ -2441,10 +2446,12 @@ class TxTable:
             )
         self._build_cond(preds)  # fail fast on unknown ops
         for _ in range(max_retries):
-            base_v, live, _txns, schema, _cons, proto = _replay_log(
+            base_v, live, txns, schema, _cons, proto = _replay_log(
                 self.logstore
             )
             self._check_writer(proto)
+            if txn is not None and txns.get(txn[0], -1) >= txn[1]:
+                return base_v  # already applied — provable no-op
             cm = _schema_colmap(schema)
             cands, full = self._classify_candidates(live, preds, cm)
             if not cands:
@@ -2485,7 +2492,7 @@ class TxTable:
             scopes = self._dml_scopes(live, touched_files, adds)
             got = self._occ_commit(
                 base_v, actions, "delete", sorted(touched), scopes,
-                touched,
+                touched, txn=txn,
             )
             if got is not None:
                 return got
@@ -2589,6 +2596,7 @@ class TxTable:
     def update_where(
         self, assignments: "dict[str, object]",
         *preds: "tuple[str, str, object]", max_retries: int = 10,
+        txn: "tuple[str, int] | None" = None,
     ) -> int:
         """``UPDATE SET col = expr WHERE`` — rewrites ONLY the files
         that may hold a matching row (partition + footer-stats
@@ -2618,10 +2626,12 @@ class TxTable:
         }
         self._build_cond(preds)
         for _ in range(max_retries):
-            base_v, live, _txns, schema, cons, proto = _replay_log(
+            base_v, live, txns, schema, cons, proto = _replay_log(
                 self.logstore
             )
             self._check_writer(proto)
+            if txn is not None and txns.get(txn[0], -1) >= txn[1]:
+                return base_v  # already applied — provable no-op
             cm = _schema_colmap(schema)
             cands, _full = self._classify_candidates(live, preds, cm)
             if not cands:
@@ -2655,7 +2665,7 @@ class TxTable:
             scopes = self._dml_scopes(live, cands, adds)
             got = self._occ_commit(
                 base_v, actions, "update", sorted(touched), scopes,
-                touched,
+                touched, txn=txn,
             )
             if got is not None:
                 return got
@@ -2667,6 +2677,7 @@ class TxTable:
     def replace_where(
         self, df: DataFrame,
         *preds: "tuple[str, str, object]", max_retries: int = 10,
+        txn: "tuple[str, int] | None" = None,
     ) -> int:
         """Atomic region overwrite — Delta's ``replaceWhere`` /
         ``INSERT OVERWRITE PARTITION``: every committed row matching
@@ -2690,10 +2701,12 @@ class TxTable:
                 f"satisfy the replace predicates"
             )
         for _ in range(max_retries):
-            base_v, live, _txns, schema, cons, proto = _replay_log(
+            base_v, live, txns, schema, cons, proto = _replay_log(
                 self.logstore
             )
             self._check_writer(proto)
+            if txn is not None and txns.get(txn[0], -1) >= txn[1]:
+                return base_v  # already applied — provable no-op
             cm = _schema_colmap(schema)
             cands, full = self._classify_candidates(live, preds, cm)
             schema_act = self._evolved_schema_action(df, schema)
@@ -2722,7 +2735,7 @@ class TxTable:
             scopes = self._dml_scopes(live, cands, adds)
             got = self._occ_commit(
                 base_v, actions, "replace", sorted(touched), scopes,
-                touched,
+                touched, txn=txn,
             )
             if got is not None:
                 return got

@@ -288,3 +288,23 @@ def test_dv_vacuum_keeps_vectored_files(spark, tmp_path):
     t.delete_where(("k", "=", 1), mode="dv")
     assert t.vacuum(grace_s=0.0) == []
     assert t.count() == 9
+
+
+def test_dv_survives_schema_evolution(spark, tmp_path):
+    """Vectors are file-scoped positions; adding a column afterwards
+    (old files null-fill) must not resurrect or shift dead rows, in
+    snapshots or in the feed."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    t.delete_where(("k", ">=", 17), mode="dv")
+    # evolve: merge with a NEW column (new keys only — no rewrite of
+    # the dv'd file is forced beyond its own bucket)
+    t.merge_upsert(spark.createDataFrame(
+        [(100, "x", 1.5)], "k long, val string, score double"
+    ))
+    snap = {r["k"]: (r["val"], r["score"]) for r in t.snapshot().collect()}
+    assert set(snap) == set(range(17)) | {100}
+    assert snap[3] == ("v3", None) and snap[100] == ("x", 1.5)
+    assert t.count() == 18
+    feed = _feed_counts(t.table_changes(0))
+    assert feed["delete"] == 3 and feed["insert"] == 21

@@ -654,3 +654,46 @@ def test_update_where_commutes_past_disjoint_partition_merge(
     rows = {r["k"]: r["val"] for r in t_a.snapshot().collect()}
     assert rows[1] == "A" and rows[2] == "B"
     assert rows[99] == "d2new" and rows[3] == "c"
+
+
+def test_predicate_dml_txn_idempotence(spark, tmp_path):
+    """txn=(app, version) makes every DML op exactly-once under
+    foreachBatch re-delivery: the re-applied call is a provable no-op
+    (no new commit, no double effect) — delete_where (both modes),
+    update_where, replace_where, delete_keys."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    _seed(spark, t)
+    t.update_where({"val": "upper(val)"}, ("day", "=", D1),
+                   txn=("q1", 1))
+    v = t.version()
+    assert t.update_where({"val": "upper(val) || 'X'"},
+                          ("day", "=", D1), txn=("q1", 1)) == v
+    assert t.version() == v  # no commit
+    rows = {r["k"]: r["val"] for r in t.snapshot().collect()}
+    assert rows[1] == "A"  # applied once, second expr never ran
+
+    t.delete_where(("day", "=", D2), txn=("q1", 2))
+    v = t.version()
+    assert t.delete_where(("day", "=", D2), txn=("q1", 2)) == v
+    assert 3 not in {r["k"] for r in t.snapshot().collect()}
+
+    t.replace_where(_df(spark, [(D1, 9, "r")]), ("day", "=", D1),
+                    txn=("q1", 3))
+    v = t.version()
+    assert t.replace_where(_df(spark, [(D1, 10, "r2")]),
+                           ("day", "=", D1), txn=("q1", 3)) == v
+    assert {r["k"] for r in t.snapshot().collect()} == {9, 5}
+
+    t.delete_keys(spark.createDataFrame([(D1, 9)], "day date, k long"),
+                  mode="dv", txn=("q1", 4))
+    v = t.version()
+    assert t.delete_keys(
+        spark.createDataFrame([(5,)], "k long").selectExpr(
+            "cast(null as date) day", "k"
+        ), txn=("q1", 4),
+    ) == v
+    assert {r["k"] for r in t.snapshot().collect()} == {5}
+    # an older txn version is also a no-op; a NEWER one applies
+    assert t.delete_where(("k", "=", 5), txn=("q1", 2)) == v
+    t.delete_where(("k", "=", 5), txn=("q1", 5))
+    assert t.snapshot().count() == 0
