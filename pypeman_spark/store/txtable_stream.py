@@ -229,12 +229,22 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         # running dv state (relpath -> encoded cumulative vector) from
         # the batch-start snapshot forward: newly-dead diffing and
         # preimage filtering need the PRE-commit vector of each file.
-        # The replay is checkpoint-bounded and driver-side (planning).
-        dvstate: "dict[str, str]" = {
-            f: i["dv"]["pos"]
-            for f, i in _replay_log(self.logstore, upto=sv).live.items()
-            if i.get("dv")
-        }
+        # Cached across contiguous micro-batches (this batch's end
+        # state seeds the next batch's start), so steady-state
+        # planning pays ZERO replays — only a restart or a retried
+        # batch (start != cached end) replays, checkpoint-bounded and
+        # driver-side.
+        cached = getattr(self, "_dv_cache", None)
+        if cached is not None and cached[0] == sv:
+            dvstate: "dict[str, str]" = dict(cached[1])
+        else:
+            dvstate = {
+                f: i["dv"]["pos"]
+                for f, i in _replay_log(
+                    self.logstore, upto=sv
+                ).live.items()
+                if i.get("dv")
+            }
         for v in range(sv + 1, int(end["version"]) + 1):
             parsed = _commit_actions_of(self.logstore, v)
             if parsed is None:
@@ -281,6 +291,7 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
                 parts.append(_CommitBucketPartition(
                     v, [], [], self.key_cols, dv_deletes=items,
                 ))
+        self._dv_cache = (int(end["version"]), dvstate)
         if not parts:
             # a planned batch of only row-preserving commits still
             # needs a partition; this sentinel yields zero batches
