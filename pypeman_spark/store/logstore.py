@@ -63,10 +63,10 @@ class LogStore:
     """Abstract commit-log storage. The commit protocol uses only
     :meth:`put_if_absent` (atomic conditional put — the single
     correctness-bearing operation), :meth:`list_versions`,
-    :meth:`read`, and the checkpoint pair. :meth:`delete` exists for
-    log retention (truncating entries a checkpoint supersedes) and
-    :meth:`overwrite` is a repair/testing escape hatch — neither is
-    part of the commit protocol."""
+    :meth:`read`, and the checkpoint pair. :meth:`delete` serves log
+    retention (``TxTable.truncate_log`` drops entries a checkpoint
+    supersedes) and :meth:`overwrite` is a repair/testing escape
+    hatch — neither is part of the commit protocol."""
 
     kind = "abstract"
 
