@@ -308,3 +308,24 @@ def test_dv_survives_schema_evolution(spark, tmp_path):
     assert t.count() == 18
     feed = _feed_counts(t.table_changes(0))
     assert feed["delete"] == 3 and feed["insert"] == 21
+
+
+def test_dv_state_survives_checkpoint_roundtrip(spark, tmp_path):
+    """Checkpoints serialize the live set WITH each file's merged dv
+    — a replay that shortcuts through a post-dv checkpoint must still
+    filter the dead rows (and the next dv commit must still union
+    against them)."""
+    t = _mk(spark, tmp_path, n_buckets=1, checkpoint_interval=2)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(30)]))   # v1
+    t.delete_where(("k", ">=", 28), mode="dv")                # v2 + ckpt
+    cks = t.logstore.list_checkpoints()
+    assert cks and max(cks) == 2
+    # a FRESH handle replays from the checkpoint, not the entries
+    t2 = TxTable(spark, str(tmp_path / "tbl"))
+    _v, live = t2._replay()
+    assert any(i.get("dv") for i in live.values())
+    assert t2.count() == 28 and t2.snapshot().count() == 28
+    # cumulative union still works across the checkpoint boundary
+    t2.delete_where(("k", "=", 0), mode="dv")
+    assert t2.snapshot().count() == 27
+    assert {r["k"] for r in t2.snapshot().collect()} == set(range(1, 28))
