@@ -151,28 +151,47 @@ class FileLogStore(LogStore):
 
     def latest_checkpoint(self, upto: int) -> "tuple[int, dict] | None":
         best = None
+        best_gz = False
         try:
             names = os.listdir(self.log_dir)
         except FileNotFoundError:
             return None
         for n in names:
-            if n.endswith(".checkpoint.json"):
+            gz = n.endswith(".checkpoint.json.gz")
+            if gz or n.endswith(".checkpoint.json"):
                 v = int(n.split(".")[0])
                 if v <= upto and (best is None or v > best):
-                    best = v
+                    best, best_gz = v, gz
+                elif v == best and gz:
+                    best_gz = True  # prefer the newer (gz) form
         if best is None:
             return None
-        with open(os.path.join(
+        base = os.path.join(
             self.log_dir, f"{best:0{_VERSION_DIGITS}d}.checkpoint.json"
-        )) as fh:
+        )
+        if best_gz:
+            import gzip
+
+            with gzip.open(base + ".gz", "rt") as fh:
+                return best, json.load(fh)
+        with open(base) as fh:
             return best, json.load(fh)
 
     def write_checkpoint(self, version: int, state: dict) -> None:
+        # gzipped since round 10: the checkpoint is the largest
+        # metadata object (the full live-file list — at 1M files the
+        # JSON runs to hundreds of MB) and repetitive JSON compresses
+        # ~8-10x. Readers accept both forms, so pre-r10 checkpoints
+        # stay readable, and a pre-r10 reader that can't see a .gz
+        # simply falls back to full log replay — slower, never wrong.
+        import gzip
+
         tmp = os.path.join(self.log_dir, f".ckpt.{os.getpid()}.tmp")
-        with open(tmp, "w") as fh:
+        with gzip.open(tmp, "wt", compresslevel=6) as fh:
             json.dump(state, fh)
         os.replace(tmp, os.path.join(
-            self.log_dir, f"{version:0{_VERSION_DIGITS}d}.checkpoint.json"
+            self.log_dir,
+            f"{version:0{_VERSION_DIGITS}d}.checkpoint.json.gz",
         ))
 
     def list_checkpoints(self) -> "list[int]":
@@ -180,10 +199,11 @@ class FileLogStore(LogStore):
             names = os.listdir(self.log_dir)
         except FileNotFoundError:
             return []
-        return sorted(
+        return sorted({
             int(n.split(".")[0]) for n in names
             if n.endswith(".checkpoint.json")
-        )
+            or n.endswith(".checkpoint.json.gz")
+        })
 
     def delete(self, version: int) -> None:
         try:
@@ -274,17 +294,29 @@ class SqliteLogStore(LogStore):
                 "WHERE version <= ? ORDER BY version DESC LIMIT 1",
                 (int(upto),),
             ).fetchone()
-            return None if row is None else (row[0], json.loads(row[1]))
+            if row is None:
+                return None
+            state = row[1]
+            if isinstance(state, bytes):  # zlib blob (round 10+)
+                import zlib
+
+                state = zlib.decompress(state).decode("utf-8")
+            return row[0], json.loads(state)
         finally:
             con.close()
 
     def write_checkpoint(self, version: int, state: dict) -> None:
+        # stored zlib-compressed since round 10 (sqlite is dynamically
+        # typed: bytes land as BLOB, pre-r10 TEXT rows still read)
+        import zlib
+
         con = self._connect()
         try:
             con.execute(
                 "INSERT OR REPLACE INTO checkpoints (version, state) "
                 "VALUES (?, ?)",
-                (int(version), json.dumps(state)),
+                (int(version),
+                 zlib.compress(json.dumps(state).encode("utf-8"), 6)),
             )
             con.commit()
         finally:
