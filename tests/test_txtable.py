@@ -1395,16 +1395,39 @@ def test_snapshot_keeps_schema_after_full_delete(spark, tmp_path):
 # ------------------------------------------- CDC admission control --
 
 
+def _ckpt_committed_bid(ckpt) -> int:
+    """Highest durably committed micro-batch id in a streaming
+    checkpoint (Spark's documented ``commits/<bid>`` marker files);
+    -1 before the first commit."""
+    import glob
+
+    done = [
+        int(os.path.basename(p))
+        for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if os.path.basename(p).isdigit()
+    ]
+    return max(done) if done else -1
+
+
 def _paced_drain(feed, ckpt, want_rows, timeout_s=420):
     """Run ``feed`` through a processing-time-triggered foreachBatch
     until ``want_rows`` change rows arrived; returns the non-empty
     micro-batches as [(batch_id, [row tuples])]. Generous deadline:
     on a fully loaded host each micro-batch spawns Python data source
     workers and 180 s flaked once — the asserts are on batch SHAPE,
-    not latency."""
+    not latency.
+
+    Replay-tolerant by construction (foreachBatch is at-least-once):
+    the sink keys on batch_id, so a within-run retry overwrites
+    instead of double-counting; and the loop blocks on the
+    checkpoint's ``commits/<bid>`` marker covering the last observed
+    batch BEFORE q.stop() — stopping between the sink call and the
+    commit-marker write would otherwise replay that batch into the
+    NEXT drain from the same checkpoint (this flaked twice in round
+    10: the seed batch replayed and the backlog drain saw 21 rows)."""
     import time
 
-    batches = []
+    batches: dict = {}
 
     def sink(batch_df, bid):
         rows = [
@@ -1412,18 +1435,22 @@ def _paced_drain(feed, ckpt, want_rows, timeout_s=420):
             for r in batch_df.collect()
         ]
         if rows:
-            batches.append((bid, rows))
+            batches[bid] = rows
 
     q = (feed.writeStream.foreachBatch(sink)
          .option("checkpointLocation", ckpt)
          .trigger(processingTime="0 seconds").start())
     deadline = time.time() + timeout_s
     while time.time() < deadline:
-        if sum(len(r) for _b, r in batches) >= want_rows:
+        if (
+            sum(len(r) for r in batches.values()) >= want_rows
+            and batches
+            and _ckpt_committed_bid(ckpt) >= max(batches)
+        ):
             break
         time.sleep(0.5)
     q.stop()
-    return batches
+    return sorted(batches.items())
 
 
 def test_stream_changes_admission_control_paces_backlog(spark, tmp_path):
