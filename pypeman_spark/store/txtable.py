@@ -70,6 +70,7 @@ import shutil
 import time
 import typing
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -112,8 +113,13 @@ _PARTITIONABLE_TYPES = (
 # rows a dv commit already deleted (silent resurrection), so the
 # first dv commit bumps min_reader/min_writer to 3 in the same
 # atomic commit.
-_SUPPORTED_READER = 3
-_SUPPORTED_WRITER = 3
+# v4 adds log truncation (truncate_log's floor): a v3-or-older reader
+# replaying a truncated log from scratch would silently miss the
+# dropped commits (phantom/resurrected rows, no error), so the first
+# actual truncation commits a protocol bump BEFORE deleting any
+# entry — the reader fails loudly with TableProtocolError instead.
+_SUPPORTED_READER = 4
+_SUPPORTED_WRITER = 4
 _DEFAULT_PROTOCOL = {"min_reader": 1, "min_writer": 1}
 
 
@@ -238,6 +244,18 @@ def _commit_name(version: int) -> str:
 _DV_MAX_FRAC = 0.5
 _DV_MAX_POSITIONS = 1 << 21
 _DV_MAX_ENCODED = 1 << 20
+# TABLE-level cap on total live dv positions: the snapshot read
+# unions every live file's positions into ONE driver-built broadcast
+# (_read_files), so per-file bounds alone leave it unbounded across
+# files. A dv write that would push the live total past this cap
+# escalates the offending file(s) to copy-on-write and warns to run
+# compact(); stats() exposes the running total as
+# ``dv_total_positions``.
+_DV_MAX_TABLE_POSITIONS = 1 << 23
+# Positions are materialized driver-side per commit; collect them in
+# chunks of at most this many matched rows so a wide delete touching
+# many files never holds every file's Row objects at once.
+_DV_COLLECT_CHUNK = 1 << 22
 
 
 def _dv_encode(positions) -> "tuple[str, int]":
@@ -1038,6 +1056,36 @@ class TxTable:
             return False
         self._maybe_checkpoint(expected_version)
         return True
+
+    def _bump_protocol(
+        self, min_reader: int, min_writer: int, why: str,
+        max_retries: int = 20,
+    ) -> None:
+        """Commit a standalone protocol-bump action (idempotent: a
+        no-op when the table already demands at least these
+        versions). Op ``protocol`` is outside _COMMUTING_OPS, so any
+        concurrent bucket-scoped writer that raced past it retries
+        from a fresh snapshot and re-checks the writer gate."""
+        for _ in range(max_retries):
+            st = _replay_log(self.logstore)
+            p = st.protocol
+            if (
+                p["min_reader"] >= min_reader
+                and p["min_writer"] >= min_writer
+            ):
+                return
+            if self._commit(
+                st.version + 1,
+                [{"protocol": {
+                    "min_reader": int(min_reader),
+                    "min_writer": int(min_writer),
+                }}],
+                op="protocol", buckets=[],
+            ):
+                return
+        raise CommitConflict(
+            f"protocol bump for {why} conflicted {max_retries} times"
+        )
 
     def _maybe_checkpoint(self, version: int) -> None:
         if version == 0 or version % self.checkpoint_interval != 0:
@@ -1893,6 +1941,12 @@ class TxTable:
                 int((i.get("dv") or {}).get("card", 0))
                 for i in live.values()
             )
+            # the table-cap gauge: total positions the snapshot
+            # read's driver-built broadcast carries (writers escalate
+            # to rewrite past _DV_MAX_TABLE_POSITIONS; compact()
+            # materializes vectors away and resets this to 0)
+            out["dv_total_positions"] = out["dv_rows"]
+            out["dv_table_cap"] = _DV_MAX_TABLE_POSITIONS
         if self.partition_by:
             out["partition_by"] = list(self.partition_by)
             out["partitions"] = len(parts)
@@ -1960,7 +2014,16 @@ class TxTable:
         layout), not the reader's vacuum-pinning marker: the source
         ``commit()`` callback for a run's final batch only fires at
         the NEXT run's initialization, so the marker lags one run
-        behind what the sink has durably committed."""
+        behind what the sink has durably committed.
+
+        ``checkpoint`` must be a LOCAL filesystem path (the progress
+        probe globs/opens it directly); with a DFS/object-store
+        checkpoint the probe would never observe progress — rather
+        than silently spinning ``max_runs`` no-op queries, the loop
+        raises RuntimeError after any run that failed to advance the
+        committed offset (an availableNow run over a non-empty
+        backlog always admits at least one commit, so a stall is
+        always a configuration or environment fault)."""
         import glob as _glob
         import time as _time
 
@@ -1990,6 +2053,7 @@ class TxTable:
 
         runs = 0
         while runs < max_runs and committed() < target:
+            before = committed()
             q = (
                 self.stream_changes(
                     starting_version, max_commits_per_trigger,
@@ -2010,6 +2074,19 @@ class TxTable:
                         f"exceeded {run_timeout_s}s"
                     )
             runs += 1
+            if committed() <= before:
+                # an availableNow run over a non-empty backlog always
+                # admits >= 1 commit; no observable progress means the
+                # probe can't see the checkpoint (non-local path?) or
+                # the run produced nothing durable — fail loudly
+                # instead of spinning max_runs no-op queries
+                raise RuntimeError(
+                    f"drain_changes_available: run {runs} advanced "
+                    f"the committed offset from {before} to "
+                    f"{committed()} (target {target}); the progress "
+                    f"probe requires a LOCAL checkpoint path "
+                    f"(got {checkpoint!r})"
+                )
         return {
             "runs": runs, "end_version": committed(), "target": target,
         }
@@ -2565,32 +2642,72 @@ class TxTable:
             else:
                 dv_files.append(f)
         dv_acts: list[dict] = []
+        # TABLE-level guard: the snapshot read unions EVERY live
+        # file's positions into one driver-built broadcast, so the
+        # per-file caps alone leave the total unbounded across files.
+        # Track the projected table total (files this plan touches
+        # contribute their NEW cumulative card; files it escalates
+        # contribute nothing — the rewrite clears their vector) and
+        # escalate any file that would push it past the cap.
+        touched = set(dv_files) | set(escalate)
+        running = sum(
+            int((i.get("dv") or {}).get("card", 0))
+            for f, i in live.items() if f not in touched
+        )
         if dv_files:
-            want = {
-                u for u, rel in uri2rel.items() if rel in set(dv_files)
-            }
-            per: "dict[str, set[int]]" = {}
-            for r in matched.where(
-                F.col("__txdv_fp").isin(list(want))
-            ).collect():
-                per.setdefault(
-                    uri2rel[r["__txdv_fp"]], set()
-                ).add(int(r["__txdv_ri"]))
+            # positions are materialized driver-side; chunk the
+            # collect by per-file match counts so a wide delete
+            # touching many files never holds every file's Row
+            # objects at once (bounded per chunk, not per commit)
+            chunks: "list[list[str]]" = []
+            cur_chunk: list[str] = []
+            cur_n = 0
             for f in dv_files:
-                newpos = per.get(f)
-                if not newpos:
-                    continue  # counted then raced? counts said >0
-                prev = (live[f].get("dv") or {}).get("pos")
-                allpos = newpos | (
-                    set(_dv_decode(prev)) if prev else set()
-                )
-                enc, card = _dv_encode(allpos)
-                if len(enc) > _DV_MAX_ENCODED:
-                    escalate.append(f)
-                else:
-                    dv_acts.append(
-                        {"dv": {"file": f, "pos": enc, "card": card}}
+                if cur_chunk and cur_n + counts[f] > _DV_COLLECT_CHUNK:
+                    chunks.append(cur_chunk)
+                    cur_chunk, cur_n = [], 0
+                cur_chunk.append(f)
+                cur_n += counts[f]
+            if cur_chunk:
+                chunks.append(cur_chunk)
+            rel2uri = {rel: u for u, rel in uri2rel.items()}
+            for chunk in chunks:
+                per: "dict[str, set[int]]" = {}
+                for r in matched.where(
+                    F.col("__txdv_fp").isin(
+                        [rel2uri[f] for f in chunk]
                     )
+                ).collect():
+                    per.setdefault(
+                        uri2rel[r["__txdv_fp"]], set()
+                    ).add(int(r["__txdv_ri"]))
+                for f in chunk:
+                    newpos = per.get(f)
+                    if not newpos:
+                        continue  # counted then raced? counts said >0
+                    prev = (live[f].get("dv") or {}).get("pos")
+                    allpos = newpos | (
+                        set(_dv_decode(prev)) if prev else set()
+                    )
+                    enc, card = _dv_encode(allpos)
+                    if len(enc) > _DV_MAX_ENCODED:
+                        escalate.append(f)
+                    elif running + card > _DV_MAX_TABLE_POSITIONS:
+                        escalate.append(f)
+                        warnings.warn(
+                            f"TxTable at {self.path}: total live "
+                            f"deletion-vector positions near the "
+                            f"table cap ({running} + {card} > "
+                            f"{_DV_MAX_TABLE_POSITIONS}); escalating "
+                            f"this file to a rewrite — run compact() "
+                            f"to materialize vectors away",
+                            stacklevel=3,
+                        )
+                    else:
+                        running += card
+                        dv_acts.append(
+                            {"dv": {"file": f, "pos": enc, "card": card}}
+                        )
         return dv_acts, sorted(escalate)
 
     def update_where(
@@ -2950,14 +3067,31 @@ class TxTable:
         cap = head - int(retain_versions)
         lo = self._min_consumer_offset(consumer_ttl_s)
         if lo is not None:
-            cap = min(cap, lo + 1)
+            # floor must stay <= the consumer's committed offset, not
+            # offset+1: the stream planner seeds its dv state with
+            # _replay_log(upto=lo) and raises LogTruncatedError when
+            # its checkpointed offset sits below the floor — a
+            # checkpoint landing exactly at lo+1 would otherwise set
+            # floor=lo+1 and break the very consumer whose marker was
+            # supposed to pin truncation (and the error's remediation,
+            # restarting from startingVersion >= floor, would skip
+            # commit lo+1's changes entirely — change-feed data loss)
+            cap = min(cap, lo)
         anchors = [
             c for c in self.logstore.list_checkpoints() if c <= cap
         ]
         cur = _log_floor(self.logstore)
         target = max([cur] + anchors)
         if target > cur:
-            # intent first: a floor above surviving entries is safe
+            # protocol gate FIRST: a reader predating log truncation
+            # (no floor.json awareness — e.g. one that also can't see
+            # gzipped checkpoints and "safely" falls back to full log
+            # replay) would silently replay a log missing commits
+            # 1..floor-1: resurrected/phantom rows, no error. v4 =
+            # truncatable log; bump BEFORE any entry is deleted so
+            # such readers fail loudly — the dv v3 precedent.
+            self._bump_protocol(4, 4, why="truncate_log")
+            # intent next: a floor above surviving entries is safe
             # (reads below it refuse); entries >= floor never deleted
             d = getattr(
                 getattr(self.logstore, "inner", self.logstore),

@@ -329,3 +329,37 @@ def test_dv_state_survives_checkpoint_roundtrip(spark, tmp_path):
     t2.delete_where(("k", "=", 0), mode="dv")
     assert t2.snapshot().count() == 27
     assert {r["k"] for r in t2.snapshot().collect()} == set(range(1, 28))
+
+
+def test_dv_table_cap_escalates_and_gauges(spark, tmp_path):
+    """Global dv-size guard: per-file escalation bounds each vector,
+    but the snapshot read broadcasts the UNION across every live
+    file's positions — a write that would push the table total past
+    _DV_MAX_TABLE_POSITIONS escalates the offending file(s) to
+    copy-on-write (warning pointing at compact()) so the broadcast
+    stays under the cap by construction; stats() exposes the gauge."""
+    import warnings as _w
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(80)]))
+    old = txmod._DV_MAX_TABLE_POSITIONS
+    txmod._DV_MAX_TABLE_POSITIONS = 6
+    try:
+        t.delete_where(("k", "<", 4), mode="dv")  # 4 pos: under cap
+        assert t.stats().get("dv_total_positions", 0) <= 6
+        with _w.catch_warnings(record=True) as got:
+            _w.simplefilter("always")
+            t.delete_where(("k", ">=", 70), mode="dv")  # +10: past cap
+        assert any("compact()" in str(w.message) for w in got)
+        st = t.stats()
+        assert st.get("dv_total_positions", 0) <= 6
+        assert st.get("dv_table_cap") in (6, None)
+    finally:
+        txmod._DV_MAX_TABLE_POSITIONS = old
+    # correctness never depends on which path a file took
+    assert t.count() == 66
+    assert {r["k"] for r in t.read().collect()} == set(range(4, 70))
+    # compaction materializes vectors away and resets the gauge
+    t.compact()
+    assert "dv_total_positions" not in t.stats()
+    assert t.count() == 66

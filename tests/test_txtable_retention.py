@@ -70,10 +70,68 @@ def test_truncate_drops_superseded_entries_and_guards_reads(
         t.table_changes(0)
     # idempotent: nothing more to drop
     assert t.truncate_log() == []
-    # history over the surviving tail only
+    # history over the surviving tail only, plus the v4 protocol
+    # bump the first actual truncation committed (see below)
     assert [h["op"] for h in t.history()] == [
-        "create", "append", "append",
+        "create", "append", "append", "protocol",
     ]
+    # the truncation protocol gate: a pre-truncation reader must fail
+    # loudly (full log replay would silently miss commits 1..8 —
+    # phantom rows), matching the dv v3 precedent
+    assert t.protocol() == {"min_reader": 4, "min_writer": 4}
+    import pypeman_spark.store.txtable as txmod
+    from pypeman_spark.store.txtable import TableProtocolError
+
+    old = txmod._SUPPORTED_READER
+    txmod._SUPPORTED_READER = 3
+    try:
+        with pytest.raises(TableProtocolError, match="reader"):
+            TxTable(spark, str(tmp_path / "tbl")).read()
+    finally:
+        txmod._SUPPORTED_READER = old
+
+
+def test_truncate_floor_never_exceeds_consumer_offset(
+    spark, tmp_path
+):
+    """A checkpoint landing EXACTLY at (consumer offset + 1) must not
+    become the floor: the consumer's next batch starts at offset+1
+    and its dv-state seed replays upto=offset — floor=offset+1 would
+    raise LogTruncatedError in the very stream whose marker was
+    supposed to pin truncation, and the error's remediation (restart
+    from startingVersion >= floor) skips commit offset+1 entirely."""
+    t = _mk(spark, tmp_path)  # checkpoint_interval 3
+    _grow(spark, t)  # head 10, checkpoints 3, 6, 9
+    # drain the feed up to commit 8, leaving 9, 10 unread; the
+    # consumer's committed offset marker lands at 8 — checkpoint 9
+    # is exactly offset + 1
+    ckpt = str(tmp_path / "ck_pin")
+    q = (
+        t.stream_changes()
+        .writeStream.format("memory").queryName("pin_feed")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    d = os.path.join(t.path, "_consumers")
+    marker = [f for f in os.listdir(d) if f.endswith(".json")][0]
+    with open(os.path.join(d, marker), "w") as fh:
+        json.dump({"version": 8, "ts": time.time()}, fh)
+    t.truncate_log()
+    # floor capped at the newest checkpoint <= 8 (i.e. 6), NOT 9
+    assert _log_floor(t.logstore) <= 8
+    # the pinned consumer restarts cleanly and reads commits 9, 10
+    q2 = (
+        t.stream_changes(starting_version=8)
+        .writeStream.format("memory").queryName("pin_feed2")
+        .option("checkpointLocation", str(tmp_path / "ck_pin2"))
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got = {
+        r["k"] for r in spark.sql("select k from pin_feed2").collect()
+    }
+    assert got == {8, 9}  # commits 9 and 10 — nothing skipped
 
 
 def test_truncate_respects_retain_window_and_consumers(
