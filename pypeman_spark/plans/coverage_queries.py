@@ -968,6 +968,11 @@ _TXTABLE_SQL = """
     ), p_dv AS (
       SELECT * FROM p_final
       WHERE NOT (prio = '5-LOW' AND o_orderkey < 3000)
+    ), p_dvu AS (
+      SELECT prio, o_orderkey,
+             CASE WHEN prio = '4-NOT SPECIFIED' AND o_orderkey < 5000
+                  THEN cents + 5 ELSE cents END AS cents
+      FROM p_dv
     ), merged AS (
       SELECT f.c_custkey, f.segment, f.bal_cents
       FROM final f WHERE f.c_custkey NOT IN (SELECT c_custkey FROM src)
@@ -1080,6 +1085,29 @@ _TXTABLE_SQL = """
     SELECT 'dv_compact' AS arm, prio AS segment, count(*) AS n,
            CAST(sum(cents) AS BIGINT) AS bal_cents
     FROM p_dv GROUP BY prio
+    UNION ALL
+    -- dv_update_* arms (round 11): MERGE-ON-READ update — matched
+    -- positions go dead in the vector, updated rows append, one
+    -- atomic commit; the feed reconstructs update pre/postimages
+    -- from the position diff joined with the new adds, and
+    -- compaction again materializes the vectors away unchanged
+    SELECT 'dv_update_final' AS arm, prio AS segment, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dvu GROUP BY prio
+    UNION ALL
+    SELECT 'dv_update_cdc_update_preimage' AS arm, prio AS segment,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dv WHERE prio = '4-NOT SPECIFIED' AND o_orderkey < 5000
+    GROUP BY prio
+    UNION ALL
+    SELECT 'dv_update_cdc_update_postimage' AS arm, prio AS segment,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dvu WHERE prio = '4-NOT SPECIFIED' AND o_orderkey < 5000
+    GROUP BY prio
+    UNION ALL
+    SELECT 'dv_update_compact' AS arm, prio AS segment, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dvu GROUP BY prio
     UNION ALL
     -- per-row Morton z-values (former zorder_values entry VERBATIM,
     -- reshaped into the suite's arm schema): proves the bit
@@ -1306,6 +1334,35 @@ def txtable_acid_suite(spark, sf_dir):
     )
     tx2.compact(min_files=99)  # only dv-carrying buckets qualify
     dv_compact = pagg(tx2.snapshot(), "dv_compact")
+    # dv_update_* arms (round 11): merge-on-read UPDATE — matched
+    # positions dead in the vector + updated rows appended in one
+    # atomic commit (files too dead to vector escalate to
+    # copy-on-write with identical semantics — the oracle checks
+    # exactly that); the feed must report noise-free update
+    # pre/postimages, and compaction materializes unchanged.
+    dvu_from = tx2.version()
+    tx2.update_where(
+        {"cents": "cents + 5"},
+        ("prio", "=", "4-NOT SPECIFIED"), ("o_orderkey", "<", 5000),
+        mode="dv",
+    )
+    dv_update_final = pagg(tx2.snapshot(), "dv_update_final")
+    dv_update_cdc = (
+        tx2.table_changes(dvu_from)
+        .groupBy("_change_type", F.col("prio").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("bal_cents"),
+        )
+        .select(
+            F.concat(
+                F.lit("dv_update_cdc_"), F.col("_change_type")
+            ).alias("arm"),
+            "segment", "n", "bal_cents",
+        )
+    )
+    tx2.compact(min_files=99)
+    dv_update_compact = pagg(tx2.snapshot(), "dv_update_compact")
     return (
         pre_merge2.unionByName(merge2)
         .unionByName(zcompact)
@@ -1314,4 +1371,7 @@ def txtable_acid_suite(spark, sf_dir):
         .unionByName(dv_final)
         .unionByName(dv_cdc)
         .unionByName(dv_compact)
+        .unionByName(dv_update_final)
+        .unionByName(dv_update_cdc)
+        .unionByName(dv_update_compact)
     )

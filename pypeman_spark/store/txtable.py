@@ -1813,25 +1813,30 @@ class TxTable:
                 + [d["file"] for d in dvs],
                 f"table_changes commit {v}",
             )
+            dv_old = None
             if pairs:
                 posdf = self.spark.createDataFrame(
                     pairs, "__txdv_fp string, __txdv_ri long"
                 )
                 dv_files = sorted({d["file"] for d in dvs})
-                parts.append(
-                    self._read_files(
-                        dv_files, schema_json, with_meta=True
-                    ).join(
-                        F.broadcast(posdf),
-                        ["__txdv_fp", "__txdv_ri"], "inner",
-                    ).drop("__txdv_fp", "__txdv_ri").withColumn(
-                        "_change_type", F.lit("delete")
-                    ).withColumn(
-                        "_commit_version", F.lit(v).cast("long")
-                    )
-                )
+                dv_old = self._read_files(
+                    dv_files, schema_json, with_meta=True
+                ).join(
+                    F.broadcast(posdf),
+                    ["__txdv_fp", "__txdv_ri"], "inner",
+                ).drop("__txdv_fp", "__txdv_ri")
             if not adds and not removes:
-                continue  # dv-only commit: fully handled above
+                # dv-only commit (pure merge-on-read delete): the
+                # newly-dead rows ARE the change
+                if dv_old is not None:
+                    parts.append(
+                        dv_old.withColumn(
+                            "_change_type", F.lit("delete")
+                        ).withColumn(
+                            "_commit_version", F.lit(v).cast("long")
+                        )
+                    )
+                continue
             new_df = (
                 self._read_files([a["file"] for a in adds], schema_json)
                 if adds else None
@@ -1840,6 +1845,16 @@ class TxTable:
                 self._read_files(removes, schema_json, dvs=old_dvs)
                 if removes else None
             )
+            if dv_old is not None:
+                # dv commit with adds (merge-on-read UPDATE/MERGE, or
+                # a delete with escalated rewrites): the newly-dead
+                # rows are PREIMAGES — the key join below classifies
+                # each as update_pre/postimage (key re-added) or
+                # delete (key gone), same as a rewrite's old side
+                old_df = (
+                    dv_old if old_df is None
+                    else old_df.unionByName(dv_old)
+                )
             cols = [
                 f.name for f in (new_df or old_df).schema.fields
             ]
@@ -2713,6 +2728,7 @@ class TxTable:
     def update_where(
         self, assignments: "dict[str, object]",
         *preds: "tuple[str, str, object]", max_retries: int = 10,
+        mode: str = "rewrite",
         txn: "tuple[str, int] | None" = None,
     ) -> int:
         """``UPDATE SET col = expr WHERE`` — rewrites ONLY the files
@@ -2725,11 +2741,29 @@ class TxTable:
         columns are unassignable (rows would silently change bucket /
         directory). CHECK constraints are re-validated on the
         rewritten files. Reference basis: Delta UPDATE (Armbrust et
-        al., VLDB 2020 §4.1)."""
+        al., VLDB 2020 §4.1).
+
+        ``mode="dv"`` is the MERGE-ON-READ update (the Delta DV
+        protocol's UPDATE path): the matched rows' positions go dead
+        in their files' deletion vectors and the updated rows APPEND
+        — one atomic commit, nothing rewritten. A GDPR-style
+        update-in-place on a 100 TB table stages only the updated
+        rows instead of rewriting every touched file. Same per-file /
+        per-table escalation bounds as dv deletes (an over-dead file
+        falls back to copy-on-write in the same commit); the change
+        feed reconstructs update_preimage/update_postimage from the
+        position diff joined with the new adds, exactly as for a
+        rewrite. First dv commit bumps the protocol to v3;
+        :meth:`compact` materializes vectors away."""
         if not preds:
             raise ValueError("update_where needs predicates")
         if not assignments:
             raise ValueError("update_where needs assignments")
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(
+                f"update_where mode must be 'rewrite' or 'dv', "
+                f"got {mode!r}"
+            )
         bad = set(assignments) & (
             set(self.key_cols) | set(self.partition_by)
         )
@@ -2760,26 +2794,76 @@ class TxTable:
                 raise ValueError(
                     f"update targets unknown column(s): {sorted(unknown)}"
                 )
-            cur = self._read_files(cands, schema, dvs=live)
             gate = F.coalesce(self._build_cond(preds), F.lit(False))
-            updated = cur.withColumns({
-                c: F.when(gate, e).otherwise(F.col(c))
-                for c, e in exprs.items()
-            })
-            adds = self._stage(updated, schema_json=schema)
+            dv_acts: list[dict] = []
+            if mode == "dv":
+                matched = self._read_files(
+                    cands, schema, dvs=live, with_meta=True
+                ).where(gate).cache()
+                try:
+                    dv_acts, rewrite = self._dv_plan_matched(
+                        matched.select("__txdv_fp", "__txdv_ri"),
+                        cands, live,
+                    )
+                    if not dv_acts and not rewrite:
+                        return base_v  # nothing matched: provable no-op
+                    adds: list[dict] = []
+                    dv_rel = [a["dv"]["file"] for a in dv_acts]
+                    if dv_rel:
+                        uris = [
+                            _file_uri(os.path.join(self.path, f))
+                            for f in dv_rel
+                        ]
+                        upd_rows = matched.where(
+                            F.col("__txdv_fp").isin(uris)
+                        ).drop("__txdv_fp", "__txdv_ri").withColumns(
+                            exprs
+                        )
+                        adds += self._stage(upd_rows, schema_json=schema)
+                    if rewrite:
+                        # over-dead files: copy-on-write in the SAME
+                        # commit, updates applied in place
+                        cur2 = self._read_files(rewrite, schema, dvs=live)
+                        adds += self._stage(cur2.withColumns({
+                            c: F.when(gate, e).otherwise(F.col(c))
+                            for c, e in exprs.items()
+                        }), schema_json=schema)
+                finally:
+                    matched.unpersist()
+                removed = list(rewrite)
+            else:
+                cur = self._read_files(cands, schema, dvs=live)
+                updated = cur.withColumns({
+                    c: F.when(gate, e).otherwise(F.col(c))
+                    for c, e in exprs.items()
+                })
+                adds = self._stage(updated, schema_json=schema)
+                removed = list(cands)
             self._validate_adds(adds, schema, cons)
-            actions = adds + [{"remove": {"file": f}} for f in cands]
-            if proto["min_reader"] < 2:
+            actions = (
+                adds + [{"remove": {"file": f}} for f in removed]
+                + dv_acts
+            )
+            if dv_acts and proto.get("min_reader", 1) < 3:
+                # first dv commit: pre-v3 readers would resurrect the
+                # dead preimages — upgrade in the SAME atomic commit
+                actions.append(
+                    {"protocol": {"min_reader": 3, "min_writer": 3}}
+                )
+            elif proto["min_reader"] < 2:
                 # 'update' is a protocol-v2 change-feed op: upgrade in
                 # the same commit so a v1 CDC reader fails loudly
                 # instead of silently skipping these row changes
-                actions = actions + [
+                actions.append(
                     {"protocol": {"min_reader": 2, "min_writer": 2}}
-                ]
-            touched = {live[f].get("bucket") for f in cands} | {
-                a["add"]["bucket"] for a in adds
-            }
-            scopes = self._dml_scopes(live, cands, adds)
+                )
+            touched_files = removed + [
+                a["dv"]["file"] for a in dv_acts
+            ]
+            touched = {
+                live[f].get("bucket") for f in touched_files
+            } | {a["add"]["bucket"] for a in adds}
+            scopes = self._dml_scopes(live, touched_files, adds)
             got = self._occ_commit(
                 base_v, actions, "update", sorted(touched), scopes,
                 touched, txn=txn,

@@ -76,17 +76,23 @@ class _CommitBucketPartition(InputPartition):
     ENCODED pre-commit deletion vector: those rows were already
     reported dead by an earlier dv commit and are filtered out of the
     preimage. ``dv_deletes`` is a list of (absolute path, newly-dead
-    positions) for a deletion-vector commit — the partition emits
-    exactly those rows as ``delete``, no diff join."""
+    positions) for a pure deletion-vector commit (no adds) — the
+    partition emits exactly those rows as ``delete``, no diff join.
+    ``old_takes`` maps an absolute path to the newly-dead positions
+    to TAKE as preimage rows when the commit also has adds
+    (merge-on-read UPDATE/MERGE): those rows join the new side on the
+    key like any removed file's rows, so re-added keys classify as
+    update_pre/postimage and gone keys as delete."""
 
     def __init__(self, version, old_files, new_files, key_cols,
-                 old_dvs=None, dv_deletes=None):
+                 old_dvs=None, dv_deletes=None, old_takes=None):
         self.version = version
         self.old_files = old_files
         self.new_files = new_files
         self.key_cols = key_cols
         self.old_dvs = old_dvs or {}
         self.dv_deletes = dv_deletes or []
+        self.old_takes = old_takes or {}
 
 
 class TxTableChangesStreamReader(DataSourceStreamReader):
@@ -279,18 +285,32 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
                 by_bucket.setdefault(_bucket_of(f), ([], []))[0].append(
                     os.path.join(self.path, f)
                 )
-            for _b, (old, new) in sorted(by_bucket.items()):
+            # dv rows: with adds in the commit (merge-on-read UPDATE/
+            # MERGE, or a delete with escalated rewrites) the newly-
+            # dead rows are PREIMAGES and join the bucket's new side
+            # — a key never crosses buckets, so the fold stays bucket-
+            # local; without adds they emit directly as deletes
+            takes_by_bucket: "dict[int, dict]" = (
+                {
+                    b: {f: pos for f, pos in items}
+                    for b, items in dv_by_bucket.items()
+                } if adds else {}
+            )
+            for _b in sorted(set(by_bucket) | set(takes_by_bucket)):
+                old, new = by_bucket.get(_b, ([], []))
                 parts.append(_CommitBucketPartition(
                     v, sorted(old), sorted(new), self.key_cols,
                     old_dvs={
                         p: old_dvs_all[p] for p in old
                         if p in old_dvs_all
                     },
+                    old_takes=takes_by_bucket.get(_b),
                 ))
-            for _b, items in sorted(dv_by_bucket.items()):
-                parts.append(_CommitBucketPartition(
-                    v, [], [], self.key_cols, dv_deletes=items,
-                ))
+            if not adds:
+                for _b, items in sorted(dv_by_bucket.items()):
+                    parts.append(_CommitBucketPartition(
+                        v, [], [], self.key_cols, dv_deletes=items,
+                    ))
         self._dv_cache = (int(end["version"]), dvstate)
         if not parts:
             # a planned batch of only row-preserving commits still
@@ -399,12 +419,19 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
 
         dvd = getattr(p, "dv_deletes", None) or []
         if dvd:
-            # deletion-vector commit: emit exactly the newly-dead rows
+            # pure deletion-vector commit: emit exactly the newly-dead
+            # rows, no diff join
             files = [f for f, _pos in dvd]
             t = load(files, take={f: pos for f, pos in dvd})
             yield from emit(t, "delete")
             return
         old = load(p.old_files, dead=getattr(p, "old_dvs", None))
+        takes = getattr(p, "old_takes", None) or {}
+        if takes:
+            # merge-on-read preimages: the commit's newly-dead rows
+            # join the new side below like any removed file's rows
+            t = load(sorted(takes), take=takes)
+            old = t if old is None else pa.concat_tables([old, t])
         new = load(p.new_files)
         if old is None and new is None:
             return

@@ -363,3 +363,129 @@ def test_dv_table_cap_escalates_and_gauges(spark, tmp_path):
     t.compact()
     assert "dv_total_positions" not in t.stats()
     assert t.count() == 66
+
+
+# ------------------------------------------------ dv-backed UPDATE --
+
+
+def test_dv_update_appends_without_rewriting_files(spark, tmp_path):
+    """update_where(mode="dv"): matched positions go dead in the
+    vector, updated rows append — the touched files stay live and
+    nothing is rewritten (the Delta DV protocol's UPDATE path)."""
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(40)]))
+    _v, live_before = t._replay()
+    v = t.update_where({"val": F.lit("UP")}, ("k", ">=", 36), mode="dv")
+    adds, removes, dvs, info = t._commit_actions(v)
+    assert info["op"] == "update"
+    assert not removes and dvs and adds  # merge-on-read: no rewrite
+    assert sum(d["card"] for d in dvs) == 4
+    _v, live_after = t._replay()
+    assert set(live_before) <= set(live_after)  # old files still live
+    # every reader sees exactly one live row per key, post-update
+    assert t.count() == 40
+    rows = {r["k"]: r["val"] for r in t.snapshot().collect()}
+    assert len(rows) == 40
+    assert all(rows[k] == "UP" for k in range(36, 40))
+    assert all(rows[k] == f"v{k}" for k in range(36))
+    assert t.protocol()["min_reader"] == 3  # dv bump rode the commit
+
+
+def test_dv_update_matches_rewrite_semantics(spark, tmp_path):
+    """Same assignments, same predicates: dv and rewrite modes must
+    produce identical tables AND identical change feeds."""
+    rows = [(i, f"v{i % 7}") for i in range(60)]
+    ta = _mk(spark, tmp_path / "a")
+    tb = _mk(spark, tmp_path / "b")
+    for t in (ta, tb):
+        t.append(_df(spark, rows))
+    va = ta.update_where(
+        {"val": F.concat(F.col("val"), F.lit("!"))},
+        ("k", "<", 10), mode="dv",
+    )
+    vb = tb.update_where(
+        {"val": F.concat(F.col("val"), F.lit("!"))},
+        ("k", "<", 10), mode="rewrite",
+    )
+    snap_a = sorted((r["k"], r["val"]) for r in ta.snapshot().collect())
+    snap_b = sorted((r["k"], r["val"]) for r in tb.snapshot().collect())
+    assert snap_a == snap_b
+    feed_a = sorted(
+        (r["_change_type"], r["k"], r["val"])
+        for r in ta.table_changes(va - 1, va).collect()
+    )
+    feed_b = sorted(
+        (r["_change_type"], r["k"], r["val"])
+        for r in tb.table_changes(vb - 1, vb).collect()
+    )
+    assert feed_a == feed_b
+    assert {c for c, _k, _v in feed_a} == {
+        "update_preimage", "update_postimage",
+    }
+    assert len(feed_a) == 20  # 10 pre + 10 post, no rewrite noise
+
+
+def test_dv_update_cdc_stream_matches_batch(spark, tmp_path):
+    """The streaming feed reconstructs update_pre/postimage from the
+    position diff + new adds, bucket-locally, identical to batch."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(30)]))
+    t.update_where({"val": F.lit("X")}, ("k", "<", 5), mode="dv")
+    t.delete_where(("k", "=", 29), mode="dv")
+    t.update_where({"val": F.lit("Y")}, ("k", "=", 7), mode="dv")
+    q = (t.stream_changes().writeStream.format("memory")
+         .queryName("dv_upd_cdc")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql(
+        "select _commit_version, _change_type, k, val from dv_upd_cdc"
+    ).collect())
+    want = sorted(tuple(r) for r in t.table_changes(0).select(
+        "_commit_version", "_change_type", "k", "val"
+    ).collect())
+    assert got == want
+    types = _feed_counts(spark.table("dv_upd_cdc"))
+    assert types == {
+        "insert": 30, "delete": 1,
+        "update_preimage": 6, "update_postimage": 6,
+    }
+
+
+def test_dv_update_escalation_and_compact(spark, tmp_path):
+    """A dv update whose file crosses the dead-fraction bound falls
+    back to copy-on-write in the same commit; compaction materializes
+    surviving vectors away without touching the feed."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    # 8/10 rows: past _DV_MAX_FRAC -> the single file escalates
+    v = t.update_where({"val": F.lit("E")}, ("k", "<", 8), mode="dv")
+    adds, removes, dvs, _info = t._commit_actions(v)
+    assert removes and adds and not dvs  # escalated: plain rewrite
+    rows = {r["k"]: r["val"] for r in t.snapshot().collect()}
+    assert all(rows[k] == "E" for k in range(8))
+    # now a small dv update, then compact materializes it
+    t.update_where({"val": F.lit("Z")}, ("k", "=", 9), mode="dv")
+    assert t.stats().get("dv_files", 0) >= 1
+    n_feed = t.table_changes(0).count()
+    t.compact()
+    assert "dv_files" not in t.stats()
+    assert t.table_changes(0).count() == n_feed  # row-preserving
+    rows = {r["k"]: r["val"] for r in t.snapshot().collect()}
+    assert rows[9] == "Z" and rows[8] == "v8" and t.count() == 10
+
+
+def test_dv_update_txn_idempotent(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    v1 = t.update_where(
+        {"val": F.lit("once")}, ("k", "=", 3), mode="dv",
+        txn=("app", 7),
+    )
+    v2 = t.update_where(
+        {"val": F.concat(F.col("val"), F.lit("+again"))},
+        ("k", "=", 3), mode="dv", txn=("app", 7),
+    )
+    assert v2 == v1  # re-delivery: provable no-op
+    rows = {r["k"]: r["val"] for r in t.snapshot().collect()}
+    assert rows[3] == "once"
