@@ -973,6 +973,12 @@ _TXTABLE_SQL = """
              CASE WHEN prio = '4-NOT SPECIFIED' AND o_orderkey < 5000
                   THEN cents + 5 ELSE cents END AS cents
       FROM p_dv
+    ), p_dvm AS (
+      SELECT prio, o_orderkey,
+             CASE WHEN prio = '2-HIGH' AND o_orderkey % 10 = 0
+                  THEN cents + 1000 ELSE cents END AS cents
+      FROM p_dvu
+      WHERE NOT (prio = '2-HIGH' AND o_orderkey % 40 = 0)
     ), merged AS (
       SELECT f.c_custkey, f.segment, f.bal_cents
       FROM final f WHERE f.c_custkey NOT IN (SELECT c_custkey FROM src)
@@ -1108,6 +1114,29 @@ _TXTABLE_SQL = """
     SELECT 'dv_update_compact' AS arm, prio AS segment, count(*) AS n,
            CAST(sum(cents) AS BIGINT) AS bal_cents
     FROM p_dvu GROUP BY prio
+    UNION ALL
+    -- dv_merge_* arms (round 11): MERGE-ON-READ MERGE — clause-
+    -- touched matched rows (conditional update, delete) go dead in
+    -- the vectors, post-images append, untouched rows stay in place
+    SELECT 'dv_merge_final' AS arm, prio AS segment, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dvm GROUP BY prio
+    UNION ALL
+    SELECT 'dv_merge_cdc_delete' AS arm, prio AS segment,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dvu WHERE prio = '2-HIGH' AND o_orderkey % 40 = 0
+    GROUP BY prio
+    UNION ALL
+    SELECT 'dv_merge_cdc_update_preimage' AS arm, prio AS segment,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dvu WHERE prio = '2-HIGH' AND o_orderkey % 10 = 0
+          AND o_orderkey % 40 <> 0
+    GROUP BY prio
+    UNION ALL
+    SELECT 'dv_merge_cdc_update_postimage' AS arm, prio AS segment,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dvm WHERE prio = '2-HIGH' AND o_orderkey % 10 = 0
+    GROUP BY prio
     UNION ALL
     -- per-row Morton z-values (former zorder_values entry VERBATIM,
     -- reshaped into the suite's arm schema): proves the bit
@@ -1363,6 +1392,35 @@ def txtable_acid_suite(spark, sf_dir):
     )
     tx2.compact(min_files=99)
     dv_update_compact = pagg(tx2.snapshot(), "dv_update_compact")
+    # dv_merge_* arms (round 11): merge-on-read MERGE — conditional
+    # update + delete against the partitioned table; only the
+    # clause-touched rows churn (dead positions + post-image adds),
+    # untouched rows never leave their files.
+    dvm_from = tx2.version()
+    tx2.merge(
+        po.filter(
+            (F.col("prio") == "2-HIGH") & (F.col("o_orderkey") % 10 == 0)
+        ).select("prio", "o_orderkey"),
+        when_matched_update={"cents": "t.cents + 1000"},
+        when_matched_delete="s.o_orderkey % 40 = 0",
+        when_not_matched_insert=False,
+        mode="dv",
+    )
+    dv_merge_final = pagg(tx2.snapshot(), "dv_merge_final")
+    dv_merge_cdc = (
+        tx2.table_changes(dvm_from)
+        .groupBy("_change_type", F.col("prio").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("bal_cents"),
+        )
+        .select(
+            F.concat(
+                F.lit("dv_merge_cdc_"), F.col("_change_type")
+            ).alias("arm"),
+            "segment", "n", "bal_cents",
+        )
+    )
     return (
         pre_merge2.unionByName(merge2)
         .unionByName(zcompact)
@@ -1374,4 +1432,6 @@ def txtable_acid_suite(spark, sf_dir):
         .unionByName(dv_update_final)
         .unionByName(dv_update_cdc)
         .unionByName(dv_update_compact)
+        .unionByName(dv_merge_final)
+        .unionByName(dv_merge_cdc)
     )

@@ -2177,6 +2177,7 @@ class TxTable:
         return _sink
 
     def merge_upsert(self, updates: DataFrame, max_retries: int = 10,
+                     mode: str = "rewrite",
                      txn: "tuple[str, int] | None" = None) -> int:
         """MERGE: rows matching an existing key replace it, new keys
         insert — rewriting ONLY the buckets ``updates`` touches.
@@ -2188,7 +2189,41 @@ class TxTable:
         ``txn=(app, version)`` makes the merge idempotent: if a commit
         with the same app and version >= this one already landed, the
         call is a no-op (exactly-once for streaming foreachBatch
-        re-deliveries after checkpoint restart)."""
+        re-deliveries after checkpoint restart).
+
+        ``mode="dv"`` delegates to :meth:`merge` with a whole-row
+        update clause (matched rows replaced column-by-column, table
+        columns absent from ``updates`` null-filled — byte-identical
+        semantics to the rewrite path): matched positions go dead in
+        the deletion vectors, upserted rows append, untouched rows in
+        the same buckets stay in place."""
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(
+                f"merge_upsert mode must be 'rewrite' or 'dv', "
+                f"got {mode!r}"
+            )
+        if mode == "dv":
+            tbl = self.table_schema()
+            upd: "dict[str, object]" = {}
+            if tbl is not None:
+                for f in tbl.fields:
+                    if f.name in self.key_cols:
+                        continue
+                    upd[f.name] = (
+                        F.col(f"s.{f.name}")
+                        if f.name in updates.columns
+                        else F.lit(None).cast(f.dataType)
+                    )
+                for c in updates.columns:  # evolved columns
+                    if c not in tbl.fieldNames() and (
+                        c not in self.key_cols
+                    ):
+                        upd[c] = F.col(f"s.{c}")
+            return self.merge(
+                updates, when_matched_update=upd or None,
+                when_not_matched_insert=True,
+                max_retries=max_retries, mode="dv", txn=txn,
+            )
         updates = updates.cache()
         try:
             for _ in range(max_retries):
@@ -2238,6 +2273,7 @@ class TxTable:
         when_not_matched_insert: "dict[str, object] | bool" = True,
         when_matched_condition: "object | None" = None,
         max_retries: int = 10,
+        mode: str = "rewrite",
         txn: "tuple[str, int] | None" = None,
     ) -> int:
         """Full MERGE INTO over the key columns — the general form of
@@ -2270,7 +2306,25 @@ class TxTable:
         (:meth:`table_changes` / :meth:`stream_changes`) stays silent
         about them. Reference basis: this generalizes the store
         update semantics of ``pypeman/msgstore.py`` the way Delta's
-        MERGE generalizes upsert (Armbrust et al., VLDB 2020)."""
+        MERGE generalizes upsert (Armbrust et al., VLDB 2020).
+
+        ``mode="dv"`` is the MERGE-ON-READ merge (the Delta DV
+        protocol's MERGE path): exactly the matched rows a clause
+        actually touches (update where the condition holds, or
+        delete) go dead in their files' deletion vectors; the updated
+        and inserted rows APPEND; untouched rows — unmatched target
+        rows AND matched rows no clause fires on — stay alive in
+        place, so the commit stages only the churn instead of
+        rewriting every touched bucket. Same per-file / per-table
+        escalation bounds as dv deletes (an over-dead file falls back
+        to copy-on-write in the same commit, semantics identical);
+        the change feed reconstructs update_pre/postimages from the
+        position diff joined with the new adds. First dv commit bumps
+        the protocol to v3; :meth:`compact` materializes vectors."""
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(
+                f"merge mode must be 'rewrite' or 'dv', got {mode!r}"
+            )
         upd = {
             c: (F.expr(e) if isinstance(e, str) else e)
             for c, e in (when_matched_update or {}).items()
@@ -2342,9 +2396,10 @@ class TxTable:
 
                 s = source.withColumn("__s", F.lit(1)).alias("s")
                 if old:
-                    t = self._read_files(old, schema, dvs=live).withColumn(
-                        "__t", F.lit(1)
-                    ).alias("t")
+                    t = self._read_files(
+                        old, schema, dvs=live,
+                        with_meta=(mode == "dv"),
+                    ).withColumn("__t", F.lit(1)).alias("t")
                     j = t.join(s, on=self.key_cols, how="full_outer")
                     t_cols = set(t.columns)
                 else:
@@ -2396,14 +2451,59 @@ class TxTable:
                     else:
                         v = F.when(m_t, t_val(c)).otherwise(ins_v)
                     out_cols.append(v.alias(c))
-                merged = j.where(keep).select(*out_cols)
+                dv_acts: list[dict] = []
+                removed = old
+                if mode == "dv" and old:
+                    # rows a clause actually KILLS: updated (post-image
+                    # re-appends below) or deleted (gone). Matched rows
+                    # no clause fires on stay alive in place — dv merge
+                    # stages only the churn.
+                    kill_upd = upd_gate if upd else F.lit(False)
+                    kill_del = (
+                        matched & F.coalesce(del_cond, F.lit(False))
+                        if del_cond is not None else F.lit(False)
+                    )
+                    killg = kill_upd | kill_del
+                    dv_acts, rewrite = self._dv_plan_matched(
+                        j.where(killg).select("__txdv_fp", "__txdv_ri"),
+                        old, live,
+                    )
+                    dv_uris = [
+                        _file_uri(os.path.join(
+                            self.path, a["dv"]["file"]
+                        )) for a in dv_acts
+                    ]
+                    esc_uris = [
+                        _file_uri(os.path.join(self.path, f))
+                        for f in rewrite
+                    ]
+                    fp = F.col("__txdv_fp")
+                    stage_gate = keep & (
+                        (~m_t)  # inserts
+                        # updated rows of vectored files re-append
+                        | ((fp.isin(dv_uris) if dv_uris
+                            else F.lit(False)) & killg)
+                        # over-dead files: full copy-on-write rewrite
+                        | (fp.isin(esc_uris) if esc_uris
+                           else F.lit(False))
+                    )
+                    merged = j.where(stage_gate).select(*out_cols)
+                    removed = rewrite
+                else:
+                    merged = j.where(keep).select(*out_cols)
 
                 adds = self._stage(merged, schema_json=eff)
                 self._validate_adds(adds, eff, cons)
                 actions = (
-                    adds + [{"remove": {"file": f}} for f in old]
-                    + schema_act
+                    adds + [{"remove": {"file": f}} for f in removed]
+                    + dv_acts + schema_act
                 )
+                if dv_acts and proto.get("min_reader", 1) < 3:
+                    # first dv commit: pre-v3 readers would resurrect
+                    # the dead preimages — upgrade in the SAME commit
+                    actions.append(
+                        {"protocol": {"min_reader": 3, "min_writer": 3}}
+                    )
                 got = self._occ_commit(
                     base_v, actions, "merge", tb, scopes, touched,
                     txn=txn,

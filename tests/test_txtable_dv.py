@@ -489,3 +489,135 @@ def test_dv_update_txn_idempotent(spark, tmp_path):
     assert v2 == v1  # re-delivery: provable no-op
     rows = {r["k"]: r["val"] for r in t.snapshot().collect()}
     assert rows[3] == "once"
+
+
+# ------------------------------------------------- dv-backed MERGE --
+
+
+def test_dv_merge_stages_only_the_churn(spark, tmp_path):
+    """merge(mode="dv"): exactly the clause-touched matched rows go
+    dead + re-append; untouched rows (unmatched targets AND matched
+    rows the condition skips) stay alive in place — the commit stages
+    only the churn, never the bucket."""
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(40)]))
+    _v, live_before = t._replay()
+    src = spark.createDataFrame(
+        [(3, 10), (5, -1), (7, 20), (100, 5)], "k long, delta long"
+    )
+    v = t.merge(
+        src,
+        when_matched_update={"val": "concat(t.val, '+', s.delta)"},
+        when_matched_delete="s.delta < 0",
+        when_not_matched_insert={"val": "concat('ins', s.delta)"},
+        when_matched_condition="s.delta >= 20",
+        mode="dv",
+    )
+    adds, removes, dvs, info = t._commit_actions(v)
+    assert info["op"] == "merge"
+    assert not removes and dvs  # merge-on-read: nothing rewritten
+    assert sum(d["card"] for d in dvs) == 2  # k=5 deleted, k=7 updated
+    _v, live_after = t._replay()
+    assert set(live_before) <= set(live_after)
+    rows = {r["k"]: r["val"] for r in t.snapshot().collect()}
+    assert rows[7] == "v7+20"       # matched, condition holds
+    assert rows[3] == "v3"          # matched, condition fails: alive
+    assert 5 not in rows            # matched delete
+    assert rows[100] == "ins5"      # insert
+    assert len(rows) == 40          # 40 - 1 delete + 1 insert
+    feed = _feed_counts(t.table_changes(v - 1, v))
+    assert feed == {
+        "insert": 1, "delete": 1,
+        "update_preimage": 1, "update_postimage": 1,
+    }
+
+
+def test_dv_merge_upsert_matches_rewrite(spark, tmp_path):
+    """merge_upsert in both modes: identical snapshots and feeds
+    (whole-row replace, missing columns null-filled)."""
+    rows = [(i, f"v{i}", i * 10) for i in range(50)]
+    schema = "k long, val string, score long"
+    ta = _mk(spark, tmp_path / "a")
+    tb = _mk(spark, tmp_path / "b")
+    for t in (ta, tb):
+        t.append(spark.createDataFrame(rows, schema))
+    ups = spark.createDataFrame(
+        [(3, "UP3"), (60, "NEW")], "k long, val string"  # no score
+    )
+    va = ta.merge_upsert(ups, mode="dv")
+    vb = tb.merge_upsert(ups, mode="rewrite")
+    snap_a = sorted(tuple(r) for r in ta.snapshot().collect())
+    snap_b = sorted(tuple(r) for r in tb.snapshot().collect())
+    assert snap_a == snap_b
+    assert ("k", "val", "score") == tuple(ta.snapshot().columns)
+    feed_a = sorted(
+        (r["_change_type"], r["k"], r["val"], r["score"])
+        for r in ta.table_changes(va - 1, va).collect()
+    )
+    feed_b = sorted(
+        (r["_change_type"], r["k"], r["val"], r["score"])
+        for r in tb.table_changes(vb - 1, vb).collect()
+    )
+    assert feed_a == feed_b
+    assert ("update_preimage", 3, "v3", 30) in feed_a
+    assert ("update_postimage", 3, "UP3", None) in feed_a
+    assert ("insert", 60, "NEW", None) in feed_a
+
+
+def test_dv_merge_cdc_stream_matches_batch(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    t.merge_upsert(
+        _df(spark, [(1, "U1"), (2, "U2"), (50, "I50")]), mode="dv"
+    )
+    t.merge(
+        spark.createDataFrame([(4, 1), (6, 1)], "k long, d long"),
+        when_matched_delete=True, when_not_matched_insert=False,
+        mode="dv",
+    )
+    q = (t.stream_changes().writeStream.format("memory")
+         .queryName("dv_mrg_cdc")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql(
+        "select _commit_version, _change_type, k, val from dv_mrg_cdc"
+    ).collect())
+    want = sorted(tuple(r) for r in t.table_changes(0).select(
+        "_commit_version", "_change_type", "k", "val"
+    ).collect())
+    assert got == want
+    types = _feed_counts(spark.table("dv_mrg_cdc"))
+    assert types == {
+        "insert": 21, "delete": 2,
+        "update_preimage": 2, "update_postimage": 2,
+    }
+
+
+def test_dv_merge_escalates_when_too_dead(spark, tmp_path):
+    """A dv merge touching most of a file's rows escalates that file
+    to copy-on-write in the same commit — identical semantics."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    v = t.merge_upsert(
+        _df(spark, [(i, f"U{i}") for i in range(8)]), mode="dv"
+    )
+    adds, removes, dvs, _info = t._commit_actions(v)
+    assert removes and adds and not dvs  # 8/10 dead: escalated
+    rows = {r["k"]: r["val"] for r in t.snapshot().collect()}
+    assert all(rows[k] == f"U{k}" for k in range(8))
+    assert rows[9] == "v9" and len(rows) == 10
+
+
+def test_dv_merge_txn_idempotent(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    v1 = t.merge_upsert(
+        _df(spark, [(3, "once")]), mode="dv", txn=("app", 9)
+    )
+    v2 = t.merge_upsert(
+        _df(spark, [(3, "twice")]), mode="dv", txn=("app", 9)
+    )
+    assert v2 == v1
+    rows = {r["k"]: r["val"] for r in t.snapshot().collect()}
+    assert rows[3] == "once"
