@@ -2610,28 +2610,55 @@ def quality_classifier_scores(spark, sf_dir):
     )
 
 
-@q("bpe_tokenize_corpus", None)  # iterative training: no SQL oracle —
-# attested instead by tests/test_bpe.py's INDEPENDENT canonical-BPE
-# reimplementation (identical merges + counts on the same table)
+@q(
+    "bpe_tokenize_corpus",
+    f"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '{_WS}', ' ', 'g'))
+             AS decoded,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '{_WS}'))
+           END AS n_words
+    FROM documents WHERE doc_id < 150 ORDER BY doc_id
+    """,
+)
 def bpe_tokenize_corpus(spark, sf_dir):
     """Real BPE tokenizer over the corpus (functions/bpe.py): train 20
     merges with the DISTRIBUTED formulation — one corpus-sized word-
     frequency aggregation, then per merge one pair-count agg + one
     regexp_replace over the vocabulary-sized symbol table (checkpointed
-    per step so lineage stays one-deep) — then count each document's
-    tokens under the learned vocabulary via the Arrow-cached encoder.
-    The count a token-budget/packing stage should consume instead of
-    whitespace tokens. Driver-COORDINATED (k tiny jobs), never
-    driver-executed."""
+    per step so lineage stays one-deep) — then ENCODE each document
+    under the learned vocabulary via the Arrow-cached encoder and
+    return the round-trip DECODE of the token stream plus the word
+    count read off the end-of-word markers.
+
+    Oracle (full hash since round 11; this was the one rows-only
+    entry): BPE is reversible by construction, so
+    ``decode(encode(text))`` must equal the normalized input —
+    DuckDB recomputes the normalization (lower + whitespace collapse)
+    directly from ``documents``, and the per-token ``</w>`` marker
+    discipline must reproduce the exact word count. This gates
+    segmentation coverage (every character of every word, in order,
+    exactly once), cross-word isolation, and marker placement under
+    CORPUS-TRAINED merges; merge-rank application order and the
+    byte-level alphabet are pinned by ``bpe_token_budget``'s
+    closed-form count oracle and ``tests/test_bpe.py``'s independent
+    reimplementation + hypothesis round-trip."""
     from ..functions import bpe as B
 
     d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     merges = B.train_bpe(d, num_merges=20)
-    return (
-        B.bpe_token_count(d, merges)
-        .orderBy("doc_id")
-        .select("doc_id", "n_bpe_tokens")
-    )
+    enc = B.bpe_encode(d, merges)
+    joined = F.concat_ws("", F.col("tokens"))
+    return enc.select(
+        "doc_id",
+        F.trim(
+            F.replace(joined, F.lit("</w>"), F.lit(" "))
+        ).alias("decoded"),
+        F.size(
+            F.filter("tokens", lambda t: t.endswith("</w>"))
+        ).cast("long").alias("n_words"),
+    ).orderBy("doc_id")
 
 
 # single-level merges over pairwise-DISJOINT characters: no merge can
