@@ -184,6 +184,33 @@ def main() -> None:
         f"(protocol v{pt.protocol()['min_reader']}); feed reports "
         f"{pt.table_changes(v_before).count()} deletes"
     )
+    # Picking a delete/update mode (measured at sf0.1,
+    # TXTABLE_PERF_r10.json): mode="dv" wins on COMMIT SIZE and write
+    # amplification — a point delete was a 755-byte commit staging 0
+    # files vs 5 rewritten files copy-on-write — and that gap widens
+    # with file size (at 100 TB a rewrite is GBs of IO per touched
+    # file, the vector stays bytes). mode="rewrite" wins on small
+    # tables (2.59 s dv vs 1.57 s rewrite at sf0.1: computing row
+    # positions reads the matched files, which at toy scale costs
+    # more than rewriting them) and leaves no read-path anti-join.
+    # Rule of thumb: dv for point/narrow DML on big files, rewrite
+    # for small tables or when you'd immediately compact anyway.
+    # update_where(..., mode="dv") and merge(..., mode="dv") follow
+    # the same trade-off: dead positions + appended post-images
+    # instead of rewriting every touched bucket.
+    v_upd = pt.version()
+    pt.update_where(
+        {"cents": "cents + 1"},
+        ("prio", "=", "5-LOW"), ("o_orderkey", "<", 500),
+        mode="dv",
+    )
+    upd_feed = (
+        pt.table_changes(v_upd)
+        .groupBy("_change_type").count().collect()
+    )
+    print("dv update feed:", sorted(
+        (r["_change_type"], r["count"]) for r in upd_feed
+    ))
     pt.compact(min_files=99)  # only dv-carrying buckets rewrite
     print("after materializing compact:",
           {k: pt.stats().get(k) for k in ("rows", "dv_files")})
