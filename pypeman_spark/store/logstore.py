@@ -183,7 +183,12 @@ class FileLogStore(LogStore):
         # JSON runs to hundreds of MB) and repetitive JSON compresses
         # ~8-10x. Readers accept both forms, so pre-r10 checkpoints
         # stay readable, and a pre-r10 reader that can't see a .gz
-        # simply falls back to full log replay — slower, never wrong.
+        # simply falls back to full log replay — slower, never wrong
+        # WHILE the log is complete. Once truncate_log has dropped
+        # entries that fallback would be wrong, which is why the
+        # first actual truncation bumps the table protocol to v4
+        # (txtable.py:truncate_log) — the old reader's replay hits
+        # the protocol action and fails loudly.
         import gzip
 
         tmp = os.path.join(self.log_dir, f".ckpt.{os.getpid()}.tmp")

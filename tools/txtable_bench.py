@@ -225,6 +225,42 @@ def main() -> None:
     rw_adds, _rm, _dv2, _i2 = tx._commit_actions(v_rw)
     out["rw_staged_files"] = len(rw_adds)
 
+    # ---- dv UPDATE / MERGE (round 11): merge-on-read DML stages
+    # only the post-image rows — write amplification tracks the
+    # CHURN, not the touched files; the same update copy-on-write
+    # rewrites every candidate file.
+    t0 = time.time()
+    v_du = tx.update_where(
+        {"cents": "cents + 1"}, ("l_partkey", "=", 777), mode="dv"
+    )
+    out["dv_update_s"] = round(time.time() - t0, 3)
+    du_adds, du_rm, du_acts, _du = tx._commit_actions(v_du)
+    out["dv_update_staged_files"] = len(du_adds)
+    out["dv_update_staged_bytes"] = sum(a["bytes"] for a in du_adds)
+    out["dv_update_marked_rows"] = sum(d["card"] for d in du_acts)
+    assert not du_rm  # merge-on-read: nothing rewritten
+    t0 = time.time()
+    v_ru = tx.update_where({"cents": "cents + 1"},
+                           ("l_partkey", "=", 778))
+    out["rw_update_s"] = round(time.time() - t0, 3)
+    ru_adds, _rrm, _rd, _ri = tx._commit_actions(v_ru)
+    out["rw_update_staged_files"] = len(ru_adds)
+    out["rw_update_staged_bytes"] = sum(a["bytes"] for a in ru_adds)
+    # dv MERGE upsert over ~0.1% of keys: dead positions + appended
+    # post-images; untouched rows never leave their files
+    ups = li.filter(F.col("l_orderkey") % 997 == 0).select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        (F.col("cents") + 7).alias("cents"), "l_shipdate",
+    )
+    t0 = time.time()
+    v_dm = tx.merge_upsert(ups, mode="dv")
+    out["dv_merge_s"] = round(time.time() - t0, 3)
+    dm_adds, dm_rm, dm_acts, _dm = tx._commit_actions(v_dm)
+    out["dv_merge_staged_files"] = len(dm_adds)
+    out["dv_merge_staged_bytes"] = sum(a["bytes"] for a in dm_adds)
+    out["dv_merge_removed_files"] = len(dm_rm)
+    out["dv_merge_marked_rows"] = sum(d["card"] for d in dm_acts)
+
     # ---- log retention (round 10): entries a checkpoint supersedes
     # drop; the loop is one conditional delete per superseded entry
     from pypeman_spark.store.txtable import _replay_log  # noqa: E402
