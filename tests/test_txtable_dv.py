@@ -621,3 +621,35 @@ def test_dv_merge_txn_idempotent(spark, tmp_path):
     assert v2 == v1
     rows = {r["k"]: r["val"] for r in t.snapshot().collect()}
     assert rows[3] == "once"
+
+
+def test_dv_update_after_rename_and_evolution(spark, tmp_path):
+    """dv update against a renamed column (logical-only rename,
+    column-mapping physicals) and across schema evolution: positions
+    stay file-scoped, post-images stage under the current physical
+    names, old files null-fill the evolved column."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    t.rename_column("val", "label")
+    # evolve: add a column via merge of a new key
+    t.merge_upsert(spark.createDataFrame(
+        [(100, "x", 9)], "k long, label string, score long"
+    ))
+    v = t.update_where(
+        {"label": "upper(label)"}, ("k", "<", 3), mode="dv"
+    )
+    adds, removes, dvs, _i = t._commit_actions(v)
+    assert dvs and adds and not removes
+    rows = {r["k"]: (r["label"], r["score"])
+            for r in t.snapshot().collect()}
+    assert rows[0] == ("V0", None) and rows[2] == ("V2", None)
+    assert rows[5] == ("v5", None) and rows[100] == ("x", 9)
+    assert len(rows) == 21
+    feed = _feed_counts(t.table_changes(v - 1, v))
+    assert feed == {"update_preimage": 3, "update_postimage": 3}
+    # compaction materializes; the renamed/evolved schema holds
+    t.compact(min_files=1)
+    assert t.count() == 21
+    assert [f.name for f in t.table_schema().fields] == [
+        "k", "label", "score",
+    ]
