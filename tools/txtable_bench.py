@@ -247,8 +247,13 @@ def main() -> None:
     out["rw_update_staged_files"] = len(ru_adds)
     out["rw_update_staged_bytes"] = sum(a["bytes"] for a in ru_adds)
     # dv MERGE upsert over ~0.1% of keys: dead positions + appended
-    # post-images; untouched rows never leave their files
-    ups = li.filter(F.col("l_orderkey") % 997 == 0).select(
+    # post-images; untouched rows never leave their files. Exclude
+    # orderkey 0 — it is among the point-deleted keys above and an
+    # upsert would (correctly) re-insert it, shifting the count
+    # asserts below.
+    ups = li.filter(
+        (F.col("l_orderkey") % 997 == 0) & (F.col("l_orderkey") > 0)
+    ).select(
         "l_orderkey", "l_linenumber", "l_partkey",
         (F.col("cents") + 7).alias("cents"), "l_shipdate",
     )
