@@ -2320,7 +2320,12 @@ class TxTable:
         to copy-on-write in the same commit, semantics identical);
         the change feed reconstructs update_pre/postimages from the
         position diff joined with the new adds. First dv commit bumps
-        the protocol to v3; :meth:`compact` materializes vectors."""
+        the protocol to v3; :meth:`compact` materializes vectors.
+        Cost note: dv mode evaluates the target-source join twice
+        (once to plan positions, once to stage post-images) but
+        stages only the churn — the trade wins whenever staging the
+        touched buckets would dominate, i.e. everywhere past toy
+        scale."""
         if mode not in ("rewrite", "dv"):
             raise ValueError(
                 f"merge mode must be 'rewrite' or 'dv', got {mode!r}"

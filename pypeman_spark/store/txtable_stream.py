@@ -206,9 +206,14 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
             if self.max_bytes:
                 parsed = _commit_actions_of(self.logstore, v)
                 if parsed is not None:
+                    # adds bill their file size; dv actions bill their
+                    # encoded-vector size — a dv-only commit stages no
+                    # files but its newly-dead rows still cost the
+                    # sink, so a dv-heavy backlog must not drain as
+                    # one giant batch just because add-bytes are zero
                     byte_budget -= sum(
                         int(a.get("bytes", 0)) for a in parsed[0]
-                    )
+                    ) + sum(len(d.get("pos", "")) for d in parsed[2])
         return {"version": end}
 
     # --------------------------------------------------- partitions --

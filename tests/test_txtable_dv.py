@@ -653,3 +653,22 @@ def test_dv_update_after_rename_and_evolution(spark, tmp_path):
     assert [f.name for f in t.table_schema().fields] == [
         "k", "label", "score",
     ]
+
+
+def test_dv_backlog_respects_bytes_admission(spark, tmp_path):
+    """A dv-only commit stages zero files; bytes-based admission must
+    bill its encoded-vector size instead of admitting the whole
+    backlog as one giant batch (add-bytes are zero for dv commits)."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(30)]))
+    for k in range(6):  # 6 dv-only commits
+        t.delete_where(("k", "=", k), mode="dv")
+    from tests.test_txtable import _paced_drain
+
+    feed = t.stream_changes(
+        starting_version=1, max_bytes_per_trigger=1
+    )
+    drained = _paced_drain(feed, str(tmp_path / "ck_dvb"), want_rows=6)
+    assert sum(len(rows) for _b, rows in drained) == 6
+    # 1-byte budget: exactly one dv commit admitted per micro-batch
+    assert all(len(rows) == 1 for _b, rows in drained)
