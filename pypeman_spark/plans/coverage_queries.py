@@ -979,6 +979,11 @@ _TXTABLE_SQL = """
                   THEN cents + 1000 ELSE cents END AS cents
       FROM p_dvu
       WHERE NOT (prio = '2-HIGH' AND o_orderkey % 40 = 0)
+    ), p_dvr AS (
+      SELECT prio, o_orderkey,
+             CASE WHEN prio = '5-LOW' AND o_orderkey >= 45000
+                  THEN -o_orderkey ELSE cents END AS cents
+      FROM p_dvm
     ), merged AS (
       SELECT f.c_custkey, f.segment, f.bal_cents
       FROM final f WHERE f.c_custkey NOT IN (SELECT c_custkey FROM src)
@@ -1136,6 +1141,24 @@ _TXTABLE_SQL = """
     SELECT 'dv_merge_cdc_update_postimage' AS arm, prio AS segment,
            count(*) AS n, CAST(sum(cents) AS BIGINT) AS bal_cents
     FROM p_dvm WHERE prio = '2-HIGH' AND o_orderkey % 10 = 0
+    GROUP BY prio
+    UNION ALL
+    -- dv_replace_* arms (round 11): MERGE-ON-READ region replace —
+    -- straddler files' inside rows go dead in the vectors, the
+    -- recomputed region appends; row set unchanged here so the feed
+    -- is pure update pre/postimages
+    SELECT 'dv_replace_final' AS arm, prio AS segment, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dvr GROUP BY prio
+    UNION ALL
+    SELECT 'dv_replace_cdc_update_preimage' AS arm, prio AS segment,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dvm WHERE prio = '5-LOW' AND o_orderkey >= 45000
+    GROUP BY prio
+    UNION ALL
+    SELECT 'dv_replace_cdc_update_postimage' AS arm, prio AS segment,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dvr WHERE prio = '5-LOW' AND o_orderkey >= 45000
     GROUP BY prio
     UNION ALL
     -- per-row Morton z-values (former zorder_values entry VERBATIM,
@@ -1421,6 +1444,35 @@ def txtable_acid_suite(spark, sf_dir):
             "segment", "n", "bal_cents",
         )
     )
+    # dv_replace_* arms (round 11): merge-on-read region replace —
+    # the recomputed region appends, straddlers' inside rows go dead
+    # in the vectors (full-inside files would still drop as pure
+    # metadata). Row set unchanged by construction (the replacement
+    # is the current region recomputed), so the feed carries pure
+    # update pre/postimages.
+    dvr_from = tx2.version()
+    region = tx2.scan(
+        ("prio", "=", "5-LOW"), ("o_orderkey", ">=", 45000)
+    ).withColumn("cents", (-F.col("o_orderkey")).cast("long"))
+    tx2.replace_where(
+        region, ("prio", "=", "5-LOW"), ("o_orderkey", ">=", 45000),
+        mode="dv",
+    )
+    dv_replace_final = pagg(tx2.snapshot(), "dv_replace_final")
+    dv_replace_cdc = (
+        tx2.table_changes(dvr_from)
+        .groupBy("_change_type", F.col("prio").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("bal_cents"),
+        )
+        .select(
+            F.concat(
+                F.lit("dv_replace_cdc_"), F.col("_change_type")
+            ).alias("arm"),
+            "segment", "n", "bal_cents",
+        )
+    )
     return (
         pre_merge2.unionByName(merge2)
         .unionByName(zcompact)
@@ -1434,4 +1486,6 @@ def txtable_acid_suite(spark, sf_dir):
         .unionByName(dv_update_compact)
         .unionByName(dv_merge_final)
         .unionByName(dv_merge_cdc)
+        .unionByName(dv_replace_final)
+        .unionByName(dv_replace_cdc)
     )

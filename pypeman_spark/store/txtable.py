@@ -2983,6 +2983,7 @@ class TxTable:
     def replace_where(
         self, df: DataFrame,
         *preds: "tuple[str, str, object]", max_retries: int = 10,
+        mode: str = "rewrite",
         txn: "tuple[str, int] | None" = None,
     ) -> int:
         """Atomic region overwrite — Delta's ``replaceWhere`` /
@@ -2996,9 +2997,24 @@ class TxTable:
         day-partitioned reprocessing idiom — recompute one day,
         ``replace_where(day_df, ("day", "=", d))`` — is a metadata
         drop + one staged write, never a table scan. CHECK
-        constraints are validated on the incoming rows."""
+        constraints are validated on the incoming rows.
+
+        ``mode="dv"`` is the merge-on-read variant for the STRADDLER
+        files only (completing the dv story across every DML verb):
+        their inside-region rows go dead in the deletion vectors
+        instead of forcing a rewrite of the outside rows — provably
+        full-inside files still drop as pure metadata (strictly
+        better than any vector), and the same per-file / per-table
+        escalation bounds apply. A region replace whose boundary
+        crosses big files stages only ``df``, never the straddlers'
+        outside rows."""
         if not preds:
             raise ValueError("replace_where needs predicates")
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(
+                f"replace_where mode must be 'rewrite' or 'dv', "
+                f"got {mode!r}"
+            )
         cond = self._build_cond(preds)
         n_out = df.where(~F.coalesce(cond, F.lit(False))).count()
         if n_out:
@@ -3019,26 +3035,43 @@ class TxTable:
             eff = schema_act[0]["schema"] if schema_act else schema
             adds = self._stage(df, schema_json=eff)
             rewrite = [f for f in cands if f not in full]
+            dv_acts: list[dict] = []
+            if mode == "dv" and rewrite:
+                # straddlers: inside-region rows go dead in the
+                # vector; over-dead files escalate to the rewrite
+                dv_acts, rewrite = self._dv_plan(
+                    rewrite, preds, schema, live
+                )
             if rewrite:
                 outside = self._read_files(rewrite, schema, dvs=live).where(
                     ~F.coalesce(self._build_cond(preds), F.lit(False))
                 )
                 adds += self._stage(outside, schema_json=schema)
             self._validate_adds(adds, eff, cons)
+            removed = sorted(full) + rewrite
             actions = (
-                adds + [{"remove": {"file": f}} for f in cands]
-                + schema_act
+                adds + [{"remove": {"file": f}} for f in removed]
+                + dv_acts + schema_act
             )
-            if proto["min_reader"] < 2:
+            if dv_acts and proto.get("min_reader", 1) < 3:
+                # first dv commit: pre-v3 readers would resurrect the
+                # dead preimages — upgrade in the SAME atomic commit
+                actions = actions + [
+                    {"protocol": {"min_reader": 3, "min_writer": 3}}
+                ]
+            elif proto["min_reader"] < 2:
                 # 'replace' is a protocol-v2 change-feed op (see
                 # update_where)
                 actions = actions + [
                     {"protocol": {"min_reader": 2, "min_writer": 2}}
                 ]
-            touched = {live[f].get("bucket") for f in cands} | {
-                a["add"]["bucket"] for a in adds
-            }
-            scopes = self._dml_scopes(live, cands, adds)
+            touched_files = removed + [
+                a["dv"]["file"] for a in dv_acts
+            ]
+            touched = {
+                live[f].get("bucket") for f in touched_files
+            } | {a["add"]["bucket"] for a in adds}
+            scopes = self._dml_scopes(live, touched_files, adds)
             got = self._occ_commit(
                 base_v, actions, "replace", sorted(touched), scopes,
                 touched, txn=txn,

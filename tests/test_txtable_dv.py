@@ -672,3 +672,56 @@ def test_dv_backlog_respects_bytes_admission(spark, tmp_path):
     assert sum(len(rows) for _b, rows in drained) == 6
     # 1-byte budget: exactly one dv commit admitted per micro-batch
     assert all(len(rows) == 1 for _b, rows in drained)
+
+
+# ----------------------------------------------- dv-backed REPLACE --
+
+
+def test_dv_replace_marks_straddlers_without_rewrite(spark, tmp_path):
+    """replace_where(mode="dv"): straddler files' inside-region rows
+    go dead in the vector (no outside-row rewrite), the replacement
+    rows append — full-inside files would still drop as metadata."""
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(40)]))
+    _v, live_before = t._replay()
+    repl = _df(spark, [(36, "R36"), (37, "R37")])
+    v = t.replace_where(repl, ("k", ">=", 36), mode="dv")
+    adds, removes, dvs, info = t._commit_actions(v)
+    assert info["op"] == "replace"
+    assert dvs and adds and not removes  # straddlers untouched
+    assert sum(d["card"] for d in dvs) == 4  # k 36..39 dead
+    _v, live_after = t._replay()
+    assert set(live_before) <= set(live_after)
+    rows = {r["k"]: r["val"] for r in t.snapshot().collect()}
+    assert rows[36] == "R36" and rows[37] == "R37"
+    assert 38 not in rows and 39 not in rows  # replaced away
+    assert rows[5] == "v5" and len(rows) == 38
+    feed = _feed_counts(t.table_changes(v - 1, v))
+    assert feed == {
+        "delete": 2,  # 38, 39: in the region, not re-supplied
+        "update_preimage": 2, "update_postimage": 2,  # 36, 37
+    }
+
+
+def test_dv_replace_matches_rewrite_semantics(spark, tmp_path):
+    rows = [(i, f"v{i}") for i in range(50)]
+    ta = _mk(spark, tmp_path / "a")
+    tb = _mk(spark, tmp_path / "b")
+    for t in (ta, tb):
+        t.append(_df(spark, rows))
+    repl = _df(spark, [(45, "R"), (48, "R"), (60, "R")])
+    va = ta.replace_where(repl, ("k", ">=", 45), mode="dv")
+    vb = tb.replace_where(repl, ("k", ">=", 45), mode="rewrite")
+    snap_a = sorted(tuple(r) for r in ta.snapshot().collect())
+    snap_b = sorted(tuple(r) for r in tb.snapshot().collect())
+    assert snap_a == snap_b
+    feed_a = sorted(
+        (r["_change_type"], r["k"], r["val"])
+        for r in ta.table_changes(va - 1, va).collect()
+    )
+    feed_b = sorted(
+        (r["_change_type"], r["k"], r["val"])
+        for r in tb.table_changes(vb - 1, vb).collect()
+    )
+    assert feed_a == feed_b
+    assert ("insert", 60, "R") in feed_a  # new key inside the region
