@@ -2165,14 +2165,21 @@ class TxTable:
         self._discard(adds)
         raise CommitConflict(f"append lost {max_retries} version races")
 
-    def foreach_batch_merge(self, app: str):
+    def foreach_batch_merge(self, app: str, mode: str = "rewrite"):
         """Structured-Streaming sink: ``writeStream.foreachBatch(
         tx.foreach_batch_merge(query_name))`` MERGEs each micro-batch
         exactly once — a batch re-delivered after checkpoint restart
-        carries the same (app, batch_id) txn marker and no-ops."""
+        carries the same (app, batch_id) txn marker and no-ops.
+        ``mode="dv"`` applies each batch merge-on-read (matched
+        positions dead + post-images appended) — the right setting
+        for a high-frequency CDC consumer whose batches touch a tiny
+        fraction of big files; run :meth:`compact` periodically to
+        materialize the accumulated vectors."""
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
-            self.merge_upsert(batch_df, txn=(app, int(batch_id)))
+            self.merge_upsert(
+                batch_df, mode=mode, txn=(app, int(batch_id))
+            )
 
         return _sink
 

@@ -725,3 +725,19 @@ def test_dv_replace_matches_rewrite_semantics(spark, tmp_path):
     )
     assert feed_a == feed_b
     assert ("insert", 60, "R") in feed_a  # new key inside the region
+
+
+def test_dv_foreach_batch_merge_sink(spark, tmp_path):
+    """The streaming merge sink in dv mode: exactly-once via the
+    (app, batch_id) txn marker, batches applied merge-on-read."""
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(40)]))
+    sink = t.foreach_batch_merge("q1", mode="dv")
+    sink(_df(spark, [(3, "B0"), (50, "I0")]), 0)
+    v = t.version()
+    adds, removes, dvs, info = t._commit_actions(v)
+    assert info["op"] == "merge" and dvs and not removes
+    sink(_df(spark, [(3, "REPLAY")]), 0)  # re-delivery: no-op
+    assert t.version() == v
+    rows = {r["k"]: r["val"] for r in t.snapshot().collect()}
+    assert rows[3] == "B0" and rows[50] == "I0" and len(rows) == 41
