@@ -1032,16 +1032,20 @@ class TxTable:
     def _commit(self, expected_version: int, actions: list[dict],
                 op: str, buckets: list[int],
                 txn: "tuple[str, int] | None" = None,
-                scopes: "set | None" = None) -> bool:
+                scopes: "set | None" = None,
+                extra: "dict | None" = None) -> bool:
         """Atomically publish ``actions`` as ``expected_version`` via
         the LogStore's conditional put. Returns False (without side
         effects) if that version was already claimed by another
-        writer."""
+        writer. ``extra`` keys join the commit info (op-specific
+        provenance, e.g. restore's target version)."""
         info = {
             "version": expected_version, "op": op,
             "buckets": sorted(buckets), "pid": os.getpid(),
             "ts": time.time(),
         }
+        if extra:
+            info.update(extra)
         if scopes is not None:
             info["scopes"] = [
                 [list(p), b] for p, b in sorted(
@@ -1784,7 +1788,7 @@ class TxTable:
             adds, removes, dvs, info = parsed
             op = info.get("op")
             emit = op in ("append", "merge", "delete", "update",
-                          "replace")
+                          "replace", "restore")
             # (1) dv diffs: newly-dead rows of this commit
             pairs: "list[tuple[str, int]]" = []
             for d in dvs:
@@ -1806,6 +1810,15 @@ class TxTable:
             }
             for f in removes:
                 dvstate.pop(f, None)
+            # an ADD resets the file's vector state: restore re-adds
+            # a file with the target's vector EMBEDDED in the add-info
+            # (or none, resurrecting every row); any other re-add of
+            # the same path starts vector-free
+            for a in adds:
+                if a.get("dv"):
+                    dvstate[a["file"]] = dict(a["dv"])
+                else:
+                    dvstate.pop(a["file"], None)
             if not emit:
                 continue  # create/compact/schema-only: no logical change
             self._guard_vacuumed(
@@ -1838,7 +1851,13 @@ class TxTable:
                     )
                 continue
             new_df = (
-                self._read_files([a["file"] for a in adds], schema_json)
+                # adds may EMBED a deletion vector (restore re-adding
+                # a file at the target's vector): the postimage must
+                # exclude those dead rows like any snapshot read would
+                self._read_files(
+                    [a["file"] for a in adds], schema_json,
+                    dvs={a["file"]: a for a in adds if a.get("dv")},
+                )
                 if adds else None
             )
             old_df = (
@@ -3262,6 +3281,139 @@ class TxTable:
             for f in removes:
                 out[f] = v
         return out
+
+    def restore(self, version: int, max_retries: int = 10) -> int:
+        """``RESTORE TABLE ... TO VERSION AS OF`` — one atomic commit
+        that returns the table's state (live files, deletion vectors,
+        schema, constraints) to exactly what ``snapshot(version)``
+        read, WITHOUT rewriting data: unchanged files are untouched,
+        files removed since the target are RE-ADDED (their bytes are
+        still on disk until :meth:`vacuum` reclaims them — restore is
+        metadata-only), files added since are removed, and a file
+        whose deletion vector grew since the target is re-added with
+        the target's vector embedded in its add-info (rows the newer
+        vector killed come back). The protocol is never downgraded
+        and ``x_dropped`` physical-name tombstones are unioned, so a
+        column dropped at any point can never silently alias a later
+        re-add (the Delta RESTORE contract: data + metadata revert,
+        protocol and invariants only ratchet forward).
+
+        The commit lands in the change feed as the LOGICAL row diff —
+        op ``restore`` with the touched files as removes + re-adds,
+        which both feeds fold into insert / delete / update_pre+post
+        rows — so incremental consumers see exactly what the restore
+        resurrected or retracted, never a table-sized replay.
+
+        Raises :class:`VacuumedVersionError` if a file the target
+        needs was already vacuumed, :class:`LogTruncatedError` if the
+        target predates the log-retention floor, ``ValueError`` for a
+        future version. Concurrency: restore defines the FULL table
+        state, so it never re-claims past an interleaved commit — any
+        race recomputes the diff from a fresh snapshot (a concurrent
+        append is then restored away too, which is what "the table IS
+        version N again" means). Reference basis: Delta Lake RESTORE
+        (delta.io; Armbrust et al., VLDB 2020) — beyond the
+        reference engine, whose stores (``pypeman/msgstore.py``) keep
+        no versioned state to restore.
+        """
+        version = int(version)
+        tgt = _replay_log(self.logstore, upto=version)
+        tgt_dropped = set(_schema_dropped(tgt.schema))
+
+        def _same(a: dict, b: dict) -> bool:
+            return json.dumps(a, sort_keys=True) == json.dumps(
+                b, sort_keys=True
+            )
+
+        for _ in range(max_retries):
+            base_v, live, _txns, schema, cons, proto = _replay_log(
+                self.logstore
+            )
+            self._check_writer(proto)
+            if version > base_v:
+                raise ValueError(
+                    f"cannot restore to version {version}: table is "
+                    f"at {base_v}"
+                )
+            actions: list[dict] = []
+            readds: list[dict] = []
+            removes: list[str] = []
+            for f, info in sorted(tgt.live.items()):
+                cur = live.get(f)
+                if cur is not None and _same(cur, info):
+                    continue  # byte-identical state: leave it alone
+                if cur is not None:
+                    removes.append(f)  # same path, dv drifted
+                readds.append(dict(info))
+            removes += [f for f in sorted(live) if f not in tgt.live]
+            self._guard_vacuumed(
+                [i["file"] for i in readds],
+                f"restore(version={version})",
+            )
+            # a re-add candidate is not live until this commit lands,
+            # so a concurrent vacuum could still reap it — refreshing
+            # its mtime re-arms vacuum's grace window for the whole
+            # commit attempt (vacuum only deletes files grace_s past
+            # their mtime); the post-commit guard below turns the
+            # residual race into a loud error, never a silent
+            # partial table
+            for i in readds:
+                try:
+                    os.utime(os.path.join(self.path, i["file"]))
+                except OSError:
+                    pass
+            # removes BEFORE adds: replay applies actions in order,
+            # and a dv-drifted file is removed and re-added at the
+            # same path in this one commit
+            actions += [{"remove": {"file": f}} for f in removes]
+            actions += [{"add": i} for i in readds]
+            if tgt.schema is not None:
+                # restore the target schema verbatim, but keep every
+                # physical-name tombstone ever recorded: dropped-data
+                # resurrection guards only ratchet, like the protocol
+                from pyspark.sql.types import StructType
+
+                merged = _schema_json_with(
+                    StructType.fromJson(json.loads(tgt.schema)),
+                    sorted(tgt_dropped | set(_schema_dropped(schema))),
+                )
+                # value compare, not string compare: the log holds a
+                # mix of StructType.json() (create) and json.dumps
+                # (evolution) serializations of the same value
+                if schema is None or (
+                    json.loads(merged) != json.loads(schema)
+                ):
+                    actions.append({"schema": merged})
+            for name in sorted(set(cons) - set(tgt.constraints)):
+                actions.append({"constraint_drop": name})
+            for name, expr in sorted(tgt.constraints.items()):
+                if cons.get(name) != expr:
+                    # valid by construction: the target's data (what
+                    # this commit re-publishes) already satisfied it
+                    actions.append(
+                        {"constraint_add": {"name": name, "expr": expr}}
+                    )
+            if not actions:
+                return base_v  # already at the target state
+            touched = sorted({
+                info.get("bucket")
+                for info in (
+                    [live[f] for f in removes if f in live]
+                    + readds
+                )
+            } - {None})
+            if self._commit(
+                base_v + 1, actions, op="restore", buckets=touched,
+                extra={"restored_to": version},
+            ):
+                self._guard_vacuumed(
+                    [i["file"] for i in readds],
+                    f"restore(version={version}) post-commit",
+                )
+                return base_v + 1
+        raise CommitConflict(
+            f"restore conflicted {max_retries} times"
+        )
 
     def truncate_log(
         self, retain_versions: int = 0,

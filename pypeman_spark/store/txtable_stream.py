@@ -59,7 +59,8 @@ from .txtable import (
 __all__ = ["TxTableChangesDataSource"]
 
 # ops that contribute logical row changes (same set as table_changes)
-_FEED_OPS = ("append", "merge", "delete", "update", "replace")
+_FEED_OPS = ("append", "merge", "delete", "update", "replace",
+             "restore")
 _META_COLS = ("_change_type", "_commit_version")
 
 
@@ -82,10 +83,15 @@ class _CommitBucketPartition(InputPartition):
     to TAKE as preimage rows when the commit also has adds
     (merge-on-read UPDATE/MERGE): those rows join the new side on the
     key like any removed file's rows, so re-added keys classify as
-    update_pre/postimage and gone keys as delete."""
+    update_pre/postimage and gone keys as delete. ``new_dvs`` maps a
+    NEW (added) file's absolute path to its encoded deletion vector —
+    restore re-adds files with the target's vector embedded in the
+    add-info, and the postimage must exclude those dead rows like any
+    snapshot read would."""
 
     def __init__(self, version, old_files, new_files, key_cols,
-                 old_dvs=None, dv_deletes=None, old_takes=None):
+                 old_dvs=None, dv_deletes=None, old_takes=None,
+                 new_dvs=None):
         self.version = version
         self.old_files = old_files
         self.new_files = new_files
@@ -93,6 +99,7 @@ class _CommitBucketPartition(InputPartition):
         self.old_dvs = old_dvs or {}
         self.dv_deletes = dv_deletes or []
         self.old_takes = old_takes or {}
+        self.new_dvs = new_dvs or {}
 
 
 class TxTableChangesStreamReader(DataSourceStreamReader):
@@ -279,6 +286,18 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
                 prev = dvstate.pop(f, None)
                 if prev is not None and feed:
                     old_dvs_all[os.path.join(self.path, f)] = prev
+            # an ADD resets the file's vector state (restore re-adds
+            # carry the target's vector embedded; other re-adds of the
+            # same path start vector-free)
+            new_dvs_all: "dict[str, str]" = {}
+            for a in adds:
+                if a.get("dv"):
+                    dvstate[a["file"]] = a["dv"]["pos"]
+                    new_dvs_all[
+                        os.path.join(self.path, a["file"])
+                    ] = a["dv"]["pos"]
+                else:
+                    dvstate.pop(a["file"], None)
             if not feed:
                 continue  # create/compact/schema-only: row-preserving
             by_bucket: dict[int, tuple[list, list]] = {}
@@ -310,6 +329,10 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
                         if p in old_dvs_all
                     },
                     old_takes=takes_by_bucket.get(_b),
+                    new_dvs={
+                        p: new_dvs_all[p] for p in new
+                        if p in new_dvs_all
+                    },
                 ))
             if not adds:
                 for _b, items in sorted(dv_by_bucket.items()):
@@ -437,7 +460,7 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
             # join the new side below like any removed file's rows
             t = load(sorted(takes), take=takes)
             old = t if old is None else pa.concat_tables([old, t])
-        new = load(p.new_files)
+        new = load(p.new_files, dead=getattr(p, "new_dvs", None))
         if old is None and new is None:
             return
         if old is None:
