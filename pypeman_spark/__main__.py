@@ -457,7 +457,8 @@ def cmd_tools(args) -> int:
     if args.tool == "send_from_store" and not args.dest:
         print("send_from_store requires --dest URL", file=sys.stderr)
         return 1
-    if args.tool in ("table_history", "table_stats", "table_rows"):
+    if args.tool in ("table_history", "table_stats", "table_rows",
+                     "table_restore"):
         # lakehouse-store operability (the TxTable analog of
         # view_store): history, log-derived stats + constraints, and a
         # bounded time-travel row preview — all driver-side log reads
@@ -478,6 +479,29 @@ def cmd_tools(args) -> int:
                 "n_buckets": tx.n_buckets,
                 "logstore": tx.logstore.kind,
                 "constraints": tx.constraints(),
+            }))
+            return 0
+        if args.tool == "table_restore":
+            # RESTORE TO VERSION AS OF: metadata-only rollback; the
+            # errors (vacuumed files, truncated log, future version)
+            # are operator-actionable, so surface them verbatim
+            if args.version is None:
+                print("table_restore requires --version N",
+                      file=sys.stderr)
+                return 1
+            from .store.txtable import (
+                CommitConflict, LogTruncatedError,
+            )
+
+            try:
+                v = tx.restore(args.version)
+            except (VacuumedVersionError, LogTruncatedError,
+                    CommitConflict, ValueError) as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 1
+            print(_json.dumps({
+                "restored_to": args.version, "committed": v,
+                "rows": tx.count(),
             }))
             return 0
         try:
@@ -596,6 +620,7 @@ def main(argv: list[str] | None = None) -> int:
         "tool", choices=[
             "view_store", "send_from_store", "retention",
             "table_history", "table_stats", "table_rows",
+            "table_restore",
         ]
     )
     p.add_argument("store_path", help="MessageStore / TxTable base path")
@@ -609,7 +634,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keep-days", type=int, default=None,
                    help="retention: drop date partitions older than N days")
     p.add_argument("--version", type=int, default=None,
-                   help="table_rows: time-travel snapshot version")
+                   help="table_rows: time-travel snapshot version; "
+                        "table_restore: the version to roll back to")
 
     p = sub.add_parser("test", help="run the project's tests")
     p.add_argument("--module", "-m", default="tests")

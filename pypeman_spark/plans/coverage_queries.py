@@ -1161,6 +1161,36 @@ _TXTABLE_SQL = """
     FROM p_dvr WHERE prio = '5-LOW' AND o_orderkey >= 45000
     GROUP BY prio
     UNION ALL
+    -- restore_* arms (round 11): RESTORE TO VERSION AS OF back to
+    -- the pre-merge state (p_dvu): the restored snapshot IS p_dvu;
+    -- the restore commit's feed is the p_dvr -> p_dvu diff — the
+    -- merge's deleted rows return as inserts, the merge's and
+    -- replace's updated rows revert as update pre/postimages
+    SELECT 'restore_final' AS arm, prio AS segment, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dvu GROUP BY prio
+    UNION ALL
+    SELECT 'restore_cdc_insert' AS arm, prio AS segment, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dvu WHERE prio = '2-HIGH' AND o_orderkey % 40 = 0
+    GROUP BY prio
+    UNION ALL
+    SELECT 'restore_cdc_update_preimage' AS arm, prio AS segment,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dvr
+    WHERE (prio = '2-HIGH' AND o_orderkey % 10 = 0
+           AND o_orderkey % 40 <> 0)
+       OR (prio = '5-LOW' AND o_orderkey >= 45000)
+    GROUP BY prio
+    UNION ALL
+    SELECT 'restore_cdc_update_postimage' AS arm, prio AS segment,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dvu
+    WHERE (prio = '2-HIGH' AND o_orderkey % 10 = 0
+           AND o_orderkey % 40 <> 0)
+       OR (prio = '5-LOW' AND o_orderkey >= 45000)
+    GROUP BY prio
+    UNION ALL
     -- per-row Morton z-values (former zorder_values entry VERBATIM,
     -- reshaped into the suite's arm schema): proves the bit
     -- interleave engine-portable, next to the zcompact arm that runs
@@ -1473,6 +1503,31 @@ def txtable_acid_suite(spark, sf_dir):
             "segment", "n", "bal_cents",
         )
     )
+    # restore_* arms (round 11): RESTORE TABLE ... TO VERSION AS OF —
+    # one metadata-only commit returns the table to the pre-merge
+    # state (version dvm_from): the merge's dv-deleted rows come BACK
+    # as feed inserts, the merge's and replace's updates revert as
+    # noise-free update pre/postimages, and the restored snapshot
+    # must equal the target version's relation exactly. The dv_* and
+    # dv_replace_* DataFrames above fixed their immutable file lists
+    # at call time, so the restore (log metadata only — no file is
+    # deleted) cannot disturb them.
+    rv = tx2.restore(dvm_from)
+    restore_final = pagg(tx2.snapshot(), "restore_final")
+    restore_cdc = (
+        tx2.table_changes(rv - 1, rv)
+        .groupBy("_change_type", F.col("prio").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("bal_cents"),
+        )
+        .select(
+            F.concat(
+                F.lit("restore_cdc_"), F.col("_change_type")
+            ).alias("arm"),
+            "segment", "n", "bal_cents",
+        )
+    )
     return (
         pre_merge2.unionByName(merge2)
         .unionByName(zcompact)
@@ -1488,4 +1543,6 @@ def txtable_acid_suite(spark, sf_dir):
         .unionByName(dv_merge_cdc)
         .unionByName(dv_replace_final)
         .unionByName(dv_replace_cdc)
+        .unionByName(restore_final)
+        .unionByName(restore_cdc)
     )

@@ -264,3 +264,16 @@ def test_table_cli_tools(spark, tmp_path, capsys):
     assert cli_main(["tools", "table_rows", path, "--count", "10"]) == 0
     rows = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
     assert {r["k"]: r["val"] for r in rows} == {1: "a", 2: "b"}
+
+    # table_restore: roll back a delete from the CLI alone
+    tx.delete_where(("k", "=", 2))
+    assert cli_main(
+        ["tools", "table_restore", path, "--version", "1"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out == {"restored_to": 1, "committed": 3, "rows": 2}
+    # missing --version and a future version are operator errors
+    assert cli_main(["tools", "table_restore", path]) == 1
+    assert cli_main(
+        ["tools", "table_restore", path, "--version", "99"]
+    ) == 1
