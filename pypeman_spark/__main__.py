@@ -465,7 +465,11 @@ def cmd_tools(args) -> int:
         import json as _json
 
         from .session import get_spark
-        from .store.txtable import TxTable, VacuumedVersionError
+        from .store.txtable import (
+            LogTruncatedError as _LogTruncatedError,
+            TxTable,
+            VacuumedVersionError,
+        )
 
         tx = TxTable(get_spark("tools"), args.store_path)
         if args.tool == "table_history":
@@ -482,33 +486,43 @@ def cmd_tools(args) -> int:
             }))
             return 0
         if args.tool == "table_restore":
-            # RESTORE TO VERSION AS OF: metadata-only rollback; the
-            # errors (vacuumed files, truncated log, future version)
-            # are operator-actionable, so surface them verbatim
-            if args.version is None:
-                print("table_restore requires --version N",
-                      file=sys.stderr)
+            # RESTORE TO VERSION/TIMESTAMP AS OF: metadata-only
+            # rollback; the errors (vacuumed files, truncated log,
+            # future version/timestamp) are operator-actionable, so
+            # surface them verbatim
+            if args.version is None and args.timestamp is None:
+                print("table_restore requires --version N or "
+                      "--timestamp TS", file=sys.stderr)
                 return 1
             from .store.txtable import (
                 CommitConflict, LogTruncatedError,
             )
 
             try:
-                v = tx.restore(args.version)
+                target = (
+                    args.version if args.version is not None
+                    else tx.version_at(args.timestamp)
+                )
+                v = tx.restore(version=target)
             except (VacuumedVersionError, LogTruncatedError,
                     CommitConflict, ValueError) as exc:
                 print(f"error: {exc}", file=sys.stderr)
                 return 1
             print(_json.dumps({
-                "restored_to": args.version, "committed": v,
+                "restored_to": target, "committed": v,
                 "rows": tx.count(),
             }))
             return 0
         try:
-            df = tx.snapshot(version=args.version).limit(args.count)
+            df = tx.snapshot(
+                version=args.version, timestamp=args.timestamp,
+            ).limit(args.count)
             for r in df.collect():
                 print(_json.dumps(r.asDict(), default=str))
-        except VacuumedVersionError as exc:
+        except (VacuumedVersionError, _LogTruncatedError,
+                ValueError) as exc:
+            # vacuumed pin / truncated-log timestamp / out-of-range
+            # timestamp: all operator-actionable
             print(f"error: {exc}", file=sys.stderr)
             return 1
         return 0
@@ -636,6 +650,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--version", type=int, default=None,
                    help="table_rows: time-travel snapshot version; "
                         "table_restore: the version to roll back to")
+    p.add_argument("--timestamp", default=None,
+                   help="table_rows/table_restore: TIMESTAMP AS OF "
+                        "(ISO-8601 or epoch seconds) instead of "
+                        "--version")
 
     p = sub.add_parser("test", help="run the project's tests")
     p.add_argument("--module", "-m", default="tests")

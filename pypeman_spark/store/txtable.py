@@ -186,6 +186,37 @@ def _version_of(fname: str) -> int:
     return int(fname.split(".")[0])
 
 
+def _as_epoch(timestamp) -> float:
+    """Epoch seconds from the accepted TIMESTAMP AS OF forms: a
+    number (epoch seconds, what commit infos record), a datetime
+    (naive = UTC, matching the epoch clock commits use), a date
+    (midnight UTC), or an ISO-8601 string."""
+    import datetime
+
+    if isinstance(timestamp, (int, float)) and not isinstance(
+        timestamp, bool
+    ):
+        return float(timestamp)
+    if isinstance(timestamp, str):
+        try:  # numeric strings are epoch seconds (CLI pass-through)
+            return float(timestamp)
+        except ValueError:
+            timestamp = datetime.datetime.fromisoformat(timestamp)
+    if isinstance(timestamp, datetime.datetime):
+        if timestamp.tzinfo is None:
+            timestamp = timestamp.replace(tzinfo=datetime.timezone.utc)
+        return timestamp.timestamp()
+    if isinstance(timestamp, datetime.date):
+        return datetime.datetime(
+            timestamp.year, timestamp.month, timestamp.day,
+            tzinfo=datetime.timezone.utc,
+        ).timestamp()
+    raise TypeError(
+        f"timestamp must be epoch seconds, datetime, date, or ISO "
+        f"string; got {type(timestamp).__name__}"
+    )
+
+
 def _pvalstr(v) -> "str | None":
     """Canonical string form of a PARTITION value — chosen to equal
     the decoded directory token Spark's Hive-style writer emits for
@@ -1029,6 +1060,77 @@ class TxTable:
                 out.append(info)
         return out
 
+    def _commit_times(self) -> "list[tuple[int, float]]":
+        """(version, MONOTONICIZED commit timestamp) over surviving
+        log entries. Commit ``ts`` values come from different
+        writers' wall clocks, so raw values may regress; clamping
+        each to the running maximum gives every version a
+        deterministic, ordered effective time — the Delta in-commit-
+        timestamp adjustment recipe — so a timestamp resolves to
+        exactly one version regardless of writer clock skew."""
+        out: "list[tuple[int, float]]" = []
+        last = float("-inf")
+        for v in self._log_versions():
+            info = self._commit_info(v)
+            if info is None:
+                continue
+            last = max(last, float(info.get("ts", last)))
+            out.append((v, last))
+        return out
+
+    def version_at(self, timestamp) -> int:
+        """``TIMESTAMP AS OF`` resolution: the latest version whose
+        (monotonicized — see :meth:`_commit_times`) commit time is at
+        or before ``timestamp`` (epoch seconds, datetime, date, or
+        ISO string; naive datetimes are UTC, matching the epoch clock
+        commits record). Raises ``ValueError`` for a timestamp after
+        the latest commit (a later clock would resolve differently
+        once more commits land — the Delta contract: time travel must
+        be deterministic) and :class:`LogTruncatedError` for one
+        before the earliest SURVIVING commit (``truncate_log``
+        dropped the entries whose times would answer it)."""
+        ts = _as_epoch(timestamp)
+        times = self._commit_times()
+        if not times:
+            raise ValueError("table has no commits to time-travel to")
+        if ts < times[0][1]:
+            fl = _log_floor(self.logstore)
+            if fl > 0:
+                raise LogTruncatedError(
+                    f"timestamp {ts} predates the earliest surviving "
+                    f"commit (version {times[0][0]}); earlier entries "
+                    f"were truncated"
+                )
+            raise ValueError(
+                f"timestamp {ts} predates the table's first commit "
+                f"(version {times[0][0]})"
+            )
+        if ts > times[-1][1]:
+            raise ValueError(
+                f"timestamp {ts} is after the latest commit "
+                f"(version {times[-1][0]} at {times[-1][1]}); "
+                f"read the latest snapshot instead"
+            )
+        best = times[0][0]
+        for v, t in times:
+            if t <= ts:
+                best = v
+            else:
+                break
+        fl = _log_floor(self.logstore)
+        if best < fl:
+            # the create entry (v0) survives truncation, so a
+            # timestamp inside the DROPPED range resolves "past" it —
+            # but the true answer is one of the dropped versions,
+            # whose times are gone. Refuse rather than return a
+            # plausible wrong version.
+            raise LogTruncatedError(
+                f"timestamp {ts} falls in the truncated range "
+                f"(below version {fl}); the commits whose times "
+                f"would answer it were dropped"
+            )
+        return best
+
     def _commit(self, expected_version: int, actions: list[dict],
                 op: str, buckets: list[int],
                 txn: "tuple[str, int] | None" = None,
@@ -1462,12 +1564,23 @@ class TxTable:
         if missing:
             raise VacuumedVersionError(what, sorted(missing))
 
-    def snapshot(self, version: "int | None" = None) -> DataFrame:
+    def snapshot(
+        self, version: "int | None" = None, timestamp=None,
+    ) -> DataFrame:
         """The table as a DataFrame at ``version`` (default latest).
         Stable under concurrent commits: the file list is fixed at
         call time and data files are immutable. A pinned ``version``
         whose files were vacuumed raises
-        :class:`VacuumedVersionError` (never a silent partial read)."""
+        :class:`VacuumedVersionError` (never a silent partial read).
+        ``timestamp`` is TIMESTAMP AS OF (see :meth:`version_at` for
+        accepted forms and resolution rules); pass one or the other,
+        not both."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError(
+                    "pass version OR timestamp, not both"
+                )
+            version = self.version_at(timestamp)
         _v, live, _txns, schema = self._replay_full(upto=version)
         if version is not None:
             self._guard_vacuumed(
@@ -1717,10 +1830,15 @@ class TxTable:
         return _commit_actions_of(self.logstore, version)
 
     def table_changes(
-        self, from_version: int, to_version: "int | None" = None
+        self, from_version: "int | None" = None,
+        to_version: "int | None" = None,
+        starting_timestamp=None,
     ) -> DataFrame:
         """Change data feed: the logical row changes committed in
-        ``(from_version, to_version]``, as the table columns plus
+        ``(from_version, to_version]`` (or from
+        ``starting_timestamp`` INCLUSIVE — resolved against the
+        monotonicized commit times, see :meth:`version_at`), as the
+        table columns plus
         ``_change_type`` (``insert`` / ``update_preimage`` /
         ``update_postimage`` / ``delete``) and ``_commit_version``.
 
@@ -1752,6 +1870,34 @@ class TxTable:
         the rows already dead BEFORE the commit — a rewrite of a
         dv-carrying file never re-reports its dead rows.
         """
+        if starting_timestamp is not None:
+            # STARTING TIMESTAMP AS OF (inclusive): every commit at
+            # or after it contributes — the exclusive from_version is
+            # the last commit strictly BEFORE the timestamp. A
+            # timestamp past the head yields an empty feed (the
+            # natural "changes since now" answer); one predating the
+            # surviving entries resolves to the full feed, or raises
+            # through version_at's truncation guard when entries that
+            # would answer it were dropped.
+            if from_version is not None:
+                raise ValueError(
+                    "pass from_version OR starting_timestamp, not both"
+                )
+            ts = _as_epoch(starting_timestamp)
+            times = self._commit_times()
+            if times and ts < times[0][1] and _log_floor(
+                self.logstore
+            ) > 0:
+                raise LogTruncatedError(
+                    f"starting_timestamp {ts} predates the earliest "
+                    f"surviving commit; the entries that would "
+                    f"answer it were truncated"
+                )
+            from_version = max(
+                (v for v, t in times if t < ts), default=0,
+            )
+        if from_version is None:
+            from_version = 0
         if to_version is None:
             to_version = self.version()
         fl = _log_floor(self.logstore)
@@ -1987,18 +2133,51 @@ class TxTable:
         return out
 
     def stream_changes(
-        self, starting_version: int = 0,
+        self, starting_version: "int | None" = None,
         max_commits_per_trigger: int = 0,
         max_bytes_per_trigger: int = 0,
+        starting_timestamp=None,
     ) -> DataFrame:
         """The change feed as a STREAMING DataFrame (Structured
         Streaming source over the commit log — see
         :mod:`.txtable_stream`): offsets are commit versions and are
         checkpointed by Spark, so a restarted query resumes at exactly
         the next unconsumed commit. ``starting_version`` is exclusive,
-        like :meth:`table_changes`. ``max_commits_per_trigger`` /
-        ``max_bytes_per_trigger`` bound each micro-batch (admission
-        control for post-downtime catch-up; 0 = unbounded)."""
+        like :meth:`table_changes` (default 0 = the whole history);
+        ``starting_timestamp`` is the INCLUSIVE timestamp form,
+        resolved driver-side at stream definition (same rules as
+        :meth:`table_changes` — the checkpoint then pins the resolved
+        version, so restarts are deterministic even as commits land).
+        ``max_commits_per_trigger`` / ``max_bytes_per_trigger`` bound
+        each micro-batch (admission control for post-downtime
+        catch-up; 0 = unbounded)."""
+        if starting_timestamp is not None:
+            if starting_version is not None:
+                raise ValueError(
+                    "pass starting_version OR starting_timestamp, "
+                    "not both"
+                )
+            ts = _as_epoch(starting_timestamp)
+            times = self._commit_times()
+            starting_version = max(
+                (v for v, t in times if t < ts), default=0,
+            )
+            fl = _log_floor(self.logstore)
+            if starting_version < fl and (
+                not times or ts <= times[-1][1]
+            ):
+                # resolved into the truncated range: the unread
+                # commits are gone — fail at stream DEFINITION, not
+                # first batch (a past-the-head timestamp is fine: the
+                # stream simply starts empty at the current head)
+                raise LogTruncatedError(
+                    f"starting_timestamp {ts} resolves below the "
+                    f"log-retention floor {fl}; those commits were "
+                    f"truncated — start from a newer timestamp or "
+                    f"startingVersion >= {fl}"
+                )
+        if starting_version is None:
+            starting_version = 0
         from .txtable_stream import TxTableChangesDataSource
 
         self.spark.dataSource.register(TxTableChangesDataSource)
@@ -3282,7 +3461,10 @@ class TxTable:
                 out[f] = v
         return out
 
-    def restore(self, version: int, max_retries: int = 10) -> int:
+    def restore(
+        self, version: "int | None" = None, timestamp=None,
+        max_retries: int = 10,
+    ) -> int:
         """``RESTORE TABLE ... TO VERSION AS OF`` — one atomic commit
         that returns the table's state (live files, deletion vectors,
         schema, constraints) to exactly what ``snapshot(version)``
@@ -3314,8 +3496,16 @@ class TxTable:
         version N again" means). Reference basis: Delta Lake RESTORE
         (delta.io; Armbrust et al., VLDB 2020) — beyond the
         reference engine, whose stores (``pypeman/msgstore.py``) keep
-        no versioned state to restore.
+        no versioned state to restore. ``timestamp`` is RESTORE
+        TIMESTAMP AS OF — resolved through :meth:`version_at`; pass
+        one of ``version``/``timestamp``, not both.
         """
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
+        if version is None:
+            raise ValueError("restore needs a version or a timestamp")
         version = int(version)
         tgt = _replay_log(self.logstore, upto=version)
         tgt_dropped = set(_schema_dropped(tgt.schema))
