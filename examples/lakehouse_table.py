@@ -23,6 +23,15 @@ commit log:
    them away.
 9. **Log retention** — ``truncate_log`` drops entries a checkpoint
    supersedes, bounding log storage for long-lived tables.
+10. **Restore + timestamp travel** — ``restore(version|timestamp)``
+    rolls the table back in one metadata-only commit (files re-added,
+    never rewritten; the feed reports the logical diff);
+    ``snapshot(timestamp=...)`` / ``table_changes(
+    starting_timestamp=...)`` resolve wall-clock times against
+    monotonicized commit times.
+11. **Shallow clone** — ``clone(dest)`` makes an independent
+    zero-copy table borrowing the source's files; its DML never
+    touches the source's bytes.
 
 Run: ``python examples/lakehouse_table.py [sf_dir]``
 """
@@ -214,6 +223,33 @@ def main() -> None:
     pt.compact(min_files=99)  # only dv-carrying buckets rewrite
     print("after materializing compact:",
           {k: pt.stats().get(k) for k in ("rows", "dv_files")})
+
+    # ---- restore: metadata-only rollback -------------------------
+    # One commit returns the table to the pre-update state: no file
+    # is rewritten (removed files come back, added ones drop out of
+    # the log), and the feed reports exactly what the rollback undid.
+    rv = pt.restore(v_upd)
+    print("restore feed:", sorted(
+        (r["_change_type"], r["count"])
+        for r in pt.table_changes(rv - 1, rv)
+        .groupBy("_change_type").count().collect()
+    ))
+    # timestamp forms: resolve a wall-clock time to a version (commit
+    # times are monotonicized, so writer clock skew can't make this
+    # ambiguous), then read / feed / restore by it
+    ts = [i for i in pt.history() if i["version"] == rv][0]["ts"]
+    print("version_at:", pt.version_at(ts),
+          "| changes since:", pt.table_changes(
+              starting_timestamp=ts + 1e-4).count())
+
+    # ---- shallow clone: zero-copy dev/test table ------------------
+    # The clone borrows the source's files by absolute path — instant
+    # regardless of table size. Its DML stages under its own root and
+    # NEVER deletes the source's bytes; vacuum on the SOURCE is the
+    # one hazard (reads on the clone then fail loudly, as in Delta).
+    cl = pt.clone(os.path.join(root, "orders_clone"))
+    cl.delete_where(("prio", "=", "2-HIGH"))
+    print("clone rows:", cl.count(), "| source rows:", pt.count())
 
     # ---- log retention: bound the commit log itself -------------
     dropped = pt.truncate_log()

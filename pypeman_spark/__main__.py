@@ -458,7 +458,7 @@ def cmd_tools(args) -> int:
         print("send_from_store requires --dest URL", file=sys.stderr)
         return 1
     if args.tool in ("table_history", "table_stats", "table_rows",
-                     "table_restore"):
+                     "table_restore", "table_clone"):
         # lakehouse-store operability (the TxTable analog of
         # view_store): history, log-derived stats + constraints, and a
         # bounded time-travel row preview — all driver-side log reads
@@ -483,6 +483,30 @@ def cmd_tools(args) -> int:
                 "n_buckets": tx.n_buckets,
                 "logstore": tx.logstore.kind,
                 "constraints": tx.constraints(),
+            }))
+            return 0
+        if args.tool == "table_clone":
+            # CREATE TABLE ... CLONE: --dest is the new table's root;
+            # shallow (zero-copy) unless --deep
+            if not args.dest:
+                print("table_clone requires --dest PATH",
+                      file=sys.stderr)
+                return 1
+            try:
+                c = tx.clone(
+                    args.dest, version=args.version,
+                    timestamp=args.timestamp,
+                    shallow=not args.deep,
+                )
+            except (VacuumedVersionError, _LogTruncatedError,
+                    ValueError) as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 1
+            print(_json.dumps({
+                "cloned_to": args.dest,
+                "shallow": not args.deep,
+                "source_version": c._commit_info(1)["source_version"],
+                "rows": c.count(),
             }))
             return 0
         if args.tool == "table_restore":
@@ -634,7 +658,7 @@ def main(argv: list[str] | None = None) -> int:
         "tool", choices=[
             "view_store", "send_from_store", "retention",
             "table_history", "table_stats", "table_rows",
-            "table_restore",
+            "table_restore", "table_clone",
         ]
     )
     p.add_argument("store_path", help="MessageStore / TxTable base path")
@@ -644,7 +668,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--count", type=int, default=100,
                    help="max messages (default %(default)s)")
     p.add_argument("--dest", default=None,
-                   help="destination URL for send_from_store")
+                   help="destination URL for send_from_store; "
+                        "destination path for table_clone")
+    p.add_argument("--deep", action="store_true",
+                   help="table_clone: copy data files instead of "
+                        "borrowing them (deep clone)")
     p.add_argument("--keep-days", type=int, default=None,
                    help="retention: drop date partitions older than N days")
     p.add_argument("--version", type=int, default=None,

@@ -1191,6 +1191,21 @@ _TXTABLE_SQL = """
        OR (prio = '5-LOW' AND o_orderkey >= 45000)
     GROUP BY prio
     UNION ALL
+    -- clone_* arms (round 11): shallow clone of the restored table
+    -- (p_dvu), then clone-side DML — region delete of 3-MEDIUM plus
+    -- a dv delete of low-key 2-HIGH rows; the SOURCE must still be
+    -- p_dvu exactly
+    SELECT 'clone_final' AS arm, prio AS segment, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dvu
+    WHERE prio <> '3-MEDIUM'
+      AND NOT (prio = '2-HIGH' AND o_orderkey < 2000)
+    GROUP BY prio
+    UNION ALL
+    SELECT 'clone_src_intact' AS arm, prio AS segment, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM p_dvu GROUP BY prio
+    UNION ALL
     -- per-row Morton z-values (former zorder_values entry VERBATIM,
     -- reshaped into the suite's arm schema): proves the bit
     -- interleave engine-portable, next to the zcompact arm that runs
@@ -1514,6 +1529,19 @@ def txtable_acid_suite(spark, sf_dir):
     # deleted) cannot disturb them.
     rv = tx2.restore(dvm_from)
     restore_final = pagg(tx2.snapshot(), "restore_final")
+    # clone_* arms (round 11): SHALLOW CLONE — a zero-copy table
+    # whose log borrows the source's files by absolute path. The
+    # clone then deletes a partition region and dv-deletes a key
+    # range; clone_final proves borrowed reads + clone-side DML,
+    # clone_src_intact proves the source (still the restored p_dvu
+    # state) is untouched by everything the clone did.
+    cl = tx2.clone(os.path.join(tmp, "ctbl"))
+    cl.delete_where(("prio", "=", "3-MEDIUM"))  # metadata-only drop
+    cl.delete_where(
+        ("prio", "=", "2-HIGH"), ("o_orderkey", "<", 2000), mode="dv",
+    )
+    clone_final = pagg(cl.snapshot(), "clone_final")
+    clone_src = pagg(tx2.snapshot(), "clone_src_intact")
     restore_cdc = (
         tx2.table_changes(rv - 1, rv)
         .groupBy("_change_type", F.col("prio").alias("segment"))
@@ -1545,4 +1573,6 @@ def txtable_acid_suite(spark, sf_dir):
         .unionByName(dv_replace_cdc)
         .unionByName(restore_final)
         .unionByName(restore_cdc)
+        .unionByName(clone_final)
+        .unionByName(clone_src)
     )

@@ -1499,7 +1499,15 @@ class TxTable:
         (``__txdv_fp``/``__txdv_ri``) for callers that need row
         positions (the DV writer and the change feed)."""
         files = [os.path.join(self.path, f) for f in sorted(rel_files)]
-        reader = self.spark.read.option("basePath", self.data_dir)
+        # shallow clones hold BORROWED files — absolute paths under
+        # the SOURCE table's data root (os.path.join passes absolute
+        # paths through untouched). Spark's partition discovery needs
+        # basePath to parent every file in a read, so group the list
+        # by data root and union the per-root reads; the single-root
+        # case (every non-clone table) stays one reader.
+        by_base: "dict[str, list[str]]" = {}
+        for f in files:
+            by_base.setdefault(self._data_base(f), []).append(f)
         dvmap: "dict[str, str]" = {}
         if dvs:
             for f in rel_files:
@@ -1528,13 +1536,26 @@ class TxTable:
                 F.col(cm.get(f.name, f.name)).alias(f.name)
                 for f in schema.fields
             ]
-            out = reader.schema(phys).parquet(*files).select(
-                *sel, *(meta_cols if need_meta else [])
-            )
+            parts = [
+                self.spark.read.option("basePath", base)
+                .schema(phys).parquet(*grp).select(
+                    *sel, *(meta_cols if need_meta else [])
+                )
+                for base, grp in sorted(by_base.items())
+            ]
         else:
-            raw = reader.parquet(*files)
-            sel = [F.col(c) for c in raw.columns if c != "bucket"]
-            out = raw.select(*sel, *(meta_cols if need_meta else []))
+            parts = []
+            for base, grp in sorted(by_base.items()):
+                raw = self.spark.read.option(
+                    "basePath", base
+                ).parquet(*grp)
+                parts.append(raw.select(
+                    *[F.col(c) for c in raw.columns if c != "bucket"],
+                    *(meta_cols if need_meta else []),
+                ))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
         if dvmap:
             pairs = []
             for f, pos in dvmap.items():
@@ -1550,6 +1571,19 @@ class TxTable:
         if need_meta and not with_meta:
             out = out.drop("__txdv_fp", "__txdv_ri")
         return out
+
+    def _data_base(self, abs_file: str) -> str:
+        """The data root a file lives under — ``<table>/data`` for own
+        files, the SOURCE table's ``.../data`` for a shallow clone's
+        borrowed absolute paths. The last path segment named exactly
+        ``data`` is the root: below it only ``col=value`` / ``bucket=N``
+        directories occur (Hive-encoded, so a literal ``data`` segment
+        cannot appear), above it any user path is possible."""
+        segs = abs_file.split(os.sep)
+        for i in range(len(segs) - 1, -1, -1):
+            if segs[i] == "data":
+                return os.sep.join(segs[:i + 1])
+        return self.data_dir
 
     def _guard_vacuumed(self, rel_files, what: str) -> None:
         """Deterministic failure for reads pinned at an old version:
@@ -3604,6 +3638,115 @@ class TxTable:
         raise CommitConflict(
             f"restore conflicted {max_retries} times"
         )
+
+    def clone(
+        self, dest_path: str, version: "int | None" = None,
+        timestamp=None, shallow: bool = True,
+        logstore: "str | None" = None,
+    ) -> "TxTable":
+        """``CREATE TABLE ... CLONE`` — a new independent table at
+        ``dest_path`` whose initial state is this table's snapshot at
+        ``version``/``timestamp`` (default latest). SHALLOW (default):
+        zero data copy — the clone's commit log references the
+        source's data files by absolute path ("borrowed"); its own
+        writes stage under its own root, its DML may drop borrowed
+        files from its LOG but never deletes their bytes (the source
+        owns them — the clone's :meth:`vacuum` walks only the clone's
+        data dir by construction), and the source is never touched.
+        The standing hazard is the same one Delta documents: VACUUM on
+        the SOURCE reclaims files a shallow clone still references —
+        reads then fail loudly (the file list is explicit, so Spark
+        raises on the missing file; time-travel paths raise
+        :class:`VacuumedVersionError`), never silently partial.
+        ``shallow=False`` is DEEP: files are copied under the clone's
+        root, severing the dependency.
+
+        The clone inherits key_cols / n_buckets / partition_by (layout
+        identity — borrowed files' bucket and partition directories
+        must stay meaningful), schema (column mapping + drop
+        tombstones verbatim), constraints, and the source's PROTOCOL
+        requirement (a dv-carrying snapshot keeps its v3 reader gate).
+        Its history starts fresh: create + one ``clone`` commit that —
+        like ``create`` — contributes nothing to the change feed (the
+        initial state is a baseline, not churn; Delta CLONE semantics).
+        Deletion vectors ride along EMBEDDED in the borrowed add-infos
+        (same mechanism as :meth:`restore` re-adds), so every reader
+        of the clone applies them. Reference basis: Delta Lake shallow
+        clone (delta.io CLONE semantics) — beyond the reference
+        engine, whose stores have no table abstraction to clone.
+        """
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
+        tgt = _replay_log(self.logstore, upto=version)
+        src_version = tgt.version if version is None else int(version)
+        self._guard_vacuumed(
+            sorted(tgt.live), f"clone(version={src_version})"
+        )
+        if os.path.exists(dest_path) and (
+            open_logstore(os.path.join(dest_path, _LOG_DIR))
+            .list_versions()
+        ):
+            raise ValueError(
+                f"clone destination {dest_path} already holds a table"
+            )
+        dest = TxTable(
+            self.spark, dest_path,
+            key_cols=list(self.key_cols),
+            n_buckets=self.n_buckets,
+            checkpoint_interval=self.checkpoint_interval,
+            logstore=logstore or self.logstore.kind,
+            partition_by=list(self.partition_by) or None,
+        )
+        actions: list[dict] = []
+        proto = tgt.protocol
+        if proto != _DEFAULT_PROTOCOL:
+            actions.append({"protocol": dict(proto)})
+        if tgt.schema is not None:
+            actions.append({"schema": tgt.schema})
+        for name, expr in sorted(tgt.constraints.items()):
+            actions.append(
+                {"constraint_add": {"name": name, "expr": expr}}
+            )
+        if shallow:
+            for f, info in sorted(tgt.live.items()):
+                actions.append({"add": {
+                    **info,
+                    "file": os.path.join(self.path, f),
+                    "borrowed": True,
+                }})
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _copy(item):
+                f, info = item
+                src = os.path.join(self.path, f)
+                dst = os.path.join(dest.path, f)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copy2(src, dst)
+                return {"add": dict(info)}
+
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                actions.extend(
+                    ex.map(_copy, sorted(tgt.live.items()))
+                )
+        if not dest._commit(
+            1, actions, op="clone",
+            buckets=sorted({
+                i.get("bucket") for i in tgt.live.values()
+            } - {None}),
+            extra={
+                "source": os.path.abspath(self.path),
+                "source_version": src_version,
+                "shallow": bool(shallow),
+            },
+        ):
+            raise CommitConflict(
+                f"clone destination {dest_path} was written "
+                f"concurrently"
+            )
+        return dest
 
     def truncate_log(
         self, retain_versions: int = 0,

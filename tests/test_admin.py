@@ -277,3 +277,18 @@ def test_table_cli_tools(spark, tmp_path, capsys):
     assert cli_main(
         ["tools", "table_restore", path, "--version", "99"]
     ) == 1
+
+    # table_clone: zero-copy clone from the CLI alone
+    dest = str(tmp_path / "ctbl_clone")
+    assert cli_main(
+        ["tools", "table_clone", path, "--dest", dest]
+    ) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out == {
+        "cloned_to": dest, "shallow": True,
+        "source_version": 3, "rows": 2,
+    }
+    assert cli_main(["tools", "table_clone", path]) == 1  # no --dest
+    assert cli_main(
+        ["tools", "table_clone", path, "--dest", dest]
+    ) == 1  # occupied destination

@@ -1,0 +1,218 @@
+"""CREATE TABLE ... CLONE (store/txtable.py ``TxTable.clone``):
+shallow clones reference the source's data files by absolute path —
+zero copy, independent commit log, layout/schema/constraints/protocol
+inherited — and may drop borrowed files from their own log but never
+delete the source's bytes; deep clones copy the files and sever the
+dependency.
+
+Reference basis: Delta Lake CLONE semantics (delta.io) — shallow
+clone's vacuum-on-source hazard is documented there too.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pypeman_spark.store.txtable import TxTable
+
+_KIND = {"logstore": "file"}
+
+
+@pytest.fixture(autouse=True, params=["file", "sqlite"])
+def logstore_kind(request):
+    _KIND["logstore"] = request.param
+    yield request.param
+    _KIND["logstore"] = "file"
+
+
+def _mk(spark, tmp_path, name="tbl", **kw):
+    kw.setdefault("key_cols", ["k"])
+    kw.setdefault("n_buckets", 2)
+    kw.setdefault("logstore", _KIND["logstore"])
+    return TxTable(spark, str(tmp_path / name), **kw)
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(list(pairs), "k long, val string")
+
+
+def _rows(df):
+    return sorted((r["k"], r["val"]) for r in df.select("k", "val").collect())
+
+
+def _parquets(root):
+    out = []
+    for r, _d, files in os.walk(root):
+        out += [os.path.join(r, f) for f in files if f.endswith(".parquet")]
+    return sorted(out)
+
+
+def test_shallow_clone_zero_copy_and_isolation(spark, tmp_path):
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    want = _rows(src.snapshot())
+    c = src.clone(str(tmp_path / "c1"))
+    assert _rows(c.snapshot()) == want
+    assert c.count() == 10
+    # ZERO copy: the clone's data dir holds no parquet
+    assert _parquets(c.data_dir) == []
+    info = c._commit_info(c.version())
+    assert info["op"] == "clone" and info["shallow"] is True
+    assert info["source_version"] == 1
+    # independent logs: writes on either side are invisible to the other
+    c.append(_df(spark, [(100, "clone-only")]))
+    src.append(_df(spark, [(200, "src-only")]))
+    assert (100, "clone-only") in _rows(c.snapshot())
+    assert (200, "src-only") not in _rows(c.snapshot())
+    assert (100, "clone-only") not in _rows(src.snapshot())
+    # layout identity inherited; lookup routes through buckets
+    assert c.n_buckets == src.n_buckets and c.key_cols == src.key_cols
+    keys = spark.createDataFrame([(3,), (100,)], "k long")
+    assert _rows(c.lookup(keys)) == [(3, "v3"), (100, "clone-only")]
+
+
+def test_clone_at_version_and_timestamp(spark, tmp_path):
+    src = _mk(spark, tmp_path)
+    v1 = src.append(_df(spark, [(1, "a")]))
+    src.append(_df(spark, [(2, "b")]))
+    c1 = src.clone(str(tmp_path / "cv"), version=v1)
+    assert _rows(c1.snapshot()) == [(1, "a")]
+    ts1 = [i for i in src.history() if i["version"] == v1][0]["ts"]
+    c2 = src.clone(str(tmp_path / "ct"), timestamp=ts1)
+    assert _rows(c2.snapshot()) == [(1, "a")]
+    with pytest.raises(ValueError, match="not both"):
+        src.clone(str(tmp_path / "cx"), version=v1, timestamp=ts1)
+    with pytest.raises(ValueError, match="already holds"):
+        src.clone(str(tmp_path / "cv"))
+
+
+def test_clone_dml_never_touches_source_bytes(spark, tmp_path):
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    src_files = _parquets(src.data_dir)
+    c = src.clone(str(tmp_path / "c"))
+    # rewrite DML on the clone: borrowed files leave the clone's LOG,
+    # new files land under the clone's root, the source keeps its
+    # bytes AND its rows
+    c.delete_where(("k", ">=", 5))
+    assert c.count() == 5
+    assert _parquets(src.data_dir) == src_files
+    assert src.count() == 10
+    # even vacuum on the clone only walks the clone's own data dir
+    c.vacuum(grace_s=0.0)
+    assert _parquets(src.data_dir) == src_files
+    assert src.count() == 10
+    # and compaction migrates the remaining borrowed data into the
+    # clone's own files without touching the source
+    c.compact(min_files=1)
+    assert c.count() == 5
+    assert all(p.startswith(c.path) for p in _parquets(c.data_dir))
+    assert _parquets(src.data_dir) == src_files
+
+
+def test_clone_carries_deletion_vectors_and_protocol(spark, tmp_path):
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    src.delete_where(("k", ">=", 7), mode="dv")
+    c = src.clone(str(tmp_path / "c"))
+    # the borrowed add-infos embed the source's vectors: every reader
+    # of the clone applies them
+    assert c.count() == 7
+    assert sorted(r["k"] for r in c.snapshot().collect()) == list(range(7))
+    # and the dv reader gate rides along
+    assert c.protocol()["min_reader"] == 3
+    # dv DML on the clone vectors the BORROWED file without touching it
+    c.delete_where(("k", "=", 0), mode="dv")
+    assert c.count() == 6
+    assert src.count() == 7
+
+
+def test_clone_feed_starts_fresh(spark, tmp_path):
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    c = src.clone(str(tmp_path / "c"))
+    # the clone commit is a baseline, not churn (Delta CLONE): the
+    # feed is empty until the clone's own first change
+    assert c.table_changes(0).count() == 0
+    c.delete_where(("k", "=", 1))
+    feed = c.table_changes(0)
+    assert [(r["_change_type"], r["k"]) for r in feed.collect()] == [
+        ("delete", 1)
+    ]
+    # streaming source agrees
+    q = (c.stream_changes().writeStream.format("memory")
+         .queryName("clone_cdc")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert [(r["_change_type"], r["k"])
+            for r in spark.table("clone_cdc").collect()] == [
+        ("delete", 1)
+    ]
+
+
+def test_clone_inherits_schema_mapping_and_constraints(spark, tmp_path):
+    from pypeman_spark.store.txtable import ConstraintViolation
+
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(1, "a")]))
+    src.rename_column("val", "payload")
+    src.add_constraint("payload_ok", "payload is not null")
+    c = src.clone(str(tmp_path / "c"))
+    assert c.snapshot().columns == ["k", "payload"]
+    assert c.constraints() == {"payload_ok": "payload is not null"}
+    with pytest.raises(ConstraintViolation):
+        c.append(spark.createDataFrame(
+            [(9, None)], "k long, payload string"
+        ))
+    # writes under column mapping land with the PHYSICAL name and
+    # read back logically
+    c.append(spark.createDataFrame([(5, "ok")], "k long, payload string"))
+    assert (5, "ok") in sorted(
+        (r["k"], r["payload"]) for r in c.snapshot().collect()
+    )
+
+
+def test_clone_partitioned_scan_prunes(spark, tmp_path):
+    src = _mk(spark, tmp_path, partition_by=["day"],
+              key_cols=["day", "k"])
+    src.append(spark.createDataFrame(
+        [(("d1" if i < 5 else "d2"), i, f"v{i}") for i in range(10)],
+        "day string, k long, val string",
+    ))
+    c = src.clone(str(tmp_path / "c"))
+    assert c.partition_by == ["day"]
+    got = c.scan(("day", "=", "d1"))
+    assert sorted(r["k"] for r in got.collect()) == [0, 1, 2, 3, 4]
+    assert c.stats()["partitions"] == 2
+    # partition-region delete on the clone is metadata-only and the
+    # source keeps both regions
+    c.delete_where(("day", "=", "d2"))
+    assert c.count() == 5 and src.count() == 10
+
+
+def test_deep_clone_severs_the_dependency(spark, tmp_path):
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(i, f"v{i}") for i in range(6)]))
+    c = src.clone(str(tmp_path / "c"), shallow=False)
+    assert c._commit_info(c.version())["shallow"] is False
+    assert len(_parquets(c.data_dir)) == len(_parquets(src.data_dir))
+    # brutal: delete every source byte — the deep clone must not care
+    for p in _parquets(src.data_dir):
+        os.unlink(p)
+    assert c.count() == 6
+    assert _rows(c.snapshot()) == [(i, f"v{i}") for i in range(6)]
+
+
+def test_shallow_clone_source_vacuum_fails_loud(spark, tmp_path):
+    """The documented hazard: source-side vacuum reclaiming files a
+    shallow clone references must surface as an error on the clone's
+    read, never as silently missing rows."""
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(i, f"v{i}") for i in range(6)]))
+    c = src.clone(str(tmp_path / "c"))
+    src.delete_where(("k", ">=", 0))  # drops every file from src log
+    src.vacuum(grace_s=0.0)
+    with pytest.raises(Exception):
+        c.snapshot().count()

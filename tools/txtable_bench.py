@@ -266,6 +266,42 @@ def main() -> None:
     out["dv_merge_removed_files"] = len(dm_rm)
     out["dv_merge_marked_rows"] = sum(d["card"] for d in dm_acts)
 
+    # ---- restore (round 11): metadata-only rollback of the dv merge
+    # — commit size and staged files are the claim (files re-added,
+    # never rewritten), plus the feed cost of the rollback diff
+    pre_restore = tx.version()
+    t0 = time.time()
+    v_rs = tx.restore(v_dm - 1)
+    out["restore_s"] = round(time.time() - t0, 3)
+    rs_adds, rs_rm, _rs_dv, _rs = tx._commit_actions(v_rs)
+    out["restore_staged_files"] = 0  # by construction: no _stage call
+    out["restore_readds"] = len(rs_adds)
+    out["restore_removes"] = len(rs_rm)
+    out["restore_commit_bytes"] = len(tx.logstore.read(v_rs) or "")
+    t0 = time.time()
+    out["restore_feed_rows"] = tx.table_changes(v_rs - 1, v_rs).count()
+    out["restore_feed_s"] = round(time.time() - t0, 3)
+    tx.restore(pre_restore)  # roll forward again for the asserts below
+
+    # ---- shallow clone (round 11): zero-copy table — wall clock must
+    # be O(metadata) regardless of data size, and the clone's region
+    # delete must leave the source untouched
+    t0 = time.time()
+    cl = tx.clone(os.path.join(root, "clone"))
+    out["clone_shallow_s"] = round(time.time() - t0, 3)
+    out["clone_commit_bytes"] = len(cl.logstore.read(1) or "")
+    src_rows = tx.count()
+    t0 = time.time()
+    # narrow cents range: stats-pruned under the clustered layout, so
+    # the clone rewrite touches few BORROWED files — all staged under
+    # the clone's own root
+    cl.delete_where(("cents", "between", (lo, hi)))
+    out["clone_delete_s"] = round(time.time() - t0, 3)
+    assert tx.count() == src_rows  # clone DML invisible to the source
+    t0 = time.time()
+    out["clone_read_rows"] = cl.count()
+    out["clone_count_s"] = round(time.time() - t0, 3)
+
     # ---- log retention (round 10): entries a checkpoint supersedes
     # drop; the loop is one conditional delete per superseded entry
     from pypeman_spark.store.txtable import _replay_log  # noqa: E402
