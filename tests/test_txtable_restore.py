@@ -332,3 +332,198 @@ def test_restore_partitioned_table(spark, tmp_path):
     t.restore(v1)
     assert sorted(tuple(r) for r in t.snapshot().collect()) == want
     assert t.stats()["partitions"] == 2
+
+
+# -------------------------------------------- concurrency races --
+# Mirrors the dv race matrix (tests/test_txtable_dv_races.py):
+# restore defines the WHOLE table state, so any interleaved commit
+# forces a full recompute from a fresh snapshot — the invariant is
+# that snapshot(restore_commit) is ALWAYS exactly the target state,
+# no matter what landed in between.
+
+
+def test_restore_vs_dv_delete_race(spark, tmp_path):
+    """A dv delete lands between restore's replay and its claim: the
+    retry must also revert THAT vector — committing the stale diff
+    would leave the racer's dead rows missing from the 'restored'
+    state."""
+    t_a = _mk(spark, tmp_path)
+    v1 = t_a.append(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    t_a.delete_where(("k", ">=", 15), mode="dv")
+    t_b = TxTable(spark, str(tmp_path / "tbl"))
+    real = t_a._commit
+    fired = {"n": 0}
+
+    def hooked(expected_version, actions, op, buckets, **kw):
+        if op == "restore" and fired["n"] == 0:
+            fired["n"] += 1
+            t_b.delete_where(("k", "=", 3), mode="dv")
+        return real(expected_version, actions, op, buckets, **kw)
+
+    t_a._commit = hooked
+    rv = t_a.restore(v1)
+    assert fired["n"] == 1
+    assert _rows(t_a.snapshot()) == [(i, f"v{i}") for i in range(20)]
+    assert _rows(t_a.snapshot(version=rv)) == [
+        (i, f"v{i}") for i in range(20)
+    ]
+
+
+def test_restore_vs_compact_and_vacuum_race(spark, tmp_path):
+    """Compaction + vacuum land mid-restore, REWRITING the current
+    live set (the files restore planned to remove) — the retry must
+    re-diff against the compacted files; the vacuum cannot reclaim
+    the restore's re-add candidates because earlier commits' removed
+    files are still feed-pinned only by grace, and the target files
+    here are still LIVE in the target... they were removed at v2, so
+    grace_s=3600 (default window) protects them."""
+    t_a = _mk(spark, tmp_path, n_buckets=1)
+    v1 = t_a.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    t_a.delete_where(("k", ">=", 5))  # rewrite: v1's file removed
+    t_b = TxTable(spark, str(tmp_path / "tbl"))
+    real = t_a._commit
+    fired = {"n": 0}
+
+    def hooked(expected_version, actions, op, buckets, **kw):
+        if op == "restore" and fired["n"] == 0:
+            fired["n"] += 1
+            t_b.append(_df(spark, [(100, "mid")]))
+            t_b.compact(min_files=2)
+            t_b.vacuum()  # default grace: re-add candidates survive
+        return real(expected_version, actions, op, buckets, **kw)
+
+    t_a._commit = hooked
+    rv = t_a.restore(v1)
+    assert fired["n"] == 1
+    assert _rows(t_a.snapshot()) == [(i, f"v{i}") for i in range(10)]
+    assert _rows(t_a.snapshot(version=rv)) == [
+        (i, f"v{i}") for i in range(10)
+    ]
+
+
+def test_restore_vacuum_steals_candidate_fails_loud(
+    spark, tmp_path, monkeypatch
+):
+    """The residual hazard: a zero-grace vacuum reclaims a re-add
+    candidate INSIDE the commit window (the mtime re-arm only
+    protects positive grace windows). The post-commit guard must
+    surface it as VacuumedVersionError — loud, never a silently
+    partial restore."""
+    t_a = _mk(spark, tmp_path, n_buckets=1)
+    v1 = t_a.append(_df(spark, [(i, f"v{i}") for i in range(6)]))
+    t_a.delete_where(("k", ">=", 0))  # drops v1's file from the log
+    t_b = TxTable(spark, str(tmp_path / "tbl"))
+    real = t_a._commit
+    fired = {"n": 0}
+
+    def hooked(expected_version, actions, op, buckets, **kw):
+        if op == "restore" and fired["n"] == 0:
+            fired["n"] += 1
+            assert t_b.vacuum(grace_s=0.0)  # reclaims the candidate
+        return real(expected_version, actions, op, buckets, **kw)
+
+    t_a._commit = hooked
+    with pytest.raises(VacuumedVersionError, match="post-commit"):
+        t_a.restore(v1)
+
+
+def _race_restore_vs_appends(path, role, payload, barrier):
+    """Child process: either restore to version 1, or append rows —
+    all through the real conditional-put commit protocol."""
+    import json as _json
+
+    from pypeman_spark.store.logstore import open_logstore
+
+    t = TxTable.__new__(TxTable)
+    t.path = path
+    t.log_dir = os.path.join(path, "_txlog")
+    t.data_dir = os.path.join(path, "data")
+    t.checkpoint_interval = 1 << 30
+    t.logstore = open_logstore(t.log_dir)
+    barrier.wait()
+    if role == "restore":
+        from pypeman_spark.store.txtable import _replay_log
+
+        for attempt in range(50):
+            base_v, live, _t, _s, _c, _p = _replay_log(t.logstore)
+            tgt = _replay_log(t.logstore, upto=1)
+            actions = [
+                {"remove": {"file": f}} for f in sorted(live)
+                if f not in tgt.live
+            ] + [
+                {"add": dict(i)} for f, i in sorted(tgt.live.items())
+                if f not in live
+            ]
+            if not actions:
+                break
+            if t._commit(base_v + 1, actions, op="restore",
+                         buckets=[0], extra={"restored_to": 1}):
+                with open(os.path.join(path, "race_restore_v"),
+                          "w") as fh:
+                    _json.dump({"v": base_v + 1}, fh)
+                break
+    else:
+        # appends re-commit borrowed ADD actions (pre-staged parquet
+        # paths passed in payload) through the OCC loop
+        for rel in payload:
+            v = t.version()
+            while not t._commit(
+                v + 1,
+                [{"add": {"file": rel, "bucket": 0, "rows": 1,
+                          "bytes": 1}}],
+                op="append", buckets=[0],
+            ):
+                v += 1
+
+
+def test_cross_process_restore_vs_appends(spark, tmp_path):
+    """A restore races two real appender processes through the
+    conditional-put protocol: whatever interleaving wins, the state
+    AT the restore's commit version is exactly the target state —
+    appends that landed before it are restored away, appends after
+    it survive on top."""
+    import multiprocessing as mp
+    import shutil as _sh
+
+    t = _mk(spark, tmp_path, n_buckets=1)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    # pre-stage loose parquet files the appender processes can
+    # re-add without needing Spark in the child
+    _v, live = t._replay()
+    src = sorted(live)[0]
+    extras = []
+    for i in range(6):
+        rel = src.replace(".parquet", f"_x{i}.parquet")
+        _sh.copy(os.path.join(t.path, src), os.path.join(t.path, rel))
+        extras.append(rel)
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(3)
+    procs = [
+        ctx.Process(target=_race_restore_vs_appends,
+                    args=(t.path, "restore", None, barrier)),
+        ctx.Process(target=_race_restore_vs_appends,
+                    args=(t.path, "append", extras[:3], barrier)),
+        ctx.Process(target=_race_restore_vs_appends,
+                    args=(t.path, "append", extras[3:], barrier)),
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(180)
+        assert p.exitcode == 0
+    import json as _json
+
+    marker = os.path.join(t.path, "race_restore_v")
+    assert os.path.exists(marker)
+    rv = _json.load(open(marker))["v"]
+    # THE invariant: at the restore commit, the table IS version 1
+    _v1_live = set(t._replay(upto=1)[1])
+    assert set(t._replay(upto=rv)[1]) == _v1_live
+    # and every append committed after it is still there on top
+    final = set(t._replay()[1])
+    later_adds = {
+        a["file"]
+        for v in t._log_versions() if v > rv
+        for a in t._commit_actions(v)[0]
+    }
+    assert final == _v1_live | later_adds
