@@ -2149,6 +2149,11 @@ class TxTable:
             "version": v, "files": len(live), "buckets": len(buckets),
             "bytes": bytes_, "rows": rows, "protocol": st.protocol,
         }
+        borrowed = sum(1 for i in live.values() if i.get("borrowed"))
+        if borrowed:
+            # shallow clone: files referenced from another table's
+            # root — the source-vacuum hazard gauge
+            out["borrowed_files"] = borrowed
         if ndv:
             out["dv_files"] = ndv
             out["dv_rows"] = sum(
@@ -3825,6 +3830,7 @@ class TxTable:
     def vacuum(
         self, grace_s: float = 3600.0,
         consumer_ttl_s: float = 3600.0,
+        dry_run: bool = False,
     ) -> list[str]:
         """Physically delete files no LATEST snapshot references:
         files REMOVED by some commit, and orphans staged by crashed
@@ -3840,7 +3846,9 @@ class TxTable:
         pin the table forever). Time-travel readers pinned at an old
         version take the other side of the contract: their read raises
         :class:`VacuumedVersionError` deterministically rather than
-        silently missing rows."""
+        silently missing rows. ``dry_run=True`` reports what WOULD be
+        deleted — same walk, same guards, no unlink (operators size
+        the blast radius before an irreversible pass)."""
         _v, live = self._replay()
         referenced = set(live)
         pinned_above = self._min_consumer_offset(consumer_ttl_s)
@@ -3864,7 +3872,8 @@ class TxTable:
                     continue  # a lagging stream still needs this diff
                 try:
                     if now - os.stat(full).st_mtime >= grace_s:
-                        os.unlink(full)
+                        if not dry_run:
+                            os.unlink(full)
                         removed.append(rel)
                 except OSError:
                     pass

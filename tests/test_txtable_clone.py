@@ -216,3 +216,27 @@ def test_shallow_clone_source_vacuum_fails_loud(spark, tmp_path):
     src.vacuum(grace_s=0.0)
     with pytest.raises(Exception):
         c.snapshot().count()
+
+
+def test_clone_stats_expose_borrowed_and_vacuum_dry_run(
+    spark, tmp_path
+):
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(i, f"v{i}") for i in range(8)]))
+    c = src.clone(str(tmp_path / "c"))
+    st = c.stats()
+    assert st["borrowed_files"] == st["files"] > 0
+    assert "borrowed_files" not in src.stats()
+    # after the clone writes its own data the gauge splits
+    c.append(_df(spark, [(50, "own")]))
+    st2 = c.stats()
+    assert st2["borrowed_files"] == st["files"]
+    assert st2["files"] > st2["borrowed_files"]
+    # vacuum dry_run on the SOURCE reports the blast radius without
+    # deleting — the clone keeps reading
+    src.delete_where(("k", ">=", 0))
+    would = src.vacuum(grace_s=0.0, dry_run=True)
+    assert would
+    assert c.count() == 9  # nothing actually deleted
+    gone = src.vacuum(grace_s=0.0)
+    assert sorted(gone) == sorted(would)  # the report was exact
