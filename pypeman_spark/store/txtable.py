@@ -1146,6 +1146,26 @@ class TxTable:
             "buckets": sorted(buckets), "pid": os.getpid(),
             "ts": time.time(),
         }
+        # operation metrics (the Delta history operationMetrics
+        # recipe): derived from the actions already in hand, zero
+        # extra IO — lets `history()` answer "what did this commit
+        # cost" without reading any data file
+        adds = [a["add"] for a in actions if "add" in a]
+        dvs = [a["dv"] for a in actions if "dv" in a]
+        m = {
+            "num_added_files": len(adds),
+            "num_removed_files": sum(
+                1 for a in actions if "remove" in a
+            ),
+            "added_bytes": sum(int(a.get("bytes", 0)) for a in adds),
+        }
+        rows = [a.get("rows") for a in adds]
+        if rows and all(r is not None for r in rows):
+            m["added_rows"] = sum(int(r) for r in rows)
+        if dvs:
+            m["num_deletion_vectors"] = len(dvs)
+            m["dv_positions"] = sum(int(d.get("card", 0)) for d in dvs)
+        info["metrics"] = m
         if extra:
             info.update(extra)
         if scopes is not None:
