@@ -186,6 +186,22 @@ def _version_of(fname: str) -> int:
     return int(fname.split(".")[0])
 
 
+# legal type widenings (Delta type-widening lattice, restricted to
+# promotions Spark 4's parquet reader performs natively on old files
+# — probed: int32->int64, float->double, int->double all read without
+# rewrite; date->timestamp does NOT and is excluded):
+_WIDENS = {
+    "byte": {"short", "integer", "long", "double"},
+    "short": {"integer", "long", "double"},
+    "integer": {"long", "double"},
+    "float": {"double"},
+}
+
+
+def _widens(frm: str, to: str) -> bool:
+    return to in _WIDENS.get(frm, ())
+
+
 def _as_epoch(timestamp) -> float:
     """Epoch seconds from the accepted TIMESTAMP AS OF forms: a
     number (epoch seconds, what commit infos record), a datetime
@@ -944,6 +960,90 @@ class TxTable:
             f"rename_column lost {max_retries} version races"
         )
 
+    def widen_column(self, name: str, new_type,
+                     max_retries: int = 10) -> int:
+        """Widen a column's type WITHOUT rewriting any data (the Delta
+        type-widening feature): only lossless promotions Spark's
+        parquet reader performs natively on old files are allowed
+        (byte/short/int up the integer ladder, int→double,
+        float→double — see ``_WIDENS``); the schema action records
+        the wide type and every reader — snapshot, scan, both change
+        feeds (the streaming reader casts per-file in Arrow) — reads
+        old narrow files under it. Key columns are unwidenable (the
+        bucket hash of ``5`` differs between int and long — widening
+        a key would silently re-route every lookup); columns a CHECK
+        constraint references must drop it first (same discipline as
+        :meth:`rename_column`). Time travel below the widen shows the
+        narrow type. ``new_type`` is a DataType or its simple name
+        (``"long"``, ``"double"``, ...)."""
+        from pyspark.sql.types import (
+            ByteType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StructField,
+            StructType,
+        )
+
+        if isinstance(new_type, str):
+            by_name = {
+                "byte": ByteType, "tinyint": ByteType,
+                "short": ShortType, "smallint": ShortType,
+                "integer": IntegerType, "int": IntegerType,
+                "long": LongType, "bigint": LongType,
+                "float": FloatType, "double": DoubleType,
+            }
+            try:
+                new_type = by_name[new_type]()
+            except KeyError:
+                raise ValueError(f"unknown type name {new_type!r}")
+        for _ in range(max_retries):
+            base_v, _l, _t, schema, cons, proto = _replay_log(
+                self.logstore
+            )
+            self._check_writer(proto)
+            if schema is None:
+                raise ValueError("table has no schema yet")
+            if name in self.key_cols:
+                raise ValueError(
+                    f"cannot widen key column {name!r}: the bucket "
+                    f"hash is type-sensitive, widening would re-route "
+                    f"every key"
+                )
+            self._guard_schema_edit(name, cons)
+            st = StructType.fromJson(json.loads(schema))
+            by = {f.name: f for f in st.fields}
+            if name not in by:
+                raise ValueError(f"no such column: {name!r}")
+            cur_t = by[name].dataType
+            if cur_t == new_type:
+                return base_v  # already wide enough: no-op
+            if not _widens(cur_t.typeName(), new_type.typeName()):
+                raise ValueError(
+                    f"cannot widen {name!r}: "
+                    f"{cur_t.simpleString()} -> "
+                    f"{new_type.simpleString()} is not a supported "
+                    f"lossless promotion ({_WIDENS})"
+                )
+            fields = [
+                StructField(f.name, new_type, f.nullable, f.metadata)
+                if f.name == name else f
+                for f in st.fields
+            ]
+            if self._commit(
+                base_v + 1,
+                [{"schema": _schema_json_with(
+                    StructType(fields), _schema_dropped(schema)
+                )}],
+                op="schema", buckets=[],
+            ):
+                return base_v + 1
+        raise CommitConflict(
+            f"widen_column lost {max_retries} version races"
+        )
+
     def drop_column(self, name: str, max_retries: int = 10) -> int:
         """Drop a column WITHOUT rewriting any data — readers simply
         stop selecting its physical column. The physical name goes on
@@ -1033,9 +1133,21 @@ class TxTable:
                 out.append(f)
                 changed = True
             elif have.dataType != f.dataType:
+                if _widens(f.dataType.typeName(),
+                           have.dataType.typeName()):
+                    # incoming NARROWER than the (widened) table type:
+                    # the staged file's narrow bytes read fine under
+                    # the wide log schema — no action, no coercion
+                    continue
                 raise ValueError(
                     f"schema evolution cannot change column "
                     f"{f.name!r}: {have.dataType} -> {f.dataType}"
+                    + (
+                        " (a lossless promotion: run widen_column "
+                        "first)"
+                        if _widens(have.dataType.typeName(),
+                                   f.dataType.typeName()) else ""
+                    )
                 )
         if not changed:
             return []
