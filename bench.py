@@ -72,6 +72,7 @@ HEADLINE = [
     "product_profit_by_nation_year",
     "sole_returning_supplier",
     "text_analysis_suite",
+    "bm25_doc_search",
     "hash_stratified_sample",
     "decontam_report",
     "corpus_sampling_pipeline",

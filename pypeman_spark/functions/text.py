@@ -34,6 +34,7 @@ __all__ = [
     "hashed_linear_score",
     "GOPHER_REQUIRED_WORDS",
     "tfidf_top_terms",
+    "bm25_topk",
     "STOPWORDS",
     "clean_lines",
     "TOKEN_REGEX",
@@ -290,6 +291,75 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "score", "rank")
     )
+
+
+def bm25_topk(
+    df: DataFrame, query: "list[str]", text_col: str = "text",
+    id_col: str = "doc_id", k: int = 10,
+    k1: float = 1.2, b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for a term query by Okapi BM25
+    (Robertson/Lucene idf ``ln(1 + (N - df + .5)/(df + .5))``):
+    ``(id, score_micro, rank)``.
+
+    Scores are integer MICRO-units (each term's contribution rounded
+    to 1e-6 then summed as BIGINT) — floating-point summation order
+    can differ between engines and partitionings, so the exact-compare
+    contract holds by construction instead of by luck.
+
+    Shuffle budget at corpus scale: tokens are filtered to the QUERY
+    terms before the tf groupBy (the per-(doc, term) aggregation only
+    ever sees matching tokens), document frequencies and the (N,
+    avgdl) scalars broadcast, one join against per-doc lengths, and
+    the top-k is TakeOrdered — no global sort, no window over the
+    corpus. Ties rank deterministically (score desc, id asc).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("term"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    tf = toks.where(F.col("term").isin(list(query))).groupBy(
+        id_col, "term"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c_micro",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("__n") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * F.col("tf") * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1) * (
+                        1.0 - b + F.lit(b) * F.col("dl") / F.col("__avgdl")
+                    )
+                )
+                * 1e6,
+                0,
+            ).cast("long"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.sum("c_micro").alias("score_micro")
+    )
+    top = scored.orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    ).limit(k)
+    w = Window.orderBy(F.desc("score_micro"), F.asc(id_col))
+    return top.withColumn(
+        "rank", F.row_number().over(w)
+    ).select(id_col, "score_micro", "rank")
 
 
 def fingerprint(col: Column, shingle_len: int = 8, k: int = 4) -> Column:

@@ -488,6 +488,60 @@ def hash_stratified_sample(spark, sf_dir):
 
 
 @q(
+    "bm25_doc_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '{_WS}')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('hash', 'join', 'scan', 'spark')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))
+               * 1000000.0, 0) AS BIGINT) AS c_micro
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), st
+    ),
+    scored AS (
+      SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score_micro,
+           CAST(row_number() OVER (
+             ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
+    FROM scored
+    ORDER BY score_micro DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def bm25_doc_search(spark, sf_dir):
+    """Okapi BM25 document search (functions/text.py:bm25_topk) —
+    the relevance-ranking counterpart of the tfidf arm: score every
+    document against a fixed term query ('hash join scan spark'),
+    return the top 20. Integer micro-unit scores make the exact
+    oracle compare hold by construction (float summation order
+    differs between engines). Scale: tokens filtered to the query
+    terms BEFORE the per-(doc, term) aggregation, document
+    frequencies and corpus scalars broadcast, top-k via TakeOrdered —
+    no global sort. Beyond-reference: the reference has no search
+    surface at all; basis is the published Okapi BM25 formula with
+    Lucene's idf."""
+    d = tp(spark, sf_dir, "documents")
+    return TX.bm25_topk(
+        d, ["hash", "join", "scan", "spark"], "text", "doc_id", k=20
+    )
+
+
+@q(
     "text_analysis_suite",
     f"""
     WITH words AS (
