@@ -73,6 +73,7 @@ HEADLINE = [
     "sole_returning_supplier",
     "text_analysis_suite",
     "bm25_doc_search",
+    "hybrid_rrf_search",
     "hash_stratified_sample",
     "decontam_report",
     "corpus_sampling_pipeline",

@@ -25,6 +25,7 @@ __all__ = [
     "l2_norm",
     "cosine",
     "cosine_topk",
+    "rrf_fuse",
     "hyperplanes",
     "lsh_bucket",
     "lsh_ann_topk",
@@ -88,6 +89,47 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of N rank lists (Cormack/Clarke/Buettcher
+    SIGIR'09): each input carries ``(id_col, rank)``; an item's fused
+    score is ``sum over systems of 1/(c + rank)``, computed in integer
+    NANO-units (``round(1e9/(c+rank))``) so the exact-compare contract
+    holds by construction — ranks are integers, so the fusion is fully
+    deterministic, unlike score-interpolation hybrids that inherit
+    every engine's float quirks. Returns ``(id, rrf_nano, n_systems,
+    rank)`` for the top ``k``.
+
+    Scale: one union of the (already small) top-k lists + one groupBy
+    on the id — the corpus never participates; fusing two 1000-row
+    rankings costs the same at 100 TB as at 100 MB.
+    """
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.round(1e9 / (F.lit(c) + F.col("rank")), 0)
+            .cast("long").alias("__contrib"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = u.groupBy(id_col).agg(
+        F.sum("__contrib").alias("rrf_nano"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )
+    top = scored.orderBy(F.desc("rrf_nano"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("rrf_nano"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "rrf_nano", "n_systems", "rank"
     )
 
 

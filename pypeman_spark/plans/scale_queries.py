@@ -542,6 +542,100 @@ def bm25_doc_search(spark, sf_dir):
 
 
 @q(
+    "hybrid_rrf_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '{_WS}')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('hash', 'join', 'scan', 'spark')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))
+               * 1000000.0, 0) AS BIGINT) AS c_micro
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), st
+    ),
+    bm_scored AS (
+      SELECT doc_id, sum(c_micro) AS s FROM contrib GROUP BY doc_id
+    ),
+    bm AS (
+      SELECT doc_id, row_number() OVER (
+               ORDER BY s DESC, doc_id ASC) AS rank
+      FROM bm_scored ORDER BY s DESC, doc_id ASC LIMIT 50
+    ),
+    qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id = 0),
+    cos_scored AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_dot_product(e.embedding::DOUBLE[], qv.v) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(qv.v, qv.v))), 6) AS s
+      FROM embeddings e, qv
+    ),
+    cos AS (
+      SELECT doc_id, row_number() OVER (
+               ORDER BY s DESC, doc_id ASC) AS rank
+      FROM cos_scored ORDER BY s DESC, doc_id ASC LIMIT 50
+    ),
+    fused AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_nano,
+             count(*) AS n_systems
+      FROM (
+        SELECT doc_id,
+               CAST(round(1e9 / (60 + rank), 0) AS BIGINT) AS c
+        FROM bm
+        UNION ALL
+        SELECT doc_id,
+               CAST(round(1e9 / (60 + rank), 0) AS BIGINT) AS c
+        FROM cos
+      ) GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_nano, n_systems,
+           CAST(row_number() OVER (
+             ORDER BY rrf_nano DESC, doc_id ASC) AS INT) AS rank
+    FROM fused ORDER BY rrf_nano DESC, doc_id ASC LIMIT 15
+    """,
+)
+def hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-50 + embedding-cosine
+    top-50 fused by Reciprocal Rank Fusion
+    (functions/similarity.py:rrf_fuse — Cormack et al., SIGIR'09;
+    the standard hybrid-search recipe in Lucene/Elastic/Vespa).
+    Integer nano-unit contributions keep the compare exact. Scale:
+    both rankings are already top-k-bounded when fused — the fusion
+    groupBy touches ≤100 rows regardless of corpus size; the BM25 arm
+    filters tokens to the query terms before aggregating and the
+    cosine arm broadcasts the single query vector."""
+    from ..functions import similarity as S
+
+    d = tp(spark, sf_dir, "documents")
+    e = tp(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    bm = TX.bm25_topk(
+        d, ["hash", "join", "scan", "spark"], "text", "doc_id", k=50
+    ).select("doc_id", "rank")
+    q0 = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    cos = S.cosine_topk(e, q0, k=50).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return S.rrf_fuse([bm, cos], "doc_id", k=15)
+
+
+@q(
     "text_analysis_suite",
     f"""
     WITH words AS (
