@@ -606,3 +606,42 @@ def test_dv_filter_is_broadcast_anti_join_no_shuffle(spark, tmp_path):
     assert "ShuffleExchange" not in plan.replace(
         "BroadcastExchange", "")
     assert t.snapshot().count() == 190
+
+
+def test_bm25_and_rrf_shapes_are_scale_clean(spark):
+    """Round-11 retrieval entries: BM25 must never globally sort the
+    corpus (top-k is TakeOrdered), the query-side df/scalar joins stay
+    broadcast, and the RRF fusion plans no CartesianProduct and no
+    corpus-wide exchange beyond the bounded rank lists' own."""
+    import pypeman_spark.plans.scale_queries  # noqa: F401
+
+    bm = plan_of(REGISTRY["bm25_doc_search"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in bm
+    # a global sort would plan Exchange rangepartitioning; the only
+    # sorts allowed are post-limit (<= k rows) for the rank window
+    assert "rangepartitioning" not in bm
+    assert "CartesianProduct" not in bm
+    assert bm.count("BroadcastExchange") >= 2  # dfreq + (N, avgdl)
+    rrf = plan_of(REGISTRY["hybrid_rrf_search"].fn(spark, SF))
+    assert "CartesianProduct" not in rrf
+    assert "TakeOrderedAndProject" in rrf
+
+
+def test_clone_snapshot_single_reader_per_root(spark, tmp_path):
+    """A shallow clone's snapshot reads borrowed files under the
+    SOURCE's basePath and own files under its own — grouped per root,
+    ONE scan each, unioned; a non-clone table keeps exactly one scan
+    (the multi-base grouping must not split plans that don't need
+    it)."""
+    from pypeman_spark.store.txtable import TxTable
+
+    src = TxTable(spark, str(tmp_path / "s"), key_cols=["k"],
+                  n_buckets=1)
+    src.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    single = plan_of(src.snapshot())
+    assert single.count("Scan parquet") == 1
+    c = src.clone(str(tmp_path / "c"))
+    c.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    mixed = plan_of(c.snapshot())
+    assert mixed.count("Scan parquet") == 2  # one per data root
+    assert "Union" in mixed
