@@ -240,3 +240,27 @@ def test_clone_stats_expose_borrowed_and_vacuum_dry_run(
     assert c.count() == 9  # nothing actually deleted
     gone = src.vacuum(grace_s=0.0)
     assert sorted(gone) == sorted(would)  # the report was exact
+
+
+def test_clone_of_clone_chains_to_original_files(spark, tmp_path):
+    """Cloning a shallow clone borrows each file from wherever it
+    physically lives: the original's files stay absolute to the
+    ORIGINAL root, the first clone's own files to the clone's root —
+    borrowed paths are already absolute and pass through verbatim."""
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    c1 = src.clone(str(tmp_path / "c1"))
+    c1.append(_df(spark, [(3, "c1-own")]))
+    c2 = c1.clone(str(tmp_path / "c2"))
+    assert _rows(c2.snapshot()) == [(1, "a"), (2, "b"), (3, "c1-own")]
+    assert _parquets(c2.data_dir) == []
+    # every borrowed ref resolves to the file's true owner
+    _v, live = c2._replay()
+    owners = {f.split("/data/")[0] for f in live}
+    assert owners == {src.path, c1.path}
+    # and c2 stays readable when c1 is deleted WHOLESALE except its
+    # data dir contents c2 borrowed... (the log is c2's own)
+    import shutil as _sh
+
+    _sh.rmtree(c1.log_dir, ignore_errors=True)
+    assert c2.count() == 3
