@@ -487,6 +487,11 @@ def test_cross_process_restore_vs_appends(spark, tmp_path):
 
     t = _mk(spark, tmp_path, n_buckets=1)
     t.append(_df(spark, [(1, "a"), (2, "b")]))
+    # a second commit ABOVE the restore target guarantees the
+    # restorer always has a non-empty diff — otherwise a restorer
+    # whose first replay beats every appender legitimately finds
+    # nothing to do and the marker assert below turns load-flaky
+    t.append(_df(spark, [(9, "above-target")]))
     # pre-stage loose parquet files the appender processes can
     # re-add without needing Spark in the child
     _v, live = t._replay()
