@@ -101,8 +101,13 @@ def main() -> int:
         _ship_package(spark)
     con = duckdb.connect()
     for t in TABLES:
+        # driver layout is one file per table; Spark-written scaled
+        # datasets (tools/scale_dataset.py) are DIRECTORIES of parts
+        src = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'"
         )
 
     queries = entrymod.queries()
