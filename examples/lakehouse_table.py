@@ -249,7 +249,11 @@ def main() -> None:
     # one hazard (reads on the clone then fail loudly, as in Delta).
     cl = pt.clone(os.path.join(root, "orders_clone"))
     cl.delete_where(("prio", "=", "2-HIGH"))
-    print("clone rows:", cl.count(), "| source rows:", pt.count())
+    print("clone rows:", cl.count(), "| source rows:", pt.count(),
+          "| borrowed files:", cl.stats().get("borrowed_files"))
+    # every commit records what it cost — zero data IO to answer
+    last = cl.history()[-1]
+    print("last clone commit:", last["op"], last["metrics"])
 
     # ---- log retention: bound the commit log itself -------------
     dropped = pt.truncate_log()
