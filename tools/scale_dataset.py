@@ -96,6 +96,21 @@ def main() -> int:
     }
     for name, (shifts, parts) in jobs.items():
         src = load_table(spark, SRC, name)
+        # layout fidelity: the driver's parquet stores timestamps
+        # UNADJUSTED (naive) — DuckDB reads them as plain TIMESTAMP.
+        # A TimestampType write would mark isAdjustedToUTC=true and
+        # DuckDB would surface TIMESTAMPTZ ("+00:00" in every string
+        # form), hash-breaking any oracle that prints a timestamp.
+        # Casting to timestamp_ntz writes naive micros; load_table
+        # reads those back as TimestampType (inferTimestampNTZ off,
+        # UTC session) — identical instants, identical strings.
+        from pyspark.sql.types import TimestampType
+
+        for f in src.schema.fields:
+            if isinstance(f.dataType, TimestampType):
+                src = src.withColumn(
+                    f.name, F.col(f.name).cast("timestamp_ntz")
+                )
         out = replicate(src, shifts).repartition(parts)
         dest = os.path.join(OUT, f"{name}.parquet")
         tmp = dest + ".dir"
