@@ -245,15 +245,23 @@ def main() -> None:
     # ---- shallow clone: zero-copy dev/test table ------------------
     # The clone borrows the source's files by absolute path — instant
     # regardless of table size. Its DML stages under its own root and
-    # NEVER deletes the source's bytes; vacuum on the SOURCE is the
-    # one hazard (reads on the clone then fail loudly, as in Delta).
+    # NEVER deletes the source's bytes. The Delta hazard (vacuum on
+    # the SOURCE reclaiming borrowed files) is guarded here: the clone
+    # leaves a TTL'd marker at the source, refreshed by its reads, and
+    # the source's vacuum/truncate_log refuse what a live clone needs.
     cl = pt.clone(os.path.join(root, "orders_clone"))
     cl.delete_where(("prio", "=", "2-HIGH"))
     print("clone rows:", cl.count(), "| source rows:", pt.count(),
-          "| borrowed files:", cl.stats().get("borrowed_files"))
+          "| borrowed files:", cl.stats().get("borrowed_files"),
+          "| clones pinning the source:", pt.clones())
     # every commit records what it cost — zero data IO to answer
     last = cl.history()[-1]
     print("last clone commit:", last["op"], last["metrics"])
+    # a deep clone copies the bytes EXECUTOR-side (Spark tasks, not a
+    # driver loop) and depends on nobody afterwards
+    dcl = pt.clone(os.path.join(root, "orders_deep"), shallow=False)
+    print("deep clone rows:", dcl.count(),
+          "| borrowed files:", dcl.stats().get("borrowed_files", 0))
 
     # ---- log retention: bound the commit log itself -------------
     dropped = pt.truncate_log()

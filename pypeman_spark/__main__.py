@@ -458,7 +458,8 @@ def cmd_tools(args) -> int:
         print("send_from_store requires --dest URL", file=sys.stderr)
         return 1
     if args.tool in ("table_history", "table_stats", "table_rows",
-                     "table_restore", "table_clone"):
+                     "table_restore", "table_clone",
+                     "table_vacuum", "table_clones"):
         # lakehouse-store operability (the TxTable analog of
         # view_store): history, log-derived stats + constraints, and a
         # bounded time-travel row preview — all driver-side log reads
@@ -483,6 +484,23 @@ def cmd_tools(args) -> int:
                 "n_buckets": tx.n_buckets,
                 "logstore": tx.logstore.kind,
                 "constraints": tx.constraints(),
+            }))
+            return 0
+        if args.tool == "table_clones":
+            # active shallow-clone markers at this SOURCE: what is
+            # pinning vacuum/truncate_log right now
+            print(_json.dumps(tx.clones()))
+            return 0
+        if args.tool == "table_vacuum":
+            # --dry-run sizes the blast radius first; clone-borrowed
+            # files are excluded (and warned about) either way
+            removed = tx.vacuum(
+                grace_s=args.grace, dry_run=args.dry_run
+            )
+            print(_json.dumps({
+                "dry_run": bool(args.dry_run),
+                "files": sorted(removed),
+                "active_clones": len(tx.clones()),
             }))
             return 0
         if args.tool == "table_clone":
@@ -659,6 +677,7 @@ def main(argv: list[str] | None = None) -> int:
             "view_store", "send_from_store", "retention",
             "table_history", "table_stats", "table_rows",
             "table_restore", "table_clone",
+            "table_vacuum", "table_clones",
         ]
     )
     p.add_argument("store_path", help="MessageStore / TxTable base path")
@@ -682,6 +701,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="table_rows/table_restore: TIMESTAMP AS OF "
                         "(ISO-8601 or epoch seconds) instead of "
                         "--version")
+    p.add_argument("--dry-run", action="store_true",
+                   help="table_vacuum: report what WOULD be deleted "
+                        "without unlinking anything")
+    p.add_argument("--grace", type=float, default=3600.0,
+                   help="table_vacuum: only delete files whose mtime "
+                        "is at least this many seconds old "
+                        "(default %(default)s)")
 
     p = sub.add_parser("test", help="run the project's tests")
     p.add_argument("--module", "-m", default="tests")

@@ -310,9 +310,13 @@ def bm25_topk(
     Shuffle budget at corpus scale: tokens are filtered to the QUERY
     terms before the tf groupBy (the per-(doc, term) aggregation only
     ever sees matching tokens), document frequencies and the (N,
-    avgdl) scalars broadcast, one join against per-doc lengths, and
-    the top-k is TakeOrdered — no global sort, no window over the
-    corpus. Ties rank deterministically (score desc, id asc).
+    avgdl) scalars broadcast, and the top-k is TakeOrdered — no
+    global sort, no window over the corpus. Per-doc lengths are
+    SEMI-JOIN pruned to the matching docs (broadcast of the candidate
+    ids) before the contrib join, so corpus-cardinality ``dl`` rows
+    for documents the query never touches don't shuffle — only the
+    matching sliver does. Ties rank deterministically (score desc,
+    id asc).
     """
     toks = df.select(
         F.col(id_col),
@@ -326,9 +330,14 @@ def bm25_topk(
         id_col, "term"
     ).agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # docs matching >= 1 query term: a sliver of the corpus by
+    # assumption (term queries), so it broadcasts — the semi join
+    # prunes dl map-side with zero dl shuffle
+    cand = tf.select(id_col).distinct()
+    dl_q = dl.join(F.broadcast(cand), id_col, "left_semi")
     contrib = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
+        .join(dl_q, id_col)
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "c_micro",

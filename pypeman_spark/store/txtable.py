@@ -64,6 +64,7 @@ the sqlite store commits the row transactionally).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -303,6 +304,12 @@ _DV_MAX_TABLE_POSITIONS = 1 << 23
 # chunks of at most this many matched rows so a wide delete touching
 # many files never holds every file's Row objects at once.
 _DV_COLLECT_CHUNK = 1 << 22
+# Shallow-clone marker staleness: a clone's reads refresh its marker
+# at the source, so an active clone pins source vacuum/log-retention
+# indefinitely; a clone unread for this long (deleted, abandoned) is
+# ignored. Clones are read at human/job cadence, not micro-batch
+# cadence, hence days where consumer markers use an hour.
+_CLONE_TTL_S = 7 * 24 * 3600.0
 
 
 def _dv_encode(positions) -> "tuple[str, int]":
@@ -687,6 +694,7 @@ class TxTable:
         checkpoint_interval: int = 20,
         logstore: "str | LogStore | None" = None,
         partition_by: "list[str] | None" = None,
+        dv_table_cap: "int | None" = None,
     ):
         self.spark = spark
         self.path = path
@@ -708,6 +716,7 @@ class TxTable:
             # session read-your-own-writes: this handle must never
             # replay a listing below a version it committed or saw
             self.logstore = _MonotonicLogStore(self.logstore)
+        self._clone_marker_info: "tuple | None" = None
         meta = self._read_meta()
         if meta is not None:
             self.key_cols = meta["key_cols"]
@@ -719,6 +728,12 @@ class TxTable:
             # choice wins, re-read on every open ([] for pre-partition
             # tables — their behavior is bit-identical to before)
             self.partition_by = list(meta.get("partition_by", []))
+            # dv sizing is a TABLE property (create-time, like the
+            # layout): every writer must agree on when a vector
+            # escalates to rewrite, or the cap stops being a bound
+            self.dv_table_cap = int(
+                meta.get("dv_table_cap", _DV_MAX_TABLE_POSITIONS)
+            )
         else:
             if not key_cols:
                 raise ValueError(
@@ -733,6 +748,12 @@ class TxTable:
                     "'bucket' is the hash-layout column, not a "
                     "partition column"
                 )
+            if dv_table_cap is not None and int(dv_table_cap) < 1:
+                raise ValueError("dv_table_cap must be positive")
+            self.dv_table_cap = int(
+                dv_table_cap if dv_table_cap is not None
+                else _DV_MAX_TABLE_POSITIONS
+            )
             actions: list[dict] = [{
                 "meta": {
                     "key_cols": self.key_cols,
@@ -741,6 +762,10 @@ class TxTable:
                     **(
                         {"partition_by": self.partition_by}
                         if self.partition_by else {}
+                    ),
+                    **(
+                        {"dv_table_cap": self.dv_table_cap}
+                        if dv_table_cap is not None else {}
                     ),
                 }
             }]
@@ -1206,8 +1231,13 @@ class TxTable:
         if not times:
             raise ValueError("table has no commits to time-travel to")
         if ts < times[0][1]:
-            fl = _log_floor(self.logstore)
-            if fl > 0:
+            # v0 (the create entry) always survives truncation, so
+            # when it heads the list its time IS the table's true
+            # first commit — a timestamp below it predates the table
+            # entirely, truncated or not. LogTruncatedError is for
+            # timestamps inside the DROPPED (v0, floor) range, which
+            # the best < floor check below covers.
+            if times[0][0] > 0 and _log_floor(self.logstore) > 0:
                 raise LogTruncatedError(
                     f"timestamp {ts} predates the earliest surviving "
                     f"commit (version {times[0][0]}); earlier entries "
@@ -1704,6 +1734,19 @@ class TxTable:
             out = out.drop("__txdv_fp", "__txdv_ri")
         return out
 
+    def _maybe_refresh_clone_marker(
+        self, live: "dict[str, dict]"
+    ) -> None:
+        """On read paths: if this table's live set borrows files from
+        a source (it is a shallow clone), touch the marker it left
+        there so the source's vacuum TTL tracks actual use. One
+        ``os.utime`` per read — no data IO."""
+        bor = next(
+            (f for f, i in live.items() if i.get("borrowed")), None
+        )
+        if bor is not None:
+            self._refresh_clone_marker(bor)
+
     def _data_base(self, abs_file: str) -> str:
         """The data root a file lives under — ``<table>/data`` for own
         files, the SOURCE table's ``.../data`` for a shallow clone's
@@ -1764,6 +1807,7 @@ class TxTable:
                 )
             # schemaless empty table: no rows, no columns to promise
             return self.spark.createDataFrame([], "dummy int").drop("dummy")
+        self._maybe_refresh_clone_marker(live)
         return self._read_files(sorted(live), schema, dvs=live)
 
     read = snapshot
@@ -1960,6 +2004,7 @@ class TxTable:
         cond = self._build_cond(preds)
         if not kept:
             return self.snapshot(version=version).where(F.lit(False))
+        self._maybe_refresh_clone_marker(live)
         return self._read_files(kept, schema, dvs=live).where(cond)
 
     @staticmethod
@@ -2286,6 +2331,12 @@ class TxTable:
             # shallow clone: files referenced from another table's
             # root — the source-vacuum hazard gauge
             out["borrowed_files"] = borrowed
+        active_clones = len(self.clones())
+        if active_clones:
+            # this table is the SOURCE of live shallow clones: its
+            # vacuum/truncate_log are pinned accordingly (one dir
+            # listing, still zero data IO)
+            out["active_clones"] = active_clones
         if ndv:
             out["dv_files"] = ndv
             out["dv_rows"] = sum(
@@ -2294,10 +2345,11 @@ class TxTable:
             )
             # the table-cap gauge: total positions the snapshot
             # read's driver-built broadcast carries (writers escalate
-            # to rewrite past _DV_MAX_TABLE_POSITIONS; compact()
-            # materializes vectors away and resets this to 0)
+            # to rewrite past the cap — a create-time table property,
+            # default _DV_MAX_TABLE_POSITIONS; compact() materializes
+            # vectors away and resets this to 0)
             out["dv_total_positions"] = out["dv_rows"]
-            out["dv_table_cap"] = _DV_MAX_TABLE_POSITIONS
+            out["dv_table_cap"] = self.dv_table_cap
         if self.partition_by:
             out["partition_by"] = list(self.partition_by)
             out["partitions"] = len(parts)
@@ -3188,13 +3240,13 @@ class TxTable:
                     enc, card = _dv_encode(allpos)
                     if len(enc) > _DV_MAX_ENCODED:
                         escalate.append(f)
-                    elif running + card > _DV_MAX_TABLE_POSITIONS:
+                    elif running + card > self.dv_table_cap:
                         escalate.append(f)
                         warnings.warn(
                             f"TxTable at {self.path}: total live "
                             f"deletion-vector positions near the "
                             f"table cap ({running} + {card} > "
-                            f"{_DV_MAX_TABLE_POSITIONS}); escalating "
+                            f"{self.dv_table_cap}); escalating "
                             f"this file to a rewrite — run compact() "
                             f"to materialize vectors away",
                             stacklevel=3,
@@ -3717,8 +3769,14 @@ class TxTable:
             # commit attempt (vacuum only deletes files grace_s past
             # their mtime); the post-commit guard below turns the
             # residual race into a loud error, never a silent
-            # partial table
+            # partial table. BORROWED files (shallow-clone re-adds)
+            # are skipped: their bytes belong to the SOURCE table,
+            # whose vacuum the clone cannot and must not influence —
+            # touching them would re-arm the source's grace window,
+            # violating the "source is never touched" contract.
             for i in readds:
+                if i.get("borrowed"):
+                    continue
                 try:
                     os.utime(os.path.join(self.path, i["file"]))
                 except OSError:
@@ -3790,13 +3848,26 @@ class TxTable:
         files from its LOG but never deletes their bytes (the source
         owns them — the clone's :meth:`vacuum` walks only the clone's
         data dir by construction), and the source is never touched.
-        The standing hazard is the same one Delta documents: VACUUM on
-        the SOURCE reclaims files a shallow clone still references —
-        reads then fail loudly (the file list is explicit, so Spark
+        The hazard Delta documents — VACUUM on the SOURCE reclaims
+        files a shallow clone still references — is actively guarded
+        here: the clone leaves a MARKER at the source (sidecar under
+        ``_clones/``, same mechanism as the CDC consumer progress
+        markers), and the source's :meth:`vacuum` / :meth:`truncate_log`
+        refuse to reclaim files/log entries a live clone still needs.
+        Markers are TTL-scoped (refreshed by the clone's reads, via
+        :meth:`_refresh_clone_marker`) so a deleted or abandoned clone
+        can never pin the source forever; once a marker expires, reads
+        of the clone fail LOUDLY (the file list is explicit, so Spark
         raises on the missing file; time-travel paths raise
         :class:`VacuumedVersionError`), never silently partial.
         ``shallow=False`` is DEEP: files are copied under the clone's
-        root, severing the dependency.
+        root, severing the dependency. The copy runs EXECUTOR-SIDE
+        (the (src, dst) pairs ship as Spark tasks), so bytes move
+        through the cluster with task retry, never funneled through
+        the driver; a deep clone of a shallow clone copies borrowed
+        files from wherever they live and re-roots them under the
+        clone's own data dir, dropping the ``borrowed`` flag — the
+        deep clone depends on nobody.
 
         The clone inherits key_cols / n_buckets / partition_by (layout
         identity — borrowed files' bucket and partition directories
@@ -3835,6 +3906,12 @@ class TxTable:
             checkpoint_interval=self.checkpoint_interval,
             logstore=logstore or self.logstore.kind,
             partition_by=list(self.partition_by) or None,
+            # table properties travel with the layout identity
+            dv_table_cap=(
+                self.dv_table_cap
+                if self.dv_table_cap != _DV_MAX_TABLE_POSITIONS
+                else None
+            ),
         )
         actions: list[dict] = []
         proto = tgt.protocol
@@ -3846,28 +3923,79 @@ class TxTable:
             actions.append(
                 {"constraint_add": {"name": name, "expr": expr}}
             )
+        src_root = os.path.abspath(self.path)
+        marker = None
         if shallow:
+            # borrowed paths MUST be absolute: _read_files/_data_base
+            # route them to the source's data root, and the clone may
+            # be opened from any CWD (the source handle itself may
+            # hold a relative path — the CLI passes store paths
+            # verbatim)
             for f, info in sorted(tgt.live.items()):
                 actions.append({"add": {
                     **info,
-                    "file": os.path.join(self.path, f),
+                    "file": f if os.path.isabs(f)
+                    else os.path.join(src_root, f),
                     "borrowed": True,
                 }})
+            # pin the source BEFORE the clone commit: a marker for a
+            # clone that then fails to commit simply expires by TTL,
+            # whereas a commit without a marker would leave a window
+            # where source vacuum reaps a just-borrowed file
+            marker = self._write_clone_marker(
+                os.path.abspath(dest_path), src_version
+            )
         else:
-            from concurrent.futures import ThreadPoolExecutor
+            # DEEP: copy every live file under the clone's root,
+            # severing all dependence on the source — and, when the
+            # source is itself a shallow clone, on ITS source:
+            # borrowed entries carry absolute paths into the owner's
+            # data root, so they are copied from there and re-rooted
+            # (relpath from the owner's data root) under dest/data,
+            # with the borrowed flag dropped. Staged file names embed
+            # uuid4, so re-rooted paths cannot collide — asserted
+            # anyway, because a silent collision would lose a file.
+            pairs: "list[tuple[str, str]]" = []
+            seen: set = set()
+            dest_root = os.path.abspath(dest.path)
+            for f, info in sorted(tgt.live.items()):
+                if info.get("borrowed") or os.path.isabs(f):
+                    src = f
+                    rel = os.path.join(
+                        "data",
+                        os.path.relpath(src, self._data_base(src)),
+                    )
+                else:
+                    src = os.path.join(src_root, f)
+                    rel = f
+                if rel in seen:
+                    raise ValueError(
+                        f"deep clone path collision at {rel}"
+                    )
+                seen.add(rel)
+                new_info = {
+                    k: v for k, v in info.items() if k != "borrowed"
+                }
+                new_info["file"] = rel
+                actions.append({"add": new_info})
+                pairs.append((src, os.path.join(dest_root, rel)))
+            if pairs:
+                # executor-side copy: ship the (src, dst) pairs as
+                # Spark tasks so the bytes move through the cluster
+                # (shared table storage), not the driver — a deep
+                # clone of a large table must scale with executors,
+                # and task retry re-copies idempotently (copy2
+                # overwrites; nothing references dst until the single
+                # clone commit below lands)
+                sc = self.spark.sparkContext
+                n = max(1, min(len(pairs), sc.defaultParallelism * 2))
 
-            def _copy(item):
-                f, info = item
-                src = os.path.join(self.path, f)
-                dst = os.path.join(dest.path, f)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                shutil.copy2(src, dst)
-                return {"add": dict(info)}
+                def _copy_part(it):
+                    for s, d in it:
+                        os.makedirs(os.path.dirname(d), exist_ok=True)
+                        shutil.copy2(s, d)
 
-            with ThreadPoolExecutor(max_workers=16) as ex:
-                actions.extend(
-                    ex.map(_copy, sorted(tgt.live.items()))
-                )
+                sc.parallelize(pairs, n).foreachPartition(_copy_part)
         if not dest._commit(
             1, actions, op="clone",
             buckets=sorted({
@@ -3877,17 +4005,131 @@ class TxTable:
                 "source": os.path.abspath(self.path),
                 "source_version": src_version,
                 "shallow": bool(shallow),
+                **({"clone_marker": marker} if marker else {}),
             },
         ):
+            if marker:
+                try:
+                    os.unlink(
+                        os.path.join(self.path, "_clones", marker)
+                    )
+                except OSError:
+                    pass
             raise CommitConflict(
                 f"clone destination {dest_path} was written "
                 f"concurrently"
             )
         return dest
 
+    # ------------------------------------------------- clone markers --
+
+    def _write_clone_marker(self, dest_abs: str, version: int) -> str:
+        """Pin sidecar a shallow clone leaves at its SOURCE (same
+        mechanism as the CDC consumer progress markers): the source's
+        :meth:`vacuum` refuses to reclaim files removed after
+        ``version`` (exactly the set a clone at ``version`` could
+        still borrow — conservative: anything live at the clone's
+        snapshot has removal version > it or none at all) and
+        :meth:`truncate_log` keeps the log entries that removal
+        bookkeeping needs. Returns the marker file name."""
+        d = os.path.join(self.path, "_clones")
+        os.makedirs(d, exist_ok=True)
+        name = f"clone-{uuid.uuid4().hex[:12]}.json"
+        tmp = os.path.join(d, f".tmp.{name}")
+        with open(tmp, "w") as fh:
+            json.dump({
+                "dest": dest_abs, "version": int(version),
+                "ts": time.time(),
+            }, fh)
+        os.replace(tmp, os.path.join(d, name))
+        return name
+
+    def clones(self, ttl_s: float = _CLONE_TTL_S) -> list[dict]:
+        """Active shallow-clone markers at this SOURCE table:
+        ``[{dest, version, age_s}]``, stale-past-``ttl_s`` markers
+        excluded — the operator's view of what is pinning
+        :meth:`vacuum` / :meth:`truncate_log`."""
+        d = os.path.join(self.path, "_clones")
+        try:
+            names = os.listdir(d)
+        except FileNotFoundError:
+            return []
+        now = time.time()
+        out = []
+        for n in sorted(names):
+            if not n.endswith(".json"):
+                continue
+            p = os.path.join(d, n)
+            try:
+                age = now - os.stat(p).st_mtime
+                if age > ttl_s:
+                    continue
+                with open(p) as fh:
+                    m = json.load(fh)
+                out.append({
+                    "dest": m.get("dest"),
+                    "version": int(m["version"]),
+                    "age_s": age,
+                })
+            except (OSError, ValueError, KeyError):
+                continue
+        return out
+
+    def _min_clone_version(self, ttl_s: float) -> "int | None":
+        """Lowest snapshot version among ACTIVE clone markers (None =
+        no live shallow clone). Mirrors :meth:`_min_consumer_offset`:
+        stale markers are ignored so a deleted clone can never pin the
+        source forever — the clone's reads refresh its marker."""
+        versions = [c["version"] for c in self.clones(ttl_s)]
+        return min(versions) if versions else None
+
+    def _refresh_clone_marker(self, borrowed_file: str) -> None:
+        """Called on this table's reads when its live set borrows
+        files: touch the marker this clone left at its source so the
+        TTL tracks actual use. Best-effort — a missing marker (TTL'd
+        and swept, or the source was moved) is re-created if the
+        source root still exists; reads of already-vacuumed borrowed
+        files fail loudly on their own. When the clone's OWN
+        truncate_log dropped commit 1 (the marker's provenance), the
+        source root is re-derived from a borrowed path and a
+        deterministic marker name pinned at version 0 — maximally
+        conservative, still TTL-governed."""
+        if self._clone_marker_info is None:
+            info = self._commit_info(1) or {}
+            self._clone_marker_info = (
+                info.get("source"), info.get("clone_marker"),
+                info.get("source_version"),
+            )
+        src, name, src_v = self._clone_marker_info
+        if not src or not name:
+            src = os.path.dirname(self._data_base(borrowed_file))
+            name = "clone-{}.json".format(
+                hashlib.md5(
+                    os.path.abspath(self.path).encode()
+                ).hexdigest()[:12]
+            )
+            src_v = 0
+            self._clone_marker_info = (src, name, src_v)
+        p = os.path.join(src, "_clones", name)
+        try:
+            os.utime(p)
+        except OSError:
+            try:
+                if os.path.isdir(src) and src_v is not None:
+                    os.makedirs(os.path.dirname(p), exist_ok=True)
+                    with open(p, "w") as fh:
+                        json.dump({
+                            "dest": os.path.abspath(self.path),
+                            "version": int(src_v),
+                            "ts": time.time(),
+                        }, fh)
+            except OSError:
+                pass
+
     def truncate_log(
         self, retain_versions: int = 0,
         consumer_ttl_s: float = 3600.0,
+        clone_ttl_s: float = _CLONE_TTL_S,
     ) -> list[int]:
         """LOG retention — the commit-log counterpart of
         :meth:`vacuum`'s data retention: drop log entries a checkpoint
@@ -3898,10 +4140,15 @@ class TxTable:
         vacuum walk has to read).
 
         The floor is the NEWEST CHECKPOINT at or below every bound:
-        ``head - retain_versions`` (keep a time-travel window) and
-        the lowest active CDC consumer's offset + 1 (a mid-drain
+        ``head - retain_versions`` (keep a time-travel window), the
+        lowest active CDC consumer's offset + 1 (a mid-drain
         stream's unread commits are never dropped; markers stale past
-        ``consumer_ttl_s`` are ignored, like vacuum). Entries strictly
+        ``consumer_ttl_s`` are ignored, like vacuum), and the lowest
+        active shallow-clone marker's version + 1 (:meth:`vacuum`'s
+        clone guard prunes against removal versions recorded in the
+        log — dropping the entries that record a removal AFTER a
+        clone's snapshot would blind it; ``clone_ttl_s`` staleness as
+        in vacuum). Entries strictly
         between version 0 (the table-meta commit, always kept) and the
         floor are deleted; the floor persists as a sidecar written
         BEFORE any delete, so a crash mid-truncation leaves only
@@ -3928,6 +4175,13 @@ class TxTable:
             # restarting from startingVersion >= floor, would skip
             # commit lo+1's changes entirely — change-feed data loss)
             cap = min(cap, lo)
+        cl = self._min_clone_version(clone_ttl_s)
+        if cl is not None:
+            # entries >= cl+1 record every removal AFTER the lowest
+            # clone's snapshot — exactly what vacuum's clone guard
+            # (_removal_versions) must still see; cl+1 may be dropped
+            # from TIME TRAVEL only once no clone needs it
+            cap = min(cap, cl + 1)
         anchors = [
             c for c in self.logstore.list_checkpoints() if c <= cap
         ]
@@ -3963,31 +4217,44 @@ class TxTable:
         self, grace_s: float = 3600.0,
         consumer_ttl_s: float = 3600.0,
         dry_run: bool = False,
+        clone_ttl_s: float = _CLONE_TTL_S,
     ) -> list[str]:
         """Physically delete files no LATEST snapshot references:
         files REMOVED by some commit, and orphans staged by crashed
         writers (on disk, never in the log) — both only once older
         than ``grace_s`` so in-flight readers/writers finish first.
 
-        Retention guard: a file removed at commit ``v`` is still the
+        Retention guards: a file removed at commit ``v`` is still the
         preimage input of the change feed at ``v`` — vacuum REFUSES to
         delete files whose removal version is beyond the lowest
         active streaming consumer's committed offset (progress markers
         written by the CDC source each micro-batch; markers stale for
         ``consumer_ttl_s`` are ignored, so a crashed consumer cannot
-        pin the table forever). Time-travel readers pinned at an old
-        version take the other side of the contract: their read raises
+        pin the table forever). Likewise a SHALLOW CLONE at snapshot
+        version ``V`` still reads any file removed after ``V`` —
+        files whose removal version exceeds the lowest active clone
+        marker's version (see :meth:`clones`; markers stale for
+        ``clone_ttl_s`` are ignored, refreshed by clone reads) are
+        skipped with a warning, so the Delta shallow-clone foot-gun is
+        refused HERE instead of failing at clone read time.
+        Time-travel readers pinned at an old version take the other
+        side of the contract: their read raises
         :class:`VacuumedVersionError` deterministically rather than
         silently missing rows. ``dry_run=True`` reports what WOULD be
-        deleted — same walk, same guards, no unlink (operators size
-        the blast radius before an irreversible pass)."""
+        deleted — same walk, same guards (clone-pinned files are
+        excluded and warned about identically), no unlink (operators
+        size the blast radius before an irreversible pass)."""
         _v, live = self._replay()
         referenced = set(live)
         pinned_above = self._min_consumer_offset(consumer_ttl_s)
+        clone_lo = self._min_clone_version(clone_ttl_s)
         removed_at = (
-            self._removal_versions() if pinned_above is not None else {}
+            self._removal_versions()
+            if (pinned_above is not None or clone_lo is not None)
+            else {}
         )
         removed = []
+        clone_pinned: list[str] = []
         now = time.time()
         # recursive: partitioned layouts nest col=value dirs above the
         # bucket dirs
@@ -4002,6 +4269,14 @@ class TxTable:
                     and removed_at.get(rel, -1) > pinned_above
                 ):
                     continue  # a lagging stream still needs this diff
+                if (
+                    clone_lo is not None
+                    and removed_at.get(rel, -1) > clone_lo
+                ):
+                    # live at some active clone's snapshot (removed
+                    # only after it): the clone still reads these bytes
+                    clone_pinned.append(rel)
+                    continue
                 try:
                     if now - os.stat(full).st_mtime >= grace_s:
                         if not dry_run:
@@ -4009,4 +4284,13 @@ class TxTable:
                         removed.append(rel)
                 except OSError:
                     pass
+        if clone_pinned:
+            warnings.warn(
+                f"TxTable at {self.path}: vacuum skipped "
+                f"{len(clone_pinned)} file(s) still borrowed by "
+                f"active shallow clone(s) at/after version "
+                f"{clone_lo} (see clones()): "
+                f"{sorted(clone_pinned)[:5]}...",
+                stacklevel=2,
+            )
         return removed

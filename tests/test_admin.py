@@ -292,3 +292,34 @@ def test_table_cli_tools(spark, tmp_path, capsys):
     assert cli_main(
         ["tools", "table_clone", path, "--dest", dest]
     ) == 1  # occupied destination
+    capsys.readouterr()
+
+    # table_clones: the shallow clone above left a marker here
+    assert cli_main(["tools", "table_clones", path]) == 0
+    markers = json.loads(capsys.readouterr().out)
+    assert len(markers) == 1 and markers[0]["dest"] == dest
+
+    # rewrite a file AFTER the clone's snapshot (v3): its preimage is
+    # unreferenced but the live clone still borrows it — table_vacuum
+    # must refuse while the marker is active
+    tx.update_where({"val": "'zz'"}, ("k", "=", 1))
+    assert cli_main(
+        ["tools", "table_vacuum", path, "--dry-run", "--grace", "0"]
+    ) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["dry_run"] is True and rep["active_clones"] == 1
+    assert rep["files"] == []  # clone-pinned: nothing reclaimable
+    # age the marker past TTL (clone deleted/abandoned): the dry run
+    # now reports the preimage file — still without deleting it
+    import os as _os
+
+    mdir = _os.path.join(path, "_clones")
+    for n in _os.listdir(mdir):
+        _os.utime(_os.path.join(mdir, n), (1.0, 1.0))
+    assert cli_main(
+        ["tools", "table_vacuum", path, "--dry-run", "--grace", "0"]
+    ) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["active_clones"] == 0 and rep["files"]
+    assert cli_main(["tools", "table_rows", path, "--count", "10"]) == 0
+    assert len(capsys.readouterr().out.splitlines()) == 2  # intact

@@ -621,7 +621,12 @@ def test_bm25_and_rrf_shapes_are_scale_clean(spark):
     # sorts allowed are post-limit (<= k rows) for the rank window
     assert "rangepartitioning" not in bm
     assert "CartesianProduct" not in bm
-    assert bm.count("BroadcastExchange") >= 2  # dfreq + (N, avgdl)
+    # dfreq + (N, avgdl) scalars + the candidate-doc-id semi join
+    # that prunes per-doc lengths before the contrib join
+    assert bm.count("BroadcastExchange") >= 3
+    # the dl prune is a broadcast LEFT SEMI: corpus-cardinality doc
+    # lengths for non-matching documents never reach an exchange
+    assert "LeftSemi" in bm
     rrf = plan_of(REGISTRY["hybrid_rrf_search"].fn(spark, SF))
     assert "CartesianProduct" not in rrf
     assert "TakeOrderedAndProject" in rrf

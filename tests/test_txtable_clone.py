@@ -205,17 +205,71 @@ def test_deep_clone_severs_the_dependency(spark, tmp_path):
     assert _rows(c.snapshot()) == [(i, f"v{i}") for i in range(6)]
 
 
-def test_shallow_clone_source_vacuum_fails_loud(spark, tmp_path):
-    """The documented hazard: source-side vacuum reclaiming files a
-    shallow clone references must surface as an error on the clone's
-    read, never as silently missing rows."""
+def test_shallow_clone_source_vacuum_refuses_then_fails_loud(
+    spark, tmp_path
+):
+    """The Delta hazard, upgraded: while the clone's marker at the
+    source is ACTIVE, source-side vacuum refuses (with a warning) to
+    reclaim files the clone still borrows — the clone keeps reading.
+    Only once the marker EXPIRES (clone deleted/abandoned) does the
+    reclaim go through, and then the clone's read surfaces as an
+    error, never as silently missing rows."""
+    import warnings as _w
+
     src = _mk(spark, tmp_path)
     src.append(_df(spark, [(i, f"v{i}") for i in range(6)]))
     c = src.clone(str(tmp_path / "c"))
+    assert len(src.clones()) == 1
+    assert src.stats()["active_clones"] == 1
     src.delete_where(("k", ">=", 0))  # drops every file from src log
-    src.vacuum(grace_s=0.0)
+    # active marker: vacuum skips the borrowed files and warns
+    with _w.catch_warnings(record=True) as got:
+        _w.simplefilter("always")
+        gone = src.vacuum(grace_s=0.0)
+    assert gone == []
+    assert any("shallow clone" in str(w.message) for w in got)
+    assert c.count() == 6  # the clone still reads everything
+    # expired marker (clone_ttl_s=0): current reclaim behavior
+    gone = src.vacuum(grace_s=0.0, clone_ttl_s=0.0)
+    assert gone
     with pytest.raises(Exception):
         c.snapshot().count()
+
+
+def test_clone_reads_refresh_marker_and_pin_truncation(
+    spark, tmp_path
+):
+    """The clone's reads keep its source marker fresh (TTL tracks
+    actual use), and the source's truncate_log keeps the log entries
+    vacuum's clone guard needs (removal versions after the clone's
+    snapshot)."""
+    src = _mk(spark, tmp_path, checkpoint_interval=2)
+    src.append(_df(spark, [(i, f"v{i}") for i in range(4)]))
+    c = src.clone(str(tmp_path / "c"))
+    mdir = os.path.join(src.path, "_clones")
+    (name,) = [n for n in os.listdir(mdir) if n.endswith(".json")]
+    p = os.path.join(mdir, name)
+    os.utime(p, (1.0, 1.0))  # age the marker far past any TTL
+    assert src.clones(ttl_s=60.0) == []
+    c.snapshot().count()  # a clone read refreshes (or re-creates) it
+    assert src.clones(ttl_s=60.0) != []
+    # churn the source past several checkpoints, then truncate: the
+    # floor must stay at/below the clone's version + 1 so the clone
+    # guard can still see every later removal
+    for i in range(6):
+        src.delete_where(("k", "=", i % 4))
+        src.append(_df(spark, [(i % 4, f"w{i}")]))
+    clone_v = src.clones()[0]["version"]
+    src.truncate_log()
+    from pypeman_spark.store.txtable import _log_floor
+
+    assert _log_floor(src.logstore) <= clone_v + 1
+    # and vacuum still refuses: the clone keeps reading after it
+    src.vacuum(grace_s=0.0)
+    assert c.count() == 4
+    # expired marker frees truncation too
+    os.utime(p, (1.0, 1.0))
+    src.truncate_log(clone_ttl_s=0.0)
 
 
 def test_clone_stats_expose_borrowed_and_vacuum_dry_run(
@@ -233,13 +287,98 @@ def test_clone_stats_expose_borrowed_and_vacuum_dry_run(
     assert st2["borrowed_files"] == st["files"]
     assert st2["files"] > st2["borrowed_files"]
     # vacuum dry_run on the SOURCE reports the blast radius without
-    # deleting — the clone keeps reading
+    # deleting — and, with the clone's marker active, excludes (and
+    # warns about) the files the clone still borrows, exactly like
+    # the real pass would
+    import warnings as _w
+
     src.delete_where(("k", ">=", 0))
-    would = src.vacuum(grace_s=0.0, dry_run=True)
+    with _w.catch_warnings(record=True) as got:
+        _w.simplefilter("always")
+        would_pinned = src.vacuum(grace_s=0.0, dry_run=True)
+    assert would_pinned == []
+    assert any("shallow clone" in str(w.message) for w in got)
+    # expired marker: the dry run reports the full blast radius
+    would = src.vacuum(grace_s=0.0, dry_run=True, clone_ttl_s=0.0)
     assert would
     assert c.count() == 9  # nothing actually deleted
-    gone = src.vacuum(grace_s=0.0)
+    gone = src.vacuum(grace_s=0.0, clone_ttl_s=0.0)
     assert sorted(gone) == sorted(would)  # the report was exact
+
+
+def test_deep_clone_of_shallow_clone_severs_both_owners(
+    spark, tmp_path
+):
+    """Deep-cloning a SHALLOW clone must copy borrowed files from
+    wherever they live (the original's root, the shallow clone's own
+    root) and re-root every one under the deep clone's data dir with
+    the borrowed flag dropped — the deep clone depends on nobody."""
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    c1 = src.clone(str(tmp_path / "c1"))
+    c1.append(_df(spark, [(3, "c1-own")]))
+    deep = c1.clone(str(tmp_path / "deep"), shallow=False)
+    want = [(1, "a"), (2, "b"), (3, "c1-own")]
+    assert _rows(deep.snapshot()) == want
+    # every live entry re-rooted: relative path, no borrowed flag
+    _v, live = deep._replay()
+    assert all(not os.path.isabs(f) for f in live)
+    assert all(not i.get("borrowed") for i in live.values())
+    assert len(_parquets(deep.data_dir)) == len(live)
+    # brutal: delete every byte both owners hold — deep must not care
+    for p in _parquets(src.data_dir) + _parquets(c1.data_dir):
+        os.unlink(p)
+    assert _rows(deep.snapshot()) == want
+
+
+def test_restore_on_clone_never_touches_source_mtimes(
+    spark, tmp_path
+):
+    """restore()'s vacuum-grace mtime refresh must skip BORROWED
+    re-add candidates: touching them would re-arm the SOURCE's vacuum
+    grace window — a clone influencing the source's reclamation
+    contract. The borrowed files' own guard is the source's clone
+    marker, not mtime."""
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(i, f"v{i}") for i in range(6)]))
+    before = {p: os.stat(p).st_mtime_ns for p in _parquets(src.data_dir)}
+    c = src.clone(str(tmp_path / "c"))
+    v_clone = c.version()
+    c.delete_where(("k", ">=", 3))  # drops borrowed files from c's log
+    rv = c.restore(v_clone)         # re-adds them
+    assert rv > v_clone
+    assert c.count() == 6
+    after = {p: os.stat(p).st_mtime_ns for p in _parquets(src.data_dir)}
+    assert after == before  # the source was never touched
+
+
+def test_shallow_clone_from_relative_source_path(spark, tmp_path):
+    """A source handle opened with a RELATIVE path (the CLI passes
+    store paths verbatim) must still record borrowed files as
+    absolute paths — a relative borrow would resolve under the
+    clone's own root/CWD and break every read of the clone. The
+    relative path stays valid for the current CWD (Spark resolves
+    relative paths against the JVM's startup dir, so no chdir here —
+    the point is what the CLONE records, not where the source
+    resolves)."""
+    rel = os.path.relpath(str(tmp_path / "rel_tbl"))
+    src = TxTable(
+        spark, rel, key_cols=["k"], n_buckets=2,
+        logstore=_KIND["logstore"],
+    )
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    c = src.clone(str(tmp_path / "c"))
+    _v, live = c._replay()
+    assert live and all(os.path.isabs(f) for f in live)
+    assert _rows(c.snapshot()) == [(1, "a"), (2, "b")]
+
+
+def test_clone_inherits_dv_table_cap_property(spark, tmp_path):
+    src = _mk(spark, tmp_path, dv_table_cap=7)
+    src.append(_df(spark, [(1, "a")]))
+    c = src.clone(str(tmp_path / "c"))
+    assert c.dv_table_cap == 7
+    assert TxTable(spark, c.path).dv_table_cap == 7
 
 
 def test_clone_of_clone_chains_to_original_files(spark, tmp_path):

@@ -331,20 +331,28 @@ def test_dv_state_survives_checkpoint_roundtrip(spark, tmp_path):
     assert {r["k"] for r in t2.snapshot().collect()} == set(range(1, 28))
 
 
-def test_dv_table_cap_escalates_and_gauges(spark, tmp_path):
+@pytest.mark.parametrize("how", ["module_default", "table_property"])
+def test_dv_table_cap_escalates_and_gauges(spark, tmp_path, how):
     """Global dv-size guard: per-file escalation bounds each vector,
     but the snapshot read broadcasts the UNION across every live
     file's positions — a write that would push the table total past
-    _DV_MAX_TABLE_POSITIONS escalates the offending file(s) to
-    copy-on-write (warning pointing at compact()) so the broadcast
-    stays under the cap by construction; stats() exposes the gauge."""
+    the cap escalates the offending file(s) to copy-on-write (warning
+    pointing at compact()) so the broadcast stays under the cap by
+    construction; stats() exposes the gauge. The cap is a create-time
+    TABLE property (``dv_table_cap``, stored in the version-0 meta so
+    every writer agrees), defaulting to the module constant."""
     import warnings as _w
 
-    t = _mk(spark, tmp_path)
-    t.append(_df(spark, [(i, f"v{i}") for i in range(80)]))
     old = txmod._DV_MAX_TABLE_POSITIONS
-    txmod._DV_MAX_TABLE_POSITIONS = 6
+    if how == "module_default":
+        # the default resolves at CREATE time, like any table property
+        txmod._DV_MAX_TABLE_POSITIONS = 6
     try:
+        t = _mk(
+            spark, tmp_path,
+            **({"dv_table_cap": 6} if how == "table_property" else {}),
+        )
+        t.append(_df(spark, [(i, f"v{i}") for i in range(80)]))
         t.delete_where(("k", "<", 4), mode="dv")  # 4 pos: under cap
         assert t.stats().get("dv_total_positions", 0) <= 6
         with _w.catch_warnings(record=True) as got:
@@ -359,6 +367,11 @@ def test_dv_table_cap_escalates_and_gauges(spark, tmp_path):
     # correctness never depends on which path a file took
     assert t.count() == 66
     assert {r["k"] for r in t.read().collect()} == set(range(4, 70))
+    if how == "table_property":
+        # the property persists in v0 meta: a FRESH handle re-reads
+        # it (writers can never disagree on escalation behavior)
+        t2 = TxTable(spark, t.path)
+        assert t2.dv_table_cap == 6
     # compaction materializes vectors away and resets the gauge
     t.compact()
     assert "dv_total_positions" not in t.stats()

@@ -199,6 +199,27 @@ def test_timestamp_below_truncation_floor_refuses(spark, tmp_path):
         t.version_at(ts_mid)
 
 
+def test_timestamp_before_table_birth_is_valueerror_after_truncation(
+    spark, tmp_path
+):
+    """A timestamp before the table EXISTED predates the table, full
+    stop — truncation cannot change that answer, because the create
+    entry (v0) always survives and its time is the true first commit.
+    LogTruncatedError is reserved for timestamps inside the dropped
+    (v0, floor) range, where the answer genuinely went missing."""
+    t = _mk(spark, tmp_path, checkpoint_interval=3)
+    for i in range(10):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    t.truncate_log()  # floor > 0
+    from pypeman_spark.store.txtable import _log_floor
+
+    assert _log_floor(t.logstore) > 0
+    birth = t._commit_times()[0]
+    assert birth[0] == 0  # v0 survived
+    with pytest.raises(ValueError, match="first commit"):
+        t.version_at(birth[1] - 10.0)
+
+
 def test_version_at_skips_truncation_resolvable_range(spark, tmp_path):
     """Timestamps in the SURVIVING range keep resolving after a
     truncation."""

@@ -302,6 +302,30 @@ def main() -> None:
     out["clone_read_rows"] = cl.count()
     out["clone_count_s"] = round(time.time() - t0, 3)
 
+    # ---- deep clone (round 12): the file copy ships as Spark tasks
+    # (executor-side, parallel, restartable) instead of a driver
+    # thread pool — the driver-SERIAL baseline over the same bytes is
+    # printed alongside so the artifact shows wall time scaling with
+    # task parallelism, not file count x driver bandwidth
+    _v_live, live_now = tx._replay()
+    t0 = time.time()
+    dcl = tx.clone(os.path.join(root, "deep_clone"), shallow=False)
+    out["deep_clone_s"] = round(time.time() - t0, 3)
+    out["deep_clone_files"] = len(live_now)
+    out["deep_clone_mb"] = round(
+        sum(int(i.get("bytes", 0)) for i in live_now.values()) / 1e6, 2
+    )
+    assert dcl.count() == tx.count()
+    serial_root = os.path.join(root, "serial_copy")
+    t0 = time.time()
+    for f in live_now:
+        _src = os.path.join(tx.path, f)
+        _dst = os.path.join(serial_root, f)
+        os.makedirs(os.path.dirname(_dst), exist_ok=True)
+        shutil.copy2(_src, _dst)
+    out["deep_clone_serial_baseline_s"] = round(time.time() - t0, 3)
+    shutil.rmtree(serial_root, ignore_errors=True)
+
     # ---- log retention (round 10): entries a checkpoint supersedes
     # drop; the loop is one conditional delete per superseded entry
     from pypeman_spark.store.txtable import _replay_log  # noqa: E402
@@ -315,8 +339,9 @@ def main() -> None:
     entries_before = len(tx._log_versions())
     t0 = time.time()
     # ttl 0: the availableNow CDC stream above is finished, not a
-    # live consumer — don't let its marker pin retention for an hour
-    dropped = tx.truncate_log(consumer_ttl_s=0.0)
+    # live consumer — don't let its marker pin retention for an hour;
+    # same for the bench's own shallow clone's marker
+    dropped = tx.truncate_log(consumer_ttl_s=0.0, clone_ttl_s=0.0)
     out["log_truncate_s"] = round(time.time() - t0, 3)
     out["log_entries_before"] = entries_before
     out["log_entries_after"] = len(tx._log_versions())
