@@ -1206,6 +1206,19 @@ _TXTABLE_SQL = """
            CAST(sum(cents) AS BIGINT) AS bal_cents
     FROM p_dvu GROUP BY prio
     UNION ALL
+    -- clone_guard_* arms (round 12): clone-aware source vacuum — a
+    -- full-table source UPDATE orphans every file the clone borrows;
+    -- with the clone's marker active the vacuum refuses them all, so
+    -- the clone still reads the ORIGINAL every-5th-customer data
+    -- while the source reads the updated balances
+    SELECT 'clone_guard_final' AS arm, segment, count(*) AS n,
+           CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+    FROM base WHERE c_custkey % 5 = 0 GROUP BY segment
+    UNION ALL
+    SELECT 'clone_guard_src' AS arm, segment, count(*) AS n,
+           CAST(sum(bal_cents + 1) AS BIGINT) AS bal_cents
+    FROM base WHERE c_custkey % 5 = 0 GROUP BY segment
+    UNION ALL
     -- per-row Morton z-values (former zorder_values entry VERBATIM,
     -- reshaped into the suite's arm schema): proves the bit
     -- interleave engine-portable, next to the zcompact arm that runs
@@ -1542,6 +1555,29 @@ def txtable_acid_suite(spark, sf_dir):
     )
     clone_final = pagg(cl.snapshot(), "clone_final")
     clone_src = pagg(tx2.snapshot(), "clone_src_intact")
+    # clone_guard_* arms (round 12): clone-aware SOURCE VACUUM, on a
+    # fresh pair so the real deletions the guard permits cannot
+    # disturb earlier arms' pinned file lists. The source holds every
+    # 5th customer, a shallow clone borrows ALL of its files, then a
+    # full-table source UPDATE rewrites every file — the preimages
+    # are unreferenced but removed AFTER the clone's snapshot, so
+    # vacuum(grace_s=0) must refuse every one (the clone's marker is
+    # active). clone_guard_final aggregates the CLONE after the
+    # vacuum — the ORIGINAL balances, readable only if the guard
+    # held; clone_guard_src proves the source's update landed
+    # alongside.
+    t3 = TxTable(
+        spark, os.path.join(tmp, "gtbl"),
+        key_cols=["c_custkey"], n_buckets=4,
+    )
+    t3.append(cust.filter(F.col("c_custkey") % 5 == 0))
+    g3 = t3.clone(os.path.join(tmp, "gclone"))
+    t3.update_where(
+        {"bal_cents": "bal_cents + 1"}, ("c_custkey", ">=", 0)
+    )
+    t3.vacuum(grace_s=0.0)  # guarded: preimages pinned by g3's marker
+    clone_guard = agg(g3.snapshot(), "clone_guard_final")
+    clone_guard_src = agg(t3.snapshot(), "clone_guard_src")
     restore_cdc = (
         tx2.table_changes(rv - 1, rv)
         .groupBy("_change_type", F.col("prio").alias("segment"))
@@ -1575,4 +1611,6 @@ def txtable_acid_suite(spark, sf_dir):
         .unionByName(restore_cdc)
         .unionByName(clone_final)
         .unionByName(clone_src)
+        .unionByName(clone_guard)
+        .unionByName(clone_guard_src)
     )
