@@ -459,7 +459,7 @@ def cmd_tools(args) -> int:
         return 1
     if args.tool in ("table_history", "table_stats", "table_rows",
                      "table_restore", "table_clone",
-                     "table_vacuum", "table_clones"):
+                     "table_vacuum", "table_clones", "table_widen"):
         # lakehouse-store operability (the TxTable analog of
         # view_store): history, log-derived stats + constraints, and a
         # bounded time-travel row preview — all driver-side log reads
@@ -484,6 +484,22 @@ def cmd_tools(args) -> int:
                 "n_buckets": tx.n_buckets,
                 "logstore": tx.logstore.kind,
                 "constraints": tx.constraints(),
+            }))
+            return 0
+        if args.tool == "table_widen":
+            # lossless type promotion, schema-action only (no data
+            # rewritten); the lattice errors are operator-actionable
+            if not args.column or not args.to:
+                print("table_widen requires --column NAME --to TYPE",
+                      file=sys.stderr)
+                return 1
+            try:
+                v = tx.widen_column(args.column, args.to)
+            except ValueError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 1
+            print(_json.dumps({
+                "widened": args.column, "to": args.to, "committed": v,
             }))
             return 0
         if args.tool == "table_clones":
@@ -677,7 +693,7 @@ def main(argv: list[str] | None = None) -> int:
             "view_store", "send_from_store", "retention",
             "table_history", "table_stats", "table_rows",
             "table_restore", "table_clone",
-            "table_vacuum", "table_clones",
+            "table_vacuum", "table_clones", "table_widen",
         ]
     )
     p.add_argument("store_path", help="MessageStore / TxTable base path")
@@ -704,6 +720,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dry-run", action="store_true",
                    help="table_vacuum: report what WOULD be deleted "
                         "without unlinking anything")
+    p.add_argument("--column", default=None,
+                   help="table_widen: the column to widen")
+    p.add_argument("--to", default=None, dest="to",
+                   help="table_widen: target type (long, double, ...)")
     p.add_argument("--grace", type=float, default=3600.0,
                    help="table_vacuum: only delete files whose mtime "
                         "is at least this many seconds old "

@@ -323,3 +323,26 @@ def test_table_cli_tools(spark, tmp_path, capsys):
     assert rep["active_clones"] == 0 and rep["files"]
     assert cli_main(["tools", "table_rows", path, "--count", "10"]) == 0
     assert len(capsys.readouterr().out.splitlines()) == 2  # intact
+
+    # table_widen: lossless promotion from the CLI; key columns and
+    # unknown types are refused with actionable errors
+    wpath = str(tmp_path / "wtbl")
+    TxTable(spark, wpath, key_cols=["k"], n_buckets=2).append(
+        spark.createDataFrame([(1, 5)], "k long, n int")
+    )
+    assert cli_main(
+        ["tools", "table_widen", wpath, "--column", "n", "--to", "x"]
+    ) == 1  # unknown type
+    assert cli_main(
+        ["tools", "table_widen", wpath, "--column", "k", "--to", "long"]
+    ) == 1  # key column
+    assert cli_main(["tools", "table_widen", wpath]) == 1  # no --column
+    capsys.readouterr()
+    assert cli_main(
+        ["tools", "table_widen", wpath, "--column", "n", "--to", "long"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["widened"] == "n" and out["to"] == "long"
+    assert cli_main(["tools", "table_rows", wpath]) == 0
+    row = json.loads(capsys.readouterr().out)
+    assert row == {"k": 1, "n": 5}
