@@ -304,6 +304,15 @@ _DV_MAX_TABLE_POSITIONS = 1 << 23
 # chunks of at most this many matched rows so a wide delete touching
 # many files never holds every file's Row objects at once.
 _DV_COLLECT_CHUNK = 1 << 22
+# DEEP clone copy routing: at or below this many total bytes the
+# driver copies the files itself — scheduling a Spark job for a
+# metadata-sized table costs more than the copy. Above it, the
+# (src, dst) pairs ship as Spark tasks: bytes move through the
+# cluster's aggregate storage bandwidth with task retry, never
+# bottlenecked on one node. (tools/deep_clone_study.py measures the
+# distributed path's wall time scaling near-linearly with task
+# parallelism.)
+_DEEP_CLONE_DRIVER_MAX_BYTES = 256 << 20
 # Shallow-clone marker staleness: a clone's reads refresh its marker
 # at the source, so an active clone pins source vacuum/log-retention
 # indefinitely; a clone unread for this long (deleted, abandoned) is
@@ -3979,7 +3988,16 @@ class TxTable:
                 new_info["file"] = rel
                 actions.append({"add": new_info})
                 pairs.append((src, os.path.join(dest_root, rel)))
-            if pairs:
+            total_b = sum(
+                int(i.get("bytes", 0)) for i in tgt.live.values()
+            )
+            if pairs and total_b <= _DEEP_CLONE_DRIVER_MAX_BYTES:
+                # metadata-sized table: the driver loop beats a Spark
+                # job's scheduling + worker round-trip
+                for s, d in pairs:
+                    os.makedirs(os.path.dirname(d), exist_ok=True)
+                    shutil.copy2(s, d)
+            elif pairs:
                 # executor-side copy: ship the (src, dst) pairs as
                 # Spark tasks so the bytes move through the cluster
                 # (shared table storage), not the driver — a deep

@@ -306,6 +306,39 @@ def test_clone_stats_expose_borrowed_and_vacuum_dry_run(
     assert sorted(gone) == sorted(would)  # the report was exact
 
 
+def test_deep_clone_executor_path_byte_identical(spark, tmp_path):
+    """The distributed copy route (engaged above the driver-copy byte
+    threshold; forced here by zeroing it) produces byte-identical
+    files under the clone's root — same contract as the driver fast
+    path the small tables take."""
+    import hashlib
+
+    import pypeman_spark.store.txtable as txmod
+
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    old = txmod._DEEP_CLONE_DRIVER_MAX_BYTES
+    txmod._DEEP_CLONE_DRIVER_MAX_BYTES = 0
+    try:
+        c = src.clone(str(tmp_path / "c"), shallow=False)
+    finally:
+        txmod._DEEP_CLONE_DRIVER_MAX_BYTES = old
+
+    def digest(root):
+        return {
+            os.path.relpath(p, root): hashlib.md5(
+                open(p, "rb").read()
+            ).hexdigest()
+            for p in _parquets(root)
+        }
+
+    assert digest(c.data_dir) == digest(src.data_dir)
+    assert _rows(c.snapshot()) == _rows(src.snapshot())
+    for p in _parquets(src.data_dir):
+        os.unlink(p)
+    assert c.count() == 20  # severed
+
+
 def test_deep_clone_of_shallow_clone_severs_both_owners(
     spark, tmp_path
 ):
