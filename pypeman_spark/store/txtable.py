@@ -4311,4 +4311,22 @@ class TxTable:
                 f"{sorted(clone_pinned)[:5]}...",
                 stacklevel=2,
             )
+        if not dry_run:
+            # sweep STALE clone markers (already ignored by the guard
+            # above) so _clones stays bounded across clone churn; a
+            # still-live clone that was merely quiet re-creates its
+            # marker on its next read (_refresh_clone_marker rebuilds
+            # a missing file, not just utimes it)
+            cdir = os.path.join(self.path, "_clones")
+            try:
+                names = os.listdir(cdir)
+            except FileNotFoundError:
+                names = []
+            for nm in names:
+                p = os.path.join(cdir, nm)
+                try:
+                    if now - os.stat(p).st_mtime > clone_ttl_s:
+                        os.unlink(p)
+                except OSError:
+                    pass
         return removed

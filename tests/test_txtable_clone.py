@@ -406,6 +406,32 @@ def test_shallow_clone_from_relative_source_path(spark, tmp_path):
     assert _rows(c.snapshot()) == [(1, "a"), (2, "b")]
 
 
+def test_vacuum_sweeps_stale_markers_and_reads_recreate(
+    spark, tmp_path
+):
+    """Stale clone markers (ignored by the guard) are physically
+    swept by the source's vacuum so _clones stays bounded; a live
+    clone that was merely quiet re-creates its marker on its next
+    read — the TTL contract cuts both ways."""
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    c = src.clone(str(tmp_path / "c"))
+    mdir = os.path.join(src.path, "_clones")
+    (name,) = [n for n in os.listdir(mdir) if n.endswith(".json")]
+    os.utime(os.path.join(mdir, name), (1.0, 1.0))
+    src.vacuum(grace_s=0.0, clone_ttl_s=60.0)
+    assert [n for n in os.listdir(mdir) if n.endswith(".json")] == []
+    # the quiet-but-live clone's next read re-creates the marker
+    c.snapshot().count()
+    assert len(src.clones(ttl_s=60.0)) == 1
+    # dry_run never sweeps
+    os.utime(
+        os.path.join(mdir, os.listdir(mdir)[0]), (1.0, 1.0)
+    )
+    src.vacuum(grace_s=0.0, clone_ttl_s=60.0, dry_run=True)
+    assert len(os.listdir(mdir)) == 1
+
+
 def test_clone_inherits_dv_table_cap_property(spark, tmp_path):
     src = _mk(spark, tmp_path, dv_table_cap=7)
     src.append(_df(spark, [(1, "a")]))
