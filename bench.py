@@ -53,6 +53,7 @@ HEADLINE = [
     "search_text_window",
     "dedup_exact_keep_first",
     "minhash_near_dup_pairs",
+    "incremental_minhash_probe",
     "ngram_jaccard_pairs",
     "simhash_sketch",
     "embedding_cosine_topk",

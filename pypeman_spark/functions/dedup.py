@@ -29,6 +29,9 @@ __all__ = [
     "shingles",
     "minhash_bands",
     "minhash_candidate_pairs",
+    "minhash_signature",
+    "minhash_index",
+    "minhash_probe",
     "simhash",
     "ngram_jaccard_pairs",
     "duplicate_passages",
@@ -159,6 +162,110 @@ def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return sig.select(
         id_col, F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      shingle_n: int = 3) -> DataFrame:
+    """Full MinHash signature per document: ``(id, sig array<string>)``
+    — the persistable unit of an incremental dedup index. Same hash
+    family as :func:`minhash_bands` (``md5(i || ':' || shingle)``,
+    min over shingles), one shuffle carrying K 32-byte components per
+    doc."""
+    sh = shingles(df, text_col, id_col, n=shingle_n)
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return sig.select(
+        id_col,
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_index(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", num_hashes: int = 16,
+                  bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Persistable LSH index rows: ``(id, band, band_hash, sig)`` —
+    one row per (doc, band), carrying the full signature so a later
+    probe can estimate similarity WITHOUT ever re-reading the
+    indexed corpus's text. Write this to a table (e.g. a
+    :class:`~pypeman_spark.store.TxTable` keyed/bucketed on
+    ``band_hash``) and append as the corpus grows; the probe side
+    joins on (band, band_hash), so the scan prunes to the collided
+    buckets. Band hashes match :func:`minhash_bands` exactly (md5
+    over the band's comma-joined signature slice)."""
+    rows = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(
+                ",", *[F.col("sig")[i] for i in range(b * rows, (b + 1) * rows)]
+            )).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        id_col, F.explode(F.array(*band_cols)).alias("bb"), "sig"
+    ).select(
+        id_col, F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"), "sig",
+    )
+
+
+def minhash_probe(new_df: DataFrame, index_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  num_hashes: int = 16, bands: int = 4,
+                  shingle_n: int = 3,
+                  min_agree: int = 8) -> DataFrame:
+    """INCREMENTAL near-dup detection: new documents probed against a
+    PERSISTED index (:func:`minhash_index` rows — typically appended
+    batch after batch to a table), returning
+    ``(new_id, hist_id, n_agree)`` for pairs whose signatures agree on
+    at least ``min_agree`` of ``num_hashes`` components (the unbiased
+    MinHash Jaccard estimate is ``n_agree / num_hashes``).
+
+    Scale contract: the historical corpus's TEXT never participates —
+    only its index rows (id, band, band_hash, sig) move. Candidates
+    come from the (band, band_hash) equi-join (high-cardinality key,
+    well-distributed shuffle, never all-pairs); the agreement count is
+    a zip_with over the two signature arrays, integer-exact in every
+    engine."""
+    probe = minhash_index(
+        new_df, text_col, id_col, num_hashes, bands, shingle_n
+    ).select(
+        F.col(id_col).alias("new_id"), "band", "band_hash",
+        F.col("sig").alias("sig_new"),
+    )
+    hist = index_df.select(
+        F.col(id_col).alias("hist_id"), "band", "band_hash",
+        F.col("sig").alias("sig_hist"),
+    )
+    cand = (
+        probe.join(hist, ["band", "band_hash"])
+        # a pair colliding in several bands appears once: signatures
+        # are functionally determined by the id, so min() dedups the
+        # pair without shuffling the arrays through a distinct
+        .groupBy("new_id", "hist_id")
+        .agg(
+            F.min("sig_new").alias("sig_new"),
+            F.min("sig_hist").alias("sig_hist"),
+        )
+    )
+    return cand.select(
+        "new_id", "hist_id",
+        F.aggregate(
+            F.zip_with(
+                "sig_new", "sig_hist",
+                lambda a, b: (a == b).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_agree"),
+    ).filter(F.col("n_agree") >= min_agree)
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text",

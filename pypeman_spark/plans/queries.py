@@ -1060,6 +1060,95 @@ def minhash_near_dup_pairs(spark, sf_dir):
     return D.minhash_candidate_pairs(d, num_hashes=16, bands=4, shingle_n=3)
 
 
+_INCR_MINHASH_SQL = """
+    WITH hist AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 400
+    ), newb AS (
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id < 400 AND doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, text FROM documents
+      WHERE doc_id >= 400 AND doc_id < 500
+    ), hw AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM hist
+    ), hsh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(0, greatest(len(w) - 3, 0)),
+               i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+      FROM hw
+    ), hhash AS (
+      SELECT doc_id, i, min(md5(i || ':' || shingle)) AS minh
+      FROM hsh, (SELECT unnest(generate_series(0, 15)) AS i)
+      GROUP BY doc_id, i
+    ), hband AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band,
+             md5(string_agg(minh, ',' ORDER BY i)) AS band_hash
+      FROM hhash GROUP BY doc_id, CAST(i // 4 AS INT)
+    ), nw AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM newb
+    ), nsh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(0, greatest(len(w) - 3, 0)),
+               i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+      FROM nw
+    ), nhash AS (
+      SELECT doc_id, i, min(md5(i || ':' || shingle)) AS minh
+      FROM nsh, (SELECT unnest(generate_series(0, 15)) AS i)
+      GROUP BY doc_id, i
+    ), nband AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band,
+             md5(string_agg(minh, ',' ORDER BY i)) AS band_hash
+      FROM nhash GROUP BY doc_id, CAST(i // 4 AS INT)
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+      FROM nband n JOIN hband h USING (band, band_hash)
+    ), agree AS (
+      SELECT c.new_id, c.hist_id, count(*) AS n_agree
+      FROM cand c
+      JOIN nhash nh ON nh.doc_id = c.new_id
+      JOIN hhash hh ON hh.doc_id = c.hist_id
+                   AND hh.i = nh.i AND hh.minh = nh.minh
+      GROUP BY c.new_id, c.hist_id
+    )
+    SELECT new_id, hist_id, CAST(n_agree AS BIGINT) AS n_agree
+    FROM agree WHERE n_agree >= 8
+"""
+
+
+@q("incremental_minhash_probe", _INCR_MINHASH_SQL)
+def incremental_minhash_probe(spark, sf_dir):
+    """Incremental near-dup detection against a PERSISTED MinHash
+    index (`functions/dedup.py:minhash_index/minhash_probe`): the
+    history corpus (doc_id < 400) is indexed ONCE as (id, band,
+    band_hash, signature) rows — the shape a pipeline appends to a
+    table batch after batch — and a new batch (re-keyed copies of
+    every 5th history doc + genuinely new docs 400-499) probes it.
+    Candidates come from the (band, band_hash) equi-join; similarity
+    is the integer count of agreeing signature components (>= 8 of 16
+    = estimated Jaccard >= 0.5), so the history TEXT never
+    participates — at 100 TB the probe moves only the new batch's
+    index rows plus the collided buckets. Beyond the reference
+    engine (pypeman has no dedup surface); recipe per Broder's
+    MinHash + banded LSH, incremental per the dedup discipline of
+    Lee et al. 2021."""
+    d = tp(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") < 400)
+    new = (
+        hist.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 500))
+            .select("doc_id", "text")
+        )
+    )
+    idx = D.minhash_index(hist.select("doc_id", "text"))
+    return D.minhash_probe(new, idx).select(
+        "new_id", "hist_id", "n_agree"
+    )
+
+
 @q(
     "dedup_clusters",
     _MINHASH_SQL.replace("WITH words", "WITH RECURSIVE words", 1)

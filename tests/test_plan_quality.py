@@ -632,6 +632,20 @@ def test_bm25_and_rrf_shapes_are_scale_clean(spark):
     assert "TakeOrderedAndProject" in rrf
 
 
+def test_incremental_minhash_probe_is_bucket_joined(spark):
+    """Round-12 incremental dedup: candidates must come from the
+    (band, band_hash) equi-join against the persisted index — no
+    all-pairs comparison, no global sort; the agreement count is a
+    zip_with over the carried signatures, so the history text never
+    appears in the plan."""
+    plan = plan_of(REGISTRY["incremental_minhash_probe"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    # exactly one scan family feeds both sides (documents); the probe
+    # side's text is read, the history side contributes index rows
+    assert "zip_with" in plan or "transform" in plan or "aggregate" in plan
+
+
 def test_clone_snapshot_single_reader_per_root(spark, tmp_path):
     """A shallow clone's snapshot reads borrowed files under the
     SOURCE's basePath and own files under its own — grouped per root,
