@@ -2538,9 +2538,15 @@ class TxTable:
 
     # ---------------------------------------------------- mutations --
 
-    def append(self, df: DataFrame, max_retries: int = 20) -> int:
+    def append(self, df: DataFrame, max_retries: int = 20,
+               txn: "tuple[str, int] | None" = None) -> int:
         """Add-only commit: never conflicts with other appends (two
-        interleaved appends both land — union semantics).
+        interleaved appends both land — union semantics). ``txn``
+        makes the append idempotent like the other DML (the Delta
+        txn-appId protocol): a batch re-delivered with the same
+        (app, version) marker is a provable no-op — the
+        exactly-once primitive for append-only streaming sinks and
+        retried ingestion jobs.
 
         Files are staged under the EVOLVED schema (current table schema
         + ``df``'s new columns) so a column re-added after a drop, or
@@ -2562,6 +2568,8 @@ class TxTable:
 
         _bv0, _l0, _t0, base, _c0, proto0 = _replay_log(self.logstore)
         self._check_writer(proto0)
+        if txn is not None and _t0.get(txn[0], -1) >= txn[1]:
+            return _bv0  # already applied: stage nothing
         schema_act = self._evolved_schema_action(df, base)
         eff = schema_act[0]["schema"] if schema_act else base
         adds = self._stage(df, schema_json=eff)
@@ -2571,6 +2579,10 @@ class TxTable:
             _bv, _live, _txns, schema, cons, _pr = _replay_log(
                 self.logstore
             )
+            if txn is not None and _txns.get(txn[0], -1) >= txn[1]:
+                # a concurrent writer landed our marker mid-race
+                self._discard(adds)
+                return _bv
             if schema != base:  # schema commit interleaved: re-evolve
                 base = schema
                 schema_act = self._evolved_schema_action(df, base)
@@ -2589,6 +2601,7 @@ class TxTable:
                 v + 1, actions, op="append",
                 buckets=[a["add"]["bucket"] for a in adds],
                 scopes=self._scopes_of_adds(adds),
+                txn=txn,
             ):
                 return v + 1
             v = self.version()

@@ -63,6 +63,49 @@ def test_corpus_pipeline_example_funnel(spark, tmp_path, sf_dir):
     assert splits <= {"train", "val", "test"}
 
 
+def test_incremental_corpus_example(spark, tmp_path, sf_dir):
+    """Incremental ingestion: batch 2's re-keyed copies of batch 1
+    docs are caught by the PERSISTED index (never re-reading the
+    corpus), genuinely new docs land, and a retried batch is
+    exactly-once (txn markers on both appends)."""
+    from pyspark.sql import functions as F
+    from pypeman_spark.sources.tables import load_table
+    from pypeman_spark.store.txtable import TxTable
+
+    sys.path.insert(0, "examples")
+    try:
+        import incremental_corpus as ic
+    finally:
+        sys.path.pop(0)
+
+    corpus = TxTable(spark, str(tmp_path / "corpus"),
+                     key_cols=["doc_id"], n_buckets=4)
+    index = TxTable(spark, str(tmp_path / "idx"),
+                    key_cols=["doc_id", "band"], n_buckets=4)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < 100)
+    s1 = ic.ingest_batch(b1, corpus, index, batch_id=1)
+    assert s1["ingested"] == s1["after_self_dedup"] > 0
+    n1 = corpus.count()
+    b2 = (
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+        .unionByName(
+            b1.filter(F.col("doc_id") % 5 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+    )
+    s2 = ic.ingest_batch(b2, corpus, index, batch_id=2)
+    # every re-keyed copy was caught by the index probe
+    assert s2["ingested"] <= 50
+    assert corpus.count() == n1 + s2["ingested"]
+    # retried batch: exactly-once, nothing doubles
+    s2r = ic.ingest_batch(b2, corpus, index, batch_id=2)
+    assert s2r["ingested"] == 0
+    assert corpus.count() == n1 + s2["ingested"]
+    # the index stays consistent with the corpus (4 bands per doc)
+    assert index.count() == corpus.count() * 4
+
+
 def test_ann_search_example(spark, tmp_path, sf_dir):
     from pyspark.sql import functions as F
     from pypeman_spark.sources.tables import load_table

@@ -1237,3 +1237,59 @@ def test_cohort_retention_triangle(spark):
     }
     w1, w2 = dt.date(2026, 1, 5), dt.date(2026, 1, 12)
     assert out == {(w1, 0): 2, (w1, 1): 1, (w2, 0): 1}
+
+
+def test_minhash_index_probe_incremental(spark):
+    """Incremental dedup primitives: the index rows carry the full
+    signature, the probe finds exact copies at 16/16 agreement and
+    unrelated docs below threshold, and band hashes match the batch
+    minhash_bands recipe exactly (one index serves both paths)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "pack my box with five dozen liquor jugs tonight ok"),
+            (3, "completely different text about spark partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = D.minhash_index(docs)
+    # 4 bands per doc, signature carried on every row
+    rows = idx.collect()
+    assert len(rows) == 12
+    assert all(len(r["sig"]) == 16 for r in rows)
+    # band hashes agree with the batch-path recipe
+    bb = {(r["doc_id"], r["band"]): r["band_hash"]
+          for r in D.minhash_bands(docs).collect()}
+    assert all(bb[(r["doc_id"], r["band"])] == r["band_hash"] for r in rows)
+    # probe: doc 101 is an exact copy of 1, doc 102 is novel
+    new = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog again"),
+            (102, "nothing like anything indexed before at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = D.minhash_probe(new, idx).collect()
+    assert [(r["new_id"], r["hist_id"], r["n_agree"]) for r in hits] == [
+        (101, 1, 16)
+    ]
+    # threshold sweep: min_agree above 16 excludes even exact copies
+    assert D.minhash_probe(new, idx, min_agree=17).count() == 0
+    # empty new batch: no candidates, no errors
+    assert D.minhash_probe(new.limit(0), idx).count() == 0
+
+
+def test_minhash_probe_near_duplicate_partial_agreement(spark):
+    """A lightly edited copy agrees on SOME signature components:
+    0 < n_agree < 16, and min_agree gates it in or out."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    edited = base.replace("echo", "zulu").replace("papa", "yankee")
+    hist = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    new = spark.createDataFrame([(9, edited)], "doc_id long, text string")
+    idx = D.minhash_index(hist)
+    got = D.minhash_probe(new, idx, min_agree=1).collect()
+    if got:  # band collision is probabilistic; agreement count is not
+        (r,) = got
+        assert 0 < r["n_agree"] < 16
+        assert D.minhash_probe(new, idx, min_agree=r["n_agree"] + 1).count() == 0

@@ -367,6 +367,24 @@ def test_txn_marker_makes_merge_idempotent(spark, tmp_path):
     assert t.last_txn_version("other") == -1
 
 
+def test_txn_marker_makes_append_idempotent(spark, tmp_path):
+    """append(txn=...) is the exactly-once primitive for append-only
+    sinks and retried ingestion jobs: a batch re-delivered with the
+    same (app, version) marker stages nothing and commits nothing."""
+    t = _mk(spark, tmp_path)
+    v1 = t.append(_df(spark, [(1, "a"), (2, "b")]), txn=("ing", 1))
+    assert t.append(_df(spark, [(1, "GHOST")]), txn=("ing", 1)) == v1
+    assert t.version() == v1 and t.count() == 2
+    v2 = t.append(_df(spark, [(3, "c")]), txn=("ing", 2))
+    assert v2 == v1 + 1 and t.count() == 3
+    # an older batch replayed later still no-ops
+    assert t.append(_df(spark, [(9, "GHOST")]), txn=("ing", 1)) == v2
+    assert t.count() == 3
+    assert t.last_txn_version("ing") == 2
+    # untagged appends are unaffected
+    assert t.append(_df(spark, [(4, "d")])) == v2 + 1
+
+
 def test_txn_marker_survives_checkpoint(spark, tmp_path):
     """Markers must be carried into checkpoints, or a long-lived table
     would silently forget applied batches once replay is bounded."""
