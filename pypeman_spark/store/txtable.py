@@ -2608,6 +2608,21 @@ class TxTable:
         self._discard(adds)
         raise CommitConflict(f"append lost {max_retries} version races")
 
+    def foreach_batch_append(self, app: str):
+        """Structured-Streaming sink for APPEND-ONLY tables:
+        ``writeStream.foreachBatch(tx.foreach_batch_append(query_name))``
+        appends each micro-batch exactly once — a batch re-delivered
+        after checkpoint restart carries the same (app, batch_id) txn
+        marker and no-ops (see :meth:`append`). Cheaper than
+        :meth:`foreach_batch_merge` when the stream is insert-only
+        (event logs, ingestion feeds): no key hashing against the
+        existing table, no bucket rewrite — just staged adds."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.append(batch_df, txn=(app, int(batch_id)))
+
+        return _sink
+
     def foreach_batch_merge(self, app: str, mode: str = "rewrite"):
         """Structured-Streaming sink: ``writeStream.foreachBatch(
         tx.foreach_batch_merge(query_name))`` MERGEs each micro-batch

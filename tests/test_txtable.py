@@ -411,6 +411,23 @@ def test_foreach_batch_merge_sink(spark, tmp_path):
     assert t.last_txn_version("myquery") == 1
 
 
+def test_foreach_batch_append_sink(spark, tmp_path):
+    """Append-only streaming sink: each micro-batch lands once,
+    redeliveries after checkpoint restart no-op — and unlike the
+    merge sink, duplicate KEYS across batches accumulate (insert-only
+    semantics, no key hashing)."""
+    t = _mk(spark, tmp_path)
+    sink = t.foreach_batch_append("ingestq")
+    sink(_df(spark, [(1, "x"), (2, "y")]), 0)
+    sink(_df(spark, [(1, "x-again")]), 1)   # same key: accumulates
+    sink(_df(spark, [(1, "STALE")]), 1)     # redelivery: no-op
+    assert t.count() == 3
+    assert sorted(r["val"] for r in t.read().collect()) == [
+        "x", "x-again", "y"
+    ]
+    assert t.last_txn_version("ingestq") == 1
+
+
 def test_lookup_prunes_to_key_buckets(spark, tmp_path):
     """Point reads touch only the probed keys' buckets — the parquet
     scan's file list must be a strict subset of the live set."""
