@@ -3926,9 +3926,29 @@ class TxTable:
             version = self.version_at(timestamp)
         tgt = _replay_log(self.logstore, upto=version)
         src_version = tgt.version if version is None else int(version)
-        self._guard_vacuumed(
-            sorted(tgt.live), f"clone(version={src_version})"
-        )
+        marker = None
+        if shallow:
+            # pin FIRST, assert existence second: once the marker is
+            # on disk a concurrent source vacuum skips everything this
+            # snapshot borrows, so the guard's answer stays true
+            # through the commit; a clone that fails after this point
+            # removes the marker (or it expires by TTL)
+            marker = self._write_clone_marker(
+                os.path.abspath(dest_path), src_version
+            )
+        try:
+            self._guard_vacuumed(
+                sorted(tgt.live), f"clone(version={src_version})"
+            )
+        except VacuumedVersionError:
+            if marker:
+                try:
+                    os.unlink(
+                        os.path.join(self.path, "_clones", marker)
+                    )
+                except OSError:
+                    pass
+            raise
         if os.path.exists(dest_path) and (
             open_logstore(os.path.join(dest_path, _LOG_DIR))
             .list_versions()
@@ -3961,13 +3981,13 @@ class TxTable:
                 {"constraint_add": {"name": name, "expr": expr}}
             )
         src_root = os.path.abspath(self.path)
-        marker = None
         if shallow:
             # borrowed paths MUST be absolute: _read_files/_data_base
             # route them to the source's data root, and the clone may
             # be opened from any CWD (the source handle itself may
             # hold a relative path — the CLI passes store paths
-            # verbatim)
+            # verbatim). The marker pinning these files was written
+            # BEFORE the existence guard above.
             for f, info in sorted(tgt.live.items()):
                 actions.append({"add": {
                     **info,
@@ -3975,13 +3995,6 @@ class TxTable:
                     else os.path.join(src_root, f),
                     "borrowed": True,
                 }})
-            # pin the source BEFORE the clone commit: a marker for a
-            # clone that then fails to commit simply expires by TTL,
-            # whereas a commit without a marker would leave a window
-            # where source vacuum reaps a just-borrowed file
-            marker = self._write_clone_marker(
-                os.path.abspath(dest_path), src_version
-            )
         else:
             # DEEP: copy every live file under the clone's root,
             # severing all dependence on the source — and, when the
@@ -4064,6 +4077,14 @@ class TxTable:
             raise CommitConflict(
                 f"clone destination {dest_path} was written "
                 f"concurrently"
+            )
+        if shallow:
+            # post-commit guard, the restore discipline: if a vacuum
+            # raced the marker write and reaped a borrowed file, fail
+            # HERE deterministically, not at some later read
+            self._guard_vacuumed(
+                sorted(tgt.live),
+                f"clone(version={src_version}) post-commit",
             )
         return dest
 
