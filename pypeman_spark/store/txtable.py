@@ -3931,24 +3931,58 @@ class TxTable:
             # pin FIRST, assert existence second: once the marker is
             # on disk a concurrent source vacuum skips everything this
             # snapshot borrows, so the guard's answer stays true
-            # through the commit; a clone that fails after this point
-            # removes the marker (or it expires by TTL)
+            # through the commit. The marker survives ONLY a
+            # successful commit — the broad handler below unlinks it
+            # on EVERY failure between here and the commit (vacuumed
+            # preimage, occupied destination, staging error, deep-copy
+            # collision, commit conflict), else a failed clone would
+            # leak a phantom pin that blocks the source's
+            # vacuum/truncate_log for the whole TTL
             marker = self._write_clone_marker(
                 os.path.abspath(dest_path), src_version
             )
         try:
-            self._guard_vacuumed(
-                sorted(tgt.live), f"clone(version={src_version})"
+            committed = self._clone_build(
+                tgt, dest_path, src_version, shallow,
+                logstore, marker,
             )
-        except VacuumedVersionError:
+        except BaseException:
             if marker:
-                try:
-                    os.unlink(
-                        os.path.join(self.path, "_clones", marker)
-                    )
-                except OSError:
-                    pass
+                self._unlink_clone_marker(marker)
             raise
+        dest = committed
+        if shallow:
+            # post-commit guard, the restore discipline: if a vacuum
+            # raced the marker write and reaped a borrowed file, fail
+            # HERE deterministically, not at some later read. The
+            # marker stays — the clone commit landed, so the pin is
+            # real even though this snapshot is already damaged.
+            self._guard_vacuumed(
+                sorted(tgt.live),
+                f"clone(version={src_version}) post-commit",
+            )
+        return dest
+
+    def _unlink_clone_marker(self, name: str) -> None:
+        """Best-effort removal of a clone-pin marker this table wrote
+        at its own ``_clones`` dir (failed-clone cleanup path)."""
+        try:
+            os.unlink(os.path.join(self.path, "_clones", name))
+        except OSError:
+            pass
+
+    def _clone_build(
+        self, tgt, dest_path: str, src_version: int,
+        shallow: bool, logstore, marker,
+    ) -> "TxTable":
+        """Everything in :meth:`clone` between the marker write and a
+        committed destination table. Split out so ``clone`` can wrap
+        the WHOLE span in one marker-cleanup handler: any exception
+        out of here (including :class:`CommitConflict`) must unlink
+        the just-written source pin."""
+        self._guard_vacuumed(
+            sorted(tgt.live), f"clone(version={src_version})"
+        )
         if os.path.exists(dest_path) and (
             open_logstore(os.path.join(dest_path, _LOG_DIR))
             .list_versions()
@@ -4067,24 +4101,11 @@ class TxTable:
                 **({"clone_marker": marker} if marker else {}),
             },
         ):
-            if marker:
-                try:
-                    os.unlink(
-                        os.path.join(self.path, "_clones", marker)
-                    )
-                except OSError:
-                    pass
+            # raising here reaches clone()'s broad handler, which
+            # unlinks the source pin — a conflicted clone pins nothing
             raise CommitConflict(
                 f"clone destination {dest_path} was written "
                 f"concurrently"
-            )
-        if shallow:
-            # post-commit guard, the restore discipline: if a vacuum
-            # raced the marker write and reaped a borrowed file, fail
-            # HERE deterministically, not at some later read
-            self._guard_vacuumed(
-                sorted(tgt.live),
-                f"clone(version={src_version}) post-commit",
             )
         return dest
 

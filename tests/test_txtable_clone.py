@@ -462,3 +462,39 @@ def test_clone_of_clone_chains_to_original_files(spark, tmp_path):
 
     _sh.rmtree(c1.log_dir, ignore_errors=True)
     assert c2.count() == 3
+
+
+def test_failed_clone_leaves_no_marker(spark, tmp_path):
+    """A clone that fails for ANY reason between the pin write and the
+    commit must unlink the just-written source marker. Regression for
+    the r12 leak: an occupied-destination ValueError escaped the
+    cleanup and left a phantom pin blocking the source's
+    vacuum/truncate_log for the whole TTL."""
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    dest = str(tmp_path / "c1")
+    src.clone(dest)
+    assert len(src.clones()) == 1
+    with pytest.raises(ValueError, match="already holds a table"):
+        src.clone(dest)
+    assert len(src.clones()) == 1  # no phantom pin from the failure
+
+
+def test_failed_clone_arbitrary_error_unpins(spark, tmp_path, monkeypatch):
+    """Not just the occupied-destination path: ANY exception between
+    the marker write and the commit (staging error, copy failure,
+    commit conflict) reaches clone()'s broad handler and unpins."""
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(1, "a")]))
+
+    real = TxTable._commit
+
+    def boom(self, *a, **kw):
+        if kw.get("op") == "clone" or (a and a[-1] == "clone"):
+            raise RuntimeError("staging blew up")
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(TxTable, "_commit", boom)
+    with pytest.raises(RuntimeError, match="staging blew up"):
+        src.clone(str(tmp_path / "cX"))
+    assert src.clones() == []
