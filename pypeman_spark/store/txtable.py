@@ -1746,15 +1746,20 @@ class TxTable:
     def _maybe_refresh_clone_marker(
         self, live: "dict[str, dict]"
     ) -> None:
-        """On read paths: if this table's live set borrows files from
-        a source (it is a shallow clone), touch the marker it left
-        there so the source's vacuum TTL tracks actual use. One
-        ``os.utime`` per read — no data IO."""
-        bor = next(
-            (f for f, i in live.items() if i.get("borrowed")), None
-        )
-        if bor is not None:
-            self._refresh_clone_marker(bor)
+        """On read paths: if this table's live set borrows files, touch
+        a marker at EVERY distinct owner root it borrows from so each
+        owner's vacuum TTL tracks actual use. A chained shallow clone
+        (clone of a clone) borrows from both its direct source and the
+        original owner — refreshing only the direct source would let
+        an idle intermediate's marker at the owner expire while the
+        grandchild is still actively reading the owner's bytes. One
+        ``os.utime`` per distinct root per read — no data IO."""
+        roots: "dict[str, str]" = {}
+        for f, i in live.items():
+            if i.get("borrowed"):
+                roots.setdefault(self._data_base(f), f)
+        for f in roots.values():
+            self._refresh_clone_marker(f)
 
     def _data_base(self, abs_file: str) -> str:
         """The data root a file lives under — ``<table>/data`` for own
@@ -4041,6 +4046,7 @@ class TxTable:
             # anyway, because a silent collision would lose a file.
             pairs: "list[tuple[str, str]]" = []
             seen: set = set()
+            owner_roots: "set[str]" = set()
             dest_root = os.path.abspath(dest.path)
             for f, info in sorted(tgt.live.items()):
                 if info.get("borrowed") or os.path.isabs(f):
@@ -4049,6 +4055,9 @@ class TxTable:
                         "data",
                         os.path.relpath(src, self._data_base(src)),
                     )
+                    owner = os.path.dirname(self._data_base(src))
+                    if owner != src_root:
+                        owner_roots.add(owner)
                 else:
                     src = os.path.join(src_root, f)
                     rel = f
@@ -4066,29 +4075,61 @@ class TxTable:
             total_b = sum(
                 int(i.get("bytes", 0)) for i in tgt.live.values()
             )
-            if pairs and total_b <= _DEEP_CLONE_DRIVER_MAX_BYTES:
-                # metadata-sized table: the driver loop beats a Spark
-                # job's scheduling + worker round-trip
-                for s, d in pairs:
-                    os.makedirs(os.path.dirname(d), exist_ok=True)
-                    shutil.copy2(s, d)
-            elif pairs:
-                # executor-side copy: ship the (src, dst) pairs as
-                # Spark tasks so the bytes move through the cluster
-                # (shared table storage), not the driver — a deep
-                # clone of a large table must scale with executors,
-                # and task retry re-copies idempotently (copy2
-                # overwrites; nothing references dst until the single
-                # clone commit below lands)
-                sc = self.spark.sparkContext
-                n = max(1, min(len(pairs), sc.defaultParallelism * 2))
-
-                def _copy_part(it):
-                    for s, d in it:
+            # a deep clone of a SHALLOW clone reads bytes the owner's
+            # vacuum could reap mid-copy (the pre-copy existence guard
+            # answers only at call time): pin each borrowed owner for
+            # the duration of the copy with a transient marker at
+            # version 0 (owner-relative snapshot version is unknown —
+            # maximally conservative, removed below either way)
+            transient: "list[str]" = []
+            for root in sorted(owner_roots):
+                try:
+                    transient.append(os.path.join(
+                        root, "_clones",
+                        self._write_marker_file(
+                            root, os.path.abspath(dest.path), 0
+                        ),
+                    ))
+                except OSError:
+                    pass
+            try:
+                if pairs and total_b <= _DEEP_CLONE_DRIVER_MAX_BYTES:
+                    # metadata-sized table: the driver loop beats a
+                    # Spark job's scheduling + worker round-trip
+                    for s, d in pairs:
                         os.makedirs(os.path.dirname(d), exist_ok=True)
                         shutil.copy2(s, d)
+                elif pairs:
+                    # executor-side copy: ship the (src, dst) pairs as
+                    # Spark tasks so the bytes move through the
+                    # cluster (shared table storage), not the driver —
+                    # a deep clone of a large table must scale with
+                    # executors, and task retry re-copies idempotently
+                    # (copy2 overwrites; nothing references dst until
+                    # the single clone commit below lands)
+                    sc = self.spark.sparkContext
+                    n = max(
+                        1, min(len(pairs), sc.defaultParallelism * 2)
+                    )
 
-                sc.parallelize(pairs, n).foreachPartition(_copy_part)
+                    def _copy_part(it):
+                        for s, d in it:
+                            os.makedirs(
+                                os.path.dirname(d), exist_ok=True
+                            )
+                            shutil.copy2(s, d)
+
+                    sc.parallelize(pairs, n).foreachPartition(
+                        _copy_part
+                    )
+            finally:
+                # once copied, the clone owns its bytes — the owners
+                # need no pin past this point, success or failure
+                for mp in transient:
+                    try:
+                        os.unlink(mp)
+                    except OSError:
+                        pass
         if not dest._commit(
             1, actions, op="clone",
             buckets=sorted({
@@ -4120,10 +4161,22 @@ class TxTable:
         snapshot has removal version > it or none at all) and
         :meth:`truncate_log` keeps the log entries that removal
         bookkeeping needs. Returns the marker file name."""
-        d = os.path.join(self.path, "_clones")
+        return self._write_marker_file(self.path, dest_abs, version)
+
+    @staticmethod
+    def _write_marker_file(
+        table_root: str, dest_abs: str, version: int
+    ) -> str:
+        """Atomically drop a clone-pin marker under
+        ``table_root/_clones`` and return its file name. The tmp
+        sibling must NOT end in .json: ``clones()`` keys on that
+        suffix, and a half-written tmp that matched would read as torn
+        JSON and be silently skipped — letting a concurrent vacuum
+        through unpinned."""
+        d = os.path.join(table_root, "_clones")
         os.makedirs(d, exist_ok=True)
         name = f"clone-{uuid.uuid4().hex[:12]}.json"
-        tmp = os.path.join(d, f".tmp.{name}")
+        tmp = os.path.join(d, f"{name}.tmp")
         with open(tmp, "w") as fh:
             json.dump({
                 "dest": dest_abs, "version": int(version),
@@ -4172,32 +4225,37 @@ class TxTable:
         return min(versions) if versions else None
 
     def _refresh_clone_marker(self, borrowed_file: str) -> None:
-        """Called on this table's reads when its live set borrows
-        files: touch the marker this clone left at its source so the
-        TTL tracks actual use. Best-effort — a missing marker (TTL'd
-        and swept, or the source was moved) is re-created if the
-        source root still exists; reads of already-vacuumed borrowed
-        files fail loudly on their own. When the clone's OWN
-        truncate_log dropped commit 1 (the marker's provenance), the
-        source root is re-derived from a borrowed path and a
-        deterministic marker name pinned at version 0 — maximally
-        conservative, still TTL-governed."""
+        """Called on this table's reads per distinct owner root the
+        live set borrows from: touch the marker pinning that owner so
+        its TTL tracks actual use. The owner root is derived from the
+        borrowed path itself; the recorded commit-1 marker name (and
+        snapshot version) applies only when that root IS the direct
+        clone source — any other root (chained clone, truncated own
+        log) gets a deterministic per-(clone, owner) name pinned at
+        version 0, maximally conservative and still TTL-governed.
+        Best-effort — a missing marker (TTL'd and swept, or the owner
+        moved) is re-created atomically (tmp + ``os.replace``, so a
+        concurrent ``clones()`` scan never reads torn JSON and lets a
+        vacuum pass through unpinned) if the owner root still exists;
+        reads of already-vacuumed borrowed files fail loudly on their
+        own."""
         if self._clone_marker_info is None:
             info = self._commit_info(1) or {}
             self._clone_marker_info = (
                 info.get("source"), info.get("clone_marker"),
                 info.get("source_version"),
             )
-        src, name, src_v = self._clone_marker_info
-        if not src or not name:
-            src = os.path.dirname(self._data_base(borrowed_file))
+        rec_src, rec_name, rec_v = self._clone_marker_info
+        src = os.path.dirname(self._data_base(borrowed_file))
+        if rec_src and rec_name and os.path.abspath(rec_src) == src:
+            name, src_v = rec_name, rec_v
+        else:
             name = "clone-{}.json".format(
                 hashlib.md5(
-                    os.path.abspath(self.path).encode()
+                    (os.path.abspath(self.path) + "\0" + src).encode()
                 ).hexdigest()[:12]
             )
             src_v = 0
-            self._clone_marker_info = (src, name, src_v)
         p = os.path.join(src, "_clones", name)
         try:
             os.utime(p)
@@ -4205,12 +4263,14 @@ class TxTable:
             try:
                 if os.path.isdir(src) and src_v is not None:
                     os.makedirs(os.path.dirname(p), exist_ok=True)
-                    with open(p, "w") as fh:
+                    tmp = p + ".tmp"
+                    with open(tmp, "w") as fh:
                         json.dump({
                             "dest": os.path.abspath(self.path),
                             "version": int(src_v),
                             "ts": time.time(),
                         }, fh)
+                    os.replace(tmp, p)
             except OSError:
                 pass
 

@@ -498,3 +498,68 @@ def test_failed_clone_arbitrary_error_unpins(spark, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="staging blew up"):
         src.clone(str(tmp_path / "cX"))
     assert src.clones() == []
+
+
+def test_chained_clone_reads_refresh_owner_marker(spark, tmp_path):
+    """A clone-of-a-clone's reads must keep a pin alive at EVERY
+    owner it borrows from — not just its direct source. If only the
+    intermediate's marker at the original owner tracked use, an idle
+    intermediate would let the owner's TTL expire while the grandchild
+    is still reading the owner's bytes."""
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    c1 = src.clone(str(tmp_path / "c1"))
+    c1.append(_df(spark, [(3, "c1-own")]))
+    c2 = c1.clone(str(tmp_path / "c2"))
+    # age every existing marker far past the probe TTL: c1's at src,
+    # c2's at c1
+    for root in (src.path, c1.path):
+        d = os.path.join(root, "_clones")
+        for n in os.listdir(d):
+            os.utime(os.path.join(d, n), (1.0, 1.0))
+    assert src.clones(ttl_s=60.0) == []
+    assert c1.clones(ttl_s=60.0) == []
+    # one grandchild read refreshes (or re-creates) a pin at BOTH
+    # owners it borrows from — c1 (direct source) AND src (original).
+    # (count() alone is log-only and touches no files, so it is NOT
+    # expected to refresh anything — snapshot() reads the bytes.)
+    assert c2.snapshot().count() == 3
+    assert src.clones(ttl_s=60.0) != []
+    assert c1.clones(ttl_s=60.0) != []
+    # the re-created owner pin is conservative (version 0) and real:
+    # src's vacuum refuses to reap what c2 borrows even after churn
+    src.delete_where(("k", "<=", 2))
+    assert src.vacuum(grace_s=0.0) == []
+    assert c2.count() == 3
+
+
+def test_deep_clone_of_shallow_pins_owner_during_copy(
+    spark, tmp_path, monkeypatch
+):
+    """While a deep clone of a shallow clone copies borrowed bytes, a
+    transient marker pins the owner's vacuum; it is gone afterwards."""
+    import shutil as _sh
+
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(i, f"v{i}") for i in range(6)]))
+    c1 = src.clone(str(tmp_path / "c1"))
+
+    def markers_at_src():
+        d = os.path.join(src.path, "_clones")
+        return [n for n in os.listdir(d) if n.endswith(".json")]
+
+    seen_during_copy: list = []
+    real_copy2 = _sh.copy2
+
+    def spy(s, d, **kw):
+        if not seen_during_copy:
+            seen_during_copy.extend(markers_at_src())
+        return real_copy2(s, d, **kw)
+
+    monkeypatch.setattr(_sh, "copy2", spy)
+    deep = c1.clone(str(tmp_path / "d1"), shallow=False)
+    assert deep.count() == 6
+    # during the copy: c1's own marker + the transient owner pin
+    assert len(seen_during_copy) == 2
+    # after: only c1's marker remains — the transient pin is removed
+    assert len(markers_at_src()) == 1
