@@ -1614,3 +1614,117 @@ def txtable_acid_suite(spark, sf_dir):
         .unionByName(clone_guard)
         .unionByName(clone_guard_src)
     )
+
+
+# =====================================================================
+# Exactly-once streaming APPEND sink (SURVEY §2.I; Delta txn-appId
+# protocol). A REAL StreamingQuery drains a file source into a TxTable
+# through foreach_batch_append, then the newest batch commit is
+# removed from the checkpoint and the query restarted — Structured
+# Streaming re-delivers that micro-batch with the SAME batch_id and
+# data (file-source offsets are durable), and the sink's
+# (app, batch_id) txn marker must make the re-delivery a provable
+# no-op: identical row counts/sums AND an unchanged table version,
+# both inside the oracle hash.
+# =====================================================================
+
+_STREAM_APPEND_SQL = """
+    WITH src AS (
+        SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 3 = 0
+    )
+    SELECT 'stream_final' AS arm, event_type AS segment,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM src GROUP BY event_type
+    UNION ALL
+    SELECT 'stream_redelivered' AS arm, event_type AS segment,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM src GROUP BY event_type
+    UNION ALL
+    SELECT 'stream_version_delta' AS arm, 'redelivery' AS segment,
+           CAST(1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS bal_cents
+"""
+
+
+@q("stream_append_exactly_once", _STREAM_APPEND_SQL)
+def stream_append_exactly_once(spark, sf_dir):
+    """Exactly-once append-only streaming sink: a real availableNow
+    StreamingQuery over a parquet file source (maxFilesPerTrigger=1 →
+    several micro-batches) lands every batch in a TxTable via
+    ``foreach_batch_append`` (store/txtable.py). Re-delivery is forced
+    the way a crashed job produces it — the newest entry in the
+    checkpoint's ``commits/`` is deleted and the query restarted, so
+    the engine replans that micro-batch from its durable offsets with
+    the same batch_id — and the sink's (app, batch_id) txn marker must
+    no-op it: the ``stream_redelivered`` arm re-aggregates the table
+    (a duplicate append would double its counts and break the hash)
+    and ``stream_version_delta`` pins the commit-log version delta
+    across the redelivery at literal 0. Reference semantics: Delta
+    Lake idempotent writes (txn appId/version); the reference engine's
+    channels replay safely via message-store state
+    (/root/reference/pypeman/channels.py process/replay), re-expressed
+    here as table-level transaction markers."""
+    from ..store import TxTable
+
+    tmp = tempfile.mkdtemp(prefix="pypeman_streamappend_")
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select(
+            "event_id", "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    srcdir = os.path.join(tmp, "src")
+    ev.repartition(3).write.parquet(srcdir)
+    schema = spark.read.parquet(srcdir).schema
+    tx = TxTable(
+        spark, os.path.join(tmp, "tbl"),
+        key_cols=["event_id"], n_buckets=4,
+    )
+    ckpt = os.path.join(tmp, "ckpt")
+
+    def drain():
+        sq = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcdir)
+            .writeStream
+            .foreachBatch(tx.foreach_batch_append("ingest"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        sq.awaitTermination(180)
+
+    drain()
+    v1 = tx.version()
+
+    def agg(df, arm):
+        return df.groupBy(F.col("event_type").alias("segment")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("bal_cents"),
+        ).select(F.lit(arm).alias("arm"), "segment", "n", "bal_cents")
+
+    # snapshot() fixes its immutable file list at call time, so the
+    # restart below cannot disturb this plan even if it (wrongly)
+    # appended
+    final = agg(tx.snapshot(), "stream_final")
+    cdir = os.path.join(ckpt, "commits")
+    last = max(int(n) for n in os.listdir(cdir) if n.isdigit())
+    os.unlink(os.path.join(cdir, str(last)))
+    try:
+        # Hadoop's ChecksumFs keeps a .N.crc sidecar; a leftover one
+        # makes the restart's commit rewrite fail on rename
+        os.unlink(os.path.join(cdir, f".{last}.crc"))
+    except OSError:
+        pass
+    drain()  # re-delivers batch `last` with identical data
+    v2 = tx.version()
+    redelivered = agg(tx.snapshot(), "stream_redelivered")
+    delta = spark.range(1).select(
+        F.lit("stream_version_delta").alias("arm"),
+        F.lit("redelivery").alias("segment"),
+        F.lit(1).cast("long").alias("n"),
+        F.lit(v2 - v1).cast("long").alias("bal_cents"),
+    )
+    return final.unionByName(redelivered).unionByName(delta)
