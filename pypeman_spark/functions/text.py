@@ -297,6 +297,7 @@ def bm25_topk(
     df: DataFrame, query: "list[str]", text_col: str = "text",
     id_col: str = "doc_id", k: int = 10,
     k1: float = 1.2, b: float = 0.75,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents for a term query by Okapi BM25
     (Robertson/Lucene idf ``ln(1 + (N - df + .5)/(df + .5))``):
@@ -317,6 +318,15 @@ def bm25_topk(
     for documents the query never touches don't shuffle — only the
     matching sliver does. Ties rank deterministically (score desc,
     id asc).
+
+    ``broadcast_candidates`` encodes the term-query cardinality
+    assumption: the default forces the candidate-id set driver-side,
+    which is right for selective terms but can OOM the driver when a
+    query contains a stop-word-like term matching most of the corpus.
+    Pass ``False`` for such queries — the semi join plans unhinted and
+    AQE still converts it to a broadcast at runtime whenever the
+    candidate side turns out small, so the only cost is losing the
+    compile-time guarantee.
     """
     toks = df.select(
         F.col(id_col),
@@ -334,7 +344,10 @@ def bm25_topk(
     # assumption (term queries), so it broadcasts — the semi join
     # prunes dl map-side with zero dl shuffle
     cand = tf.select(id_col).distinct()
-    dl_q = dl.join(F.broadcast(cand), id_col, "left_semi")
+    dl_q = dl.join(
+        F.broadcast(cand) if broadcast_candidates else cand,
+        id_col, "left_semi",
+    )
     contrib = (
         tf.join(F.broadcast(dfreq), "term")
         .join(dl_q, id_col)

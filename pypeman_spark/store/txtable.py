@@ -704,6 +704,7 @@ class TxTable:
         logstore: "str | LogStore | None" = None,
         partition_by: "list[str] | None" = None,
         dv_table_cap: "int | None" = None,
+        deep_clone_driver_max_bytes: "int | None" = None,
     ):
         self.spark = spark
         self.path = path
@@ -743,6 +744,16 @@ class TxTable:
             self.dv_table_cap = int(
                 meta.get("dv_table_cap", _DV_MAX_TABLE_POSITIONS)
             )
+            # deep-clone copy routing is a table property too: the
+            # right driver/executor byte threshold tracks the table's
+            # storage (slow object store => lower; local NVMe =>
+            # higher), not the code version
+            self.deep_clone_driver_max_bytes = int(
+                meta.get(
+                    "deep_clone_driver_max_bytes",
+                    _DEEP_CLONE_DRIVER_MAX_BYTES,
+                )
+            )
         else:
             if not key_cols:
                 raise ValueError(
@@ -763,6 +774,19 @@ class TxTable:
                 dv_table_cap if dv_table_cap is not None
                 else _DV_MAX_TABLE_POSITIONS
             )
+            if (
+                deep_clone_driver_max_bytes is not None
+                and int(deep_clone_driver_max_bytes) < 0
+            ):
+                raise ValueError(
+                    "deep_clone_driver_max_bytes must be >= 0 "
+                    "(0 = always copy executor-side)"
+                )
+            self.deep_clone_driver_max_bytes = int(
+                deep_clone_driver_max_bytes
+                if deep_clone_driver_max_bytes is not None
+                else _DEEP_CLONE_DRIVER_MAX_BYTES
+            )
             actions: list[dict] = [{
                 "meta": {
                     "key_cols": self.key_cols,
@@ -775,6 +799,14 @@ class TxTable:
                     **(
                         {"dv_table_cap": self.dv_table_cap}
                         if dv_table_cap is not None else {}
+                    ),
+                    **(
+                        {
+                            "deep_clone_driver_max_bytes":
+                            self.deep_clone_driver_max_bytes
+                        }
+                        if deep_clone_driver_max_bytes is not None
+                        else {}
                     ),
                 }
             }]
@@ -2364,6 +2396,13 @@ class TxTable:
             # vectors away and resets this to 0)
             out["dv_total_positions"] = out["dv_rows"]
             out["dv_table_cap"] = self.dv_table_cap
+        if (
+            self.deep_clone_driver_max_bytes
+            != _DEEP_CLONE_DRIVER_MAX_BYTES
+        ):
+            out["deep_clone_driver_max_bytes"] = (
+                self.deep_clone_driver_max_bytes
+            )
         if self.partition_by:
             out["partition_by"] = list(self.partition_by)
             out["partitions"] = len(parts)
@@ -4008,6 +4047,12 @@ class TxTable:
                 if self.dv_table_cap != _DV_MAX_TABLE_POSITIONS
                 else None
             ),
+            deep_clone_driver_max_bytes=(
+                self.deep_clone_driver_max_bytes
+                if self.deep_clone_driver_max_bytes
+                != _DEEP_CLONE_DRIVER_MAX_BYTES
+                else None
+            ),
         )
         actions: list[dict] = []
         proto = tgt.protocol
@@ -4093,7 +4138,10 @@ class TxTable:
                 except OSError:
                     pass
             try:
-                if pairs and total_b <= _DEEP_CLONE_DRIVER_MAX_BYTES:
+                if (
+                    pairs
+                    and total_b <= self.deep_clone_driver_max_bytes
+                ):
                     # metadata-sized table: the driver loop beats a
                     # Spark job's scheduling + worker round-trip
                     for s, d in pairs:

@@ -627,6 +627,19 @@ def test_bm25_and_rrf_shapes_are_scale_clean(spark):
     # the dl prune is a broadcast LEFT SEMI: corpus-cardinality doc
     # lengths for non-matching documents never reach an exchange
     assert "LeftSemi" in bm
+    # broadcast_candidates=False (stop-word-safe mode: a term matching
+    # most of the corpus must not force a driver broadcast) ranks
+    # identically — only the join strategy is released to AQE
+    from pypeman_spark.functions.text import bm25_topk
+    from pypeman_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    q = ["the", "data"]
+    hinted = bm25_topk(docs, q, k=5).collect()
+    unhinted = bm25_topk(
+        docs, q, k=5, broadcast_candidates=False
+    ).collect()
+    assert sorted(map(tuple, hinted)) == sorted(map(tuple, unhinted))
     rrf = plan_of(REGISTRY["hybrid_rrf_search"].fn(spark, SF))
     assert "CartesianProduct" not in rrf
     assert "TakeOrderedAndProject" in rrf

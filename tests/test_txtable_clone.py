@@ -308,21 +308,15 @@ def test_clone_stats_expose_borrowed_and_vacuum_dry_run(
 
 def test_deep_clone_executor_path_byte_identical(spark, tmp_path):
     """The distributed copy route (engaged above the driver-copy byte
-    threshold; forced here by zeroing it) produces byte-identical
-    files under the clone's root — same contract as the driver fast
-    path the small tables take."""
+    threshold — a CREATE-TIME TABLE PROPERTY, forced here by creating
+    the table with threshold 0) produces byte-identical files under
+    the clone's root — same contract as the driver fast path the
+    small tables take."""
     import hashlib
 
-    import pypeman_spark.store.txtable as txmod
-
-    src = _mk(spark, tmp_path)
+    src = _mk(spark, tmp_path, deep_clone_driver_max_bytes=0)
     src.append(_df(spark, [(i, f"v{i}") for i in range(20)]))
-    old = txmod._DEEP_CLONE_DRIVER_MAX_BYTES
-    txmod._DEEP_CLONE_DRIVER_MAX_BYTES = 0
-    try:
-        c = src.clone(str(tmp_path / "c"), shallow=False)
-    finally:
-        txmod._DEEP_CLONE_DRIVER_MAX_BYTES = old
+    c = src.clone(str(tmp_path / "c"), shallow=False)
 
     def digest(root):
         return {
@@ -563,3 +557,45 @@ def test_deep_clone_of_shallow_pins_owner_during_copy(
     assert len(seen_during_copy) == 2
     # after: only c1's marker remains — the transient pin is removed
     assert len(markers_at_src()) == 1
+
+
+@pytest.mark.parametrize("threshold", [0, None])
+def test_deep_clone_threshold_property_routes_and_inherits(
+    spark, tmp_path, threshold
+):
+    """deep_clone_driver_max_bytes is a create-time table property
+    like dv_table_cap: persisted in the table meta (a reopened handle
+    sees it), inherited by clones, surfaced in stats() when
+    non-default — and BOTH copy routes it selects (0 = always
+    executor-side; default = driver loop for small tables) produce
+    the same table."""
+    kw = {}
+    if threshold is not None:
+        kw["deep_clone_driver_max_bytes"] = threshold
+    src = _mk(spark, tmp_path, **kw)
+    src.append(_df(spark, [(i, f"v{i}") for i in range(12)]))
+    # a REOPENED handle reads the property from meta, not the kwarg
+    reopened = TxTable(spark, src.path)
+    want = 0 if threshold == 0 else reopened.deep_clone_driver_max_bytes
+    assert reopened.deep_clone_driver_max_bytes == want
+    if threshold == 0:
+        assert src.stats()["deep_clone_driver_max_bytes"] == 0
+    else:
+        assert "deep_clone_driver_max_bytes" not in src.stats()
+    deep = reopened.clone(str(tmp_path / "deep"), shallow=False)
+    assert _rows(deep.snapshot()) == _rows(src.snapshot())
+    # clones inherit the property (both deep and shallow)
+    assert (
+        deep.deep_clone_driver_max_bytes
+        == reopened.deep_clone_driver_max_bytes
+    )
+    sh = reopened.clone(str(tmp_path / "sh"))
+    assert (
+        sh.deep_clone_driver_max_bytes
+        == reopened.deep_clone_driver_max_bytes
+    )
+
+
+def test_deep_clone_threshold_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="deep_clone_driver_max_bytes"):
+        _mk(spark, tmp_path, name="bad", deep_clone_driver_max_bytes=-1)
