@@ -251,6 +251,13 @@ def main() -> None:
         # #4); their `queries` number stays build+probe so totals remain
         # comparable across rounds
         "phases": phases,
+        # flattened copies of the ivfpq split: the one-time KMeans
+        # build dominates the slot total and masks probe-path
+        # regressions — ivfpq_probe_s is the regression-watched number
+        **{
+            f"ivfpq_{k.removesuffix('_s')}_s": v
+            for k, v in phases.get("ivfpq_index_probe", {}).items()
+        },
         "completed": sum(v is not None for v in timings.values()),
         "attempted": len(timings),
         "sf": sf,
