@@ -1728,3 +1728,165 @@ def stream_append_exactly_once(spark, sf_dir):
         F.lit(v2 - v1).cast("long").alias("bal_cents"),
     )
     return final.unionByName(redelivered).unionByName(delta)
+
+
+# =====================================================================
+# Streaming corpus ingestion end-to-end (SURVEY §2.I; the streaming
+# form of examples/incremental_corpus.py): a real availableNow query
+# drains one parquet file per micro-batch through
+# streaming/ingest.py:incremental_ingest_sink — within-batch exact
+# dedup, near-dup probe against the PERSISTED MinHash index, survivors
+# appended to corpus + index tables exactly-once. Batch k carries
+# fresh synthetic docs (sha2-chunk words: novel shingles, text is a
+# pure function of the ORIGINAL doc_id) and, for k>0, verbatim
+# re-keyed copies of batch-0 docs that only the index can catch. The
+# oracle needs no text: every original is ingested exactly once, every
+# planted copy is caught, so the arms are pure doc_id arithmetic. A
+# forced checkpoint re-delivery (newest commit deleted, stream
+# restarted) must leave counts AND both tables' versions unchanged.
+# =====================================================================
+
+_STREAM_INGEST_SQL = """
+    SELECT 'final_originals' AS arm, count(*) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS val
+    FROM documents
+    UNION ALL
+    SELECT 'planted_arrived' AS arm, count(*) AS n,
+           CAST(0 AS BIGINT) AS val
+    FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 IN (1, 2)
+    UNION ALL
+    SELECT 'planted_survivors' AS arm, CAST(0 AS BIGINT) AS n,
+           CAST(0 AS BIGINT) AS val
+    UNION ALL
+    SELECT 'index_rows' AS arm, 4 * count(*) AS n,
+           count(*) AS val
+    FROM documents
+    UNION ALL
+    SELECT 'versions_after_redelivery' AS arm, CAST(1 AS BIGINT) AS n,
+           CAST(0 AS BIGINT) AS val
+"""
+
+
+@q("streaming_incremental_ingest", _STREAM_INGEST_SQL)
+def streaming_incremental_ingest(spark, sf_dir):
+    """Streaming day-2 corpus ingestion, gated end-to-end: three
+    parquet files (mtime-ordered, one micro-batch each via
+    maxFilesPerTrigger=1) drain through ``incremental_ingest_sink``
+    (streaming/ingest.py). Batch k holds synthetic docs for original
+    ids with ``doc_id % 3 == k`` — text is a deterministic function of
+    the original id, so the planted copies in batches 1-2 (ids
+    ``% 3 == 0 AND % 5 == k``, re-keyed +10M*k) are verbatim
+    duplicates of batch-0-ingested docs that ONLY the persisted index
+    can catch. Expected end state, all in the hash: every original
+    ingested exactly once (count + id-sum), zero planted survivors,
+    index rows = 4 bands x docs, and — after a forced checkpoint
+    re-delivery of the last batch — both tables' commit versions
+    unchanged (the sink's per-table txn markers no-op the replay).
+    Reference semantics: pypeman channels replay without double-
+    processing via store state (/root/reference/pypeman/channels.py);
+    here the store state is the tables' txn map."""
+    from ..store import TxTable
+    from ..streaming.ingest import incremental_ingest_sink
+
+    tmp = tempfile.mkdtemp(prefix="pypeman_streamingest_")
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(src_ids, new_id_col):
+        words = [
+            F.substring(
+                F.sha2(
+                    F.concat_ws(":", F.col("doc_id"), F.lit(j)), 256
+                ),
+                1, 8,
+            )
+            for j in range(20)
+        ]
+        return src_ids.select(
+            new_id_col.alias("doc_id").cast("long").alias("doc_id"),
+            F.concat_ws(" ", *words).alias("text"),
+        )
+
+    srcdir = os.path.join(tmp, "src")
+    os.makedirs(srcdir)
+    for k in range(3):
+        b = synth(
+            ids.filter(F.col("doc_id") % 3 == k), F.col("doc_id")
+        )
+        if k > 0:
+            b = b.unionByName(synth(
+                ids.filter(
+                    (F.col("doc_id") % 3 == 0)
+                    & (F.col("doc_id") % 5 == k)
+                ),
+                F.col("doc_id") + 10_000_000 * k,
+            ))
+        path = os.path.join(srcdir, f"b{k}.parquet")
+        b.toPandas().to_parquet(path, index=False)
+        os.utime(path, (1_000_000 + 10 * k, 1_000_000 + 10 * k))
+    corpus = TxTable(
+        spark, os.path.join(tmp, "corpus"),
+        key_cols=["doc_id"], n_buckets=8,
+    )
+    index = TxTable(
+        spark, os.path.join(tmp, "mh_index"),
+        key_cols=["doc_id", "band"], n_buckets=8,
+    )
+    sink = incremental_ingest_sink(corpus, index)
+    ckpt = os.path.join(tmp, "ckpt")
+
+    def drain():
+        sq = (
+            spark.readStream
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).parquet(srcdir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        sq.awaitTermination(300)
+
+    drain()
+    v_corpus, v_index = corpus.version(), index.version()
+    # forced re-delivery of the last micro-batch (crash-shaped): the
+    # sink's txn markers must no-op both appends
+    cdir = os.path.join(ckpt, "commits")
+    last = max(int(n) for n in os.listdir(cdir) if n.isdigit())
+    os.unlink(os.path.join(cdir, str(last)))
+    try:
+        os.unlink(os.path.join(cdir, f".{last}.crc"))
+    except OSError:
+        pass
+    drain()
+    snap = corpus.snapshot()
+    originals = snap.filter(F.col("doc_id") < 10_000_000).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("val"),
+    ).select(F.lit("final_originals").alias("arm"), "n", "val")
+    planted_arrived = ids.filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 5).isin(1, 2)
+    ).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("planted_arrived").alias("arm"), "n",
+        F.lit(0).cast("long").alias("val"),
+    )
+    planted_left = snap.filter(F.col("doc_id") >= 10_000_000).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).alias("val"),
+    ).select(F.lit("planted_survivors").alias("arm"), "n", "val")
+    idx_rows = index.snapshot().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("val"),
+    ).select(F.lit("index_rows").alias("arm"), "n", "val")
+    vdelta = spark.range(1).select(
+        F.lit("versions_after_redelivery").alias("arm"),
+        F.lit(1).cast("long").alias("n"),
+        (
+            F.lit(corpus.version() - v_corpus)
+            + F.lit(index.version() - v_index)
+        ).cast("long").alias("val"),
+    )
+    return (
+        originals.unionByName(planted_arrived)
+        .unionByName(planted_left)
+        .unionByName(idx_rows)
+        .unionByName(vdelta)
+    )

@@ -389,3 +389,43 @@ def test_http_sidecar_get_routing(spark, tmp_path):
     record = json.loads(next(iter(landing.glob("*.json"))).read_text())
     assert record["payload"] == ""
     assert json.loads(record["meta"]["get_params"]) == {"id": "9"}
+
+
+def test_incremental_ingest_sink_dedups_and_noops(spark, tmp_path):
+    """streaming/ingest.py: the foreachBatch sink exact-dedups within
+    a batch, catches cross-batch near-dups via the persisted index
+    alone, and a re-delivered batch_id no-ops on both tables."""
+    from pypeman_spark.store.txtable import TxTable
+    from pypeman_spark.streaming.ingest import incremental_ingest_sink
+
+    corpus = TxTable(
+        spark, str(tmp_path / "corpus"), key_cols=["doc_id"],
+        n_buckets=2,
+    )
+    index = TxTable(
+        spark, str(tmp_path / "idx"), key_cols=["doc_id", "band"],
+        n_buckets=2,
+    )
+    sink = incremental_ingest_sink(corpus, index)
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta"
+    long_b = "one two three four five six seven eight nine"
+    # batch 0: two docs + an exact in-batch dup (kept rep = lowest id)
+    sink(docs([(1, long_a), (2, long_b), (3, long_a)]), 0)
+    assert corpus.count() == 2
+    assert index.count() == 8  # 2 docs x 4 bands
+    # batch 1: one new doc + a verbatim copy of doc 1 (caught by the
+    # INDEX — batch 0's rows are long gone)
+    sink(docs([(10, "x y z w v u t s r q"), (11, long_a)]), 1)
+    assert corpus.count() == 3
+    assert sorted(
+        r["doc_id"] for r in corpus.snapshot().collect()
+    ) == [1, 2, 10]
+    v_c, v_i = corpus.version(), index.version()
+    # re-delivered batch 1 (same batch_id): provable no-op
+    sink(docs([(10, "x y z w v u t s r q"), (11, long_a)]), 1)
+    assert (corpus.version(), index.version()) == (v_c, v_i)
+    assert corpus.count() == 3
