@@ -220,7 +220,8 @@ def minhash_probe(new_df: DataFrame, index_df: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   num_hashes: int = 16, bands: int = 4,
                   shingle_n: int = 3,
-                  min_agree: int = 8) -> DataFrame:
+                  min_agree: int = 8,
+                  new_index_df: "DataFrame | None" = None) -> DataFrame:
     """INCREMENTAL near-dup detection: new documents probed against a
     PERSISTED index (:func:`minhash_index` rows — typically appended
     batch after batch to a table), returning
@@ -233,9 +234,18 @@ def minhash_probe(new_df: DataFrame, index_df: DataFrame,
     come from the (band, band_hash) equi-join (high-cardinality key,
     well-distributed shuffle, never all-pairs); the agreement count is
     a zip_with over the two signature arrays, integer-exact in every
-    engine."""
-    probe = minhash_index(
-        new_df, text_col, id_col, num_hashes, bands, shingle_n
+    engine.
+
+    ``new_index_df`` short-circuits the probe side's signature
+    computation when the caller already holds :func:`minhash_index`
+    rows for ``new_df`` (same hash parameters) — a sink that probes a
+    batch against itself AND against history, then appends the rows,
+    pays for one signature pass instead of three."""
+    probe = (
+        new_index_df if new_index_df is not None
+        else minhash_index(
+            new_df, text_col, id_col, num_hashes, bands, shingle_n
+        )
     ).select(
         F.col(id_col).alias("new_id"), "band", "band_hash",
         F.col("sig").alias("sig_new"),

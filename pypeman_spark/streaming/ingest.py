@@ -37,6 +37,7 @@ def incremental_ingest_sink(
     bands: int = 4,
     shingle_n: int = 3,
     min_agree: int = 8,
+    within_batch: bool = True,
 ):
     """foreachBatch sink factory:
     ``writeStream.foreachBatch(incremental_ingest_sink(corpus, index))``.
@@ -44,24 +45,49 @@ def incremental_ingest_sink(
     ``corpus`` and ``index`` are :class:`~pypeman_spark.store.TxTable`
     handles; the index table holds :func:`~pypeman_spark.functions.
     dedup.minhash_index` rows and grows with every ingested batch.
-    Each micro-batch is exact-deduped within itself, near-dup-probed
-    against the index, and the survivors appended to both tables under
-    txn ids ``(app, batch_id)`` / ``(app + "_idx", batch_id)`` — a
-    re-delivered batch (crash between the appends and the stream's
-    checkpoint commit) no-ops on whichever appends already landed, so
-    the pair converges exactly-once without a cross-table transaction.
+    Each micro-batch is exact-deduped within itself, near-dup-deduped
+    WITHIN the batch (``within_batch`` — self-probe of the batch's own
+    index rows, keeping the lowest id of each agreeing pair; a batch
+    that arrives carrying two paraphrases of one document must not
+    ingest both), near-dup-probed against the index, and the survivors
+    appended to both tables under txn ids ``(app, batch_id)`` /
+    ``(app + "_idx", batch_id)`` — a re-delivered batch (crash between
+    the appends and the stream's checkpoint commit) no-ops on
+    whichever appends already landed, so the pair converges
+    exactly-once without a cross-table transaction.
+
+    Cost shape: the batch's MinHash signatures are computed ONCE
+    (``minhash_index`` rows), reused for the self-probe, the history
+    probe, and the index append — per batch the history contributes
+    only its narrow index scan, never text, never a shuffle of
+    history-sized data.
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch = D.dedupe_exact(
             batch_df, text_col=text_col, id_col=id_col
         )
+        mh = dict(
+            text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+            bands=bands, shingle_n=shingle_n,
+        )
+        rows = D.minhash_index(batch, **mh).localCheckpoint()
+        if within_batch:
+            self_dups = (
+                D.minhash_probe(
+                    batch, rows, min_agree=min_agree,
+                    new_index_df=rows, **mh,
+                )
+                .filter(F.col("hist_id") < F.col("new_id"))
+                .select(F.col("new_id").alias(id_col)).distinct()
+            )
+            batch = batch.join(self_dups, id_col, "left_anti")
+            rows = rows.join(self_dups, id_col, "left_anti")
         idx_df = index.snapshot()
         if "band_hash" in idx_df.columns:
             dup_ids = D.minhash_probe(
-                batch, idx_df, text_col=text_col, id_col=id_col,
-                num_hashes=num_hashes, bands=bands,
-                shingle_n=shingle_n, min_agree=min_agree,
+                batch, idx_df, min_agree=min_agree,
+                new_index_df=rows, **mh,
             ).select(F.col("new_id").alias(id_col)).distinct()
             survivors = batch.join(dup_ids, id_col, "left_anti")
         else:  # virgin index: nothing ingested yet, no schema to probe
@@ -71,11 +97,7 @@ def incremental_ingest_sink(
         if survivors.count():
             corpus.append(survivors, txn=(app, int(batch_id)))
             index.append(
-                D.minhash_index(
-                    survivors, text_col=text_col, id_col=id_col,
-                    num_hashes=num_hashes, bands=bands,
-                    shingle_n=shingle_n,
-                ),
+                rows.join(survivors, id_col, "left_semi"),
                 txn=(f"{app}_idx", int(batch_id)),
             )
 

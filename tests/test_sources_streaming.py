@@ -429,3 +429,16 @@ def test_incremental_ingest_sink_dedups_and_noops(spark, tmp_path):
     sink(docs([(10, "x y z w v u t s r q"), (11, long_a)]), 1)
     assert (corpus.version(), index.version()) == (v_c, v_i)
     assert corpus.count() == 3
+    # batch 2: two WITHIN-BATCH near-dups (same text bar one word —
+    # not exact, so only the self-probe can catch the higher id)
+    # plus one genuinely new doc
+    near_a = long_b.replace("nine", "ten")
+    sink(docs([(20, near_a), (21, near_a + " "), (22, "p o i u y t r e w q")]), 2)
+    got = sorted(r["doc_id"] for r in corpus.snapshot().collect())
+    assert got == [1, 2, 10, 20, 22]
+    # the index holds rows ONLY for ingested docs (4 bands each)
+    assert index.count() == 4 * len(got)
+    # and near_a itself is near-dup to long_b's history entry? No —
+    # one changed word out of nine flips ~3 of 7 shingles; with
+    # min_agree=8/16 the estimator keeps it. within_batch=False
+    # would have ingested BOTH 20 and 21.
