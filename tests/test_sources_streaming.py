@@ -442,3 +442,34 @@ def test_incremental_ingest_sink_dedups_and_noops(spark, tmp_path):
     # one changed word out of nine flips ~3 of 7 shingles; with
     # min_agree=8/16 the estimator keeps it. within_batch=False
     # would have ingested BOTH 20 and 21.
+
+
+def test_incremental_ingest_converges_after_partial_append(
+    spark, tmp_path
+):
+    """Crash seam: the corpus append landed but the process died
+    before the index append. The re-delivered batch must no-op the
+    corpus side (txn marker) and complete the index side — the pair
+    converges without a cross-table transaction."""
+    from pypeman_spark.store.txtable import TxTable
+    from pypeman_spark.streaming.ingest import incremental_ingest_sink
+
+    corpus = TxTable(
+        spark, str(tmp_path / "corpus"), key_cols=["doc_id"],
+        n_buckets=2,
+    )
+    index = TxTable(
+        spark, str(tmp_path / "idx"), key_cols=["doc_id", "band"],
+        n_buckets=2,
+    )
+    batch = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "q w e r t y u i")],
+        "doc_id long, text string",
+    )
+    # simulate the half-landed state the crash leaves behind
+    corpus.append(batch, txn=("ingest", 0))
+    assert corpus.count() == 2 and index.count() == 0
+    incremental_ingest_sink(corpus, index)(batch, 0)
+    assert corpus.count() == 2          # no double-ingest
+    assert index.count() == 2 * 4      # index side completed
+    assert corpus.version() == 1        # corpus append was a no-op
