@@ -1694,7 +1694,9 @@ def stream_append_exactly_once(spark, sf_dir):
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True).start()
         )
-        sq.awaitTermination(180)
+        if not sq.awaitTermination(600):
+            sq.stop()
+            raise RuntimeError("availableNow drain timed out")
 
     drain()
     v1 = tx.version()
@@ -1802,7 +1804,7 @@ def streaming_incremental_ingest(spark, sf_dir):
             for j in range(20)
         ]
         return src_ids.select(
-            new_id_col.alias("doc_id").cast("long").alias("doc_id"),
+            new_id_col.cast("long").alias("doc_id"),
             F.concat_ws(" ", *words).alias("text"),
         )
 
@@ -1843,7 +1845,9 @@ def streaming_incremental_ingest(spark, sf_dir):
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True).start()
         )
-        sq.awaitTermination(300)
+        if not sq.awaitTermination(600):
+            sq.stop()
+            raise RuntimeError("availableNow drain timed out")
 
     drain()
     v_corpus, v_index = corpus.version(), index.version()

@@ -3985,6 +3985,38 @@ class TxTable:
             marker = self._write_clone_marker(
                 os.path.abspath(dest_path), src_version
             )
+        owner_pins: "list[str]" = []
+        if shallow:
+            # chained clone: the snapshot may borrow files whose OWNER
+            # is not this table (we are ourselves a shallow clone).
+            # The marker above pins only US; the owner must be pinned
+            # for the new clone TOO, from creation — waiting for the
+            # clone's first read (which refreshes owner pins) leaves a
+            # window where an idle intermediate's expired marker lets
+            # the owner vacuum bytes the just-created clone borrows.
+            # Deterministic per-(clone, owner) names: the read-refresh
+            # path touches these same files later.
+            dest_abs = os.path.abspath(dest_path)
+            roots = sorted({
+                os.path.dirname(self._data_base(f))
+                for f, i in tgt.live.items()
+                if i.get("borrowed") or os.path.isabs(f)
+            } - {os.path.abspath(self.path)})
+            for root in roots:
+                try:
+                    nm = self._write_marker_file(
+                        root, dest_abs, 0,
+                        name=self._owner_pin_name(dest_abs, root),
+                    )
+                    owner_pins.append(
+                        os.path.join(root, "_clones", nm)
+                    )
+                except OSError:
+                    warnings.warn(
+                        f"TxTable at {self.path}: could not pin "
+                        f"borrowed owner {root} for clone {dest_abs} "
+                        f"— its vacuum may reclaim borrowed files"
+                    )
         try:
             committed = self._clone_build(
                 tgt, dest_path, src_version, shallow,
@@ -3993,6 +4025,11 @@ class TxTable:
         except BaseException:
             if marker:
                 self._unlink_clone_marker(marker)
+            for mp in owner_pins:
+                try:
+                    os.unlink(mp)
+                except OSError:
+                    pass
             raise
         dest = committed
         if shallow:
@@ -4014,6 +4051,18 @@ class TxTable:
             os.unlink(os.path.join(self.path, "_clones", name))
         except OSError:
             pass
+
+    @staticmethod
+    def _owner_pin_name(clone_abs: str, owner_root: str) -> str:
+        """Deterministic marker name a clone uses at a borrowed owner
+        root OTHER than its direct source (chained shallow clones).
+        Clone-time pinning and read-time refresh must derive the SAME
+        name, or every read would spawn a fresh marker."""
+        return "clone-{}.json".format(
+            hashlib.md5(
+                (clone_abs + "\0" + owner_root).encode()
+            ).hexdigest()[:12]
+        )
 
     def _clone_build(
         self, tgt, dest_path: str, src_version: int,
@@ -4136,7 +4185,16 @@ class TxTable:
                         ),
                     ))
                 except OSError:
-                    pass
+                    # the copy still runs (reads may be possible where
+                    # marker writes are not), but the operator must
+                    # know the mid-copy vacuum guard is OFF for this
+                    # owner
+                    warnings.warn(
+                        f"TxTable at {self.path}: could not write a "
+                        f"transient pin at borrowed owner {root}; a "
+                        f"concurrent owner vacuum during this deep "
+                        f"copy may reap borrowed files"
+                    )
             try:
                 if (
                     pairs
@@ -4213,18 +4271,23 @@ class TxTable:
 
     @staticmethod
     def _write_marker_file(
-        table_root: str, dest_abs: str, version: int
+        table_root: str, dest_abs: str, version: int,
+        name: "str | None" = None,
     ) -> str:
         """Atomically drop a clone-pin marker under
-        ``table_root/_clones`` and return its file name. The tmp
+        ``table_root/_clones`` and return its file name. ``name``
+        pins the file name (the chained-clone owner pins use the
+        deterministic per-(clone, owner) name the read-refresh path
+        will later ``utime``); default is a fresh uuid name. The tmp
         sibling must NOT end in .json: ``clones()`` keys on that
         suffix, and a half-written tmp that matched would read as torn
         JSON and be silently skipped — letting a concurrent vacuum
-        through unpinned."""
+        through unpinned; it embeds a uuid so concurrent writers never
+        share a tmp inode."""
         d = os.path.join(table_root, "_clones")
         os.makedirs(d, exist_ok=True)
-        name = f"clone-{uuid.uuid4().hex[:12]}.json"
-        tmp = os.path.join(d, f"{name}.tmp")
+        name = name or f"clone-{uuid.uuid4().hex[:12]}.json"
+        tmp = os.path.join(d, f"{name}.{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w") as fh:
             json.dump({
                 "dest": dest_abs, "version": int(version),
@@ -4298,10 +4361,8 @@ class TxTable:
         if rec_src and rec_name and os.path.abspath(rec_src) == src:
             name, src_v = rec_name, rec_v
         else:
-            name = "clone-{}.json".format(
-                hashlib.md5(
-                    (os.path.abspath(self.path) + "\0" + src).encode()
-                ).hexdigest()[:12]
+            name = self._owner_pin_name(
+                os.path.abspath(self.path), src
             )
             src_v = 0
         p = os.path.join(src, "_clones", name)
@@ -4311,7 +4372,13 @@ class TxTable:
             try:
                 if os.path.isdir(src) and src_v is not None:
                     os.makedirs(os.path.dirname(p), exist_ok=True)
-                    tmp = p + ".tmp"
+                    # tmp name must be UNIQUE per writer: two readers
+                    # re-creating the same swept marker concurrently
+                    # would otherwise truncate each other's shared tmp
+                    # inode mid-write and os.replace a torn file into
+                    # place — the very hazard the atomic write exists
+                    # to prevent
+                    tmp = f"{p}.{uuid.uuid4().hex[:8]}.tmp"
                     with open(tmp, "w") as fh:
                         json.dump({
                             "dest": os.path.abspath(self.path),

@@ -575,8 +575,10 @@ def test_deep_clone_threshold_property_routes_and_inherits(
     src = _mk(spark, tmp_path, **kw)
     src.append(_df(spark, [(i, f"v{i}") for i in range(12)]))
     # a REOPENED handle reads the property from meta, not the kwarg
+    from pypeman_spark.store.txtable import _DEEP_CLONE_DRIVER_MAX_BYTES
+
     reopened = TxTable(spark, src.path)
-    want = 0 if threshold == 0 else reopened.deep_clone_driver_max_bytes
+    want = 0 if threshold == 0 else _DEEP_CLONE_DRIVER_MAX_BYTES
     assert reopened.deep_clone_driver_max_bytes == want
     if threshold == 0:
         assert src.stats()["deep_clone_driver_max_bytes"] == 0
@@ -599,3 +601,35 @@ def test_deep_clone_threshold_property_routes_and_inherits(
 def test_deep_clone_threshold_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="deep_clone_driver_max_bytes"):
         _mk(spark, tmp_path, name="bad", deep_clone_driver_max_bytes=-1)
+
+
+def test_chained_clone_pins_owner_at_clone_time(spark, tmp_path):
+    """A shallow clone of a shallow clone must pin the ORIGINAL owner
+    at creation — not at its first read — so the window between
+    cloning and reading is covered even when the intermediate's own
+    marker has expired."""
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    c1 = src.clone(str(tmp_path / "c1"))
+    # the intermediate goes idle: its marker at src expires
+    d = os.path.join(src.path, "_clones")
+    for n in os.listdir(d):
+        os.utime(os.path.join(d, n), (1.0, 1.0))
+    assert src.clones(ttl_s=60.0) == []
+    c2 = c1.clone(str(tmp_path / "c2"))
+    # BEFORE any c2 read: the owner already holds c2's pin
+    pins = src.clones(ttl_s=60.0)
+    assert [p["dest"] for p in pins] == [os.path.abspath(c2.path)]
+    # and it is live protection: churn + vacuum reclaim nothing
+    src.delete_where(("k", ">=", 0))
+    assert src.vacuum(grace_s=0.0) == []
+    assert c2.snapshot().count() == 2
+    # the read-refresh touches the SAME file (no marker proliferation)
+    c2.snapshot().count()
+    assert len(src.clones(ttl_s=60.0)) == 1
+    # a FAILED chained clone unpins the owner again
+    for n in os.listdir(d):
+        os.utime(os.path.join(d, n), (1.0, 1.0))
+    with pytest.raises(ValueError, match="already holds"):
+        c1.clone(str(tmp_path / "c2"))
+    assert src.clones(ttl_s=60.0) == []

@@ -145,7 +145,8 @@ def main() -> None:
         }
         batches.append(row)
         print(row, flush=True)
-    first = next(b for b in batches if b["history_index_rows"] > 0)
+    probed = [b for b in batches if b["history_index_rows"] > 0]
+    first = probed[0] if probed else batches[-1]
     last = batches[-1]
     out = {
         "metric": "incremental_minhash_probe_cost",
