@@ -3970,6 +3970,21 @@ class TxTable:
             version = self.version_at(timestamp)
         tgt = _replay_log(self.logstore, upto=version)
         src_version = tgt.version if version is None else int(version)
+        # occupied-destination check BEFORE any marker/pin write: a
+        # retried clone(dest) after an earlier success must fail
+        # WITHOUT having touched the live clone's pins — the owner-pin
+        # names are deterministic per (dest, owner), so a cleanup
+        # after this ValueError would unlink the LIVE clone's pins and
+        # let owner vacuums reap bytes it still borrows until its next
+        # read re-created them. (_clone_build re-checks inside the
+        # pinned span to catch a concurrent clone racing this window.)
+        if os.path.exists(dest_path) and (
+            open_logstore(os.path.join(dest_path, _LOG_DIR))
+            .list_versions()
+        ):
+            raise ValueError(
+                f"clone destination {dest_path} already holds a table"
+            )
         marker = None
         if shallow:
             # pin FIRST, assert existence second: once the marker is
@@ -4003,7 +4018,19 @@ class TxTable:
                 if i.get("borrowed") or os.path.isabs(f)
             } - {os.path.abspath(self.path)})
             for root in roots:
+                pin_path = os.path.join(
+                    root, "_clones",
+                    self._owner_pin_name(dest_abs, root),
+                )
                 try:
+                    if os.path.exists(pin_path):
+                        # a pre-existing pin with this (clone, owner)
+                        # name belongs to an earlier attempt (or a
+                        # crashed cleanup): refresh its TTL but do NOT
+                        # claim it — the failure handler below must
+                        # only ever unlink pins THIS call created
+                        os.utime(pin_path)
+                        continue
                     nm = self._write_marker_file(
                         root, dest_abs, 0,
                         name=self._owner_pin_name(dest_abs, root),
@@ -4016,6 +4043,39 @@ class TxTable:
                         f"TxTable at {self.path}: could not pin "
                         f"borrowed owner {root} for clone {dest_abs} "
                         f"— its vacuum may reclaim borrowed files"
+                    )
+        transient_pins: "list[str]" = []
+        if not shallow:
+            # a deep clone of a SHALLOW source reads bytes another
+            # table owns; pin each borrowed owner BEFORE _clone_build
+            # runs the vacuumed-preimage guard (pin-first discipline,
+            # same as the shallow path above) so the guard's answer
+            # stays true through the whole copy — no guard-to-pin
+            # window for an owner vacuum to reap borrowed files
+            # mid-flight. Version 0 is maximally conservative (the
+            # owner-relative snapshot version is unknown); the pins
+            # are transient: once copied the clone owns its bytes, so
+            # they are removed below on success AND failure.
+            dest_abs = os.path.abspath(dest_path)
+            for root in sorted({
+                os.path.dirname(self._data_base(f))
+                for f, i in tgt.live.items()
+                if i.get("borrowed") or os.path.isabs(f)
+            } - {os.path.abspath(self.path)}):
+                try:
+                    transient_pins.append(os.path.join(
+                        root, "_clones",
+                        self._write_marker_file(root, dest_abs, 0),
+                    ))
+                except OSError:
+                    # the copy still runs (reads may be possible where
+                    # marker writes are not), but the operator must
+                    # know the mid-copy vacuum guard is OFF here
+                    warnings.warn(
+                        f"TxTable at {self.path}: could not write a "
+                        f"transient pin at borrowed owner {root}; a "
+                        f"concurrent owner vacuum during this deep "
+                        f"copy may reap borrowed files"
                     )
         try:
             committed = self._clone_build(
@@ -4031,6 +4091,12 @@ class TxTable:
                 except OSError:
                     pass
             raise
+        finally:
+            for mp in transient_pins:
+                try:
+                    os.unlink(mp)
+                except OSError:
+                    pass
         dest = committed
         if shallow:
             # post-commit guard, the restore discipline: if a vacuum
@@ -4140,7 +4206,6 @@ class TxTable:
             # anyway, because a silent collision would lose a file.
             pairs: "list[tuple[str, str]]" = []
             seen: set = set()
-            owner_roots: "set[str]" = set()
             dest_root = os.path.abspath(dest.path)
             for f, info in sorted(tgt.live.items()):
                 if info.get("borrowed") or os.path.isabs(f):
@@ -4149,9 +4214,6 @@ class TxTable:
                         "data",
                         os.path.relpath(src, self._data_base(src)),
                     )
-                    owner = os.path.dirname(self._data_base(src))
-                    if owner != src_root:
-                        owner_roots.add(owner)
                 else:
                     src = os.path.join(src_root, f)
                     rel = f
@@ -4169,73 +4231,43 @@ class TxTable:
             total_b = sum(
                 int(i.get("bytes", 0)) for i in tgt.live.values()
             )
-            # a deep clone of a SHALLOW clone reads bytes the owner's
-            # vacuum could reap mid-copy (the pre-copy existence guard
-            # answers only at call time): pin each borrowed owner for
-            # the duration of the copy with a transient marker at
-            # version 0 (owner-relative snapshot version is unknown —
-            # maximally conservative, removed below either way)
-            transient: "list[str]" = []
-            for root in sorted(owner_roots):
-                try:
-                    transient.append(os.path.join(
-                        root, "_clones",
-                        self._write_marker_file(
-                            root, os.path.abspath(dest.path), 0
-                        ),
-                    ))
-                except OSError:
-                    # the copy still runs (reads may be possible where
-                    # marker writes are not), but the operator must
-                    # know the mid-copy vacuum guard is OFF for this
-                    # owner
-                    warnings.warn(
-                        f"TxTable at {self.path}: could not write a "
-                        f"transient pin at borrowed owner {root}; a "
-                        f"concurrent owner vacuum during this deep "
-                        f"copy may reap borrowed files"
-                    )
-            try:
-                if (
-                    pairs
-                    and total_b <= self.deep_clone_driver_max_bytes
-                ):
-                    # metadata-sized table: the driver loop beats a
-                    # Spark job's scheduling + worker round-trip
-                    for s, d in pairs:
-                        os.makedirs(os.path.dirname(d), exist_ok=True)
+            # borrowed owners were pinned by clone() BEFORE the
+            # vacuumed-preimage guard at this method's entry (pin-
+            # first discipline, matching the shallow path), so the
+            # whole copy below runs under owner pins; clone() removes
+            # those transient pins on success and failure alike
+            if (
+                pairs
+                and total_b <= self.deep_clone_driver_max_bytes
+            ):
+                # metadata-sized table: the driver loop beats a
+                # Spark job's scheduling + worker round-trip
+                for s, d in pairs:
+                    os.makedirs(os.path.dirname(d), exist_ok=True)
+                    shutil.copy2(s, d)
+            elif pairs:
+                # executor-side copy: ship the (src, dst) pairs as
+                # Spark tasks so the bytes move through the
+                # cluster (shared table storage), not the driver —
+                # a deep clone of a large table must scale with
+                # executors, and task retry re-copies idempotently
+                # (copy2 overwrites; nothing references dst until
+                # the single clone commit below lands)
+                sc = self.spark.sparkContext
+                n = max(
+                    1, min(len(pairs), sc.defaultParallelism * 2)
+                )
+
+                def _copy_part(it):
+                    for s, d in it:
+                        os.makedirs(
+                            os.path.dirname(d), exist_ok=True
+                        )
                         shutil.copy2(s, d)
-                elif pairs:
-                    # executor-side copy: ship the (src, dst) pairs as
-                    # Spark tasks so the bytes move through the
-                    # cluster (shared table storage), not the driver —
-                    # a deep clone of a large table must scale with
-                    # executors, and task retry re-copies idempotently
-                    # (copy2 overwrites; nothing references dst until
-                    # the single clone commit below lands)
-                    sc = self.spark.sparkContext
-                    n = max(
-                        1, min(len(pairs), sc.defaultParallelism * 2)
-                    )
 
-                    def _copy_part(it):
-                        for s, d in it:
-                            os.makedirs(
-                                os.path.dirname(d), exist_ok=True
-                            )
-                            shutil.copy2(s, d)
-
-                    sc.parallelize(pairs, n).foreachPartition(
-                        _copy_part
-                    )
-            finally:
-                # once copied, the clone owns its bytes — the owners
-                # need no pin past this point, success or failure
-                for mp in transient:
-                    try:
-                        os.unlink(mp)
-                    except OSError:
-                        pass
+                sc.parallelize(pairs, n).foreachPartition(
+                    _copy_part
+                )
         if not dest._commit(
             1, actions, op="clone",
             buckets=sorted({

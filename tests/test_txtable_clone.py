@@ -627,9 +627,79 @@ def test_chained_clone_pins_owner_at_clone_time(spark, tmp_path):
     # the read-refresh touches the SAME file (no marker proliferation)
     c2.snapshot().count()
     assert len(src.clones(ttl_s=60.0)) == 1
-    # a FAILED chained clone unpins the owner again
-    for n in os.listdir(d):
-        os.utime(os.path.join(d, n), (1.0, 1.0))
+    # a RETRIED clone to the occupied destination fails BEFORE any
+    # pin write — the LIVE clone's owner pin must survive (the owner
+    # pin names are deterministic per (dest, owner), so a cleanup
+    # after this ValueError would have unlinked the live clone's pin)
+    live_before = {p["dest"] for p in src.clones(ttl_s=60.0)}
+    assert os.path.abspath(c2.path) in live_before
     with pytest.raises(ValueError, match="already holds"):
         c1.clone(str(tmp_path / "c2"))
-    assert src.clones(ttl_s=60.0) == []
+    assert {p["dest"] for p in src.clones(ttl_s=60.0)} == live_before
+    assert c2.snapshot().count() == 2
+
+
+def test_failed_chained_clone_spares_preexisting_owner_pin(
+    spark, tmp_path, monkeypatch
+):
+    """A chained clone that finds its deterministic owner pin ALREADY
+    on disk (crashed earlier attempt whose cleanup died between the
+    pin write and the unlink) refreshes it but does not claim it: a
+    later failure in the same call must not unlink a pin this call
+    did not create."""
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    c1 = src.clone(str(tmp_path / "c1"))
+    dest_abs = os.path.abspath(str(tmp_path / "c2"))
+    # simulate the orphaned pin from a crashed attempt
+    nm = TxTable._write_marker_file(
+        src.path, dest_abs, 0,
+        name=TxTable._owner_pin_name(dest_abs, os.path.abspath(src.path)),
+    )
+    pin = os.path.join(src.path, "_clones", nm)
+    assert os.path.exists(pin)
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("induced clone failure")
+
+    monkeypatch.setattr(TxTable, "_clone_build", boom)
+    with pytest.raises(RuntimeError, match="induced"):
+        c1.clone(str(tmp_path / "c2"))
+    # the pre-existing pin survived the failure cleanup (only pins
+    # THIS call created are unlinked), and its TTL was refreshed
+    assert os.path.exists(pin)
+    monkeypatch.undo()
+    # the real clone then succeeds and reuses the same pin file
+    c2 = c1.clone(str(tmp_path / "c2"))
+    assert c2.snapshot().count() == 2
+    assert dest_abs in {p["dest"] for p in src.clones(ttl_s=60.0)}
+
+
+def test_deep_clone_pins_owner_before_preimage_guard(
+    spark, tmp_path, monkeypatch
+):
+    """The deep-clone transient owner pins must be ON DISK before the
+    vacuumed-preimage guard runs at _clone_build entry (pin-first
+    discipline, matching the shallow path): otherwise an owner vacuum
+    in the guard-to-pin window could reap borrowed files mid-copy."""
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(i, f"v{i}") for i in range(4)]))
+    c1 = src.clone(str(tmp_path / "c1"))
+    d = os.path.join(src.path, "_clones")
+    at_guard: list = []
+    real_guard = TxTable._guard_vacuumed
+
+    def spy(self, rel_files, what):
+        if "clone(" in what and not at_guard:
+            at_guard.extend(
+                n for n in os.listdir(d) if n.endswith(".json")
+            )
+        return real_guard(self, rel_files, what)
+
+    monkeypatch.setattr(TxTable, "_guard_vacuumed", spy)
+    deep = c1.clone(str(tmp_path / "d1"), shallow=False)
+    assert deep.count() == 4
+    # at guard time: c1's own marker at src AND the transient pin
+    assert len(at_guard) == 2
+    # afterwards the transient pin is gone — only c1's marker remains
+    assert len([n for n in os.listdir(d) if n.endswith(".json")]) == 1
