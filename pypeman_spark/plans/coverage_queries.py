@@ -1894,3 +1894,138 @@ def streaming_incremental_ingest(spark, sf_dir):
         .unionByName(idx_rows)
         .unionByName(vdelta)
     )
+
+
+# =====================================================================
+# Index maintenance (SURVEY §2.I day-2 lifecycle): a corpus delete
+# must cascade into the persisted MinHash index, or the retired doc's
+# band rows suppress every future near-copy forever. Gates
+# streaming/ingest.py:index_sync end-to-end: ingest originals, dv-
+# delete a subset from the corpus, prune exactly their index rows
+# (O(deleted): the candidate list is the deleted ids; decoy LIVE ids
+# in the list must NOT be pruned), then a second batch carrying
+# re-keyed verbatim copies of BOTH deleted docs (must be INGESTED —
+# the ghost is gone) and live docs (must be suppressed — the real
+# index rows remain). Texts are pure functions of the ORIGINAL id, so
+# every arm is doc_id arithmetic the oracle reproduces without text.
+# =====================================================================
+
+_INDEX_SYNC_SQL = """
+    SELECT 'live_originals' AS arm, count(*) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS val
+    FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
+    UNION ALL
+    SELECT 'reingested' AS arm, count(*) AS n,
+           CAST(sum(doc_id + 10000000) AS BIGINT) AS val
+    FROM documents WHERE doc_id % 15 = 0
+    UNION ALL
+    SELECT 'suppressed' AS arm, CAST(0 AS BIGINT) AS n,
+           CAST(0 AS BIGINT) AS val
+    UNION ALL
+    SELECT 'pruned_ids' AS arm, count(*) AS n,
+           CAST(0 AS BIGINT) AS val
+    FROM documents WHERE doc_id % 15 = 0
+    UNION ALL
+    SELECT 'index_docs' AS arm, 4 * count(*) AS n, count(*) AS val
+    FROM (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
+        UNION ALL
+        SELECT doc_id FROM documents WHERE doc_id % 15 = 0
+    )
+"""
+
+
+@q("index_sync_reingest", _INDEX_SYNC_SQL)
+def index_sync_reingest(spark, sf_dir):
+    """Day-2 index maintenance, gated end-to-end (the missing piece of
+    the ingestion lifecycle): batch 0 ingests synthetic docs for ids
+    ``% 3 == 0`` through ``incremental_ingest_sink``; the ids
+    ``% 15 == 0`` are then dv-deleted from the CORPUS and
+    ``index_sync`` prunes exactly their index rows — the candidate
+    list also carries live decoys (``% 15 == 3``) that the corpus
+    anti-join must spare, so the returned prune count IS the deleted
+    count (hash arm). Batch 1 re-keys verbatim copies: +10M for
+    deleted originals (only prunable ghosts could suppress them →
+    ingested), +20M for live originals (real index rows remain →
+    suppressed). Reference basis: store retention
+    (/root/reference/pypeman/msgstore.py apply_retention) — the same
+    lifecycle applied to the dedup tier's index table."""
+    from ..store import TxTable
+    from ..streaming.ingest import incremental_ingest_sink, index_sync
+
+    tmp = tempfile.mkdtemp(prefix="pypeman_idxsync_")
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(src_ids, new_id_col):
+        words = [
+            F.substring(
+                F.sha2(
+                    F.concat_ws(":", F.col("doc_id"), F.lit(j)), 256
+                ),
+                1, 8,
+            )
+            for j in range(20)
+        ]
+        return src_ids.select(
+            new_id_col.cast("long").alias("doc_id"),
+            F.concat_ws(" ", *words).alias("text"),
+        )
+
+    corpus = TxTable(
+        spark, os.path.join(tmp, "corpus"),
+        key_cols=["doc_id"], n_buckets=8,
+    )
+    index = TxTable(
+        spark, os.path.join(tmp, "mh_index"),
+        key_cols=["doc_id", "band"], n_buckets=8,
+    )
+    sink = incremental_ingest_sink(corpus, index)
+    originals = ids.filter(F.col("doc_id") % 3 == 0)
+    sink(synth(originals, F.col("doc_id")), 0)
+    doomed = originals.filter(F.col("doc_id") % 5 == 0)
+    corpus.delete_keys(doomed, mode="dv")
+    pruned = index_sync(
+        corpus, index,
+        deleted_ids=doomed.unionByName(
+            originals.filter(F.col("doc_id") % 5 == 3)  # live decoys
+        ),
+        bands=4,
+    )
+    sink(
+        synth(doomed, F.col("doc_id") + 10_000_000).unionByName(
+            synth(
+                originals.filter(F.col("doc_id") % 5 == 1),
+                F.col("doc_id") + 20_000_000,
+            )
+        ),
+        1,
+    )
+    snap = corpus.snapshot()
+    live_orig = snap.filter(F.col("doc_id") < 10_000_000).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("val"),
+    ).select(F.lit("live_originals").alias("arm"), "n", "val")
+    reingested = snap.filter(
+        (F.col("doc_id") >= 10_000_000)
+        & (F.col("doc_id") < 20_000_000)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).alias("val"),
+    ).select(F.lit("reingested").alias("arm"), "n", "val")
+    suppressed = snap.filter(F.col("doc_id") >= 20_000_000).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).alias("val"),
+    ).select(F.lit("suppressed").alias("arm"), "n", "val")
+    pruned_arm = spark.range(1).select(
+        F.lit("pruned_ids").alias("arm"),
+        F.lit(int(pruned)).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("val"),
+    )
+    idx_docs = index.snapshot().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("val"),
+    ).select(F.lit("index_docs").alias("arm"), "n", "val")
+    return (
+        live_orig.unionByName(reingested).unionByName(suppressed)
+        .unionByName(pruned_arm).unionByName(idx_docs)
+    )

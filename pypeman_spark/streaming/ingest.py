@@ -102,3 +102,110 @@ def incremental_ingest_sink(
             )
 
     return _sink
+
+
+def index_sync(
+    corpus,
+    index,
+    id_col: str = "doc_id",
+    deleted_ids: "DataFrame | None" = None,
+    bands: "int | None" = None,
+    mode: str = "dv",
+    txn: "tuple[str, int] | None" = None,
+) -> int:
+    """Cascade corpus deletes into the persisted MinHash index: prune
+    the index rows of every document no longer LIVE in the corpus, and
+    return how many document ids were pruned. Without this, a
+    ``delete_where`` / ``delete_keys`` / retention pass on the corpus
+    leaves the deleted docs' band rows in the index forever — a
+    re-arriving near-copy of a retired document would be suppressed by
+    a ghost. Reference basis: the engine's store retention
+    (``store/msgstore.py:apply_retention``) — same lifecycle, applied
+    to the dedup tier's index table.
+
+    ``deleted_ids`` (a narrow one-column DataFrame) makes the prune
+    **O(deleted), never O(index)**: the retention recipe passes the
+    ids it just deleted, and only the index buckets holding those keys
+    are touched (``mode="dv"`` default: the dead rows' positions
+    publish as deletion-vector metadata — nothing is rewritten). Ids
+    still live in the corpus are filtered out first (left-anti against
+    the corpus's column-pruned id scan), so an over-broad or stale
+    candidate list can never orphan a live document from the index.
+    ``deleted_ids=None`` is full reconciliation: dead ids are computed
+    as the index's distinct ids anti-joined against the corpus's live
+    ids — two narrow id-only scans; the delete itself stays
+    bucket-scoped in the dead keys.
+
+    ``bands``: band count of the index rows (sink default 4). ``None``
+    reads ``max(band) + 1`` from the index — a bounded one-row agg
+    over a column-pruned scan; pass it explicitly to skip that read.
+    """
+    idx_df = index.snapshot()
+    if "band" not in idx_df.columns:
+        return 0  # virgin index: nothing ingested yet, nothing dead
+    live_ids = corpus.snapshot().select(id_col)
+    cand = (
+        deleted_ids.select(id_col) if deleted_ids is not None
+        else idx_df.select(id_col)
+    ).distinct()
+    dead = cand.join(live_ids, id_col, "left_anti").localCheckpoint()
+    n_dead = dead.count()
+    if not n_dead:
+        return 0
+    key_cols = list(index.key_cols)
+    if key_cols == [id_col]:
+        keys = dead
+    elif key_cols == [id_col, "band"]:
+        if bands is None:
+            bands = int(
+                idx_df.agg(F.max("band")).collect()[0][0]
+            ) + 1
+        keys = dead.select(
+            id_col,
+            F.explode(F.array(
+                *[F.lit(b) for b in range(bands)]
+            )).alias("band"),
+        )
+    else:
+        raise ValueError(
+            f"index_sync expects the index table keyed on "
+            f"[{id_col!r}] or [{id_col!r}, 'band'], got {key_cols!r}"
+        )
+    index.delete_keys(keys, mode=mode, txn=txn)
+    return n_dead
+
+
+def corpus_retention(
+    corpus,
+    index,
+    *preds: "tuple[str, str, object]",
+    id_col: str = "doc_id",
+    bands: "int | None" = None,
+    mode: str = "rewrite",
+    index_mode: str = "dv",
+    txn: "tuple[str, int] | None" = None,
+) -> int:
+    """Day-2 retention recipe: ``DELETE WHERE`` on the corpus AND the
+    cascading index prune, so re-arriving near-copies of retired
+    documents are ingested again instead of being suppressed by ghost
+    index rows. The doomed ids are captured with a footer-stats-pruned
+    :meth:`~pypeman_spark.store.TxTable.scan` BEFORE the delete (reads
+    only the matching files' id column), then handed to
+    :func:`index_sync` as the narrow candidate list — the index prune
+    is O(deleted). Returns the number of document ids pruned from the
+    index. Rows another writer appends between the capture and the
+    delete may be deleted without their index rows pruned until the
+    next sync — run a ``deleted_ids=None`` reconciliation on whatever
+    cadence that drift matters.
+
+    ``txn=(app, n)`` makes the pair idempotent under re-delivery: the
+    corpus delete runs under ``(app, n)`` and the index prune under
+    ``(app + "_idx", n)`` — same convention as the ingest sink.
+    """
+    doomed = corpus.scan(*preds).select(id_col).localCheckpoint()
+    corpus.delete_where(*preds, mode=mode, txn=txn)
+    return index_sync(
+        corpus, index, id_col=id_col, deleted_ids=doomed,
+        bands=bands, mode=index_mode,
+        txn=(f"{txn[0]}_idx", txn[1]) if txn is not None else None,
+    )

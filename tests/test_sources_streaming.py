@@ -473,3 +473,158 @@ def test_incremental_ingest_converges_after_partial_append(
     assert corpus.count() == 2          # no double-ingest
     assert index.count() == 2 * 4      # index side completed
     assert corpus.version() == 1        # corpus append was a no-op
+
+
+def test_index_sync_prunes_ghosts_then_reingests(spark, tmp_path):
+    """streaming/ingest.py:index_sync — a corpus delete must cascade
+    into the MinHash index, or the deleted doc's band rows suppress
+    every future near-copy forever. Proves the ghost first (copy of a
+    deleted doc is WRONGLY suppressed pre-sync), then the cure (after
+    index_sync the next copy IS ingested), then the safety rail (a
+    live id in deleted_ids is never pruned)."""
+    from pypeman_spark.store.txtable import TxTable
+    from pypeman_spark.streaming.ingest import (
+        incremental_ingest_sink, index_sync,
+    )
+
+    corpus = TxTable(
+        spark, str(tmp_path / "corpus"), key_cols=["doc_id"],
+        n_buckets=2,
+    )
+    index = TxTable(
+        spark, str(tmp_path / "idx"), key_cols=["doc_id", "band"],
+        n_buckets=2,
+    )
+    sink = incremental_ingest_sink(corpus, index)
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    text_1 = "alpha beta gamma delta epsilon zeta eta theta"
+    text_2 = "one two three four five six seven eight nine"
+    sink(docs([(1, text_1), (2, text_2)]), 0)
+    assert corpus.count() == 2 and index.count() == 8
+    # GDPR-shaped point delete of doc 1 from the corpus only
+    corpus.delete_keys(docs([(1, text_1)]).select("doc_id"), mode="dv")
+    assert corpus.count() == 1
+    # GHOST: the index still holds doc 1's rows, so a verbatim
+    # re-arrival is wrongly suppressed
+    sink(docs([(11, text_1)]), 1)
+    assert sorted(
+        r["doc_id"] for r in corpus.snapshot().collect()
+    ) == [2]
+    # CURE: full reconciliation finds exactly the one dead id,
+    # bucket-scoped dv delete prunes its band rows
+    assert index_sync(corpus, index) == 1
+    assert index.count() == 4
+    assert sorted(
+        r["doc_id"] for r in index.snapshot().select("doc_id")
+        .distinct().collect()
+    ) == [2]
+    sink(docs([(21, text_1)]), 2)
+    assert sorted(
+        r["doc_id"] for r in corpus.snapshot().collect()
+    ) == [2, 21]
+    assert index.count() == 8
+    # SAFETY: a live id in deleted_ids is filtered out, nothing pruned
+    v = index.version()
+    assert index_sync(
+        corpus, index,
+        deleted_ids=spark.createDataFrame([(2,), (21,)], "doc_id long"),
+    ) == 0
+    assert index.version() == v and index.count() == 8
+    # sync is idempotent: nothing dead, nothing touched
+    assert index_sync(corpus, index) == 0
+
+
+def test_corpus_retention_recipe_cascades_o_deleted(spark, tmp_path):
+    """streaming/ingest.py:corpus_retention — DELETE WHERE on the
+    corpus plus the O(deleted) index prune (doomed ids captured by a
+    pruned scan BEFORE the delete, passed as the narrow candidate
+    list), idempotent under txn re-delivery."""
+    from pypeman_spark.store.txtable import TxTable
+    from pypeman_spark.streaming.ingest import (
+        corpus_retention, incremental_ingest_sink,
+    )
+
+    corpus = TxTable(
+        spark, str(tmp_path / "corpus"), key_cols=["doc_id"],
+        n_buckets=2,
+    )
+    index = TxTable(
+        spark, str(tmp_path / "idx"), key_cols=["doc_id", "band"],
+        n_buckets=2,
+    )
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(10)))
+        for i in range(1, 9)
+    ]
+    incremental_ingest_sink(corpus, index)(
+        spark.createDataFrame(rows, "doc_id long, text string"), 0
+    )
+    assert corpus.count() == 8 and index.count() == 32
+    pruned = corpus_retention(
+        corpus, index, ("doc_id", "<=", 3), txn=("retention", 1)
+    )
+    assert pruned == 3
+    assert corpus.count() == 5
+    assert index.count() == 4 * 5
+    assert sorted(
+        r["doc_id"] for r in index.snapshot().select("doc_id")
+        .distinct().collect()
+    ) == [4, 5, 6, 7, 8]
+    # re-delivered retention pass: scan finds nothing doomed, both
+    # tables' versions hold
+    v_c, v_i = corpus.version(), index.version()
+    assert corpus_retention(
+        corpus, index, ("doc_id", "<=", 3), txn=("retention", 1)
+    ) == 0
+    assert (corpus.version(), index.version()) == (v_c, v_i)
+
+
+def test_ingest_sink_schema_evolution_mid_stream(spark, tmp_path):
+    """A column appearing in a later micro-batch (here ``lang`` in
+    batch 1) must flow through the ingest sink via append()'s schema
+    evolution: earlier rows read back null-filled, counts and versions
+    exact, and the index schema is unaffected (its four columns are
+    fixed)."""
+    from pypeman_spark.store.txtable import TxTable
+    from pypeman_spark.streaming.ingest import incremental_ingest_sink
+
+    corpus = TxTable(
+        spark, str(tmp_path / "corpus"), key_cols=["doc_id"],
+        n_buckets=2,
+    )
+    index = TxTable(
+        spark, str(tmp_path / "idx"), key_cols=["doc_id", "band"],
+        n_buckets=2,
+    )
+    sink = incremental_ingest_sink(corpus, index)
+    sink(spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "q w e r t y u i")],
+        "doc_id long, text string",
+    ), 0)
+    sink(spark.createDataFrame(
+        [(3, "m n b v c x z l", "en"), (4, "p o i u y t r e", "fr")],
+        "doc_id long, text string, lang string",
+    ), 1)
+    snap = corpus.snapshot()
+    assert set(snap.columns) == {"doc_id", "text", "lang"}
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in snap.select("doc_id", "lang").collect()
+    }
+    assert got == {1: None, 2: None, 3: "en", 4: "fr"}
+    assert index.count() == 4 * 4
+    assert set(index.snapshot().columns) == {
+        "doc_id", "band", "band_hash", "sig",
+    }
+    # exactly one append per table per batch
+    assert corpus.version() == 2 and index.version() == 2
+    # a re-delivered evolved batch still no-ops
+    sink(spark.createDataFrame(
+        [(3, "m n b v c x z l", "en"), (4, "p o i u y t r e", "fr")],
+        "doc_id long, text string, lang string",
+    ), 1)
+    assert corpus.version() == 2 and index.version() == 2
+    assert corpus.count() == 4
