@@ -95,6 +95,17 @@ HEADLINE = [
 # boundary into build_s / probe_s
 INDEX_ENTRIES = {"ivf_index_probe", "ivfpq_index_probe"}
 
+# composite entries that union several independent arms tagged by a
+# literal discriminator column: each arm is re-timed alone by filtering
+# on the literal — Catalyst folds the non-matching branches to empty
+# relations, so the filtered run genuinely costs only that arm (arm
+# sums exceed the slot total where arms share stages, e.g. the fuzzy
+# clusters feeding the splits arm; the per-arm numbers are regression
+# trackers, not a partition of the total)
+ARM_ENTRIES: dict[str, tuple[str, tuple[str, ...]]] = {
+    "dedup_corpus_pipelines": ("mode", ("fuzzy", "semantic", "splits")),
+}
+
 
 def _load1() -> float | None:
     """1-minute host load average — cheap contention telemetry."""
@@ -219,6 +230,18 @@ def main() -> None:
                     "build_s": round(t1 - t0, 3),
                     "probe_s": round(t2 - t1, 3),
                 }
+            if name in ARM_ENTRIES:
+                from pyspark.sql import functions as F
+
+                col, arms = ARM_ENTRIES[name]
+                ph: dict[str, float] = {}
+                for arm in arms:
+                    ta = time.time()
+                    spec.fn(spark, sf_dir).filter(
+                        F.col(col) == arm
+                    ).write.mode("overwrite").format("noop").save()
+                    ph[f"{arm}_s"] = round(time.time() - ta, 3)
+                phases[name] = ph
         except Exception as exc:  # noqa: BLE001
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]

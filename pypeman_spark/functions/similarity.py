@@ -453,7 +453,38 @@ def ivf_index_write(
     # Python-worker job (~0.7 s overhead) while the recompute is a tiny
     # pure-JVM job
     cent.write.mode("overwrite").parquet(path + "_centroids")
+    _write_ivf_meta(path, {
+        "n_build": corpus.count(),
+        "n_appended": 0,
+        "n_centroids": len(cent_rows),
+    })
     return path
+
+
+def _ivf_meta_path(path: str) -> str:
+    return path + "_meta.json"
+
+
+def _write_ivf_meta(path: str, meta: dict) -> None:
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    tmp = f"{_ivf_meta_path(path)}.{_uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(meta, fh)
+    _os.replace(tmp, _ivf_meta_path(path))
+
+
+def _read_ivf_meta(path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    p = _ivf_meta_path(path)
+    if not _os.path.exists(p):
+        return {}  # pre-gauge index: appended fraction unknowable
+    with open(p) as fh:
+        return _json.load(fh)
 
 
 def ivf_index_append(
@@ -481,7 +512,146 @@ def ivf_index_append(
     cent = spark.read.parquet(path + "_centroids")
     assigned = ivf_assign(new_vectors, cent, id_col=id_col, vec_col=vec_col)
     assigned.write.mode("append").partitionBy("cid").parquet(path)
+    # staleness bookkeeping: the coarse quantizer is frozen, so recall
+    # degrades silently as the appended distribution drifts from the
+    # build set. Track how much has been appended since the last
+    # (re)build — ivf_index_maintain turns the gauge into a rebuild
+    # trigger. Single-writer, like the parquet append itself.
+    meta = _read_ivf_meta(path)
+    if meta:
+        meta["n_appended"] = int(meta.get("n_appended", 0)) + (
+            new_vectors.count()
+        )
+        _write_ivf_meta(path, meta)
     return path
+
+
+def ivf_index_gauges(spark, path: str) -> dict:
+    """Staleness / balance gauges for a persisted IVF index
+    (:func:`ivf_index_write` layout) — the numbers an operator alarms
+    on, and the inputs to :func:`ivf_index_maintain`'s rebuild
+    trigger:
+
+    - ``appended_fraction``: rows appended since the last (re)build
+      over the build size. The coarse quantizer never saw these rows;
+      past ~0.5-1.0 the recall claim of the build-time ANN study no
+      longer transfers (drift curve measured in ``ANN_RECALL.md``).
+    - ``cell_skew``: max cell size over mean cell size. Drifted
+      appends pile into a few nearest-by-accident cells, so skew
+      rises with drift even when the append volume is modest — and a
+      hot cell also breaks the ``~nprobe/C`` probe-cost contract.
+    - ``empty_cells``: centroids with no rows — capacity the probe
+      wastes.
+
+    Cost: one JSON sidecar read plus a count-by-partition-column agg
+    (row-group metadata scale, never vector bytes)."""
+    meta = _read_ivf_meta(path)
+    cells = {
+        int(r["cid"]): int(r["n"])
+        for r in spark.read.parquet(path)
+        .groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(cells.values())
+    n_centroids = int(
+        meta.get("n_centroids") or max(len(cells), 1)
+    )
+    mean_cell = n_total / max(n_centroids, 1)
+    n_build = meta.get("n_build")
+    n_appended = meta.get("n_appended")
+    return {
+        "n_total": n_total,
+        "n_build": n_build,
+        "n_appended": n_appended,
+        "appended_fraction": (
+            round(n_appended / max(int(n_build), 1), 4)
+            if n_build is not None and n_appended is not None
+            else None  # pre-gauge index: unknowable, maintain treats as stale
+        ),
+        "n_centroids": n_centroids,
+        "empty_cells": max(n_centroids - len(cells), 0),
+        "max_cell": max(cells.values()) if cells else 0,
+        "cell_skew": (
+            round(max(cells.values()) / mean_cell, 4)
+            if cells and mean_cell else 0.0
+        ),
+    }
+
+
+def ivf_index_maintain(
+    spark,
+    path: str,
+    max_appended_fraction: float = 0.5,
+    max_cell_skew: float = 4.0,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    force: bool = False,
+) -> dict:
+    """Centroid-staleness policy for a persisted IVF index: read the
+    :func:`ivf_index_gauges`, and when ``appended_fraction`` or
+    ``cell_skew`` passes its threshold (or the index predates the
+    gauges — fraction unknowable — or ``force``), re-fit the coarse
+    quantizer with :func:`kmeans_centroids` over the CURRENT vectors
+    and rebuild the partitioned layout, resetting the append counter.
+    Returns ``{"rebuilt": bool, "reason": str | None, "before": gauges
+    [, "after": gauges]}``.
+
+    Scale shape: the decision costs one metadata-scale agg; the
+    rebuild is one KMeans fit (optionally over a ``sample_fraction``
+    Bernoulli sample — fitting centroids does not need every row) plus
+    one full repartition-by-cell rewrite, the same job as the original
+    build. The rewrite lands in a sibling directory and is swapped in
+    with directory renames, so a concurrent probe sees the old or the
+    new index, never a half-written one (a cloud deployment would swap
+    a manifest pointer instead of renaming directories)."""
+    import os as _os
+    import shutil as _shutil
+
+    before = ivf_index_gauges(spark, path)
+    frac = before["appended_fraction"]
+    reason = None
+    if force:
+        reason = "forced"
+    elif frac is None:
+        reason = "no build metadata (pre-gauge index)"
+    elif frac >= max_appended_fraction:
+        reason = (
+            f"appended_fraction {frac} >= {max_appended_fraction}"
+        )
+    elif before["cell_skew"] >= max_cell_skew:
+        reason = f"cell_skew {before['cell_skew']} >= {max_cell_skew}"
+    if reason is None:
+        return {"rebuilt": False, "reason": None, "before": before}
+    vectors = spark.read.parquet(path).select(id_col, vec_col)
+    fit_on = (
+        vectors.sample(fraction=sample_fraction, seed=seed)
+        if sample_fraction else vectors
+    )
+    cent = kmeans_centroids(
+        fit_on,
+        n_centroids or before["n_centroids"],
+        vec_col=vec_col, seed=seed,
+    )
+    staging = path + ".rebuild"
+    ivf_index_write(
+        vectors, staging, id_col=id_col, vec_col=vec_col,
+        centroids=cent,
+    )
+    old = path + ".old"
+    for suffix in ("", "_centroids"):
+        _shutil.rmtree(old + suffix, ignore_errors=True)
+        _os.rename(path + suffix, old + suffix)
+        _os.rename(staging + suffix, path + suffix)
+        _shutil.rmtree(old + suffix, ignore_errors=True)
+    _os.replace(_ivf_meta_path(staging), _ivf_meta_path(path))
+    return {
+        "rebuilt": True,
+        "reason": reason,
+        "before": before,
+        "after": ivf_index_gauges(spark, path),
+    }
 
 
 def ivf_probe(

@@ -1293,3 +1293,104 @@ def test_minhash_probe_near_duplicate_partial_agreement(spark):
         (r,) = got
         assert 0 < r["n_agree"] < 16
         assert D.minhash_probe(new, idx, min_agree=r["n_agree"] + 1).count() == 0
+
+
+def _clustered_vecs(spark, centers, per_cluster, id_base, dim=8):
+    """Deterministic clustered vectors: center axis +1/-1 plus a small
+    id-dependent jitter on every component."""
+    import hashlib
+
+    rows = []
+    i = id_base
+    for sign, axis in centers:
+        for _ in range(per_cluster):
+            # md5-derived jitter: deterministic but UNSTRUCTURED per
+            # (id, dim) — any linear/periodic pattern makes a query's
+            # nearest neighbors share its cell assignment and masks
+            # the drift this fixture exists to create
+            v = [
+                (int(hashlib.md5(
+                    f"{i}:{j}".encode()
+                ).hexdigest()[:8], 16) % 1000 - 500) * 0.0004
+                for j in range(dim)
+            ]
+            v[axis] += 2.0 * sign
+            rows.append((i, v))
+            i += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def _recall(spark, path, emb, queries, k=5, nprobe=1):
+    from pypeman_spark.functions import similarity as S
+
+    exact = {}
+    for r in S.cosine_topk(emb, queries, k=k).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in S.ivf_probe(spark, path, queries, k=k, nprobe=nprobe).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return sum(
+        len(got.get(q, set()) & hits) / len(hits)
+        for q, hits in exact.items()
+    ) / len(exact)
+
+
+def test_ivf_staleness_gauges_and_rebuild_trigger(spark, tmp_path):
+    """ivf_index_append freezes the coarse quantizer, so recall decays
+    silently as the appended distribution drifts. The gauges must
+    expose that (appended_fraction, cell_skew), ivf_index_maintain
+    must fire past the threshold and NOT before, and the rebuilt index
+    must restore recall on drifted queries (measured against exact
+    cosine over the same corpus)."""
+    from pypeman_spark.functions import similarity as S
+
+    # build: 3 clusters on +e0,+e1,+e2; drifted appends: -e0,-e1,-e2
+    build = _clustered_vecs(
+        spark, [(1, 0), (1, 1), (1, 2)], per_cluster=20, id_base=0
+    )
+    drifted = _clustered_vecs(
+        spark, [(-1, 0), (-1, 1), (-1, 2)], per_cluster=40, id_base=100
+    )
+    path = str(tmp_path / "ivf")
+    S.ivf_index_write(
+        build, path,
+        centroids=S.kmeans_centroids(build, 3, seed=7, max_iter=10),
+    )
+    g0 = S.ivf_index_gauges(spark, path)
+    assert g0["n_build"] == 60 and g0["appended_fraction"] == 0.0
+    # below-threshold append: maintain must NOT rebuild
+    S.ivf_index_append(spark, path, drifted.filter(F.col("vec_id") < 110))
+    out = S.ivf_index_maintain(spark, path, max_appended_fraction=0.5,
+                               max_cell_skew=100.0)
+    assert out["rebuilt"] is False
+    assert out["before"]["appended_fraction"] == round(10 / 60, 4)
+    # the rest of the drift arrives: 2x the build set, frozen centroids
+    S.ivf_index_append(spark, path, drifted.filter(F.col("vec_id") >= 110))
+    g1 = S.ivf_index_gauges(spark, path)
+    assert g1["n_total"] == 180 and g1["appended_fraction"] == 2.0
+    emb = build.unionByName(drifted)
+    queries = _clustered_vecs(
+        spark, [(-1, 0), (-1, 1), (-1, 2)], per_cluster=2, id_base=900
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    stale = _recall(spark, path, emb, queries, k=5, nprobe=1)
+    out = S.ivf_index_maintain(
+        spark, path, max_appended_fraction=0.5, max_cell_skew=100.0,
+        n_centroids=6, seed=7,
+    )
+    assert out["rebuilt"] is True
+    assert "appended_fraction" in out["reason"]
+    assert out["after"]["appended_fraction"] == 0.0
+    assert out["after"]["n_build"] == 180
+    rebuilt = _recall(spark, path, emb, queries, k=5, nprobe=1)
+    # 6 refit cells separate the drifted clusters the 3 frozen build
+    # cells crammed together: nprobe=1 recall must recover
+    assert rebuilt >= 0.9
+    assert rebuilt > stale + 0.2
+    # probe layout still partition-pruned and healthy after the swap
+    assert S.ivf_probe(spark, path, queries, k=5, nprobe=1).count() == 30
+    # converged: a second maintain pass is a no-op
+    assert S.ivf_index_maintain(
+        spark, path, max_appended_fraction=0.5, max_cell_skew=100.0
+    )["rebuilt"] is False

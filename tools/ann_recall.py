@@ -276,23 +276,90 @@ def main() -> int:
                 "quantization_error": pq_qerr(cemb, books),
                 "bytes_scanned_fraction": round(8 / (DIM * 8), 4),
             }))
+
+    # ---- centroid staleness: recall under frozen-quantizer appends ---
+    # ivf_index_append assigns against the BUILD-time centroids; as the
+    # appended distribution drifts, recall@k on drift-shaped queries
+    # decays silently. Measured: build on one cluster set, append
+    # 1x/2x/4x the build size from a DIFFERENT cluster set, recall at
+    # each step, then ivf_index_maintain's rebuild and the recovery.
+    drift_idx = tempfile.mkdtemp(prefix="ann_recall_drift_") + "/index"
+    build = clustered_corpus(spark, n=2048, seed=7).cache()
+    S.ivf_index_write(
+        build, drift_idx,
+        centroids=S.kmeans_centroids(build, n_centroids=8),
+    )
+    dq = clustered_corpus(
+        spark, n=N_QUERIES, seed=13, centers_seed=11, id_base=10_000_000
+    ).select(F.col("vec_id").alias("query_id"), "embedding").cache()
+    total = build
+    appended_x = 0
+    for step, inc in enumerate((2048, 2048, 4096)):
+        batch = clustered_corpus(
+            spark, n=inc, seed=20 + step, centers_seed=11,
+            id_base=100_000 * (step + 1),
+        )
+        S.ivf_index_append(spark, drift_idx, batch)
+        total = total.unionByName(batch)
+        appended_x += inc / 2048
+        dexact = topk_sets(S.cosine_topk(total, dq, k=K))
+        stale = recall(
+            topk_sets(S.ivf_probe(spark, drift_idx, dq, k=K, nprobe=2)),
+            dexact,
+        )
+        g = S.ivf_index_gauges(spark, drift_idx)
+        print(json.dumps({
+            "method": "ivf_drift", "corpus": "clustered+shifted",
+            "appended_x": appended_x, "recall_at_k_stale": stale,
+            "k": K, "nprobe": 2, "n_queries": N_QUERIES,
+            "appended_fraction": g["appended_fraction"],
+            "cell_skew": g["cell_skew"], "max_cell": g["max_cell"],
+        }))
+    out = S.ivf_index_maintain(spark, drift_idx,
+                               max_appended_fraction=0.5)
+    dexact = topk_sets(S.cosine_topk(total, dq, k=K))
+    rebuilt = recall(
+        topk_sets(S.ivf_probe(spark, drift_idx, dq, k=K, nprobe=2)),
+        dexact,
+    )
+    print(json.dumps({
+        "method": "ivf_drift_rebuilt", "corpus": "clustered+shifted",
+        "appended_x": appended_x, "recall_at_k_rebuilt": rebuilt,
+        "k": K, "nprobe": 2, "rebuild_reason": out["reason"],
+        "cell_skew_after": out["after"]["cell_skew"],
+        "appended_fraction_after": out["after"]["appended_fraction"],
+    }))
     return 0
 
 
-def clustered_corpus(spark, n=4096, dim=DIM, n_clusters=8, sigma=0.25, seed=7):
+def clustered_corpus(spark, n=4096, dim=DIM, n_clusters=8, sigma=0.25,
+                     seed=7, centers_seed=None, id_base=0):
     """Synthetic corpus WITH cluster structure: unit-norm cluster
     centers + Gaussian noise, re-normalized. Deterministic via the
-    seed; this is the regime real embedding corpora live in."""
+    seed; this is the regime real embedding corpora live in.
+    ``centers_seed`` decouples the cluster CENTERS from the point
+    noise so a drift study can sample several independent batches
+    (different ``seed``) from one shifted distribution (same
+    ``centers_seed``); ``id_base`` keeps batch ids disjoint."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    centers = rng.normal(size=(n_clusters, dim))
+    # centers_seed=None draws centers from the SAME stream, in the
+    # same order, as every prior round's run — the standing numbers
+    # in ANN_RECALL.md stay comparable
+    centers = (
+        rng.normal(size=(n_clusters, dim))
+        if centers_seed is None
+        else np.random.default_rng(centers_seed).normal(
+            size=(n_clusters, dim)
+        )
+    )
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     labels = rng.integers(0, n_clusters, size=n)
     pts = centers[labels] + sigma * rng.normal(size=(n, dim))
     pts /= np.linalg.norm(pts, axis=1, keepdims=True)
     return spark.createDataFrame(
-        [(i, [float(x) for x in pts[i]]) for i in range(n)],
+        [(i + id_base, [float(x) for x in pts[i]]) for i in range(n)],
         "vec_id bigint, embedding array<double>",
     ).repartition(8)
 
