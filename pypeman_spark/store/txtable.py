@@ -1786,12 +1786,40 @@ class TxTable:
         an idle intermediate's marker at the owner expire while the
         grandchild is still actively reading the owner's bytes. One
         ``os.utime`` per distinct root per read — no data IO."""
-        roots: "dict[str, str]" = {}
+        roots: "dict[str, list[str]]" = {}
         for f, i in live.items():
             if i.get("borrowed"):
-                roots.setdefault(self._data_base(f), f)
-        for f in roots.values():
-            self._refresh_clone_marker(f)
+                roots.setdefault(self._data_base(f), []).append(f)
+        for root, files in roots.items():
+            repinned = self._refresh_clone_marker(files[0])
+            if repinned is not None:
+                # the marker was MISSING (idle past TTL, swept by the
+                # owner's vacuum) and has just been re-created — the
+                # owner may have reaped borrowed bytes in the unpinned
+                # window. Verify the preimage NOW, at plan-build time:
+                # a damaged clone must raise the protocol error
+                # deterministically, never surface as a task-time
+                # FileNotFound (or, under ignoreMissingFiles, a silent
+                # partial result). Cost: stat-per-borrowed-file, paid
+                # ONLY on the rare re-pin path — a fresh marker means
+                # the owner's vacuum provably skipped these files.
+                try:
+                    self._guard_vacuumed(
+                        sorted(files),
+                        f"clone read after marker expiry "
+                        f"(re-pinned owner {os.path.dirname(root)})",
+                    )
+                except BaseException:
+                    # the preimage is gone: the fresh pin protects
+                    # nothing and would mask this guard on the NEXT
+                    # read (utime would succeed) — every read of a
+                    # damaged clone must keep raising the protocol
+                    # error, not degrade to a task-time FileNotFound
+                    try:
+                        os.unlink(repinned)
+                    except OSError:
+                        pass
+                    raise
 
     def _data_base(self, abs_file: str) -> str:
         """The data root a file lives under — ``<table>/data`` for own
@@ -4330,9 +4358,16 @@ class TxTable:
 
     def clones(self, ttl_s: float = _CLONE_TTL_S) -> list[dict]:
         """Active shallow-clone markers at this SOURCE table:
-        ``[{dest, version, age_s}]``, stale-past-``ttl_s`` markers
-        excluded — the operator's view of what is pinning
-        :meth:`vacuum` / :meth:`truncate_log`."""
+        ``[{dest, version, age_s, expires_in_s, expiring_soon}]``,
+        stale-past-``ttl_s`` markers excluded — the operator's view of
+        what is pinning :meth:`vacuum` / :meth:`truncate_log`.
+        ``expiring_soon`` (age past 75 % of the TTL) is the alarm to
+        act on: a marker that expires while its clone is idle lets the
+        source's vacuum reap borrowed bytes, and the clone's next read
+        then fails with the deterministic
+        :class:`VacuumedVersionError` (re-pin guard in
+        :meth:`_maybe_refresh_clone_marker`) — touch the clone (any
+        read) or deep-copy it before that happens."""
         d = os.path.join(self.path, "_clones")
         try:
             names = os.listdir(d)
@@ -4354,6 +4389,8 @@ class TxTable:
                     "dest": m.get("dest"),
                     "version": int(m["version"]),
                     "age_s": age,
+                    "expires_in_s": round(ttl_s - age, 1),
+                    "expiring_soon": age > 0.75 * ttl_s,
                 })
             except (OSError, ValueError, KeyError):
                 continue
@@ -4367,7 +4404,7 @@ class TxTable:
         versions = [c["version"] for c in self.clones(ttl_s)]
         return min(versions) if versions else None
 
-    def _refresh_clone_marker(self, borrowed_file: str) -> None:
+    def _refresh_clone_marker(self, borrowed_file: str) -> "str | None":
         """Called on this table's reads per distinct owner root the
         live set borrows from: touch the marker pinning that owner so
         its TTL tracks actual use. The owner root is derived from the
@@ -4379,9 +4416,12 @@ class TxTable:
         Best-effort — a missing marker (TTL'd and swept, or the owner
         moved) is re-created atomically (tmp + ``os.replace``, so a
         concurrent ``clones()`` scan never reads torn JSON and lets a
-        vacuum pass through unpinned) if the owner root still exists;
-        reads of already-vacuumed borrowed files fail loudly on their
-        own."""
+        vacuum pass through unpinned) if the owner root still exists.
+        Returns the marker PATH when it had to be RE-CREATED (it did
+        not exist) — the caller then verifies the borrowed preimage,
+        since the owner's vacuum may have reaped files in the unpinned
+        window, and unlinks the pin again if the preimage is gone;
+        None when a live marker was simply touched."""
         if self._clone_marker_info is None:
             info = self._commit_info(1) or {}
             self._clone_marker_info = (
@@ -4400,6 +4440,7 @@ class TxTable:
         p = os.path.join(src, "_clones", name)
         try:
             os.utime(p)
+            return None
         except OSError:
             try:
                 if os.path.isdir(src) and src_v is not None:
@@ -4420,6 +4461,7 @@ class TxTable:
                     os.replace(tmp, p)
             except OSError:
                 pass
+            return p
 
     def truncate_log(
         self, retain_versions: int = 0,

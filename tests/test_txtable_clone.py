@@ -703,3 +703,76 @@ def test_deep_clone_pins_owner_before_preimage_guard(
     assert len(at_guard) == 2
     # afterwards the transient pin is gone — only c1's marker remains
     assert len([n for n in os.listdir(d) if n.endswith(".json")]) == 1
+
+
+def test_expired_marker_vacuum_then_read_fails_deterministically(
+    spark, tmp_path
+):
+    """The TTL soak: a shallow clone idles past the marker TTL, the
+    source vacuums (stale marker ignored AND swept, borrowed bytes
+    reaped). The clone's next read must raise the protocol error at
+    PLAN time — the re-pin guard in _maybe_refresh_clone_marker —
+    never a task-time FileNotFound or a silent partial result."""
+    from pypeman_spark.store.txtable import VacuumedVersionError
+
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(i, f"v{i}") for i in range(6)]))
+    c1 = src.clone(str(tmp_path / "c1"))
+    assert c1.snapshot().count() == 6
+    # the clone goes idle past the TTL (clock injection via mtime)
+    d = os.path.join(src.path, "_clones")
+    for n in os.listdir(d):
+        os.utime(os.path.join(d, n), (1.0, 1.0))
+    # source churn + vacuum: the stale marker no longer pins, so the
+    # borrowed preimage is reaped and the marker itself swept
+    src.delete_where(("k", ">=", 0))
+    reaped = src.vacuum(grace_s=0.0)
+    assert reaped != []
+    assert [n for n in os.listdir(d) if n.endswith(".json")] == []
+    # deterministic failure on the NEXT read, at snapshot() call time
+    with pytest.raises(VacuumedVersionError, match="marker expiry"):
+        c1.snapshot()
+    # and it stays deterministic (the guard re-fires every read; the
+    # re-created marker must not mask the damage)
+    with pytest.raises(VacuumedVersionError, match="marker expiry"):
+        c1.snapshot()
+
+
+def test_expired_marker_benign_sweep_read_recovers(spark, tmp_path):
+    """Counterpart: if the marker expired and was swept but the owner
+    vacuum reaped NOTHING the clone borrows (no churn), the re-pin
+    guard passes and the read recovers — expiry alone must not brick
+    a healthy clone."""
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    c1 = src.clone(str(tmp_path / "c1"))
+    d = os.path.join(src.path, "_clones")
+    for n in os.listdir(d):
+        os.utime(os.path.join(d, n), (1.0, 1.0))
+    assert src.vacuum(grace_s=0.0) == []  # nothing removed, no reap
+    assert [n for n in os.listdir(d) if n.endswith(".json")] == []
+    assert c1.snapshot().count() == 2  # guard passed, marker re-made
+    assert len(src.clones(ttl_s=60.0)) == 1
+
+
+def test_clones_reports_expiry_warning_fields(spark, tmp_path):
+    """clones() must give the operator the near-expiry alarm: a fresh
+    marker is not expiring_soon; past 75% of the TTL it is, with
+    expires_in_s counting down."""
+    src = _mk(spark, tmp_path)
+    src.append(_df(spark, [(1, "a")]))
+    src.clone(str(tmp_path / "c1"))
+    fresh = src.clones(ttl_s=100.0)
+    assert len(fresh) == 1
+    assert fresh[0]["expiring_soon"] is False
+    assert fresh[0]["expires_in_s"] > 90
+    # age the marker to 80% of the TTL
+    d = os.path.join(src.path, "_clones")
+    import time as _t
+
+    for n in os.listdir(d):
+        t = _t.time() - 80.0
+        os.utime(os.path.join(d, n), (t, t))
+    aged = src.clones(ttl_s=100.0)
+    assert aged[0]["expiring_soon"] is True
+    assert 0 < aged[0]["expires_in_s"] <= 25
