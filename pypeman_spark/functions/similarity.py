@@ -606,22 +606,10 @@ def ivf_index_maintain(
     with directory renames, so a concurrent probe sees the old or the
     new index, never a half-written one (a cloud deployment would swap
     a manifest pointer instead of renaming directories)."""
-    import os as _os
-    import shutil as _shutil
-
     before = ivf_index_gauges(spark, path)
-    frac = before["appended_fraction"]
-    reason = None
-    if force:
-        reason = "forced"
-    elif frac is None:
-        reason = "no build metadata (pre-gauge index)"
-    elif frac >= max_appended_fraction:
-        reason = (
-            f"appended_fraction {frac} >= {max_appended_fraction}"
-        )
-    elif before["cell_skew"] >= max_cell_skew:
-        reason = f"cell_skew {before['cell_skew']} >= {max_cell_skew}"
+    reason = _staleness_reason(
+        before, max_appended_fraction, max_cell_skew, force
+    )
     if reason is None:
         return {"rebuilt": False, "reason": None, "before": before}
     vectors = spark.read.parquet(path).select(id_col, vec_col)
@@ -639,13 +627,111 @@ def ivf_index_maintain(
         vectors, staging, id_col=id_col, vec_col=vec_col,
         centroids=cent,
     )
+    _swap_index_dirs(path, staging, ("", "_centroids"))
+    return {
+        "rebuilt": True,
+        "reason": reason,
+        "before": before,
+        "after": ivf_index_gauges(spark, path),
+    }
+
+
+def _staleness_reason(
+    gauges: dict,
+    max_appended_fraction: float,
+    max_cell_skew: float,
+    force: bool,
+) -> "str | None":
+    """The shared rebuild trigger: None = the index is fresh enough.
+    An index with NO build metadata (pre-gauge) reads as stale — its
+    drift is unknowable, so the safe answer is a re-fit that starts
+    the bookkeeping."""
+    frac = gauges["appended_fraction"]
+    if force:
+        return "forced"
+    if frac is None:
+        return "no build metadata (pre-gauge index)"
+    if frac >= max_appended_fraction:
+        return f"appended_fraction {frac} >= {max_appended_fraction}"
+    if gauges["cell_skew"] >= max_cell_skew:
+        return f"cell_skew {gauges['cell_skew']} >= {max_cell_skew}"
+    return None
+
+
+def _swap_index_dirs(
+    path: str, staging: str, suffixes: "tuple[str, ...]"
+) -> None:
+    """Swap a freshly rebuilt index (written beside the live one) into
+    place with directory renames: a concurrent probe sees the old or
+    the new index, never a half-written one. A cloud deployment swaps
+    a manifest pointer instead; the discipline is the same."""
+    import os as _os
+    import shutil as _shutil
+
     old = path + ".old"
-    for suffix in ("", "_centroids"):
+    for suffix in suffixes:
         _shutil.rmtree(old + suffix, ignore_errors=True)
         _os.rename(path + suffix, old + suffix)
         _os.rename(staging + suffix, path + suffix)
         _shutil.rmtree(old + suffix, ignore_errors=True)
     _os.replace(_ivf_meta_path(staging), _ivf_meta_path(path))
+
+
+def ivfpq_index_maintain(
+    spark,
+    path: str,
+    max_appended_fraction: float = 0.5,
+    max_cell_skew: float = 4.0,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    force: bool = False,
+) -> dict:
+    """:func:`ivf_index_maintain` for the composed IVF+PQ index: past
+    the staleness thresholds it re-fits the coarse quantizer AND the
+    residual codebooks over the CURRENT vectors (both are frozen by
+    :func:`ivfpq_index_append`, so both drift), re-encodes every row,
+    and swaps the rebuilt layout in. The PQ geometry (``m``,
+    ``n_codes``, ``dim``) is read back from the index's build
+    metadata. Gauges and trigger semantics are shared with the plain
+    IVF policy (:func:`ivf_index_gauges`)."""
+    before = ivf_index_gauges(spark, path)
+    reason = _staleness_reason(
+        before, max_appended_fraction, max_cell_skew, force
+    )
+    if reason is None:
+        return {"rebuilt": False, "reason": None, "before": before}
+    meta = _read_ivf_meta(path)
+    try:
+        m, n_codes, dim = meta["m"], meta["n_codes"], meta["dim"]
+    except KeyError:
+        raise ValueError(
+            f"index at {path} has no PQ geometry in its build "
+            f"metadata — was it written by ivfpq_index_write?"
+        ) from None
+    vectors = spark.read.parquet(path).select(id_col, vec_col)
+    fit_on = (
+        vectors.sample(fraction=sample_fraction, seed=seed)
+        if sample_fraction else vectors
+    )
+    cent = kmeans_centroids(
+        fit_on,
+        n_centroids or before["n_centroids"],
+        vec_col=vec_col, seed=seed,
+    )
+    books = ivfpq_residual_codebooks(
+        fit_on, _centroid_rows(cent), m=m, n_codes=n_codes, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    staging = path + ".rebuild"
+    ivfpq_index_write(
+        vectors, staging, m=m, n_codes=n_codes, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+        centroids=cent, codebooks=books,
+    )
+    _swap_index_dirs(path, staging, ("", "_centroids", "_codebooks"))
     return {
         "rebuilt": True,
         "reason": reason,
@@ -1024,6 +1110,15 @@ def ivfpq_index_write(
     spark.createDataFrame(
         flat, schema="j int, code int, cv array<double>"
     ).write.mode("overwrite").parquet(path + "_codebooks")
+    _write_ivf_meta(path, {
+        "n_build": corpus.count(),
+        "n_appended": 0,
+        "n_centroids": len(cent_rows),
+        # PQ geometry (from the actual codebooks, which may have been
+        # passed in): ivfpq_index_maintain re-fits with the SAME shape
+        # the probe's ADC stage expects
+        "m": len(books), "n_codes": len(books[0]), "dim": dim,
+    })
     return path
 
 
@@ -1076,6 +1171,14 @@ def ivfpq_index_append(
         vec_col="__r",
     ).drop("__r")
     coded.write.mode("append").partitionBy("cid").parquet(path)
+    # staleness bookkeeping — see ivf_index_append; both the frozen
+    # coarse quantizer AND the frozen residual codebooks drift here
+    meta = _read_ivf_meta(path)
+    if meta:
+        meta["n_appended"] = int(meta.get("n_appended", 0)) + (
+            new_vectors.count()
+        )
+        _write_ivf_meta(path, meta)
     return path
 
 
