@@ -115,7 +115,9 @@ def index_sync(
 ) -> int:
     """Cascade corpus deletes into the persisted MinHash index: prune
     the index rows of every document no longer LIVE in the corpus, and
-    return how many document ids were pruned. Without this, a
+    return how many DEAD candidate ids were submitted for pruning
+    (candidate ids that never entered the index — e.g. deduped away at
+    ingest — count as dead too; their delete is a no-op). Without this, a
     ``delete_where`` / ``delete_keys`` / retention pass on the corpus
     leaves the deleted docs' band rows in the index forever — a
     re-arriving near-copy of a retired document would be suppressed by
@@ -143,11 +145,24 @@ def index_sync(
     idx_df = index.snapshot()
     if "band" not in idx_df.columns:
         return 0  # virgin index: nothing ingested yet, nothing dead
-    live_ids = corpus.snapshot().select(id_col)
-    cand = (
-        deleted_ids.select(id_col) if deleted_ids is not None
-        else idx_df.select(id_col)
-    ).distinct()
+    if deleted_ids is not None and list(corpus.key_cols) == [id_col]:
+        # O(deleted) INCLUDING the liveness guard: lookup() reads only
+        # the key-hash buckets the candidate ids land in (~K of B
+        # buckets, pruned driver-side), so the anti-join's right side
+        # is at most candidate-sized — never the corpus's full id
+        # column
+        cand = deleted_ids.select(id_col).distinct()
+        live_ids = corpus.lookup(cand).select(id_col)
+    else:
+        # full reconciliation (or a corpus not keyed on the id): the
+        # index's distinct ids against the corpus's column-pruned id
+        # scan — two narrow scans; the delete below is still
+        # bucket-scoped in the dead keys
+        cand = (
+            deleted_ids.select(id_col) if deleted_ids is not None
+            else idx_df.select(id_col)
+        ).distinct()
+        live_ids = corpus.snapshot().select(id_col)
     dead = cand.join(live_ids, id_col, "left_anti").localCheckpoint()
     n_dead = dead.count()
     if not n_dead:
