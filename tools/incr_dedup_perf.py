@@ -46,6 +46,7 @@ from pypeman_spark import get_spark  # noqa: E402
 from pypeman_spark.functions import dedup as D  # noqa: E402
 from pypeman_spark.sources.tables import load_table  # noqa: E402
 from pypeman_spark.store.txtable import TxTable  # noqa: E402
+from pypeman_spark.streaming.ingest import index_sync  # noqa: E402
 
 FRESH_PER_BATCH = int(os.environ.get("INCR_FRESH", "15000"))
 DUP_PER_BATCH = int(os.environ.get("INCR_DUP", "5000"))
@@ -145,6 +146,52 @@ def main() -> None:
         }
         batches.append(row)
         print(row, flush=True)
+        if k == 1:
+            # zero-copy fork at the SMALL-history point for the
+            # retention study below: shallow clones, so the standing
+            # probe-cost curve above stays unperturbed (clone DML
+            # never touches source bytes)
+            corpus.clone(os.path.join(root, "ret_small_c"))
+            index.clone(os.path.join(root, "ret_small_i"))
+
+    def retention_point(tag: str, c_path: str, i_path: str) -> dict:
+        """index_sync wall for a FIXED 2k-doc delete at this history
+        size — flat across points proves the prune is O(deleted), not
+        O(index): the candidate list drives a bucket-pruned lookup
+        guard plus a dv delete of the dead keys' buckets only."""
+        c = TxTable(spark, c_path)
+        i = TxTable(spark, i_path)
+        doomed = spark.range(10_000_000, 10_002_000).select(
+            F.col("id").alias("doc_id")
+        )
+        c.delete_keys(doomed, mode="dv")
+        t0 = time.time()
+        pruned = index_sync(c, i, deleted_ids=doomed, bands=4)
+        dt = time.time() - t0
+        row = {
+            "point": tag,
+            "history_index_rows": i.count(),
+            "deleted_docs": 2000,
+            "pruned_ids": pruned,
+            "sync_s": round(dt, 3),
+        }
+        print(row, flush=True)
+        return row
+
+    corpus.clone(os.path.join(root, "ret_big_c"))
+    index.clone(os.path.join(root, "ret_big_i"))
+    retention = [
+        retention_point(
+            "small",
+            os.path.join(root, "ret_small_c"),
+            os.path.join(root, "ret_small_i"),
+        ),
+        retention_point(
+            "big",
+            os.path.join(root, "ret_big_c"),
+            os.path.join(root, "ret_big_i"),
+        ),
+    ]
     probed = [b for b in batches if b["history_index_rows"] > 0]
     first = probed[0] if probed else batches[-1]
     last = batches[-1]
@@ -165,6 +212,14 @@ def main() -> None:
         ),
         "probe_growth_x": round(
             last["probe_s"] / max(1e-9, first["probe_s"]), 2
+        ),
+        # retention cascade (round 14): index_sync wall for an equal
+        # 2k-doc delete at a small and a large history — flat means
+        # the prune is O(deleted), not O(index)
+        "retention_sync": retention,
+        "retention_sync_growth_x": round(
+            retention[1]["sync_s"]
+            / max(1e-9, retention[0]["sync_s"]), 2,
         ),
     }
     print(json.dumps(out))
