@@ -103,7 +103,16 @@ def _word_symbols_col(alphabet: str):
     array literal (the bijection folded into the plan)."""
     if alphabet == "bytes":
         tbl = _bytes_to_unicode()
-        lut = F.array(*[F.lit(tbl[b]) for b in range(256)])
+        # 256-element string-array literal in ONE expr call (py4j
+        # round-trip per F.lit otherwise; see similarity.lit_double_array)
+        lut = F.expr(
+            "array("
+            + ",".join(
+                "'" + tbl[b].replace("\\", "\\\\").replace("'", "\\'") + "'"
+                for b in range(256)
+            )
+            + ")"
+        )
         pairs = F.regexp_extract_all(
             F.hex(F.encode(F.col("word"), "UTF-8")), F.lit("(..)"), 1
         )

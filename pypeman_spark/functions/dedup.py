@@ -386,7 +386,7 @@ def embedding_near_dup_pairs(
     scale-killer; use it only on bounded subsets or LSH candidates
     (``num_planes`` is ignored when ``exact``).
     """
-    from .similarity import cosine, hyperplanes, lsh_bucket
+    from .similarity import cosine_cols, hyperplanes, lsh_bucket
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
@@ -399,15 +399,15 @@ def embedding_near_dup_pairs(
                 "pass exact=True for the O(N^2) verifier"
             )
         planes = hyperplanes(num_planes, dim)
-        a = a.withColumn("__bucket", lsh_bucket(F.col("__va"), planes))
-        b = b.withColumn("__bucket", lsh_bucket(F.col("__vb"), planes))
+        a = a.withColumn("__bucket", lsh_bucket("__va", planes))
+        b = b.withColumn("__bucket", lsh_bucket("__vb", planes))
         pairs = a.join(b, "__bucket")
     # threshold on the UNROUNDED cosine (matching the SQL oracles);
     # rounding only in the projection — otherwise a pair at e.g.
     # 0.3999996 would pass here but fail the oracle's WHERE
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn("__cos", cosine_cols("__va", "__vb"))
         .filter(F.col("__cos") >= threshold)
         .select(
             "id_a", "id_b", F.round(F.col("__cos"), 6).alias("cosine")
@@ -450,7 +450,12 @@ def connected_components(
     labels = labels.withColumn("label", F.col("node")).localCheckpoint()
 
     for _ in range(max_iters):
-        # label(node) <- min(label(node), min over neighbours' labels)
+        # label(node) <- min(label(node), min over neighbours' labels).
+        # The OLD label rides along in the checkpointed frame so the
+        # convergence check is a narrow filter+count over already-
+        # materialised blocks — NOT a second shuffle join of old vs new
+        # labels per round (that join used to double the per-iteration
+        # job count and shuffle the whole label table again).
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -463,16 +468,12 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("__old"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
 

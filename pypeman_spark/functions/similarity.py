@@ -17,6 +17,7 @@ No UDFs; every arithmetic step is a built-in higher-order function.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -45,6 +46,36 @@ __all__ = [
 ]
 
 
+def _sql_double(v: float) -> str:
+    """A SQL double literal with exact round-trip: ``repr(float)`` is
+    the shortest string that parses back to the same IEEE-754 double,
+    in Python and in Java's ``Double.parseDouble`` alike."""
+    return f"{float(v)!r}D"
+
+
+def lit_double_array(vals) -> Column:
+    """``array<double>`` literal built as ONE ``F.expr`` call.
+
+    ``F.array(*[F.lit(v) for v in vals])`` costs a py4j round-trip per
+    element — for inlined centroid/codebook/hyperplane literals that
+    is hundreds of driver→JVM calls per query CONSTRUCTION (measured
+    ~1.4 s of the ivfpq build and ~2 s of its probe, before any job
+    ran). A single SQL text parses in the JVM in microseconds."""
+    return F.expr("array(" + ",".join(_sql_double(v) for v in vals) + ")")
+
+
+def lit_double_matrix(rows) -> Column:
+    """``array<array<double>>`` literal as ONE ``F.expr`` call."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_double(x) for x in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -59,6 +90,48 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# --- SQL-text twins of the fold expressions above -------------------------
+# Building a higher-order-function Column through the lambda API costs
+# dozens of py4j round-trips PER construction (~40 ms for one _l2sq;
+# an IVFPQ plan holds dozens of them — measured ~0.7 s of pure driver
+# chatter per build and again per probe). The SQL texts below parse in
+# the JVM in microseconds into the IDENTICAL Catalyst trees (same
+# ArrayAggregate/ZipWith/LambdaFunction nodes, same left-fold order),
+# so results are bit-for-bit unchanged.
+
+
+def _q(name: str) -> str:
+    """Backtick-quote a column name for SQL-text embedding."""
+    return name if "(" in name or "`" in name else f"`{name}`"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + v * v))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
+def _l2sq_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def cosine_cols(a: str, b: str) -> Column:
+    """``cosine`` over two columns given BY NAME — one ``F.expr``."""
+    return F.expr(_cos_sql(_q(a), _q(b)))
 
 
 def cosine_topk(
@@ -80,7 +153,7 @@ def cosine_topk(
     scored = corpus.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+        F.round(cosine_cols(vec_col, "__qvec"), 6).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -150,11 +223,25 @@ def hyperplanes(num_planes: int, dim: int, seed: str = "") -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) > 0."""
+def lsh_bucket(vec_col: "Column | str", planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) > 0.
+
+    Pass the vector column BY NAME to get the whole bucket expression
+    as ONE ``F.expr`` (py4j construction-cost note on ivf_assign); a
+    Column argument takes the per-plane lambda-API path."""
+    if isinstance(vec_col, str):
+        terms = ["CAST(0 AS BIGINT)"]
+        for p, plane in enumerate(planes):
+            arr = "array(" + ",".join(_sql_double(v) for v in plane) + ")"
+            terms.append(
+                f"(CASE WHEN {_dot_sql(_q(vec_col), arr)} > 0 "
+                f"THEN CAST({1 << p} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr("(" + " + ".join(terms) + ")")
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(v) for v in plane])
+        plane_col = lit_double_array(plane)
         bucket = bucket + F.when(
             dot(vec_col, plane_col) > 0, F.lit(1 << p).cast("long")
         ).otherwise(F.lit(0).cast("long"))
@@ -175,15 +262,15 @@ def lsh_ann_topk(
     then exact cosine re-rank. Recall grows with fewer planes / multiple
     tables; this single-table variant is the building block."""
     planes = hyperplanes(num_planes, dim)
-    c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    c = corpus.withColumn("__bucket", lsh_bucket(vec_col, planes))
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-    ).withColumn("__bucket", lsh_bucket(F.col("__qvec"), planes))
+    ).withColumn("__bucket", lsh_bucket("__qvec", planes))
     scored = c.join(F.broadcast(q), "__bucket").select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+        F.round(cosine_cols(vec_col, "__qvec"), 6).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -219,14 +306,14 @@ def lsh_ann_topk_multi(
     cand = None
     for t in range(num_tables):
         planes = hyperplanes(num_planes, dim, seed=f"t{t}:")
-        c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+        c = corpus.withColumn("__bucket", lsh_bucket(vec_col, planes))
         q = queries.select(
             F.col(query_id_col), F.col(vec_col).alias("__qvec")
-        ).withColumn("__bucket", lsh_bucket(F.col("__qvec"), planes))
+        ).withColumn("__bucket", lsh_bucket("__qvec", planes))
         pairs = c.join(F.broadcast(q), "__bucket").select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+            F.round(cosine_cols(vec_col, "__qvec"), 6).alias("score"),
         )
         cand = pairs if cand is None else cand.unionByName(pairs)
     # dedup pairs found by several tables (score identical across
@@ -260,16 +347,19 @@ def _centroid_array(centroids) -> Column:
     """Inline the (tiny, C ≪ N) centroid set as an
     ``array<struct<cid, cv>>`` literal — the Faiss-style shape:
     centroids live with the planner, the corpus never shuffles for
-    them. Accepts a DataFrame or pre-collected rows."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(r["cid"]).alias("cid"),
-                F.array(*[F.lit(float(v)) for v in r["cv"]]).alias("cv"),
-            )
-            for r in _centroid_rows(centroids)
-        ]
-    )
+    them. Accepts a DataFrame or pre-collected rows. Built as ONE
+    ``F.expr`` call (see :func:`lit_double_array`)."""
+    return F.expr(_centroid_array_sql(_centroid_rows(centroids)))
+
+
+def _centroid_array_sql(cent_rows: list) -> str:
+    """The inlined centroid literal as SQL text, for embedding into
+    larger single-``F.expr`` constructions."""
+    parts = []
+    for r in cent_rows:
+        cv = "array(" + ",".join(_sql_double(v) for v in r["cv"]) + ")"
+        parts.append(f"named_struct('cid', {int(r['cid'])}, 'cv', {cv})")
+    return "array(" + ",".join(parts) + ")"
 
 
 def ivf_assign(
@@ -285,18 +375,17 @@ def ivf_assign(
     ``array_max`` over ``struct(score, -cid)`` — a pure narrow map:
     no join, no window, no Exchange/Sort of the N×C expanded set
     (rounds 1–3 used ``row_number`` over a crossJoin, which forced a
-    full shuffle+sort on ``vec_id``)."""
-    cent_arr = _centroid_array(centroids)
-    best = F.array_max(
-        F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                cosine(F.col(vec_col), c["cv"]).alias("s"),
-                (-c["cid"]).alias("ncid"),
-            ),
-        )
+    full shuffle+sort on ``vec_id``). The whole argmax is ONE
+    ``F.expr`` — the lambda-API construction cost ~0.3 s of py4j
+    chatter per call (same Catalyst tree either way)."""
+    cent_sql = _centroid_array_sql(_centroid_rows(centroids))
+    best = (
+        f"array_max(transform({cent_sql}, c -> named_struct("
+        f"'s', {_cos_sql(_q(vec_col), 'c.cv')}, 'ncid', -c.cid)))"
     )
-    return corpus.select(id_col, vec_col, (-best["ncid"]).alias("cid"))
+    return corpus.select(
+        id_col, vec_col, F.expr(f"-(({best}).ncid)").alias("cid")
+    )
 
 
 def _probe_cells(
@@ -309,21 +398,14 @@ def _probe_cells(
     """Per-query nprobe closest cells via the inlined-centroid argtop:
     sort the per-query score array (ascending on (-score, cid) ==
     score desc, cid asc), slice nprobe, explode. Narrow map + explode —
-    no join, no window, no Exchange on the query side."""
+    no join, no window, no Exchange on the query side. One ``F.expr``
+    for the whole argtop (construction-cost note on ivf_assign)."""
     q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
-    cent_arr = _centroid_array(centroids)
-    probe_structs = F.slice(
-        F.array_sort(
-            F.transform(
-                cent_arr,
-                lambda c: F.struct(
-                    (-cosine(F.col("__qvec"), c["cv"])).alias("ns"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        ),
-        1,
-        nprobe,
+    cent_sql = _centroid_array_sql(_centroid_rows(centroids))
+    probe_structs = F.expr(
+        f"slice(array_sort(transform({cent_sql}, c -> named_struct("
+        f"'ns', -{_cos_sql('`__qvec`', 'c.cv')}, 'cid', c.cid))), "
+        f"1, {int(nprobe)})"
     )
     return q.select(
         query_id_col, "__qvec", F.explode(probe_structs).alias("__p")
@@ -410,7 +492,7 @@ def ivf_ann_topk(
     scored = assigned.join(F.broadcast(probes), "cid").select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+        F.round(cosine_cols(vec_col, "__qvec"), 6).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -448,17 +530,91 @@ def ivf_index_write(
     cent_rows = _centroid_rows(cent)  # one round-trip: assignment + write
     assigned = ivf_assign(corpus, cent_rows, id_col=id_col, vec_col=vec_col)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
-    # write the centroid table from its JVM lineage, NOT
-    # createDataFrame(rows): local-rows conversion routes through a
-    # Python-worker job (~0.7 s overhead) while the recompute is a tiny
-    # pure-JVM job
-    cent.write.mode("overwrite").parquet(path + "_centroids")
+    _write_centroid_sidecar(path, cent_rows)
     _write_ivf_meta(path, {
-        "n_build": corpus.count(),
+        # footer-count of what the write just produced — exact (the
+        # write stages every corpus row) and job-free, vs a second full
+        # corpus pass for corpus.count()
+        "n_build": _parquet_tree_num_rows(path),
         "n_appended": 0,
         "n_centroids": len(cent_rows),
     })
     return path
+
+
+def _write_centroid_sidecar(path: str, cent_rows: list) -> None:
+    import pyarrow as _pa
+
+    _write_sidecar_parquet(
+        path + "_centroids",
+        [{"cid": int(r["cid"]), "cv": [float(x) for x in r["cv"]]}
+         for r in cent_rows],
+        [("cid", _pa.int64()), ("cv", _pa.list_(_pa.float64()))],
+    )
+
+
+def _write_sidecar_parquet(path: str, rows: list[dict], schema) -> None:
+    """Write a tiny control-plane table (centroids / codebooks — C and
+    m*n_codes rows by construction) as ONE parquet file driver-side via
+    pyarrow. The Spark alternative costs a whole job per table: either
+    a recompute of the centroid lineage (a TakeOrdered over the corpus)
+    or a local-rows ``createDataFrame`` that routes through a Python
+    worker. ``spark.read.parquet`` accepts a bare file path, so every
+    existing reader keeps working."""
+    import shutil as _shutil
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    if os.path.isdir(path):
+        _shutil.rmtree(path, ignore_errors=True)
+    elif os.path.exists(path):
+        os.remove(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cols = {
+        name: _pa.array([r[name] for r in rows], type=typ)
+        for name, typ in schema
+    }
+    tmp = f"{path}.tmp{os.getpid()}"
+    _pq.write_table(_pa.table(cols), tmp)
+    os.replace(tmp, path)
+
+
+def _read_sidecar_rows(path: str) -> list[dict]:
+    """Driver-side read of a control-plane sidecar table (single file
+    or a legacy Spark-written directory) — metadata-scale, no Spark
+    job. The build/probe paths collect these rows anyway; reading the
+    footer directly skips a scan job per call."""
+    import pyarrow.parquet as _pq
+
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.endswith(".parquet")
+        )
+    else:
+        parts = [path]
+    out: list[dict] = []
+    for part in parts:
+        out.extend(_pq.read_table(part).to_pylist())
+    return out
+
+
+def _parquet_tree_num_rows(path: str) -> int:
+    """Total rows across every data file under ``path`` (recursing into
+    ``cid=*`` partition dirs) from parquet FOOTERS only — replaces a
+    ``corpus.count()`` Spark job in the build bookkeeping."""
+    import pyarrow.parquet as _pq
+
+    total = 0
+    for dirpath, _dn, fns in os.walk(path):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                total += _pq.ParquetFile(
+                    os.path.join(dirpath, fn)
+                ).metadata.num_rows
+    return total
 
 
 def _ivf_meta_path(path: str) -> str:
@@ -509,7 +665,7 @@ def ivf_index_append(
     directory layout, not a manifest. The append itself is a narrow map
     (per-row argmax over the broadcast centroid literals) plus the
     write — no shuffle of existing index data."""
-    cent = spark.read.parquet(path + "_centroids")
+    cent = _read_sidecar_rows(path + "_centroids")
     assigned = ivf_assign(new_vectors, cent, id_col=id_col, vec_col=vec_col)
     assigned.write.mode("append").partitionBy("cid").parquet(path)
     # staleness bookkeeping: the coarse quantizer is frozen, so recall
@@ -758,7 +914,7 @@ def ivf_probe(
     plan prunes unprobed cells at file-listing time (``PartitionFilters``
     in .explain), so scan cost is ~``nprobe/C`` of the index regardless
     of corpus size. Exact cosine re-rank inside the probed cells only."""
-    cent_rows = _centroid_rows(spark.read.parquet(path + "_centroids"))
+    cent_rows = _read_sidecar_rows(path + "_centroids")
     probes = _probe_cells(queries, cent_rows, nprobe, query_id_col, vec_col)
     probe_cids = sorted(
         r["cid"] for r in probes.select("cid").distinct().collect()
@@ -767,7 +923,7 @@ def ivf_probe(
     scored = index.join(F.broadcast(probes), "cid").select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+        F.round(cosine_cols(vec_col, "__qvec"), 6).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -872,10 +1028,27 @@ def pq_codebooks_kmeans(
 
 
 def _code_array(book: list[list[float]]) -> Column:
-    """One sub-space's codebook as an inlined array<array<double>>."""
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in code]) for code in book]
+    """One sub-space's codebook as an inlined array<array<double>> —
+    one ``F.expr`` call, not n_codes*ds ``F.lit`` round-trips."""
+    return lit_double_matrix(book)
+
+
+def _lut_expr(src: str, book: list[list[float]], j: int, ds: int) -> Column:
+    """The ADC lookup table for sub-space ``j``: per code, the squared
+    L2 distance from ``src``'s j-th slice — one ``F.expr`` per LUT
+    column (construction-cost note on ivf_assign)."""
+    book_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_double(x) for x in code) + ")"
+            for code in book
+        )
+        + ")"
     )
+    sub = f"slice({_q(src)}, {j * ds + 1}, {ds})"
+    return F.expr(
+        f"transform({book_sql}, cv -> {_l2sq_sql(sub, 'cv')})"
+    ).alias(f"__lut{j}")
 
 
 def pq_encode(
@@ -891,22 +1064,27 @@ def pq_encode(
     ``array_min`` over ``struct(dist, code)`` per sub-space — a pure
     narrow map over the corpus (no join, no shuffle), exactly like
     :func:`ivf_assign`. Downstream consumers can drop the vector
-    column entirely and carry m ints."""
+    column entirely and carry m ints. The whole m-code array is ONE
+    ``F.expr`` (construction-cost note on ivf_assign)."""
     m = len(codebooks)
     ds = len(codebooks[0][0])
     codes = []
     for j in range(m):
-        sub = F.slice(F.col(vec_col), j * ds + 1, ds)
-        best = F.array_min(
-            F.transform(
-                _code_array(codebooks[j]),
-                lambda cv, i: F.struct(
-                    _l2sq(sub, cv).alias("d"), i.alias("code")
-                ),
+        sub = f"slice({_q(vec_col)}, {j * ds + 1}, {ds})"
+        book = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(_sql_double(x) for x in code) + ")"
+                for code in codebooks[j]
             )
+            + ")"
         )
-        codes.append(best["code"])
-    return df.withColumn(code_col, F.array(*codes))
+        best = (
+            f"array_min(transform({book}, (cv, i) -> named_struct("
+            f"'d', {_l2sq_sql(sub, 'cv')}, 'code', i)))"
+        )
+        codes.append(f"({best}).code")
+    return df.withColumn(code_col, F.expr("array(" + ",".join(codes) + ")"))
 
 
 def pq_ann_topk(
@@ -946,14 +1124,10 @@ def pq_ann_topk(
     coded = pq_encode(corpus, codebooks, vec_col=vec_col).select(
         id_col, "pq_code"
     )
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
-    for j in range(m):
-        qsub = F.slice(F.col("__qvec"), j * ds + 1, ds)
-        q = q.withColumn(
-            f"__lut{j}",
-            F.transform(_code_array(codebooks[j]), lambda cv: _l2sq(qsub, cv)),
-        )
-    q = q.drop("__qvec")
+    q = queries.select(
+        F.col(query_id_col),
+        *[_lut_expr(vec_col, codebooks[j], j, ds) for j in range(m)],
+    )
     adc = sum(
         F.element_at(F.col(f"__lut{j}"), F.col("pq_code")[j] + 1)
         for j in range(m)
@@ -980,7 +1154,7 @@ def pq_ann_topk(
     rescored = cand.join(F.broadcast(qv), query_id_col).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+        F.round(cosine_cols(vec_col, "__qvec"), 6).alias("score"),
     )
     w2 = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -1012,6 +1186,14 @@ def _residual(vec: Column, cent_arr: Column, cid: Column) -> Column:
     return F.zip_with(vec, cv, lambda x, y: x - y)
 
 
+def _residual_sql(vec: str, cent_sql: str, cid: str) -> str:
+    """:func:`_residual` as SQL text (same tree, one parse)."""
+    return (
+        f"zip_with({vec}, element_at(filter({cent_sql}, "
+        f"c -> c.cid = {cid}), 1).cv, (x, y) -> x - y)"
+    )
+
+
 def ivfpq_residual_codebooks(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -1029,28 +1211,67 @@ def ivfpq_residual_codebooks(
         raise ValueError(f"dim {dim} not divisible into {m} sub-spaces")
     ds = dim // m
     cent_rows = _centroid_rows(centroids)
+    # ONE TakeOrdered job collects the seed vectors; assignment and
+    # residual slicing run driver-side over those <= n_codes rows with
+    # the exact fold order of the JVM expressions (dot / l2_norm are
+    # sequential left-folds; zip_with is element-wise), so every double
+    # is bit-identical to the former ivf_assign + _residual Spark job
+    # this replaces.
     seed_rows = (
-        ivf_assign(
-            corpus.orderBy(id_col).limit(n_codes),
-            cent_rows,
-            id_col=id_col,
-            vec_col=vec_col,
-        )
-        .withColumn(
-            "__r",
-            _residual(F.col(vec_col), _centroid_array(cent_rows), F.col("cid")),
-        )
-        .orderBy(id_col)
-        .select("__r")
+        corpus.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
         .collect()
     )
+    return _codebooks_from_seed_rows(
+        sorted(seed_rows, key=lambda r: r["__id"]), cent_rows, m=m, dim=dim
+    )
+
+
+def _codebooks_from_seed_rows(
+    seed_rows: list, cent_rows: list, m: int, dim: int
+) -> list[list[list[float]]]:
+    """Residual codebooks from pre-collected ``(__id, __v)`` seed rows
+    (already sorted by id): per seed, the driver-side centroid argmax
+    and element-wise residual, sliced per sub-space."""
+    ds = dim // m
+    residuals = []
+    for r in seed_rows:
+        v = [float(x) for x in r["__v"]]
+        cv = _py_assign_centroid(v, cent_rows)
+        residuals.append([x - y for x, y in zip(v, cv)])
     return [
-        [
-            [float(x) for x in r["__r"][j * ds : (j + 1) * ds]]
-            for r in seed_rows
-        ]
+        [res[j * ds : (j + 1) * ds] for res in residuals]
         for j in range(m)
     ]
+
+
+def _py_assign_centroid(v: list, cent_rows: list) -> list:
+    """Driver-side replica of :func:`ivf_assign`'s argmax — max cosine,
+    ties to the lowest ``cid`` — with the same left-fold accumulation
+    order as the ``dot``/``l2_norm`` Column expressions (IEEE-754 ops
+    in the same sequence produce the same doubles)."""
+    import math
+
+    best_key = None
+    best_cv = None
+    for r in cent_rows:
+        cv = [float(x) for x in r["cv"]]
+        d = 0.0
+        for x, y in zip(v, cv):
+            d += x * y
+        na = 0.0
+        for x in v:
+            na += x * x
+        nb = 0.0
+        for y in cv:
+            nb += y * y
+        s = d / (math.sqrt(na) * math.sqrt(nb))
+        key = (s, -int(r["cid"]))
+        if best_key is None or key > best_key:
+            best_key = key
+            best_cv = cv
+    return best_cv
 
 
 def ivfpq_index_write(
@@ -1075,43 +1296,69 @@ def ivfpq_index_write(
     columnar layout means the fat vector column is not read until the
     final re-rank touches the shortlist. Build is one narrow map over
     the corpus (inlined centroids + codebooks) plus the write."""
-    cent = (
-        centroids
-        if centroids is not None
-        else _default_centroids(corpus, n_centroids, id_col, vec_col)
-    )
-    cent_rows = _centroid_rows(cent)  # one round-trip for all stages
-    books = (
-        codebooks
-        if codebooks is not None
-        else ivfpq_residual_codebooks(
-            corpus, cent_rows, m=m, n_codes=n_codes, dim=dim,
-            id_col=id_col, vec_col=vec_col,
+    if centroids is None and codebooks is None:
+        # the default build derives BOTH the centroids (lowest
+        # n_centroids ids) and the codebook seeds (lowest n_codes ids)
+        # from the same lowest-id prefix of the corpus: ONE TakeOrdered
+        # job collects max(n_centroids, n_codes) rows and both are
+        # sliced from it driver-side (was two separate corpus jobs)
+        head = (
+            corpus.orderBy(id_col)
+            .limit(max(n_centroids, n_codes))
+            .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+            .collect()
         )
-    )
+        head = sorted(head, key=lambda r: r["__id"])
+        cent_rows = [
+            {"cid": r["__id"], "cv": [float(x) for x in r["__v"]]}
+            for r in head[:n_centroids]
+        ]
+        books = _codebooks_from_seed_rows(
+            head[:n_codes], cent_rows, m=m, dim=dim
+        )
+    else:
+        cent = (
+            centroids
+            if centroids is not None
+            else _default_centroids(corpus, n_centroids, id_col, vec_col)
+        )
+        cent_rows = _centroid_rows(cent)  # one round-trip for all stages
+        books = (
+            codebooks
+            if codebooks is not None
+            else ivfpq_residual_codebooks(
+                corpus, cent_rows, m=m, n_codes=n_codes, dim=dim,
+                id_col=id_col, vec_col=vec_col,
+            )
+        )
     assigned = ivf_assign(corpus, cent_rows, id_col=id_col, vec_col=vec_col)
     coded = pq_encode(
         assigned.withColumn(
             "__r",
-            _residual(F.col(vec_col), _centroid_array(cent_rows), F.col("cid")),
+            F.expr(_residual_sql(
+                _q(vec_col), _centroid_array_sql(cent_rows), "`cid`"
+            )),
         ),
         books,
         vec_col="__r",
     ).drop("__r")
     coded.write.mode("overwrite").partitionBy("cid").parquet(path)
-    # JVM-lineage write, not createDataFrame(rows) — see ivf_index_write
-    cent.write.mode("overwrite").parquet(path + "_centroids")
-    spark = corpus.sparkSession
-    flat = [
-        (j, c, books[j][c])
-        for j in range(len(books))
-        for c in range(len(books[j]))
-    ]
-    spark.createDataFrame(
-        flat, schema="j int, code int, cv array<double>"
-    ).write.mode("overwrite").parquet(path + "_codebooks")
+    _write_centroid_sidecar(path, cent_rows)
+    import pyarrow as _pa
+
+    _write_sidecar_parquet(
+        path + "_codebooks",
+        [
+            {"j": j, "code": c, "cv": [float(x) for x in books[j][c]]}
+            for j in range(len(books))
+            for c in range(len(books[j]))
+        ],
+        [("j", _pa.int32()), ("code", _pa.int32()),
+         ("cv", _pa.list_(_pa.float64()))],
+    )
     _write_ivf_meta(path, {
-        "n_build": corpus.count(),
+        # footer-count of the written tree — see ivf_index_write
+        "n_build": _parquet_tree_num_rows(path),
         "n_appended": 0,
         "n_centroids": len(cent_rows),
         # PQ geometry (from the actual codebooks, which may have been
@@ -1125,8 +1372,9 @@ def ivfpq_index_write(
 def _load_codebooks(spark, path: str) -> list[list[list[float]]]:
     """The persisted residual codebooks (``<path>_codebooks``) back as
     the nested-list shape :func:`pq_encode` takes. Bounded driver-side
-    read: m * n_codes rows by construction."""
-    brows = spark.read.parquet(path + "_codebooks").collect()
+    read (m * n_codes rows by construction) straight from the parquet
+    file — no Spark scan job for a control-plane table."""
+    brows = _read_sidecar_rows(path + "_codebooks")
     m = 1 + max(r["j"] for r in brows)
     books: list[list[list[float]]] = [[] for _ in range(m)]
     for r in sorted(brows, key=lambda r: (r["j"], r["code"])):
@@ -1159,13 +1407,15 @@ def ivfpq_index_append(
     per-batch. The append is a narrow map — per-row centroid argmax +
     per-sub-space code argmin over broadcast literals — plus the
     write; no shuffle, and no existing index data moves."""
-    cent_rows = _centroid_rows(spark.read.parquet(path + "_centroids"))
+    cent_rows = _read_sidecar_rows(path + "_centroids")
     books = _load_codebooks(spark, path)
     assigned = ivf_assign(new_vectors, cent_rows, id_col=id_col, vec_col=vec_col)
     coded = pq_encode(
         assigned.withColumn(
             "__r",
-            _residual(F.col(vec_col), _centroid_array(cent_rows), F.col("cid")),
+            F.expr(_residual_sql(
+                _q(vec_col), _centroid_array_sql(cent_rows), "`cid`"
+            )),
         ),
         books,
         vec_col="__r",
@@ -1210,7 +1460,7 @@ def ivfpq_probe(
     4. re-rank (``rerank=True``) — exact cosine over the shortlist
        only, reading vectors just for those rows via a broadcast
        semi-join back into the probed partitions."""
-    cent_rows = _centroid_rows(spark.read.parquet(path + "_centroids"))
+    cent_rows = _read_sidecar_rows(path + "_centroids")
     books = _load_codebooks(spark, path)
     m = len(books)
     ds = len(books[0][0])
@@ -1219,18 +1469,18 @@ def ivfpq_probe(
     probe_cids = sorted(
         r["cid"] for r in probes.select("cid").distinct().collect()
     )
-    # query residual per probed cell, then the per-sub-space LUTs
+    # query residual per probed cell, then the per-sub-space LUTs —
+    # one F.expr each (construction-cost note on ivf_assign)
     qres = probes.withColumn(
         "__qr",
-        _residual(F.col("__qvec"), _centroid_array(cent_rows), F.col("cid")),
+        F.expr(_residual_sql(
+            "`__qvec`", _centroid_array_sql(cent_rows), "`cid`"
+        )),
     )
-    for j in range(m):
-        qsub = F.slice(F.col("__qr"), j * ds + 1, ds)
-        qres = qres.withColumn(
-            f"__lut{j}",
-            F.transform(_code_array(books[j]), lambda cv: _l2sq(qsub, cv)),
-        )
-    qlut = qres.drop("__qvec", "__qr")
+    qlut = qres.select(
+        *[c for c in probes.columns if c not in ("__qvec",)],
+        *[_lut_expr("__qr", books[j], j, ds) for j in range(m)],
+    )
 
     index = spark.read.parquet(path).filter(F.col("cid").isin(probe_cids))
     adc = sum(
@@ -1258,7 +1508,7 @@ def ivfpq_probe(
     rescored = cand_vecs.join(F.broadcast(qv), query_id_col).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+        F.round(cosine_cols(vec_col, "__qvec"), 6).alias("score"),
     )
     w2 = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()

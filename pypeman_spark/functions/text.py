@@ -545,7 +545,10 @@ def hashed_linear_score(
     d = len(weights)
     if d == 0:
         raise ValueError("weights must be non-empty")
-    warr = F.array(*[F.lit(float(v)) for v in weights])
+    # one F.expr call, not d py4j round-trips (similarity.lit_double_array)
+    from .similarity import lit_double_array
+
+    warr = lit_double_array(weights)
     words = F.split(F.trim(col), "\\s+")
     if hash_fn == "xxhash64":
         bucket = lambda w: F.pmod(F.xxhash64(w), F.lit(d))  # noqa: E731

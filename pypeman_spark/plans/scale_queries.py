@@ -1394,11 +1394,35 @@ def dedup_corpus_pipelines(spark, sf_dir):
     value-checked end to end; the cluster id rides in ``n_chars``."""
     from ..functions.sampling import leakage_safe_splits
 
+    from concurrent.futures import ThreadPoolExecutor
+
     d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     pairs = D.minhash_candidate_pairs(d, num_hashes=16, bands=4, shingle_n=3)
-    clusters = D.connected_components(
-        pairs, nodes=d.select(F.col("doc_id").alias("node"))
+
+    emb = (
+        tp(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
     )
+    spairs = D.embedding_near_dup_pairs(emb, threshold=0.4, num_planes=4, dim=64)
+
+    # the two CC computations are independent chains of small eager
+    # jobs (checkpoint + convergence count per round); submitting them
+    # from two driver threads lets each chain's jobs back-fill the
+    # executor idle time of the other (guide §2.6) — results are
+    # identical, only the job interleaving changes
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_fuzzy = pool.submit(
+            D.connected_components, pairs,
+            nodes=d.select(F.col("doc_id").alias("node")),
+        )
+        fut_sem = pool.submit(
+            D.connected_components, spairs,
+            nodes=emb.select(F.col("vec_id").alias("node")),
+        )
+        clusters = fut_fuzzy.result()
+        sclusters = fut_sem.result()
+
     keep = clusters.filter(F.col("node") == F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
     )
@@ -1407,16 +1431,6 @@ def dedup_corpus_pipelines(spark, sf_dir):
         F.col("doc_id").alias("id"),
         F.col("lang").alias("tag"),
         F.col("n_chars").cast("long").alias("n_chars"),
-    )
-
-    emb = (
-        tp(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 200)
-        .withColumn("embedding", F.col("embedding").cast("array<double>"))
-    )
-    spairs = D.embedding_near_dup_pairs(emb, threshold=0.4, num_planes=4, dim=64)
-    sclusters = D.connected_components(
-        spairs, nodes=emb.select(F.col("vec_id").alias("node"))
     )
     skeep = sclusters.filter(F.col("node") == F.col("cluster_id")).select(
         F.col("node").alias("vec_id")
