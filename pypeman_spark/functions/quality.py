@@ -54,6 +54,11 @@ def _report_rows(spark, rows):
     )
 
 
+def _sql_str(s: str) -> str:
+    """A SQL string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def check(
     df: DataFrame,
     rules: Mapping[str, Column],
@@ -86,14 +91,38 @@ def check(
                 "__u_" + "_".join(cols)
             )
         )
-    row = df.agg(*aggs).collect()[0]
-    n = row["__n"]
-    out = [(name, int(row[f"__v_{name}"] or 0), n) for name in rules]
-    for cols in unique or []:
-        out.append(
-            ("unique(" + ",".join(cols) + ")",
-             int(row["__u_" + "_".join(cols)] or 0), n)
+    # LAZY report: the single-pass aggregation row is unpivoted into
+    # (rule, n_violations, n_rows) with explode, and each FK orphan
+    # count joins the scalar row back in via a broadcast of two 1-row
+    # sides. The former eager shape (agg.collect + per-FK .count +
+    # createDataFrame of local rows) ran 2+|fk| separate Spark jobs —
+    # and, composed into a two-arm entry, re-scanned the corpus per
+    # job; one lazy plan lets ReuseExchange share the fanned-out scan
+    # across every arm and drops the local-rows Python conversion.
+    agg_row = df.agg(*aggs)
+    entries = []
+    for name in rules:
+        entries.append(
+            f"named_struct('rule', {_sql_str(name)}, "
+            f"'n_violations', coalesce(`__v_{name}`, 0L))"
         )
+    for cols in unique or []:
+        rule = "unique(" + ",".join(cols) + ")"
+        entries.append(
+            f"named_struct('rule', {_sql_str(rule)}, "
+            f"'n_violations', coalesce(`__u_{'_'.join(cols)}`, 0L))"
+        )
+    report = None
+    if entries:
+        report = agg_row.select(
+            F.explode(F.expr("array(" + ",".join(entries) + ")")).alias("__e"),
+            F.col("__n").alias("n_rows"),
+        ).select(
+            F.col("__e.rule").alias("rule"),
+            F.col("__e.n_violations").cast("long").alias("n_violations"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    n_row = agg_row.select(F.col("__n").cast("long").alias("n_rows"))
     for name, (cols, dim, dim_cols) in (foreign_keys or {}).items():
         probe = df.select(*cols).na.drop()
         target = dim.select(*dim_cols)
@@ -102,9 +131,16 @@ def check(
         cond = [
             probe[c] == target[d] for c, d in zip(cols, dim_cols)
         ]
-        orphans = probe.join(target, cond, "left_anti").count()
-        out.append((name, int(orphans), n))
-    return _report_rows(df.sparkSession, out)
+        orphans = (
+            probe.join(target, cond, "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            .select(F.lit(name).alias("rule"), "n_violations")
+        )
+        part = orphans.crossJoin(F.broadcast(n_row))
+        report = part if report is None else report.unionByName(part)
+    if report is None:
+        return _report_rows(df.sparkSession, [])
+    return report
 
 
 def flag_violations(
