@@ -359,35 +359,74 @@ def deterministic_shuffle(
     interleaved, equally-sized slice of the shuffled order.
     Ties (duplicate ids under the same seed) are broken by the id
     itself, keeping the rank total and engine-portable."""
+    return deterministic_shuffle_epochs(
+        df, [(seed, pos_col, n_shards)], id_col=id_col
+    )
+
+
+def _shuffle_key(seed: str, id_col: str):
+    return F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+
+
+def deterministic_shuffle_epochs(
+    df: DataFrame,
+    specs: "list[tuple[str, str, int | None]]",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Several epochs' permutations on ONE frame: ``specs`` is a list
+    of ``(seed, pos_col, n_shards_or_None)``. Single-epoch semantics
+    are exactly :func:`deterministic_shuffle`; computing the epochs
+    together shares one frame, so a multi-epoch consumer needs no
+    self-join to line the permutations up (the former two-epoch shape
+    paid a full equi-join of two windowed copies of the corpus).
+
+    The bucket offsets are LAZY: per-bucket counts (≤256 rows per
+    seed) flow through a cumulative window and broadcast-join back on
+    the bucket id — no driver-side ``collect`` in the query path, the
+    whole permutation is one plan (the former shape ran an eager
+    control-plane counts job per call)."""
     from pyspark.sql import Window
 
-    key = F.md5(
-        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
-    )
-    bucket = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
-    work = df.withColumn("__key", key).withColumn("__bucket", bucket)
-    counts = {
-        r["__bucket"]: r["cnt"]
-        for r in work.groupBy("__bucket").agg(
-            F.count(F.lit(1)).alias("cnt")
-        ).collect()
-    }
-    flat, acc = [], 0
-    for b in sorted(counts):
-        flat += [F.lit(b), F.lit(acc)]
-        acc += counts[b]
-    offsets = F.create_map(*flat)
-    w = Window.partitionBy("__bucket").orderBy("__key", F.col(id_col))
-    out = work.withColumn(
-        pos_col,
-        (
-            F.element_at(offsets, F.col("__bucket"))
-            + F.row_number().over(w)
-            - F.lit(1)
-        ).cast("bigint"),
-    ).drop("__key", "__bucket")
-    if n_shards:
-        out = out.withColumn(
-            "shard", (F.col(pos_col) % F.lit(n_shards)).cast("int")
+    def bucket_of(seed: str):
+        return F.conv(
+            F.substring(_shuffle_key(seed, id_col), 1, 2), 16, 10
+        ).cast("int")
+
+    out = df
+    for seed, pos_col, n_shards in specs:
+        kcol, bcol = f"__key_{seed}", f"__bucket_{seed}"
+        # offset[b] = rows in lower buckets: cumulative count over the
+        # ≤256-row per-bucket aggregate (single-partition window over a
+        # bounded frame), broadcast back onto the data
+        cum = (
+            Window.orderBy(bcol)
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
+        offsets = (
+            df.select(bucket_of(seed).alias(bcol))
+            .groupBy(bcol)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .select(
+                bcol,
+                F.coalesce(F.sum("__cnt").over(cum), F.lit(0))
+                .alias("__off"),
+            )
+        )
+        w = Window.partitionBy(bcol).orderBy(kcol, F.col(id_col))
+        out = (
+            out.withColumn(kcol, _shuffle_key(seed, id_col))
+            .withColumn(bcol, bucket_of(seed))
+            .join(F.broadcast(offsets), bcol)
+            .withColumn(
+                pos_col,
+                (
+                    F.col("__off") + F.row_number().over(w) - F.lit(1)
+                ).cast("bigint"),
+            )
+            .drop(kcol, bcol, "__off")
+        )
+        if n_shards:
+            out = out.withColumn(
+                "shard", (F.col(pos_col) % F.lit(n_shards)).cast("int")
+            )
     return out

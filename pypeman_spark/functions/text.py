@@ -328,17 +328,25 @@ def bm25_topk(
     candidate side turns out small, so the only cost is losing the
     compile-time guarantee.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("term"),
-    )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    # per-doc length as a NARROW map (size of the token array) — the
+    # former explode + groupBy(id) re-tokenized the corpus a second
+    # time and shuffled one row per TOKEN just to count them; size()
+    # agrees exactly (empty text -> [''] -> 1 both ways)
+    dl = df.select(F.col(id_col), F.size(words).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
     )
-    tf = toks.where(F.col("term").isin(list(query))).groupBy(
-        id_col, "term"
-    ).agg(F.count(F.lit(1)).alias("tf"))
+    # filter to the query terms INSIDE the array, before the explode:
+    # the Generate operator then emits only matching tokens instead of
+    # every token of every document
+    toks_q = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(words, lambda t: t.isin(list(query)))
+        ).alias("term"),
+    )
+    tf = toks_q.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # docs matching >= 1 query term: a sliver of the corpus by
     # assumption (term queries), so it broadcasts — the semi join

@@ -1564,7 +1564,7 @@ def corpus_sampling_pipeline(spark, sf_dir):
     buckets + exact offsets + per-bucket windows) — the 100 TB
     point. The former oracle runs verbatim as this oracle's tagged
     union branch."""
-    from ..functions.sampling import deterministic_shuffle
+    from ..functions.sampling import deterministic_shuffle_epochs
 
     mixed = mixture_sample(
         t(spark, sf_dir, "documents"),
@@ -1594,11 +1594,13 @@ def corpus_sampling_pipeline(spark, sf_dir):
         F.lit(None).cast("long").alias("pos_epoch1"),
     )
     d = t(spark, sf_dir, "documents").select("doc_id")
-    e0 = deterministic_shuffle(d, seed="epoch0", n_shards=8).select(
-        "doc_id", F.col("global_pos").alias("pos_epoch0"), "shard"
-    )
-    e1 = deterministic_shuffle(d, seed="epoch1", pos_col="pos_epoch1")
-    shuffle = e0.join(e1, "doc_id").select(
+    # both epochs on one frame: one bucket-counts job for the pair and
+    # no doc_id self-join of two windowed copies (see
+    # deterministic_shuffle_epochs)
+    shuffle = deterministic_shuffle_epochs(
+        d,
+        [("epoch0", "pos_epoch0", 8), ("epoch1", "pos_epoch1", None)],
+    ).select(
         F.lit("shuffle").alias("arm"),
         "doc_id",
         F.lit(None).cast("string").alias("source"),

@@ -47,6 +47,19 @@ def clear_metadata_caches() -> None:
     serve stale schema/row-group stats."""
     _nanos_ts_columns.cache_clear()
     _parquet_chunk_stats.cache_clear()
+    _df_cache.clear()
+
+
+# Loaded-table PLAN cache: ``spark.read.parquet`` re-infers the schema
+# from the footers on every call (~0.15 s of JVM work + py4j chatter
+# per call), and query fns load the same table up to six times while
+# BUILDING one plan. A DataFrame is an immutable logical plan, so
+# handing the same object out again is semantically identical — this
+# caches no data and nothing about query RESULTS. Keyed per session
+# object (a new session invalidates everything); cleared alongside the
+# footer caches above.
+_df_cache: dict = {}
+_df_cache_session: "list" = [None]
 
 
 def _parquet_parts(path: str) -> list[str]:
@@ -144,6 +157,14 @@ def load_table(
     is a no-op, so plans at scale stay shuffle-minimal; tiny dims are
     excluded by the row-count floor.
     """
+    if _df_cache_session[0] is not spark:
+        _df_cache.clear()
+        _df_cache_session[0] = spark
+    cache_key = (os.path.abspath(os.path.join(sf_dir, f"{name}.parquet")),
+                 bool(parallelize))
+    cached = _df_cache.get(cache_key)
+    if cached is not None:
+        return cached
     _ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -192,6 +213,7 @@ def load_table(
         row_groups, rows = _parquet_chunk_stats(path)
         if row_groups < cores and rows >= 2048:
             df = df.repartition(cores)
+    _df_cache[cache_key] = df
     return df
 
 
