@@ -2553,9 +2553,6 @@ def min_cost_supplier(spark, sf_dir):
     oracle keeps Q2's correlated-subquery formulation, proving the
     window rewrite exact. Ties keep every minimal supplier, as in Q2."""
     l = t(spark, sf_dir, "lineitem")
-    ps = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(_cents(F.col("l_extendedprice"))).alias("cost_cents")
-    )
     eur = (
         t(spark, sf_dir, "supplier")
         .join(
@@ -2573,6 +2570,26 @@ def min_cost_supplier(spark, sf_dir):
     parts = t(spark, sf_dir, "part").filter(
         (F.col("p_type") == "SMALL") & (F.col("p_size") <= 15)
     ).select("p_partkey", "p_name")
+    # broadcast SEMI prefilters below the groupBy (guide §3.2): only
+    # small-part / EUROPE-supplier lines reach the (part, supplier)
+    # aggregation shuffle — grouping first shuffled every lineitem row
+    # and threw most groups away at the joins. Identical result: the
+    # per-(part, supplier) min is over the same rows either side of
+    # the equi-joins.
+    ps = (
+        l.join(
+            F.broadcast(parts.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(eur.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_cents(F.col("l_extendedprice"))).alias("cost_cents"))
+    )
     j = (
         ps.join(F.broadcast(eur), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
@@ -2702,11 +2719,6 @@ def supplier_count_by_part(spark, sf_dir):
     from lineitem; the part filter and the tiny exclusion list are
     broadcast (hash + anti join), so lineitem shuffles once for the
     distinct-pairs dedup and the count-distinct rides the same keys."""
-    pairs = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
     parts = t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#11")
         & (F.col("p_type") != "PROMO")
@@ -2715,13 +2727,27 @@ def supplier_count_by_part(spark, sf_dir):
     excl = t(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
-    return (
-        pairs.join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+    # broadcast semi/anti prefilters BELOW the distinct (guide §3.2):
+    # the dedup shuffle carries only pairs that survive the part
+    # filter and the blacklist — distinct-then-join and
+    # filter-then-distinct keep the identical surviving pair set.
+    pairs = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(parts.select("p_partkey")),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
         .join(
             F.broadcast(excl),
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_anti",
         )
+        .distinct()
+    )
+    return (
+        pairs.join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
