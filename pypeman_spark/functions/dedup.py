@@ -74,18 +74,24 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     back. Uses ``sequence``+``transform`` then one explode — the explode
     is the unavoidable row fan-out, everything else is array ops.
     """
-    from .text import joined_windows
+    from .text import joined_windows_sql
 
-    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    words = f"split(trim(`{text_col}`), '\\\\s+')"
     # linear window build (zip_with chain — array args evaluated once
     # per row; a slice-in-transform lambda would re-tokenize per
     # shingle, quadratic in doc length). Docs shorter than the window
     # keep the reference behavior: one partial whole-doc shingle.
-    sh = F.when(
-        F.size(words) >= n, joined_windows(words, n)
-    ).otherwise(F.array(F.array_join(words, " ")))
+    # Emitted as ONE SQL text: the Column-API formulation cost a py4j
+    # round-trip per lambda/slice node (~40 per call) and this
+    # constructor runs up to three times per probe plan.
+    sh = (
+        f"CASE WHEN size({words}) >= {n} "
+        f"THEN {joined_windows_sql(words, n)} "
+        f"ELSE array(array_join({words}, ' ')) END"
+    )
     return df.select(
-        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
+        F.col(id_col),
+        F.expr(f"explode(array_distinct({sh}))").alias("shingle"),
     )
 
 
@@ -146,21 +152,22 @@ def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # carries one row per doc with K 32-byte hashes).
     sig = sh.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            F.expr(f"min(md5(concat('{i}:', shingle)))").alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
-    band_cols = []
-    for b in range(bands):
-        members = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *members)).alias("band_hash"),
-            )
+    band_items = ", ".join(
+        "struct({b} AS band, md5(concat_ws(',', {m})) AS band_hash)".format(
+            b=b,
+            m=", ".join(
+                f"h{i}"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
         )
+        for b in range(bands)
+    )
     return sig.select(
-        id_col, F.explode(F.array(*band_cols)).alias("bb")
+        id_col, F.expr(f"explode(array({band_items}))").alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
@@ -175,13 +182,13 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     sh = shingles(df, text_col, id_col, n=shingle_n)
     sig = sh.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            F.expr(f"min(md5(concat('{i}:', shingle)))").alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
+    arr = ", ".join(f"h{i}" for i in range(num_hashes))
     return sig.select(
-        id_col,
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        id_col, F.expr(f"array({arr})").alias("sig")
     )
 
 
@@ -199,17 +206,17 @@ def minhash_index(df: DataFrame, text_col: str = "text",
     over the band's comma-joined signature slice)."""
     rows = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws(
-                ",", *[F.col("sig")[i] for i in range(b * rows, (b + 1) * rows)]
-            )).alias("band_hash"),
+    band_items = ", ".join(
+        "struct({b} AS band, md5(concat_ws(',', {m})) AS band_hash)".format(
+            b=b,
+            m=", ".join(
+                f"sig[{i}]" for i in range(b * rows, (b + 1) * rows)
+            ),
         )
         for b in range(bands)
-    ]
+    )
     return sig.select(
-        id_col, F.explode(F.array(*band_cols)).alias("bb"), "sig"
+        id_col, F.expr(f"explode(array({band_items}))").alias("bb"), "sig"
     ).select(
         id_col, F.col("bb.band").alias("band"),
         F.col("bb.band_hash").alias("band_hash"), "sig",
@@ -267,13 +274,10 @@ def minhash_probe(new_df: DataFrame, index_df: DataFrame,
     )
     return cand.select(
         "new_id", "hist_id",
-        F.aggregate(
-            F.zip_with(
-                "sig_new", "sig_hist",
-                lambda a, b: (a == b).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        F.expr(
+            "aggregate(zip_with(sig_new, sig_hist, "
+            "(a, b) -> CAST((a = b) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("n_agree"),
     ).filter(F.col("n_agree") >= min_agree)
 

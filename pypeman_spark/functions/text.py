@@ -151,6 +151,26 @@ def word_ngrams(col: Column, n: int) -> Column:
     return joined_windows(F.split(F.trim(col), "\\s+"), n)
 
 
+def joined_windows_sql(w: str, size: int) -> str:
+    """SQL-text twin of :func:`joined_windows` for construction-hot
+    callers (the MinHash family builds thousands of expression nodes
+    per plan): emits ONE ``F.expr`` string instead of one py4j
+    round-trip per lambda/slice node. The text parses into the
+    identical Catalyst tree — same zip_with chain, same no-else CASE
+    WHEN, same trailing null filter."""
+    grams = w
+    for j in range(1, size):
+        shifted = f"slice({w}, {j + 1}, greatest(size({w}) - {j}, 0))"
+        grams = (
+            f"zip_with({grams}, {shifted}, (a, b) -> "
+            f"CASE WHEN (a IS NOT NULL) AND (b IS NOT NULL) "
+            f"THEN concat(a, ' ', b) END)"
+        )
+    if size == 1:
+        return grams
+    return f"filter({grams}, x -> x IS NOT NULL)"
+
+
 def joined_windows(w: Column, size: int) -> Column:
     """All full ``size``-word windows of word-array ``w`` as
     space-joined strings (length ``len(w) - size + 1``; empty when the
@@ -308,80 +328,105 @@ def bm25_topk(
     can differ between engines and partitionings, so the exact-compare
     contract holds by construction instead of by luck.
 
-    Shuffle budget at corpus scale: tokens are filtered to the QUERY
-    terms before the tf groupBy (the per-(doc, term) aggregation only
-    ever sees matching tokens), document frequencies and the (N,
-    avgdl) scalars broadcast, and the top-k is TakeOrdered — no
-    global sort, no window over the corpus. Per-doc lengths are
-    SEMI-JOIN pruned to the matching docs (broadcast of the candidate
-    ids) before the contrib join, so corpus-cardinality ``dl`` rows
-    for documents the query never touches don't shuffle — only the
-    matching sliver does. Ties rank deterministically (score desc,
-    id asc).
+    Shuffle budget at corpus scale: one narrow scan computes per-doc
+    length and per-term frequencies as array expressions, one 1-row
+    aggregate (N, avgdl, per-term document frequencies) broadcasts
+    back, and the top-k is TakeOrdered — no token explode, no
+    (doc, term) shuffle, no global sort, no window over the corpus.
+    Ties rank deterministically (score desc, id asc).
 
-    ``broadcast_candidates`` encodes the term-query cardinality
-    assumption: the default forces the candidate-id set driver-side,
-    which is right for selective terms but can OOM the driver when a
-    query contains a stop-word-like term matching most of the corpus.
-    Pass ``False`` for such queries — the semi join plans unhinted and
-    AQE still converts it to a broadcast at runtime whenever the
-    candidate side turns out small, so the only cost is losing the
-    compile-time guarantee.
+    Single-pass narrow form: because the scoring terms are a known
+    list, per-(doc, term) frequencies need no explode + groupBy at
+    all — ``tf_i = size(filter(words, x -> x = term_i))`` is a narrow
+    map, so the WHOLE pipeline is one corpus scan feeding (a) a 1-row
+    aggregate (N, avgdl, per-term document frequencies) that
+    broadcasts back and (b) the per-doc score expression, finished by
+    TakeOrdered. Zero corpus-cardinality shuffles: the former
+    formulation shuffled (doc, term) token rows into a tf aggregation
+    whose subtree was recomputed THREE times (df, candidate ids,
+    contributions — column pruning makes the exchanges differ, so
+    runtime exchange reuse never fires), then semi-joined per-doc
+    lengths back. It also needed a driver-side candidate-id broadcast
+    whose OOM hazard ``broadcast_candidates=False`` existed to
+    escape; the narrow form broadcasts only the 1-row stats frame, so
+    the flag is vestigial and kept for API compatibility (both values
+    plan identically; the rank-identity lock in
+    ``tests/test_plan_quality.py`` still runs both).
     """
-    words = F.split(F.trim(F.col(text_col)), "\\s+")
-    # per-doc length as a NARROW map (size of the token array) — the
-    # former explode + groupBy(id) re-tokenized the corpus a second
-    # time and shuffled one row per TOKEN just to count them; size()
-    # agrees exactly (empty text -> [''] -> 1 both ways)
-    dl = df.select(F.col(id_col), F.size(words).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
-    )
-    # filter to the query terms INSIDE the array, before the explode:
-    # the Generate operator then emits only matching tokens instead of
-    # every token of every document
-    toks_q = df.select(
-        F.col(id_col),
-        F.explode(
-            F.filter(words, lambda t: t.isin(list(query)))
-        ).alias("term"),
-    )
-    tf = toks_q.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # docs matching >= 1 query term: a sliver of the corpus by
-    # assumption (term queries), so it broadcasts — the semi join
-    # prunes dl map-side with zero dl shuffle
-    cand = tf.select(id_col).distinct()
-    dl_q = dl.join(
-        F.broadcast(cand) if broadcast_candidates else cand,
-        id_col, "left_semi",
-    )
-    contrib = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl_q, id_col)
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "c_micro",
-            F.round(
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("__n") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                )
-                * F.col("tf") * (k1 + 1.0)
-                / (
-                    F.col("tf")
-                    + F.lit(k1) * (
-                        1.0 - b + F.lit(b) * F.col("dl") / F.col("__avgdl")
-                    )
-                )
-                * 1e6,
-                0,
-            ).cast("long"),
+    del broadcast_candidates  # no driver-side candidate set exists
+    terms = list(dict.fromkeys(query))
+    q = len(terms)
+    words = f"split(trim(`{text_col}`), '\\\\s+')"
+
+    def lit_s(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    # ONE aggregate pass over the token array builds dl and every
+    # per-term count together (__cnt[0] = dl, __cnt[i+1] = tf_i), so
+    # the text is tokenized once per row — per-term size(filter(...))
+    # columns would each re-evaluate the split, because lambda-bearing
+    # expressions are excluded from subexpression elimination.
+    # Counting elements agrees exactly with the former explode + count
+    # (empty text -> [''] -> 1 both ways).
+    cases = " ".join(
+        "WHEN x = {t} THEN array({inc})".format(
+            t=lit_s(t),
+            inc=", ".join(
+                f"acc[{j}] + {1 if j in (0, i + 1) else 0}"
+                for j in range(q + 1)
+            ),
         )
+        for i, t in enumerate(terms)
     )
-    scored = contrib.groupBy(id_col).agg(
-        F.sum("c_micro").alias("score_micro")
+    keep = ", ".join(f"acc[{j}]" for j in range(1, q + 1))
+    cnt = (
+        f"aggregate({words}, array_repeat(0, {q + 1}), (acc, x) -> "
+        f"CASE {cases} ELSE array(acc[0] + 1, {keep}) END)"
+    )
+    base = df.select(F.col(id_col), F.expr(cnt).alias("__cnt"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.expr("avg(__cnt[0])").alias("__avgdl"),
+        *[
+            F.expr(f"sum(CAST(__cnt[{i + 1}] > 0 AS BIGINT))")
+            .alias(f"df{i}")
+            for i in range(q)
+        ],
+    )
+    # per-term micro contribution, operation order EXACTLY as the
+    # oracle SQL (ln(1 + (N - df + .5)/(df + .5)) * tf * (k1+1) /
+    # (tf + k1*((1-b) + b*dl/avgdl)) * 1e6, round, BIGINT). Float
+    # literals carry the D suffix: a bare SQL `0.5` is a DECIMAL
+    # literal and `bigint + decimal` would run in decimal arithmetic
+    # (different rounding than the Column API's pure-double chain);
+    # `0.5D` is a double, and repr(float) round-trips exactly.
+    contribs = [
+        (
+            f"CASE WHEN __cnt[{i + 1}] > 0 THEN CAST(round("
+            f"ln(1.0D + (__n - df{i} + 0.5D) / (df{i} + 0.5D))"
+            f" * __cnt[{i + 1}] * {k1 + 1.0!r}D"
+            f" / (__cnt[{i + 1}] + {k1!r}D * ({1.0 - b!r}D"
+            f" + {b!r}D * __cnt[0] / __avgdl))"
+            f" * 1000000.0D, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+        for i in range(q)
+    ]
+    # the matched predicate must NOT push below the crossJoin: predicate
+    # pushdown substitutes the __cnt alias, re-evaluating the whole
+    # token aggregate per row inside the pushed Filter (and again in
+    # the Project). The always-false `__n < 0` DISJUNCT references the
+    # stats side, and a disjunction spanning both join sides cannot be
+    # split or pushed (an AND conjunct would be split and each side
+    # pushed separately), so the Filter stays above the join where
+    # __cnt is an already-computed attribute.
+    matched = " OR ".join(f"__cnt[{i + 1}] > 0" for i in range(q))
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .filter(F.expr(f"__n < 0 OR ({matched})"))
+        .select(
+            F.col(id_col),
+            F.expr(" + ".join(contribs)).alias("score_micro"),
+        )
     )
     top = scored.orderBy(
         F.desc("score_micro"), F.asc(id_col)

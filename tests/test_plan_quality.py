@@ -621,15 +621,13 @@ def test_bm25_and_rrf_shapes_are_scale_clean(spark):
     # sorts allowed are post-limit (<= k rows) for the rank window
     assert "rangepartitioning" not in bm
     assert "CartesianProduct" not in bm
-    # dfreq + (N, avgdl) scalars + the candidate-doc-id semi join
-    # that prunes per-doc lengths before the contrib join
-    assert bm.count("BroadcastExchange") >= 3
-    # the dl prune is a broadcast LEFT SEMI: corpus-cardinality doc
-    # lengths for non-matching documents never reach an exchange
-    assert "LeftSemi" in bm
-    # broadcast_candidates=False (stop-word-safe mode: a term matching
-    # most of the corpus must not force a driver broadcast) ranks
-    # identically — only the join strategy is released to AQE
+    # single-pass narrow form: per-term tf is an array expression, so
+    # the plan has NO token explode and no (doc, term) shuffle at all
+    assert "Generate" not in bm
+    # the only broadcast is the 1-row (N, avgdl, df_i) stats frame
+    assert bm.count("BroadcastExchange") >= 1
+    # broadcast_candidates stays accepted (vestigial: no driver-side
+    # candidate set exists in the narrow form) and ranks identically
     from pypeman_spark.functions.text import bm25_topk
     from pypeman_spark.sources.tables import load_table
 
