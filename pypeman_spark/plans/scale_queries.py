@@ -1816,7 +1816,7 @@ def gopher_signals_suite(spark, sf_dir):
     from ..functions.text import (
         duplicate_line_stats,
         gopher_quality_signals,
-        top_ngram_char_fraction,
+        top_ngram_char_fraction_sql,
     )
 
     d = tp(spark, sf_dir, "documents")
@@ -1854,8 +1854,10 @@ def gopher_signals_suite(spark, sf_dir):
         "doc_id",
         ls["dup_line_frac"].alias("dup_line_frac"),
         ls["dup_line_char_frac"].alias("dup_line_char_frac"),
-        top_ngram_char_fraction(F.col("__t_rep"), 2).alias("top2_char_frac"),
-        top_ngram_char_fraction(F.col("__t_rep"), 3).alias("top3_char_frac"),
+        F.expr(top_ngram_char_fraction_sql("__t_rep", 2)).alias(
+            "top2_char_frac"),
+        F.expr(top_ngram_char_fraction_sql("__t_rep", 3)).alias(
+            "top3_char_frac"),
         *[c.alias(name) for name, c in sig.items()],
     )
 

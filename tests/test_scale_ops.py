@@ -1461,3 +1461,78 @@ def test_ivfpq_staleness_rebuild_refits_both_stages(spark, tmp_path):
     assert S.ivfpq_index_maintain(
         spark, path, max_appended_fraction=0.5, max_cell_skew=100.0
     )["rebuilt"] is False
+
+
+def test_bm25_narrow_form_matches_explode_reference(spark, sf_dir):
+    """The single-pass narrow BM25 (one aggregate over the token array,
+    no explode, no (doc, term) shuffle) must score and rank exactly
+    like the straightforward explode + groupBy formulation it
+    replaced — including a duplicated query term (counted once) and a
+    term matching no document (contributes nothing)."""
+    from pyspark.sql.window import Window
+    from pypeman_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    query = ["hash", "join", "hash", "zzz_nowhere"]
+    k1, b, k = 1.2, 0.75, 15
+
+    got = TX.bm25_topk(docs, query, k=k, k1=k1, b=b).collect()
+
+    # independent reference: explode-based tf/df, double arithmetic
+    words = F.split(F.trim(F.col("text")), "\\s+")
+    dl = docs.select("doc_id", F.size(words).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], stats["avgdl"]
+    tf = (
+        docs.select(
+            "doc_id", F.explode(words).alias("term")
+        )
+        .filter(F.col("term").isin(list(dict.fromkeys(query))))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = {
+        r["term"]: r["df"]
+        for r in tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    contrib = (
+        tf.join(dl, "doc_id")
+        .withColumn(
+            "c",
+            F.round(
+                F.log(
+                    1.0
+                    + (
+                        F.lit(n_docs)
+                        - F.udf(lambda t: dfreq[t], "long")("term")
+                        + 0.5
+                    )
+                    / (F.udf(lambda t: dfreq[t], "long")("term") + 0.5)
+                )
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                )
+                * 1e6,
+                0,
+            ).cast("long"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.sum("c").alias("score_micro"))
+    win = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    want = (
+        scored.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(win))
+        .select("doc_id", "score_micro", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == k
