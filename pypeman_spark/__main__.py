@@ -320,6 +320,13 @@ def cmd_stop(args) -> int:
     else:
         os.kill(pid, signal.SIGKILL)
         print(f"killed unresponsive daemon (pid {pid})", file=sys.stderr)
+        # SIGKILL delivery is asynchronous: wait until the pid is
+        # actually gone so "stopped" is never printed while the
+        # process (or its zombie, pre-reap) is still kill(pid, 0)-able
+        for _ in range(100):
+            if not _pid_alive(pid):
+                break
+            time.sleep(0.1)
     if os.path.exists(pidfile):
         os.remove(pidfile)
     print(f"stopped (pid {pid})")

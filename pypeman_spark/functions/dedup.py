@@ -137,6 +137,61 @@ def duplicate_passages(
     )
 
 
+def _minhash_sig_sql(text_col: str, num_hashes: int, shingle_n: int) -> str:
+    """SQL text of the per-row MinHash signature (``array<string>`` of
+    ``num_hashes`` md5-min components) — ZERO-shuffle formulation.
+
+    One ``aggregate`` fold over the distinct shingle array computes all
+    K minima together (K md5 evaluations per shingle — identical work
+    to the former explode + K ``min()`` aggregations, minus the
+    Generate and the groupBy exchange; at 100 TB the signature is a
+    narrow map inside the corpus scan stage). Equivalences with the
+    aggregation form, element by element:
+
+    * ``least(acc, h)`` over non-null md5s == ``min(h)`` (md5 is null
+      only for a null shingle, and the fold skips null shingles exactly
+      as ``min`` ignores nulls);
+    * the ``'g'`` sentinel is greater than every md5 (hex digits only),
+      so it is the fold identity; a doc whose only shingle is null
+      (null text) keeps the sentinel everywhere → rewritten to the
+      all-null signature ``min`` would produce.
+    """
+    words = f"split(trim(`{text_col}`), '\\\\s+')"
+    from .text import joined_windows_sql
+
+    sh = (
+        f"CASE WHEN size({words}) >= {shingle_n} "
+        f"THEN {joined_windows_sql(words, shingle_n)} "
+        f"ELSE array(array_join({words}, ' ')) END"
+    )
+    upd = ", ".join(
+        f"least(acc[{i}], md5(concat('{i}:', s)))" for i in range(num_hashes)
+    )
+    fold = (
+        f"aggregate(array_distinct({sh}), "
+        f"array_repeat('g', {num_hashes}), "
+        f"(acc, s) -> CASE WHEN s IS NULL THEN acc ELSE array({upd}) END)"
+    )
+    return (
+        f"transform({fold}, "
+        f"x -> CASE WHEN x = 'g' THEN CAST(NULL AS STRING) ELSE x END)"
+    )
+
+
+def _band_items_sql(bands: int, rows_per_band: int) -> str:
+    """Band structs over an already-computed ``sig`` attribute."""
+    return ", ".join(
+        "struct({b} AS band, md5(concat_ws(',', {m})) AS band_hash)".format(
+            b=b,
+            m=", ".join(
+                f"sig[{i}]"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+
+
 def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   num_hashes: int = 16, bands: int = 4, shingle_n: int = 3) -> DataFrame:
     """MinHash signature banded for LSH: ``(id, band, band_hash)``.
@@ -144,28 +199,14 @@ def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Hash family i (0..K-1): ``md5(i || ':' || shingle)`` — engine-portable
     and uniform. Signature element i = min over the doc's shingles.
     Band b hashes together its K/B consecutive signature elements.
-    """
-    rows_per_band = num_hashes // bands
-    sh = shingles(df, text_col, id_col, n=shingle_n)
-    # One shuffle total: K min-aggregations side by side over the shingle
-    # rows (no K-fold explode, no second groupBy — at 100 TB the shuffle
-    # carries one row per doc with K 32-byte hashes).
-    sig = sh.groupBy(id_col).agg(
-        *[
-            F.expr(f"min(md5(concat('{i}:', shingle)))").alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    band_items = ", ".join(
-        "struct({b} AS band, md5(concat_ws(',', {m})) AS band_hash)".format(
-            b=b,
-            m=", ".join(
-                f"h{i}"
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    )
+
+    Zero shuffle (see :func:`_minhash_sig_sql`): the signature is a
+    narrow fold per row, the bands a 4-way explode of 2-field structs —
+    the first exchange in any consumer is its own (band, band_hash)
+    join or groupBy. One signature row per INPUT row (ids are assumed
+    unique per the index contract)."""
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    band_items = _band_items_sql(bands, num_hashes // bands)
     return sig.select(
         id_col, F.expr(f"explode(array({band_items}))").alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
@@ -177,18 +218,13 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     """Full MinHash signature per document: ``(id, sig array<string>)``
     — the persistable unit of an incremental dedup index. Same hash
     family as :func:`minhash_bands` (``md5(i || ':' || shingle)``,
-    min over shingles), one shuffle carrying K 32-byte components per
-    doc."""
-    sh = shingles(df, text_col, id_col, n=shingle_n)
-    sig = sh.groupBy(id_col).agg(
-        *[
-            F.expr(f"min(md5(concat('{i}:', shingle)))").alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    arr = ", ".join(f"h{i}" for i in range(num_hashes))
-    return sig.select(
-        id_col, F.expr(f"array({arr})").alias("sig")
+    min over shingles), computed as ONE narrow fold per row
+    (:func:`_minhash_sig_sql`) — no explode, no shuffle."""
+    return df.select(
+        F.col(id_col),
+        F.expr(_minhash_sig_sql(text_col, num_hashes, shingle_n)).alias(
+            "sig"
+        ),
     )
 
 
@@ -307,32 +343,38 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     hex→int conversion, byte-identical in any engine with md5.
     """
     assert bits <= 32  # md5 has 32 hex digits
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), "\\s+"))
-        ).alias("tok"),
+    # ZERO-shuffle formulation: md5 once per distinct token
+    # (``transform``), then ONE fold accumulates every bit's ±1 sum —
+    # integer addition is order-free, so the fold equals the former
+    # explode + per-bit ``sum()`` aggregation exactly, minus the
+    # Generate and the groupBy exchange. The explicit null-text filter
+    # reproduces the explode semantics (``explode(NULL array)`` emitted
+    # no row, dropping the doc).
+    toks = f"array_distinct(split(trim(lower(`{text_col}`)), '\\\\s+'))"
+    upd = ", ".join(
+        f"acc[{b}] + (CASE WHEN contains('02468ace', "
+        f"substring(h, {b + 1}, 1)) THEN 1 ELSE -1 END)"
+        for b in range(bits)
     )
-    h = F.md5(F.col("tok"))
-    # One shuffle: per-bit ±1 sums as side-by-side aggregates over the
-    # token rows, then the sketch is a pure expression.
-    sums = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(
-                    F.lit("02468ace").contains(F.substring(h, b + 1, 1)), F.lit(1)
-                ).otherwise(F.lit(-1))
-            ).alias(f"s{b}")
-            for b in range(bits)
-        ]
+    sums = (
+        f"aggregate(transform({toks}, t -> md5(t)), "
+        f"array_repeat(CAST(0 AS BIGINT), {bits}), "
+        f"(acc, h) -> array({upd}))"
     )
-    sketch = None
-    for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sketch = term if sketch is None else sketch + term
-    return sums.select(id_col, sketch.alias("simhash"))
+    sketch = " + ".join(
+        f"(CASE WHEN __s[{b}] > 0 THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        # two projections: __s is referenced ``bits`` times by the
+        # sketch sum, and CollapseProject keeps non-cheap expressions
+        # referenced more than once in their own stage (one fold per
+        # row, not sixteen)
+        .select(F.col(id_col), F.expr(sums).alias("__s"))
+        .select(id_col, F.expr(sketch).alias("simhash"))
+    )
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

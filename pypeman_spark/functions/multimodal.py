@@ -1424,6 +1424,73 @@ def decode_jpeg_features(
     return df.select(id_col, binary_col).mapInPandas(_decode, out_schema)
 
 
+def rgb_codec_roundtrip_features(
+    df: DataFrame,
+    codec: str,
+    width: int,
+    height: int,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    grid: int = 2,
+    quality: int = 97,
+    filter_choice: str = "adaptive-fixed",
+) -> DataFrame:
+    """Encode a raw RGB payload through the REAL ``png``/``jpeg`` codec
+    and decode it back to grid-mean features in ONE Arrow-batched pass.
+
+    Exactly the composition ``raw_rgb_to_png/jpeg →
+    decode_png/jpeg_features`` (same ``_encode_*`` / ``_parse_*`` /
+    ``_grid_means`` helpers, same null routing: wrong-length payloads
+    encode to null, null/corrupt bitstreams decode to null features) —
+    but as a single ``mapInPandas`` stage. Chained, each stage pays a
+    full JVM→Python→JVM Arrow round trip and the encoded bitstream
+    crosses the boundary twice for no reason; fused, the bitstream
+    never leaves the Python worker (guide §4.1: you cannot remove the
+    boundary, but you control how often you cross it)."""
+    import numpy as np
+    import pandas as pd
+
+    if codec not in ("png", "jpeg"):
+        raise ValueError(f"unsupported roundtrip codec: {codec!r}")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+    n_bytes = width * height * 3
+
+    def _one(payload):
+        if payload is None or len(payload) != n_bytes:
+            return None, None, None
+        px = np.frombuffer(payload, dtype=np.uint8).reshape(height, width, 3)
+        if codec == "png":
+            enc = _encode_png(px, filter_choice=filter_choice)
+        else:
+            enc = _encode_jpeg(px, quality=quality)
+        try:
+            w, h, dec = _parse_png(enc) if codec == "png" else _parse_jpeg(enc)
+        except (ValueError, TypeError):
+            return None, None, None
+        return w, h, _grid_means(dec, w, h, grid)
+
+    def _roundtrip(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            decoded = [_one(b) for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "features": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(_roundtrip, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # REAL MP4 (ISO-BMFF) container codec — stdlib struct only.
 #

@@ -230,20 +230,21 @@ def top_ngram_stats(col: Column, n: int) -> Column:
     )
 
 
-def top_ngram_char_fraction_sql(c: str, n: int) -> str:
-    """SQL-text twin of :func:`top_ngram_char_fraction` (same
-    construction-cost motivation as :func:`joined_windows_sql`: the
-    aggregate-struct fold costs ~0.13 s of py4j per call and the
-    Gopher suite builds it twice). ``c`` is a column NAME; the text
-    parses into the identical Catalyst tree — in the Column version
-    the reused ``run`` sub-Column is duplicated per field too, and
-    ``0.0D`` keeps the zero-length branch a double like ``F.lit(0.0)``.
-    """
+def top_ngram_stats_sql(c: str, n: int) -> str:
+    """SQL text of the run-length fold behind the top-ngram signal:
+    the ``named_struct(prev, run, best, best_ng)`` aggregate over the
+    sorted n-gram array of column NAME ``c``. Callers stage the fold
+    into its OWN projection and compute the char fraction from
+    ``.best`` / ``.best_ng`` as cheap attribute lookups — inlining the
+    struct into a fraction expression makes each field access re-run
+    the whole sort + fold per row (lambda-bearing expressions are
+    excluded from subexpression elimination), doubling the dominant
+    per-row cost. ``gopher_signals_suite`` is the staged consumer."""
     w = f"split(trim(`{c}`), '\\\\s+')"
     grams = f"array_sort({joined_windows_sql(w, n)})"
     run = "CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END"
     better = f"({run}) > acc.best"
-    st = (
+    return (
         f"aggregate({grams}, "
         f"named_struct('prev', '', 'run', CAST(0 AS BIGINT), "
         f"'best', CAST(0 AS BIGINT), 'best_ng', ''), "
@@ -252,12 +253,6 @@ def top_ngram_char_fraction_sql(c: str, n: int) -> str:
         f"'run', {run}, "
         f"'best', CASE WHEN {better} THEN {run} ELSE acc.best END, "
         f"'best_ng', CASE WHEN {better} THEN x ELSE acc.best_ng END))"
-    )
-    total = f"length(trim(`{c}`))"
-    return (
-        f"CASE WHEN {total} > 0 THEN round("
-        f"(({st}).best * length(({st}).best_ng)) / CAST({total} AS DOUBLE), 6)"
-        f" ELSE 0.0D END"
     )
 
 

@@ -1816,7 +1816,7 @@ def gopher_signals_suite(spark, sf_dir):
     from ..functions.text import (
         duplicate_line_stats,
         gopher_quality_signals,
-        top_ngram_char_fraction_sql,
+        top_ngram_stats_sql,
     )
 
     d = tp(spark, sf_dir, "documents")
@@ -1847,17 +1847,40 @@ def gopher_signals_suite(spark, sf_dir):
         "doc_id",
         F.array_join(rep_aug, "\n").alias("__t_rep"),
         q_txt.alias("__t_q"),
+    ).select(
+        # the run-length folds get their OWN projection: each fraction
+        # reads two fields of its fold struct, and inlined that means
+        # the whole array_sort + aggregate runs twice per row
+        # (lambda-bearing expressions are excluded from subexpression
+        # elimination). Staged, CollapseProject keeps the non-cheap
+        # multi-referenced fold here and the fractions below are cheap
+        # field lookups — same values, half the dominant per-row cost.
+        "*",
+        F.expr(top_ngram_stats_sql("__t_rep", 2)).alias("__st2"),
+        F.expr(top_ngram_stats_sql("__t_rep", 3)).alias("__st3"),
     )
     ls = duplicate_line_stats(F.col("__t_rep"))
     sig = gopher_quality_signals(F.col("__t_q"))
+    total_rep = F.length(F.trim(F.col("__t_rep")))
+
+    def _frac(st: str) -> Column:
+        # operation order EXACTLY as top_ngram_char_fraction_sql:
+        # (best * length(best_ng)) / CAST(total AS DOUBLE), round 6
+        return F.when(
+            total_rep > 0,
+            F.round(
+                (F.col(f"{st}.best") * F.length(F.col(f"{st}.best_ng")))
+                / total_rep.cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+
     return df.select(
         "doc_id",
         ls["dup_line_frac"].alias("dup_line_frac"),
         ls["dup_line_char_frac"].alias("dup_line_char_frac"),
-        F.expr(top_ngram_char_fraction_sql("__t_rep", 2)).alias(
-            "top2_char_frac"),
-        F.expr(top_ngram_char_fraction_sql("__t_rep", 3)).alias(
-            "top3_char_frac"),
+        _frac("__st2").alias("top2_char_frac"),
+        _frac("__st3").alias("top3_char_frac"),
         *[c.alias(name) for name, c in sig.items()],
     )
 
@@ -2625,11 +2648,8 @@ def image_grid_features(spark, sf_dir):
     EXPECTED csv (matching the oracle), any codec bug emits
     'CODEC_ERR' and fails the hash."""
     from ..functions.multimodal import (
-        decode_jpeg_features,
-        decode_png_features,
         decode_ppm_features,
-        raw_rgb_to_jpeg,
-        raw_rgb_to_png,
+        rgb_codec_roundtrip_features,
     )
 
     d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
@@ -2668,8 +2688,11 @@ def image_grid_features(spark, sf_dir):
     raw = d.filter(
         (F.col("doc_id") >= 200) & (F.col("doc_id") < 400)
     ).select("doc_id", pixels.alias("content"))
-    pngs = raw_rgb_to_png(raw, 8, 8)
-    png = csv_out(decode_png_features(pngs, grid=2), "png")
+    # encode→decode fused into ONE Python stage (same _encode/_parse
+    # helpers, identical rows — the PNG bitstream just never crosses
+    # the JVM boundary; guide §4.1)
+    png = csv_out(rgb_codec_roundtrip_features(raw, "png", 8, 8, grid=2),
+                  "png")
 
     # jpeg arm: lossy codec -> tolerance gate. Expected quadrant colors
     # re-derived Spark-side from the same md5; the decoded means must
@@ -2678,8 +2701,9 @@ def image_grid_features(spark, sf_dir):
     raw_j = d.filter(F.col("doc_id") >= 400).select(
         "doc_id", pixels.alias("content")
     )
-    jfeats = decode_jpeg_features(raw_rgb_to_jpeg(raw_j, 8, 8, quality=97),
-                                  grid=2)
+    jfeats = rgb_codec_roundtrip_features(
+        raw_j, "jpeg", 8, 8, grid=2, quality=97
+    )
     exp_src = d.filter(F.col("doc_id") >= 400).select(
         "doc_id",
         F.array(

@@ -1536,3 +1536,134 @@ def test_bm25_narrow_form_matches_explode_reference(spark, sf_dir):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) == k
+
+
+def test_minhash_fold_matches_aggregation_reference(spark, sf_dir):
+    """r14 narrow-fold signatures: the zero-shuffle per-row fold
+    (dedup._minhash_sig_sql) must equal the explode + groupBy + K
+    min() formulation element by element on real testdata, including
+    a null-text doc (all-null signature, not a dropped row) and a
+    doc shorter than the shingle window."""
+    from pypeman_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(150)
+        .unionByName(
+            spark.createDataFrame(
+                [(900001, None), (900002, "two words")],
+                "doc_id long, text string",
+            )
+        )
+    )
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in D.minhash_signature(docs).collect()
+    }
+    sh = D.shingles(docs)
+    ref = {
+        r["doc_id"]: [r[f"h{i}"] for i in range(16)]
+        for r in sh.groupBy("doc_id")
+        .agg(
+            *[
+                F.expr(f"min(md5(concat('{i}:', shingle)))").alias(f"h{i}")
+                for i in range(16)
+            ]
+        )
+        .collect()
+    }
+    assert got == ref
+    assert got[900001] == [None] * 16  # null text -> all-null signature
+    # bands derive from the same signature (no separate hash path)
+    bands = {
+        (r["doc_id"], r["band"]): r["band_hash"]
+        for r in D.minhash_bands(docs).collect()
+    }
+    idx = {
+        (r["doc_id"], r["band"]): r["band_hash"]
+        for r in D.minhash_index(docs).collect()
+    }
+    assert bands == idx
+
+
+def test_simhash_fold_matches_aggregation_reference(spark, sf_dir):
+    """r14 narrow-fold simhash: the per-row ±1 fold must equal the
+    explode + per-bit sum() formulation, and a null-text doc is
+    dropped exactly as explode dropped it."""
+    from pypeman_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(150)
+        .unionByName(
+            spark.createDataFrame([(900001, None)], "doc_id long, text string")
+        )
+    )
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), "\\s+"))
+        ).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.lit("02468ace").contains(F.substring(h, b + 1, 1)),
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
+    )
+    ref = {}
+    for r in sums.collect():
+        ref[r["doc_id"]] = sum(
+            (1 << b) for b in range(16) if r[f"s{b}"] > 0
+        )
+    assert got == ref
+    assert 900001 not in got  # null text dropped, as with explode
+
+
+def test_codec_roundtrip_fusion_matches_chained(spark, sf_dir):
+    """r14 fused encode→decode: one mapInPandas pass must yield rows
+    identical to the chained raw_rgb_to_{png,jpeg} →
+    decode_{png,jpeg}_features pipeline, including the null routing
+    for a wrong-length payload."""
+    from pypeman_spark.functions import multimodal as MM
+    from pypeman_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    m = F.upper(F.md5(F.col("text")))
+    qa, qb = F.unhex(F.substring(m, 1, 6)), F.unhex(F.substring(m, 7, 6))
+    row = F.concat(*([qa] * 4 + [qb] * 4))
+    pixels = F.concat(*([row] * 8))
+    raw = d.select("doc_id", pixels.alias("content")).unionByName(
+        spark.createDataFrame(
+            [(900001, b"short")], "doc_id long, content binary"
+        )
+    )
+    for codec in ("png", "jpeg"):
+        fused = sorted(
+            map(
+                tuple,
+                MM.rgb_codec_roundtrip_features(
+                    raw, codec, 8, 8, grid=2
+                ).collect(),
+            )
+        )
+        if codec == "png":
+            enc = MM.raw_rgb_to_png(raw, 8, 8)
+            chained_df = MM.decode_png_features(enc, grid=2)
+        else:
+            enc = MM.raw_rgb_to_jpeg(raw, 8, 8)
+            chained_df = MM.decode_jpeg_features(enc, grid=2)
+        chained = sorted(map(tuple, chained_df.collect()))
+        assert fused == chained
+        # the wrong-length payload routes to null features either way
+        bad = [t for t in fused if t[0] == 900001]
+        assert bad == [(900001, None, None, None)]
