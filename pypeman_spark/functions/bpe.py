@@ -438,3 +438,68 @@ def bpe_token_count(
     return enc.select(
         id_col, *keep_cols, F.size("tokens").cast("long").alias(out_col)
     )
+
+
+def bpe_token_counts_multi(
+    df: DataFrame,
+    specs: "list[tuple[str, list[tuple[str, str]], str, str]]",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Several tokenizers' per-document counts in ONE Arrow pass.
+
+    ``specs``: list of ``(text_col, merges, alphabet, out_col)`` — each
+    entry counts ``text_col`` under its own merge table/alphabet with
+    the same per-batch word cache as :func:`bpe_encode`, producing
+    ``out_col``. Equivalent to joining N :func:`bpe_token_count` calls
+    on ``id_col``, but the corpus crosses the JVM→Python boundary once
+    instead of N times and the doc_id join disappears (guide §4.1: you
+    cannot remove the boundary, but you control how often you cross
+    it). Word-level counting is identical code (same ``apply_merges``,
+    same ``re.split``/lower discipline), so counts match the
+    single-pass form exactly."""
+    import pandas as pd
+
+    for _tc, _m, alphabet, _oc in specs:
+        _check_alphabet(alphabet)
+    ranks = [
+        ({pair: i for i, pair in enumerate(merges)}, alphabet)
+        for _tc, merges, alphabet, _oc in specs
+    ]
+    keep_fields = [df.schema[c] for c in keep_cols]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            *keep_fields,
+            *[T.StructField(oc, T.LongType()) for _tc, _m, _a, oc in specs],
+        ]
+    )
+    text_cols = [tc for tc, _m, _a, _oc in specs]
+
+    def _count(batches: "Iterator[pd.DataFrame]"):
+        caches: list[dict[str, int]] = [{} for _ in specs]
+        for pdf in batches:
+            out = {id_col: pdf[id_col]}
+            for c in keep_cols:
+                out[c] = pdf[c]
+            for si, (tc, _m, _a, oc) in enumerate(specs):
+                rk, alphabet = ranks[si]
+                cache = caches[si]
+                counts = []
+                for text in pdf[tc]:
+                    n = 0
+                    for w in re.split(r"\s+", str(text).lower()):
+                        if not w:
+                            continue
+                        got = cache.get(w)
+                        if got is None:
+                            got = len(apply_merges(w, rk, alphabet))
+                            cache[w] = got
+                        n += got
+                    counts.append(n)
+                out[oc] = counts
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, *keep_cols, *text_cols).mapInPandas(
+        _count, out_schema
+    )

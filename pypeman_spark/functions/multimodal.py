@@ -746,17 +746,24 @@ def decode_png_features(
     binary_col: str = "content",
     id_col: str = "doc_id",
     grid: int = 2,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """REAL PNG decode: chunk walk + CRC verify + inflate + filter
     reconstruction, then the same ``grid × grid`` RGB-mean color-layout
     features as :func:`decode_ppm_features`. Non-PNG / unsupported-
     flavor rows yield null features so callers can route them to
-    another codec path."""
+    another codec path. ``keep_cols`` pass through the Arrow batch
+    untouched — a consumer that needs the encoder's metadata beside
+    the features gets it WITHOUT a second execution of the upstream
+    encode chain plus a join (a DataFrame consumed by two branches is
+    planned, and run, twice)."""
     import pandas as pd
 
+    keep_fields = [df.schema[c] for c in keep_cols]
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
+            *keep_fields,
             T.StructField("width", T.IntegerType()),
             T.StructField("height", T.IntegerType()),
             T.StructField("features", T.ArrayType(T.FloatType())),
@@ -773,16 +780,17 @@ def decode_png_features(
     def _decode(batches: "Iterator[pd.DataFrame]"):
         for pdf in batches:
             decoded = [_one(b) for b in pdf[binary_col]]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "features": [d[2] for d in decoded],
-                }
-            )
+            out = {id_col: pdf[id_col]}
+            for c in keep_cols:
+                out[c] = pdf[c]
+            out["width"] = [d[0] for d in decoded]
+            out["height"] = [d[1] for d in decoded]
+            out["features"] = [d[2] for d in decoded]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, binary_col).mapInPandas(_decode, out_schema)
+    return df.select(id_col, *keep_cols, binary_col).mapInPandas(
+        _decode, out_schema
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1385,17 +1393,21 @@ def decode_jpeg_features(
     binary_col: str = "content",
     id_col: str = "doc_id",
     grid: int = 2,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """REAL JPEG decode: marker loop, stream-read DQT/DHT tables,
     Huffman + run-length entropy decode, dequantize, IDCT, YCbCr→RGB —
     then the same ``grid × grid`` RGB-mean features as the PPM/PNG
     decoders. Non-JPEG / unsupported-flavor / corrupt rows yield null
-    features (stub-path routing)."""
+    features (stub-path routing). ``keep_cols`` pass through the Arrow
+    batch untouched (see :func:`decode_png_features`)."""
     import pandas as pd
 
+    keep_fields = [df.schema[c] for c in keep_cols]
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
+            *keep_fields,
             T.StructField("width", T.IntegerType()),
             T.StructField("height", T.IntegerType()),
             T.StructField("features", T.ArrayType(T.FloatType())),
@@ -1412,16 +1424,17 @@ def decode_jpeg_features(
     def _decode(batches: "Iterator[pd.DataFrame]"):
         for pdf in batches:
             decoded = [_one(b) for b in pdf[binary_col]]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "features": [d[2] for d in decoded],
-                }
-            )
+            out = {id_col: pdf[id_col]}
+            for c in keep_cols:
+                out[c] = pdf[c]
+            out["width"] = [d[0] for d in decoded]
+            out["height"] = [d[1] for d in decoded]
+            out["features"] = [d[2] for d in decoded]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, binary_col).mapInPandas(_decode, out_schema)
+    return df.select(id_col, *keep_cols, binary_col).mapInPandas(
+        _decode, out_schema
+    )
 
 
 def rgb_codec_roundtrip_features(

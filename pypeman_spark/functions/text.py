@@ -304,20 +304,28 @@ def tfidf_top_terms(
     (``tf * (ln((N+1)/(df+1)) + 1)``): ``(id, term, score, rank)``.
 
     Shuffle budget at corpus scale: one explode + groupBy(id, term) for
-    term frequencies, one groupBy(term) for document frequencies (both
-    map-side-combining on 16 B-ish keys), a broadcast of the bounded
-    corpus-size scalar, and one window shuffle on ``id`` for the top-k.
-    Ties rank deterministically (score desc, term asc).
+    term frequencies; document frequencies are a COUNT WINDOW over the
+    tf rows partitioned by term — the same numbers a separate
+    groupBy(term) pass yields (tf has exactly one row per (doc, term)),
+    but from the one tf computation. The former
+    ``tf.groupBy(term)`` + broadcast-join shape planned the whole
+    tokenize + (id, term) aggregation subtree TWICE (column pruning
+    makes the two exchanges differ, so runtime exchange reuse never
+    fires) and broadcast the full VOCABULARY — a driver/executor-memory
+    hazard at web-corpus vocab sizes. Now: one corpus pass, one
+    well-distributed term shuffle of narrow tf rows, a broadcast of the
+    bounded corpus-size scalar, and one window shuffle on ``id`` for
+    the top-k. Ties rank deterministically (score desc, term asc).
     """
     words = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("term"),
     )
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    wt = Window.partitionBy("term")
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(wt))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",

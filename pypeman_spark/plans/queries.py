@@ -1756,10 +1756,16 @@ def multimodal_pipeline(spark, sf_dir):
         MM.raw_rgb_to_jpeg(raw8, 8, 8, quality=97),
         width=4, height=4, quality=97,
     )
-    jfmt = jrez_df.select(
-        "doc_id", F.col("media_meta.format").alias("__fmt")
+    # the format tag rides THROUGH the decode stage (keep_cols) — a
+    # separate jfmt branch re-executed the whole encode+resize Python
+    # chain a second time and joined it back on doc_id
+    jfeat = MM.decode_jpeg_features(
+        jrez_df.select(
+            "doc_id", "content", F.col("media_meta.format").alias("__fmt")
+        ),
+        grid=2,
+        keep_cols=("__fmt",),
     )
-    jfeat = MM.decode_jpeg_features(jrez_df, grid=2)
     jexp = d20.select(
         "doc_id",
         F.array(
@@ -1784,7 +1790,6 @@ def multimodal_pipeline(spark, sf_dir):
     )
     jrez_out = (
         jfeat.join(jexp, "doc_id")
-        .join(jfmt, "doc_id")
         .select(
             "doc_id",
             F.when(
@@ -1817,10 +1822,13 @@ def multimodal_pipeline(spark, sf_dir):
     prez_df = MM.resize_media(
         MM.raw_rgb_to_png(praw8, 8, 8), width=4, height=4
     )
-    pfmt = prez_df.select(
-        "doc_id", F.col("media_meta.format").alias("__pfmt")
+    pfeat = MM.decode_png_features(
+        prez_df.select(
+            "doc_id", "content", F.col("media_meta.format").alias("__pfmt")
+        ),
+        grid=2,
+        keep_cols=("__pfmt",),
     )
-    pfeat = MM.decode_png_features(prez_df, grid=2)
     pexp = d20.select(
         "doc_id",
         F.array(
@@ -1845,7 +1853,6 @@ def multimodal_pipeline(spark, sf_dir):
     )
     prez_out = (
         pfeat.join(pexp, "doc_id")
-        .join(pfmt, "doc_id")
         .select(
             "doc_id",
             F.when(

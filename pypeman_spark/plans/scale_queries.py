@@ -2933,13 +2933,30 @@ def bpe_token_budget(spark, sf_dir):
     from ..functions import bpe as B
 
     d = tp(spark, sf_dir, "documents")
-    counts = B.bpe_token_count(d, _BPE_FIXED_MERGES, keep_cols=("source",))
-    d_salted = d.withColumn(
-        "text", F.replace(F.lower(F.col("text")), F.lit("a"), F.lit("á"))
+    # both tokenizers' counts in ONE Arrow pass (the á-salted variant
+    # rides beside the raw text as a second column — same bytes
+    # through the boundary, one crossing instead of two, and no doc_id
+    # join of two corpus-sized Python outputs; guide §4.1)
+    d2 = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.replace(F.lower(F.col("text")), F.lit("a"), F.lit("á")).alias(
+            "__text_b"
+        ),
     )
-    bcounts = B.bpe_token_count(
-        d_salted, _BPE_FIXED_MERGES[:3], out_col="n_bpe_tokens_bytes",
-        alphabet="bytes",
+    counts = B.bpe_token_counts_multi(
+        d2,
+        [
+            ("text", _BPE_FIXED_MERGES, "chars", "n_bpe_tokens"),
+            (
+                "__text_b",
+                _BPE_FIXED_MERGES[:3],
+                "bytes",
+                "n_bpe_tokens_bytes",
+            ),
+        ],
+        keep_cols=("source",),
     )
     kept = token_budget_sample(
         counts,
@@ -2949,6 +2966,6 @@ def bpe_token_budget(spark, sf_dir):
         3000,
         salt="bpe_budget",
     )
-    return kept.join(bcounts, "doc_id").select(
+    return kept.select(
         "doc_id", "source", "n_bpe_tokens", "n_bpe_tokens_bytes"
     )
