@@ -432,10 +432,17 @@ def embedding_near_dup_pairs(
     scale-killer; use it only on bounded subsets or LSH candidates
     (``num_planes`` is ignored when ``exact``).
     """
-    from .similarity import cosine_cols, hyperplanes, lsh_bucket
+    from .similarity import _norm_sql, _q, hyperplanes, lsh_bucket
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # each side's norm staged BELOW the bucket join: a vector meets
+    # many partners inside its bucket, and the inline cosine would
+    # re-fold both norms per pair (see similarity._stage_norm)
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    ).withColumn("__na", F.expr(_norm_sql(_q("__va"))))
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    ).withColumn("__nb", F.expr(_norm_sql(_q("__vb"))))
     if exact:
         pairs = a.crossJoin(b)
     else:
@@ -451,9 +458,14 @@ def embedding_near_dup_pairs(
     # threshold on the UNROUNDED cosine (matching the SQL oracles);
     # rounding only in the projection — otherwise a pair at e.g.
     # 0.3999996 would pass here but fail the oracle's WHERE
+    from .similarity import _dot_sql
+
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("__cos", cosine_cols("__va", "__vb"))
+        .withColumn(
+            "__cos",
+            F.expr(f"({_dot_sql('`__va`', '`__vb`')} / (`__na` * `__nb`))"),
+        )
         .filter(F.col("__cos") >= threshold)
         .select(
             "id_a", "id_b", F.round(F.col("__cos"), 6).alias("cosine")

@@ -134,6 +134,29 @@ def cosine_cols(a: str, b: str) -> Column:
     return F.expr(_cos_sql(_q(a), _q(b)))
 
 
+def _stage_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """Stage ``||vec||`` as its own column BELOW the join that fans the
+    row out to many (query, candidate) pairs. The inline cosine
+    recomputes BOTH norms for every scored pair (three array folds per
+    pair); with each side's norm staged under the join, a pair pays one
+    dot fold — the norm folds run once per row per side. Bit-identical:
+    the staged norm is the same ``sqrt(aggregate(...))`` expression,
+    and the score keeps the exact ``(dot / (corpus_norm * query_norm))``
+    operation order."""
+    return df.withColumn(out, F.expr(_norm_sql(_q(vec_col))))
+
+
+def _staged_cosine_score(vec_col: str) -> Column:
+    """``round(cosine, 6)`` reading the staged ``__cnorm``/``__qnorm``
+    columns (see :func:`_stage_norm`)."""
+    return F.round(
+        F.expr(
+            f"({_dot_sql(_q(vec_col), '`__qvec`')} / (`__cnorm` * `__qnorm`))"
+        ),
+        6,
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -147,13 +170,19 @@ def cosine_topk(
     The query side is broadcast (queries ≪ corpus) → no shuffle of the
     corpus; the window top-k shuffles only (query_id, vec_id, score).
     """
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    q = _stage_norm(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        "__qvec",
+        "__qnorm",
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
-        query_id_col,
-        id_col,
-        F.round(cosine_cols(vec_col, "__qvec"), 6).alias("score"),
+    scored = (
+        _stage_norm(corpus, vec_col, "__cnorm")
+        .crossJoin(F.broadcast(q))
+        .select(
+            query_id_col,
+            id_col,
+            _staged_cosine_score(vec_col).alias("score"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -262,15 +291,23 @@ def lsh_ann_topk(
     then exact cosine re-rank. Recall grows with fewer planes / multiple
     tables; this single-table variant is the building block."""
     planes = hyperplanes(num_planes, dim)
-    c = corpus.withColumn("__bucket", lsh_bucket(vec_col, planes))
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-    ).withColumn("__bucket", lsh_bucket("__qvec", planes))
+    c = _stage_norm(
+        corpus.withColumn("__bucket", lsh_bucket(vec_col, planes)),
+        vec_col,
+        "__cnorm",
+    )
+    q = _stage_norm(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+        ).withColumn("__bucket", lsh_bucket("__qvec", planes)),
+        "__qvec",
+        "__qnorm",
+    )
     scored = c.join(F.broadcast(q), "__bucket").select(
         query_id_col,
         id_col,
-        F.round(cosine_cols(vec_col, "__qvec"), 6).alias("score"),
+        _staged_cosine_score(vec_col).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -304,16 +341,21 @@ def lsh_ann_topk_multi(
     candidate dedup groupBy, which carries (query_id, id, score) — a
     few bytes/row over the candidate set only, never vectors."""
     cand = None
+    # norms staged ONCE, shared by every table's scoring pass
+    corpus_n = _stage_norm(corpus, vec_col, "__cnorm")
+    queries_n = _stage_norm(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        "__qvec",
+        "__qnorm",
+    )
     for t in range(num_tables):
         planes = hyperplanes(num_planes, dim, seed=f"t{t}:")
-        c = corpus.withColumn("__bucket", lsh_bucket(vec_col, planes))
-        q = queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("__qvec")
-        ).withColumn("__bucket", lsh_bucket("__qvec", planes))
+        c = corpus_n.withColumn("__bucket", lsh_bucket(vec_col, planes))
+        q = queries_n.withColumn("__bucket", lsh_bucket("__qvec", planes))
         pairs = c.join(F.broadcast(q), "__bucket").select(
             query_id_col,
             id_col,
-            F.round(cosine_cols(vec_col, "__qvec"), 6).alias("score"),
+            _staged_cosine_score(vec_col).alias("score"),
         )
         cand = pairs if cand is None else cand.unionByName(pairs)
     # dedup pairs found by several tables (score identical across
@@ -400,7 +442,11 @@ def _probe_cells(
     score desc, cid asc), slice nprobe, explode. Narrow map + explode —
     no join, no window, no Exchange on the query side. One ``F.expr``
     for the whole argtop (construction-cost note on ivf_assign)."""
-    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    q = _stage_norm(
+        queries.select(query_id_col, F.col(vec_col).alias("__qvec")),
+        "__qvec",
+        "__qnorm",
+    )
     cent_sql = _centroid_array_sql(_centroid_rows(centroids))
     probe_structs = F.expr(
         f"slice(array_sort(transform({cent_sql}, c -> named_struct("
@@ -408,8 +454,11 @@ def _probe_cells(
         f"1, {int(nprobe)})"
     )
     return q.select(
-        query_id_col, "__qvec", F.explode(probe_structs).alias("__p")
-    ).select(query_id_col, "__qvec", F.col("__p")["cid"].alias("cid"))
+        query_id_col, "__qvec", "__qnorm",
+        F.explode(probe_structs).alias("__p"),
+    ).select(
+        query_id_col, "__qvec", "__qnorm", F.col("__p")["cid"].alias("cid")
+    )
 
 
 def kmeans_centroids(
@@ -487,12 +536,16 @@ def ivf_ann_topk(
         else _default_centroids(corpus, n_centroids, id_col, vec_col)
     )
     cent_rows = _centroid_rows(cent)  # one driver round-trip, reused
-    assigned = ivf_assign(corpus, cent_rows, id_col=id_col, vec_col=vec_col)
+    assigned = _stage_norm(
+        ivf_assign(corpus, cent_rows, id_col=id_col, vec_col=vec_col),
+        vec_col,
+        "__cnorm",
+    )
     probes = _probe_cells(queries, cent_rows, nprobe, query_id_col, vec_col)
     scored = assigned.join(F.broadcast(probes), "cid").select(
         query_id_col,
         id_col,
-        F.round(cosine_cols(vec_col, "__qvec"), 6).alias("score"),
+        _staged_cosine_score(vec_col).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -920,10 +973,12 @@ def ivf_probe(
         r["cid"] for r in probes.select("cid").distinct().collect()
     )
     index = spark.read.parquet(path).filter(F.col("cid").isin(probe_cids))
-    scored = index.join(F.broadcast(probes), "cid").select(
+    scored = _stage_norm(index, vec_col, "__cnorm").join(
+        F.broadcast(probes), "cid"
+    ).select(
         query_id_col,
         id_col,
-        F.round(cosine_cols(vec_col, "__qvec"), 6).alias("score"),
+        _staged_cosine_score(vec_col).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -1145,16 +1200,19 @@ def pq_ann_topk(
     )
     if not rerank:
         return topk
-    qv = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    qv = _stage_norm(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        "__qvec",
+        "__qnorm",
     )
     cand = topk.select(query_id_col, id_col).join(
-        corpus.select(id_col, vec_col), id_col
+        _stage_norm(corpus.select(id_col, vec_col), vec_col, "__cnorm"),
+        id_col,
     )
     rescored = cand.join(F.broadcast(qv), query_id_col).select(
         query_id_col,
         id_col,
-        F.round(cosine_cols(vec_col, "__qvec"), 6).alias("score"),
+        _staged_cosine_score(vec_col).alias("score"),
     )
     w2 = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -1501,14 +1559,19 @@ def ivfpq_probe(
     )
     if not rerank:
         return shortlist
-    qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    qv = _stage_norm(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        "__qvec",
+        "__qnorm",
+    )
     cand_vecs = shortlist.select(query_id_col, id_col).join(
-        index.select(id_col, vec_col), id_col
+        _stage_norm(index.select(id_col, vec_col), vec_col, "__cnorm"),
+        id_col,
     )
     rescored = cand_vecs.join(F.broadcast(qv), query_id_col).select(
         query_id_col,
         id_col,
-        F.round(cosine_cols(vec_col, "__qvec"), 6).alias("score"),
+        _staged_cosine_score(vec_col).alias("score"),
     )
     w2 = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
