@@ -114,20 +114,21 @@ def duplicate_passages(
     groupBy; 16 B hashes shuffle, never the text. Downstream, a pipeline
     joins back on the hash to cut or mask the repeated spans.
     """
-    from .text import joined_windows
+    from .text import joined_windows_sql
 
-    w = F.split(F.trim(F.col(text_col)), "\\s+")
+    w = f"split(trim(`{text_col}`), '\\\\s+')"
     # full windows built linearly (see shingles), then every stride-th
-    # kept by index — identical to the slice-at-starts formulation
-    passages = F.transform(
-        F.filter(
-            joined_windows(w, words),
-            lambda x, i: i % stride == 0,
-        ),
-        lambda p: F.md5(p),
+    # kept by index — identical to the slice-at-starts formulation.
+    # ONE SQL text (the lambda-API chain cost ~40 py4j round-trips per
+    # construction; same Catalyst tree either way).
+    passages = (
+        f"transform(filter({joined_windows_sql(w, words)}, "
+        f"(x, i) -> i % {stride} = 0), p -> md5(p))"
     )
     return (
-        df.select(F.col(id_col), F.explode(passages).alias("passage_hash"))
+        df.select(
+            F.col(id_col), F.expr(f"explode({passages})").alias("passage_hash")
+        )
         .groupBy("passage_hash")
         .agg(
             F.count(F.lit(1)).alias("n_occ"),
