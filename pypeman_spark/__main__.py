@@ -327,6 +327,14 @@ def cmd_stop(args) -> int:
             if not _pid_alive(pid):
                 break
             time.sleep(0.1)
+        else:
+            # un-reaped zombie or D-state: say so instead of silently
+            # claiming the pid is gone
+            print(
+                f"warning: pid {pid} still signalable 10s after "
+                "SIGKILL (zombie or uninterruptible state)",
+                file=sys.stderr,
+            )
     if os.path.exists(pidfile):
         os.remove(pidfile)
     print(f"stopped (pid {pid})")

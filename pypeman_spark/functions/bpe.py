@@ -46,6 +46,7 @@ __all__ = [
     "train_bpe_local",
     "bpe_encode",
     "bpe_token_count",
+    "bpe_token_counts_multi",
     "apply_merges",
     "bpe_decode_token",
 ]
@@ -474,7 +475,10 @@ def bpe_token_counts_multi(
             *[T.StructField(oc, T.LongType()) for _tc, _m, _a, oc in specs],
         ]
     )
-    text_cols = [tc for tc, _m, _a, _oc in specs]
+    # two specs may count the SAME text column under different merge
+    # tables; select each source column once (a duplicated name would
+    # make pdf[col] a 2-column frame, not a Series)
+    text_cols = list(dict.fromkeys(tc for tc, _m, _a, _oc in specs))
 
     def _count(batches: "Iterator[pd.DataFrame]"):
         caches: list[dict[str, int]] = [{} for _ in specs]

@@ -220,7 +220,10 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     — the persistable unit of an incremental dedup index. Same hash
     family as :func:`minhash_bands` (``md5(i || ':' || shingle)``,
     min over shingles), computed as ONE narrow fold per row
-    (:func:`_minhash_sig_sql`) — no explode, no shuffle."""
+    (:func:`_minhash_sig_sql`) — no explode, no shuffle. One output
+    row per input row: ids are assumed unique (the index contract);
+    the former groupBy formulation would instead have merged duplicate
+    ids' shingle sets — dedupe upstream if that can occur."""
     return df.select(
         F.col(id_col),
         F.expr(_minhash_sig_sql(text_col, num_hashes, shingle_n)).alias(
@@ -240,18 +243,11 @@ def minhash_index(df: DataFrame, text_col: str = "text",
     ``band_hash``) and append as the corpus grows; the probe side
     joins on (band, band_hash), so the scan prunes to the collided
     buckets. Band hashes match :func:`minhash_bands` exactly (md5
-    over the band's comma-joined signature slice)."""
-    rows = num_hashes // bands
+    over the band's comma-joined signature slice). One index row
+    group per INPUT row (ids must be unique — dedupe upstream, e.g.
+    ``dedupe_exact``, before indexing)."""
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    band_items = ", ".join(
-        "struct({b} AS band, md5(concat_ws(',', {m})) AS band_hash)".format(
-            b=b,
-            m=", ".join(
-                f"sig[{i}]" for i in range(b * rows, (b + 1) * rows)
-            ),
-        )
-        for b in range(bands)
-    )
+    band_items = _band_items_sql(bands, num_hashes // bands)
     return sig.select(
         id_col, F.expr(f"explode(array({band_items}))").alias("bb"), "sig"
     ).select(
@@ -342,6 +338,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sum over distinct tokens of ±1, and the ±1 for (token, b) is the
     parity of hex digit b of md5(token) — a formulation with no
     hex→int conversion, byte-identical in any engine with md5.
+
+    One sketch per input row (ids assumed unique; null-text rows are
+    dropped, matching the former explode semantics).
     """
     assert bits <= 32  # md5 has 32 hex digits
     # ZERO-shuffle formulation: md5 once per distinct token

@@ -304,28 +304,32 @@ def tfidf_top_terms(
     (``tf * (ln((N+1)/(df+1)) + 1)``): ``(id, term, score, rank)``.
 
     Shuffle budget at corpus scale: one explode + groupBy(id, term) for
-    term frequencies; document frequencies are a COUNT WINDOW over the
-    tf rows partitioned by term — the same numbers a separate
-    groupBy(term) pass yields (tf has exactly one row per (doc, term)),
-    but from the one tf computation. The former
-    ``tf.groupBy(term)`` + broadcast-join shape planned the whole
-    tokenize + (id, term) aggregation subtree TWICE (column pruning
-    makes the two exchanges differ, so runtime exchange reuse never
-    fires) and broadcast the full VOCABULARY — a driver/executor-memory
-    hazard at web-corpus vocab sizes. Now: one corpus pass, one
-    well-distributed term shuffle of narrow tf rows, a broadcast of the
-    bounded corpus-size scalar, and one window shuffle on ``id`` for
-    the top-k. Ties rank deterministically (score desc, term asc).
+    term frequencies, one groupBy(term) for document frequencies (both
+    map-side-combining on 16 B-ish keys), a broadcast of the bounded
+    corpus-size scalar, and one window shuffle on ``id`` for the top-k.
+    Ties rank deterministically (score desc, term asc).
+
+    Shape note (r14): the df computation plans the tokenize +
+    (id, term) aggregation subtree a second time (pruned columns make
+    its exchange differ from the join side's, so runtime exchange
+    reuse cannot fire) — a COUNT window over the tf rows partitioned
+    by term was tried to remove the second pass, and REJECTED: a
+    Zipfian stop word puts ~every document's tf row into ONE window
+    partition, an unsplittable single-task straggler (AQE skew
+    handling applies to joins, not windows), which is a worse scale
+    hazard than the extra linear, well-distributed pass. The groupBy
+    side keeps map-side partial aggregation, so no hot-key problem
+    exists on this shape.
     """
     words = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("term"),
     )
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
-    wt = Window.partitionBy("term")
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(wt))
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
