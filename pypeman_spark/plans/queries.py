@@ -1973,16 +1973,19 @@ def returned_items_report(spark, sf_dir):
 )
 def small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 shape: correlated scalar subquery = per-key avg window.
-    The window partitions on l_partkey — same shuffle key as the join, so
-    Catalyst reuses one exchange; no second lineitem scan like the
-    self-join formulation."""
+    The brand join runs BELOW the window (p_partkey is unique, so the
+    inner join keeps exactly the brand parts' lineitems and cannot fan
+    out; the correlated avg only reads rows of the same l_partkey, all
+    of which survive the join) — the window's shuffle and sort see only
+    the brand's ~1/brand-cardinality slice of lineitem instead of all of
+    it (r14 continuation-2; result-identical, oracle-gated)."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
     w = Window.partitionBy("l_partkey")
-    flagged = li.withColumn("__avg_qty", F.avg("l_quantity").over(w))
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    flagged = joined.withColumn("__avg_qty", F.avg("l_quantity").over(w))
     return (
-        flagged.join(part, flagged.l_partkey == part.p_partkey)
-        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        flagged.filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
         .agg(
             F.round(F.sum(_cents(F.col("l_extendedprice"))) / 7.0)
             .cast("long")
@@ -2413,24 +2416,31 @@ def promo_revenue_pct(spark, sf_dir):
     """,
 )
 def large_quantity_orders(spark, sf_dir):
-    """TPC-H Q18 shape: HAVING-filtered IN = groupBy + semi join. The
-    qualifying-keys aggregate shuffles (orderkey, qty) pairs only."""
+    """TPC-H Q18 shape: HAVING-filtered IN = groupBy + join. One
+    per-orderkey aggregate computes BOTH the qualifying filter sum and
+    the output total_qty (sum of rounded quantities), so lineitem is
+    scanned once and never re-joined: the former second lineitem join +
+    re-aggregation recomputed exactly what the qualifying-keys pass had
+    already folded. o_orderkey is unique in orders and c_custkey unique
+    in customer, so the joins cannot fan out and the final groupBy is
+    unnecessary (r14 continuation-2; result-identical, oracle-gated)."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
-    big = (
+    per_order = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("__q"))
+        .agg(
+            F.sum("l_quantity").alias("__q"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"),
+        )
         .filter(F.col("__q") > 150)
-        .select("l_orderkey")
+        .select("l_orderkey", "total_qty")
     )
     return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(
-            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty")
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)

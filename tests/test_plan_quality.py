@@ -675,3 +675,64 @@ def test_clone_snapshot_single_reader_per_root(spark, tmp_path):
     mixed = plan_of(c.snapshot())
     assert mixed.count("Scan parquet") == 2  # one per data root
     assert "Union" in mixed
+
+
+def test_q18_single_pass_matches_two_pass_reference(spark):
+    """r14 continuation-2: large_quantity_orders computes the filter sum
+    AND the output total_qty in ONE per-orderkey aggregate (lineitem
+    scanned once, never re-joined). Must match the former two-pass
+    formulation (semi join on qualifying keys, then re-join lineitem
+    and re-aggregate) row for row, and keep the single lineitem scan."""
+    got = REGISTRY["large_quantity_orders"].fn(spark, SF)
+    plan = plan_of(got)
+    assert plan.count("lineitem.parquet") == 1
+
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select("l_orderkey")
+    )
+    want = (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_q17_join_below_window_matches_reference(spark):
+    """r14 continuation-2: small_quantity_revenue runs the brand join
+    BELOW the per-partkey avg window (p_partkey unique, so the join
+    keeps exactly the brand parts' lineitems — the correlated avg is
+    unchanged) and the window's exchange sees only the brand slice.
+    Must match the former window-over-all-of-lineitem formulation."""
+    got = REGISTRY["small_quantity_revenue"].fn(spark, SF)
+    plan = plan_of(got)
+    # the window (and its sort/exchange) sit ABOVE the join in the tree
+    assert "Window" in plan and plan.index("Window") < plan.index("HashJoin")
+
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, SF, "lineitem")
+    part = load_table(spark, SF, "part").filter(F.col("p_brand") == "Brand#4")
+    flagged = li.withColumn(
+        "__avg_qty", F.avg("l_quantity").over(W.partitionBy("l_partkey"))
+    )
+    want = (
+        flagged.join(part, flagged.l_partkey == part.p_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 7.0)
+            .cast("long")
+            .alias("avg_yearly_cents")
+        )
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
