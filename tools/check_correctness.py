@@ -121,10 +121,29 @@ def main() -> int:
             "spark_rows": None, "oracle_rows": None, "err": None, **kw,
         }
 
+    import gc
+
+    n_run = 0
     for name, fn in queries.items():
         if ONLY and name not in ONLY:
             continue
         t0 = time.time()
+        # Broadcast relations are freed by Spark's ContextCleaner, which
+        # is DRIVEN BY JVM GC of the driver-side references; a 94-entry
+        # sweep in one 1 g-heap session can otherwise accumulate enough
+        # un-collected broadcasts that a late broadcast-heavy entry dies
+        # with "Not enough memory to build and broadcast" even though it
+        # passes in isolation (observed: decontam_report at sf1 after
+        # the r14 serving reorder pushed it behind 90 entries). Drop the
+        # previous entry's references and periodically hint both GCs.
+        sdf = srows = None
+        gc.collect()
+        n_run += 1
+        if n_run % 10 == 0:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         try:
             sdf = fn(spark, SF_DIR)
             srows = [tuple(r) for r in sdf.collect()]
