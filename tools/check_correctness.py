@@ -87,14 +87,23 @@ def main() -> int:
     # local-cluster[2,16,8192]) — real serialization + per-executor
     # Python workers under the ORACLE comparison, not just the bench
     master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
-    spark = (
+    builder = (
         SparkSession.builder.master(master)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .appName("check_correctness")
-        .getOrCreate()
     )
+    # Scaled sweeps (10x facts via tools/scale_dataset.py) legitimately
+    # need more than the 1 g default driver heap: decontam_report's
+    # benchmark-shingle broadcast alone is a few hundred MB at sf1, and
+    # a 94-entry session carries other storage blocks beside it. The
+    # default stays Spark's default so the sf0.001-0.1 gates keep
+    # driver parity; set e.g. SPARK_GRAFT_DRIVER_MEM=4g for sf1 runs.
+    drv_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if drv_mem:
+        builder = builder.config("spark.driver.memory", drv_mem)
+    spark = builder.getOrCreate()
     if not master.startswith("local["):
         from pypeman_spark.session import _ship_package
 
