@@ -88,25 +88,40 @@ def benchmark_overlap(
 def contaminated_ids(
     corpus: DataFrame,
     benchmark: DataFrame,
+    overlap: DataFrame | None = None,
     **kw,
 ) -> DataFrame:
-    """Distinct corpus ids contaminated by ANY benchmark item."""
+    """Distinct corpus ids contaminated by ANY benchmark item.
+
+    ``overlap`` lets a caller that already ran :func:`benchmark_overlap`
+    hand the staged pair frame in, so a report deriving both overlap
+    stats and the cleaned corpus plans ONE shingle-probe subtree (the
+    shared frame keeps identical expression ids, letting Spark's
+    exchange reuse deduplicate the computation at runtime) instead of
+    shingling the corpus twice.
+    """
     id_col = kw.get("id_col", "doc_id")
-    return benchmark_overlap(corpus, benchmark, **kw).select(id_col).distinct()
+    if overlap is None:
+        overlap = benchmark_overlap(corpus, benchmark, **kw)
+    return overlap.select(id_col).distinct()
 
 
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
+    overlap: DataFrame | None = None,
     **kw,
 ) -> DataFrame:
     """The corpus minus contaminated documents (left-anti on the id).
 
     The anti join's right side is the tiny contaminated-id set — Spark
     broadcasts it, so the cleaning pass is a single map-side filter over
-    the corpus scan.
+    the corpus scan. ``overlap`` optionally reuses a precomputed
+    :func:`benchmark_overlap` frame (see :func:`contaminated_ids`).
     """
     id_col = kw.get("id_col", "doc_id")
     return corpus.join(
-        F.broadcast(contaminated_ids(corpus, benchmark, **kw)), id_col, "left_anti"
+        F.broadcast(contaminated_ids(corpus, benchmark, overlap=overlap, **kw)),
+        id_col,
+        "left_anti",
     )

@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -1305,13 +1306,39 @@ def txtable_acid_suite(spark, sf_dir):
             )
         )
 
-    sink = f"txcdc_{uuid.uuid4().hex[:12]}"
-    sq = (
-        tx.stream_changes().writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True).start()
-    )
-    sq.awaitTermination(120)
+    # The CDC stream runs Python Data Source tasks; spawning their
+    # Python workers can transiently fail on a loaded host ("Python
+    # worker failed to connect back" — the JVM-side accept timeout is
+    # a hard-coded constant, not configurable). The stream is a
+    # deterministic availableNow drain of the full change feed from
+    # version 0, so a clean restart (fresh memory sink + fresh
+    # checkpoint) recomputes the identical result: retry the spawn
+    # failure a bounded number of times instead of failing the entry.
+    sink = None
+    _spawn_err = None
+    for _attempt in range(3):
+        sink = f"txcdc_{uuid.uuid4().hex[:12]}"
+        sq = (
+            tx.stream_changes().writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(tmp, f"ckpt_{sink}"))
+            .trigger(availableNow=True).start()
+        )
+        try:
+            sq.awaitTermination(120)
+            break
+        except Exception as e:  # StreamingQueryException
+            msg = str(e)
+            if "connect back" not in msg and "PYTHON_WORKER" not in msg:
+                raise
+            _spawn_err = e
+            try:
+                sq.stop()
+            except Exception:
+                pass
+            time.sleep(2.0 * (_attempt + 1))
+    else:
+        raise _spawn_err
     # skipping arm: the range scan goes through the footer-stats file
     # pruner (scan() — the filter is re-applied, so the oracle proves
     # pruning never drops a matching row)

@@ -2881,8 +2881,136 @@ def supplier_parts_suite(spark, sf_dir):
     min over broadcast dim chain. Arm ``suppcnt`` (Q16): distinct
     supplier count per (brand, type, size), broadcast anti join
     blacklist. Arm ``excess`` (Q20): suppliers shipping 'small%' parts
-    at >2x their 1996 volume, broadcast semi-join prefilter."""
-    mc = min_cost_supplier(spark, sf_dir).select(
+    at >2x their 1996 volume, broadcast semi-join prefilter.
+
+    Round 15 (guide §2.4/§6): the three arms each aggregated lineitem
+    by the SAME key pair (l_partkey, l_suppkey) — three full fact
+    scans and three fact shuffles for one suite. The suite now stages
+    ONE pair-level aggregate computing all three arms' measures
+    (min cents for Q2, total/1996 quantities for Q20, group existence
+    = the distinct pair for Q16) and derives every arm from that
+    shared frame, its per-arm key-level dim filters applied ABOVE the
+    aggregate (provably the same rows: all prefilters are equi-key
+    semi joins, never line-level predicates, so per-pair min/sum are
+    unchanged). The shared guard filter references every aggregate
+    column so per-arm column pruning cannot diverge the subtrees —
+    keeping them canonically identical is what lets AQE's exchange
+    reuse compute the fact scan + pair shuffle ONCE at runtime (1
+    lineitem pass instead of 3; the guard is a no-op on TPC-H data
+    whose price/quantity columns are non-null, proven by the oracle
+    at every SF). The standalone arm functions keep their original
+    prefiltered single-arm plans (locked in tests/test_plan_quality),
+    which remain the right shape when an arm runs ALONE."""
+    qty = F.round(F.col("l_quantity")).cast("long")
+    in96 = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    pairs = (
+        t(spark, sf_dir, "lineitem")
+        # pin the key not-null predicates explicitly: the arms' joins
+        # infer DIFFERENT IsNotNull sets (the Q16 anti join infers none
+        # for l_suppkey), which would de-canonicalize the three copies
+        # of this subtree and defeat the runtime exchange reuse. TPC-H
+        # fact keys are non-null, so this is a no-op on the data
+        # (oracle-proven at every SF).
+        .filter(
+            F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(_cents(F.col("l_extendedprice"))).alias("cost_cents"),
+            F.sum(qty).alias("total_qty"),
+            F.sum(F.when(in96, qty).otherwise(F.lit(0))).alias("qty96"),
+        )
+        .filter(
+            F.col("cost_cents").isNotNull()
+            & F.col("total_qty").isNotNull()
+            & F.col("qty96").isNotNull()
+        )
+    )
+
+    # Q2 arm over the shared pairs
+    eur = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    q2_parts = t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_name")
+    w = Window.partitionBy("p_partkey")
+    mc_arm = (
+        pairs.join(F.broadcast(eur), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(q2_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .withColumn("__min", F.min("cost_cents").over(w))
+        .filter(F.col("cost_cents") == F.col("__min"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "cost_cents")
+    )
+
+    # Q16 arm over the shared pairs (a pair-agg row exists iff the
+    # distinct (partkey, suppkey) pair exists)
+    q16_parts = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excl = t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    sc_arm = (
+        pairs.join(
+            F.broadcast(q16_parts), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .join(
+            F.broadcast(excl),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+    # Q20 arm over the shared pairs
+    q20_parts = t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    nat = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_1"
+                )
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    ex_arm = (
+        pairs.join(
+            F.broadcast(q20_parts),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .filter(
+            (F.col("qty96") > 0) & (F.col("total_qty") > 2 * F.col("qty96"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .join(F.broadcast(nat), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", "n_parts")
+    )
+
+    mc = mc_arm.select(
         F.lit("mincost").alias("mode"),
         "p_partkey", "p_name", "s_name", "n_name", "cost_cents",
         F.lit(None).cast("string").alias("p_brand"),
@@ -2891,7 +3019,7 @@ def supplier_parts_suite(spark, sf_dir):
         F.lit(None).cast("long").alias("supplier_cnt"),
         F.lit(None).cast("long").alias("n_parts"),
     )
-    sc = supplier_count_by_part(spark, sf_dir).select(
+    sc = sc_arm.select(
         F.lit("suppcnt").alias("mode"),
         F.lit(None).cast("long").alias("p_partkey"),
         F.lit(None).cast("string").alias("p_name"),
@@ -2901,7 +3029,7 @@ def supplier_parts_suite(spark, sf_dir):
         "p_brand", "p_type", "p_size", "supplier_cnt",
         F.lit(None).cast("long").alias("n_parts"),
     )
-    ex = excess_stock_suppliers(spark, sf_dir).select(
+    ex = ex_arm.select(
         F.lit("excess").alias("mode"),
         F.lit(None).cast("long").alias("p_partkey"),
         F.lit(None).cast("string").alias("p_name"),

@@ -1264,11 +1264,14 @@ def decontam_report(spark, sf_dir):
     containing >=50% of an eval item's 3-gram shingles — the benchmark
     shingle set is broadcast, so the corpus side is a map-side probe
     with no shuffle of the big side — aggregated per doc into
-    (n_hits, max_ratio). decontaminate (:98) independently computes the
-    surviving corpus via a broadcast left-anti join; its verdict is the
-    ``kept`` flag, which the oracle cross-checks against the overlap
-    stats (kept <=> no contaminating pair). At 100 TB both passes are
-    map-side filters over the corpus scan."""
+    (n_hits, max_ratio). decontaminate (:110) computes the surviving
+    corpus via a broadcast left-anti join over the SAME staged overlap
+    frame (round 15: both arms read one shingle-probe subtree, so
+    Spark's exchange reuse plans the corpus shingling once instead of
+    twice — the cross-check stays: ``kept`` is an independent READER of
+    the overlap computation, and the oracle still verifies kept <=> no
+    contaminating pair). At 100 TB both passes are map-side filters
+    over the corpus scan, and the corpus is shingled once, not twice."""
     corpus, bench = _corpus_bench(spark, sf_dir)
     overlap = benchmark_overlap(
         corpus, bench, n=3, min_ratio=0.5, bench_id="bench_id"
@@ -1278,7 +1281,7 @@ def decontam_report(spark, sf_dir):
         F.max("ratio").alias("max_ratio"),
     )
     kept = (
-        decontaminate(corpus, bench, n=3, min_ratio=0.5, bench_id="bench_id")
+        decontaminate(corpus, bench, overlap=overlap, bench_id="bench_id")
         .select("doc_id")
         .withColumn("__kept", F.lit(True))
     )

@@ -2,6 +2,8 @@
 relies on (pushdown, pruning, broadcast-vs-SMJ, top-k, bucketing) —
 asserted on .explain output so a refactor can't silently lose them."""
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -716,10 +718,16 @@ def test_q17_join_below_window_matches_reference(spark):
     Must match the former window-over-all-of-lineitem formulation."""
     got = REGISTRY["small_quantity_revenue"].fn(spark, SF)
     plan = plan_of(got)
-    # the window (and its sort/exchange) sit ABOVE the join in the tree
-    assert "Window" in plan and plan.index("Window") < plan.index("HashJoin")
+    # the window (and its sort/exchange) sit ABOVE the join in the
+    # tree; assert the join node's presence first so a planner
+    # strategy change fails readably instead of raising ValueError
+    m = re.search(r"(Broadcast|Shuffled)HashJoin|SortMergeJoin", plan)
+    assert "Window" in plan and m, plan[:2000]
+    assert plan.index("Window") < m.start()
 
     from pyspark.sql import Window as W
+
+    from pypeman_spark.plans.queries import _cents
 
     li = load_table(spark, SF, "lineitem")
     part = load_table(spark, SF, "part").filter(F.col("p_brand") == "Brand#4")
@@ -730,9 +738,57 @@ def test_q17_join_below_window_matches_reference(spark):
         flagged.join(part, flagged.l_partkey == part.p_partkey)
         .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
         .agg(
-            F.round(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 7.0)
+            F.round(F.sum(_cents(F.col("l_extendedprice"))) / 7.0)
             .cast("long")
             .alias("avg_yearly_cents")
         )
     )
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_supplier_parts_suite_shared_pair_agg_matches_arms(spark):
+    """r15: the suite stages ONE (l_partkey, l_suppkey) lineitem
+    aggregate shared by the Q2/Q16/Q20 arms (the per-arm dim filters
+    are key-level equi-joins, so filtering pairs above the aggregate
+    keeps every arm's rows identical). Must match the standalone arm
+    functions' original prefiltered formulations exactly, and the
+    executed plan must actually reuse the pair exchange (one fact
+    scan, not three)."""
+    from pypeman_spark.plans.queries import (
+        excess_stock_suppliers,
+        min_cost_supplier,
+        supplier_count_by_part,
+    )
+
+    got = REGISTRY["supplier_parts_suite"].fn(spark, SF)
+    rows = sorted(
+        (tuple("" if v is None else v for v in r) for r in got.collect())
+    )
+
+    def arm(df, mode, cols):
+        out = []
+        for r in df.collect():
+            d = r.asDict()
+            out.append(tuple(
+                [mode] + ["" if d.get(c) is None else d.get(c) for c in cols]
+            ))
+        return out
+
+    cols = ["p_partkey", "p_name", "s_name", "n_name", "cost_cents",
+            "p_brand", "p_type", "p_size", "supplier_cnt", "n_parts"]
+    want = sorted(
+        arm(min_cost_supplier(spark, SF), "mincost", cols)
+        + arm(supplier_count_by_part(spark, SF), "suppcnt", cols)
+        + arm(excess_stock_suppliers(spark, SF), "excess", cols)
+    )
+    assert rows == want
+
+    # the runtime (final adaptive) plan computes the pair aggregate
+    # ONCE: the reused copies appear as ReusedExchange nodes or as bare
+    # references to the materialized ShuffleQueryStage (AQE may render
+    # either), so the robust invariant is that exactly ONE lineitem
+    # scan survives in the final plan — not three
+    final = got._jdf.queryExecution().executedPlan().toString()
+    final_section = final.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final_section
+    assert final_section.count("lineitem.parquet") == 1, final_section
