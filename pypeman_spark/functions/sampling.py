@@ -384,7 +384,18 @@ def deterministic_shuffle_epochs(
     seed) flow through a cumulative window and broadcast-join back on
     the bucket id — no driver-side ``collect`` in the query path, the
     whole permutation is one plan (the former shape ran an eager
-    control-plane counts job per call)."""
+    control-plane counts job per call).
+
+    r15: ALL epochs' offsets come from ONE counts aggregate with the
+    seed as a dimension (one narrow id-column scan exploding one
+    (seed, bucket) struct per epoch, one ≤256·k-row groupBy, one
+    cumulative window partitioned by seed) instead of one scan + agg
+    + window chain per epoch. Each epoch broadcast-joins on a derived
+    ``seed ':' bucket`` key — deliberately a two-sided join predicate,
+    so the optimizer cannot push a per-seed literal filter into the
+    broadcast subtree (that would de-canonicalize the copies); the k
+    joins then share one identical offsets subtree and runtime
+    exchange reuse builds the broadcast ONCE."""
     from pyspark.sql import Window
 
     def bucket_of(seed: str):
@@ -392,38 +403,54 @@ def deterministic_shuffle_epochs(
             F.substring(_shuffle_key(seed, id_col), 1, 2), 16, 10
         ).cast("int")
 
+    cum = (
+        Window.partitionBy("__seed").orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(seed).alias("__seed"),
+                        bucket_of(seed).alias("__b"),
+                    )
+                    for seed, _, _ in specs
+                ])
+            ).alias("__sb")
+        )
+        .select(F.col("__sb.__seed").alias("__seed"),
+                F.col("__sb.__b").alias("__b"))
+        .groupBy("__seed", "__b")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            F.concat(
+                F.col("__seed"), F.lit(":"), F.col("__b").cast("string")
+            ).alias("__sb_key"),
+            F.coalesce(F.sum("__cnt").over(cum), F.lit(0)).alias("__off"),
+        )
+    )
+
     out = df
     for seed, pos_col, n_shards in specs:
         kcol, bcol = f"__key_{seed}", f"__bucket_{seed}"
-        # offset[b] = rows in lower buckets: cumulative count over the
-        # ≤256-row per-bucket aggregate (single-partition window over a
-        # bounded frame), broadcast back onto the data
-        cum = (
-            Window.orderBy(bcol)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        offsets = (
-            df.select(bucket_of(seed).alias(bcol))
-            .groupBy(bcol)
-            .agg(F.count(F.lit(1)).alias("__cnt"))
-            .select(
-                bcol,
-                F.coalesce(F.sum("__cnt").over(cum), F.lit(0))
-                .alias("__off"),
-            )
-        )
         w = Window.partitionBy(bcol).orderBy(kcol, F.col(id_col))
         out = (
             out.withColumn(kcol, _shuffle_key(seed, id_col))
             .withColumn(bcol, bucket_of(seed))
-            .join(F.broadcast(offsets), bcol)
+            .join(
+                F.broadcast(offsets),
+                F.concat(
+                    F.lit(f"{seed}:"), F.col(bcol).cast("string")
+                ) == F.col("__sb_key"),
+            )
             .withColumn(
                 pos_col,
                 (
                     F.col("__off") + F.row_number().over(w) - F.lit(1)
                 ).cast("bigint"),
             )
-            .drop(kcol, bcol, "__off")
+            .drop(kcol, bcol, "__sb_key", "__off")
         )
         if n_shards:
             out = out.withColumn(

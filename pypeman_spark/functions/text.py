@@ -309,23 +309,35 @@ def tfidf_top_terms(
     corpus-size scalar, and one window shuffle on ``id`` for the top-k.
     Ties rank deterministically (score desc, term asc).
 
-    Shape note (r14): the df computation plans the tokenize +
-    (id, term) aggregation subtree a second time (pruned columns make
-    its exchange differ from the join side's, so runtime exchange
-    reuse cannot fire) — a COUNT window over the tf rows partitioned
-    by term was tried to remove the second pass, and REJECTED: a
+    Shape note (r14): a COUNT window over the tf rows partitioned by
+    term was tried to remove the df pass entirely, and REJECTED: a
     Zipfian stop word puts ~every document's tf row into ONE window
     partition, an unsplittable single-task straggler (AQE skew
     handling applies to joins, not windows), which is a worse scale
     hazard than the extra linear, well-distributed pass. The groupBy
     side keeps map-side partial aggregation, so no hot-key problem
     exists on this shape.
+
+    Shape note (r15): the df branch previously re-planned the
+    tokenize + (id, term) aggregation subtree (column pruning dropped
+    the unused ``tf`` count from that copy, de-canonicalizing its
+    exchange, so runtime exchange reuse could not fire). The staged
+    ``tf`` frame now carries an always-true ``tf >= 1`` guard (a group
+    exists ⇒ its count ≥ 1) that pins the count column into BOTH
+    consumers — the subtrees canonicalize identically and AQE reuses
+    one exchange: the corpus is tokenized and aggregated ONCE at
+    runtime, and document frequencies are a cheap second-level
+    aggregate over the reused pair shuffle.
     """
     words = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("term"),
     )
-    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        words.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= 1)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     scored = (
