@@ -410,6 +410,60 @@ def test_ivf_probe_equals_in_memory_ivf(spark, sf_dir, tmp_path):
     assert mem == disk and len(mem) == 25
 
 
+def test_ivf_assign_norm_hoist_bit_identical(spark, sf_dir):
+    # r15: ivf_assign hoists the row norm (bound once per row) and
+    # reads driver-precomputed centroid-norm literals instead of
+    # re-folding both norms per (row x centroid). This pins the raw
+    # score DOUBLES (not just the argmax) against the independent
+    # inline-cosine reference — the same `dot / (sqrt(na) * sqrt(nb))`
+    # operation order must yield bit-identical IEEE-754 results.
+    from pypeman_spark.functions import similarity as S
+
+    emb = _emb(spark, sf_dir)
+    head = emb.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("__id"), F.col("embedding").alias("__v")
+    ).collect()
+    cent_rows = [
+        {"cid": r["__id"], "cv": [float(x) for x in r["__v"]]}
+        for r in sorted(head, key=lambda r: r["__id"])
+    ]
+
+    # independent reference: the pre-r15 formulation, inline cosine
+    # per centroid (re-built here from the low-level SQL helpers)
+    cs = S._centroid_array_sql(cent_rows)
+    ref_scores = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform({cs}, c -> {S._cos_sql('`embedding`', 'c.cv')})"
+        ).alias("ss"),
+    )
+    new_cs = S._centroid_array_sql(cent_rows, with_norm=True)
+    na = "sqrt(aggregate(`embedding`, 0.0D, (acc, v) -> acc + v * v))"
+    new_scores = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(array({na}), sna -> transform({new_cs}, "
+            f"c -> {S._dot_sql('`embedding`', 'c.cv')} / (sna * c.snb)))[0]"
+        ).alias("ss"),
+    )
+    assert ref_scores.exceptAll(new_scores).count() == 0
+    assert new_scores.exceptAll(ref_scores).count() == 0
+
+    # and the production assign matches the reference argmax
+    ref_best = (
+        f"array_max(transform({cs}, c -> named_struct("
+        f"'s', {S._cos_sql('`embedding`', 'c.cv')}, 'ncid', -c.cid)))"
+    )
+    ref_assign = emb.select(
+        "vec_id", "embedding",
+        F.expr(f"-(({ref_best}).ncid)").alias("cid"),
+    )
+    got = S.ivf_assign(emb, cent_rows, id_col="vec_id",
+                       vec_col="embedding")
+    assert got.exceptAll(ref_assign).count() == 0
+    assert ref_assign.exceptAll(got).count() == 0
+
+
 def test_multi_table_lsh_recall_at_least_single_table(spark, sf_dir):
     # OR-amplification: for each query, the multi-table candidate set
     # contains table 0's candidates, so rank-1 score (vs exact top-1)
