@@ -514,18 +514,28 @@ def connected_components(
     # 2.2 s per chain at sf0.1 (interleaved A/B), results identical.
     labels = labels.withColumn("label", F.col("node"))
 
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
         # label(node) <- min(label(node), min over neighbours' labels).
         # The OLD label rides along in the checkpointed frame so the
         # convergence check is a narrow filter+count over already-
         # materialised blocks — NOT a second shuffle join of old vs new
         # labels per round (that join used to double the per-iteration
         # job count and shuffle the whole label table again).
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
+        if rnd == 0:
+            # Round 1 runs with identity labels (label(dst) == dst by
+            # construction), so the neighbour lookup needs no join at
+            # all: min(label) over neighbours IS min(dst) per src. One
+            # shuffle of edges by src replaces the edges-by-dst join
+            # shuffle PLUS the groupBy-src shuffle — at any scale, the
+            # first (and for shallow near-dup graphs, usually only)
+            # round moves the edge set once instead of twice (§2.4).
+            nbr_min = edges.groupBy("src").agg(F.min("dst").alias("nbr_label"))
+        else:
+            nbr_min = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(

@@ -212,6 +212,25 @@ def test_connected_components_label_propagation(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 42: 42}
 
 
+def test_connected_components_first_round_direct_min(spark):
+    # r15: round 1 computes neighbour minima straight from the edge
+    # set (labels are identity then), skipping the edges-by-dst join
+    # shuffle. Star graphs converge inside that single round — this
+    # pins the fast path's labels, including hubs whose smallest
+    # member arrives via a reversed (high, low) pair.
+    from pypeman_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(10, 7), (10, 9), (10, 8), (20, 21), (22, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {7: 7, 8: 7, 9: 7, 10: 7, 20: 20, 21: 20, 22: 20}
+
+
 def test_corpus_hygiene_queries_scale_clean(spark):
     # round-2b corpus ops: no cartesian/NLJ anywhere (semantic dedup's
     # exact verifier slice excepted — its crossJoin is the documented
