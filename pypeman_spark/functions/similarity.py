@@ -427,6 +427,7 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual_col: str | None = None,
 ) -> DataFrame:
     """Cell assignment: each corpus vector → its max-cosine centroid
     (ties → lowest ``cid``).
@@ -453,13 +454,41 @@ def ivf_assign(
     cent_sql = _centroid_array_sql(_centroid_rows(centroids), with_norm=True)
     v = _q(vec_col)
     na_sqrt = f"sqrt(aggregate({v}, 0.0D, (acc, v) -> acc + v * v))"
+    if residual_col is None:
+        best = (
+            f"transform(array({na_sqrt}), sna -> array_max(transform("
+            f"{cent_sql}, c -> named_struct("
+            f"'s', {_dot_sql(v, 'c.cv')} / (sna * c.snb), 'ncid', -c.cid))))[0]"
+        )
+        return corpus.select(
+            id_col, vec_col, F.expr(f"-(({best}).ncid)").alias("cid")
+        )
+    # r15: residual-emitting form for the PQ build/append paths. The
+    # argmax struct carries the winning centroid's vector (a trailing
+    # field, so the (score, -cid) comparison order — and therefore the
+    # winner — is unchanged; cid is unique, ties cannot reach it), and
+    # the residual is a zip_with against that carried vector. The old
+    # shape re-embedded the whole centroid literal array a SECOND time
+    # and filter()-scanned it per row just to look the winner up again
+    # — one embedding halves the analyzed/codegen'd plan tree and the
+    # residual values are bit-identical (same doubles from the same
+    # literal).
     best = (
         f"transform(array({na_sqrt}), sna -> array_max(transform("
         f"{cent_sql}, c -> named_struct("
-        f"'s', {_dot_sql(v, 'c.cv')} / (sna * c.snb), 'ncid', -c.cid))))[0]"
+        f"'s', {_dot_sql(v, 'c.cv')} / (sna * c.snb), 'ncid', -c.cid, "
+        f"'rcv', c.cv))))[0]"
     )
-    return corpus.select(
-        id_col, vec_col, F.expr(f"-(({best}).ncid)").alias("cid")
+    return (
+        corpus.select(id_col, vec_col, F.expr(best).alias("__best"))
+        .select(
+            id_col,
+            vec_col,
+            F.expr("-(`__best`.ncid)").alias("cid"),
+            F.expr(
+                f"zip_with({v}, `__best`.rcv, (x, y) -> x - y)"
+            ).alias(residual_col),
+        )
     )
 
 
@@ -1427,17 +1456,10 @@ def ivfpq_index_write(
                 id_col=id_col, vec_col=vec_col,
             )
         )
-    assigned = ivf_assign(corpus, cent_rows, id_col=id_col, vec_col=vec_col)
-    coded = pq_encode(
-        assigned.withColumn(
-            "__r",
-            F.expr(_residual_sql(
-                _q(vec_col), _centroid_array_sql(cent_rows), "`cid`"
-            )),
-        ),
-        books,
-        vec_col="__r",
-    ).drop("__r")
+    assigned = ivf_assign(
+        corpus, cent_rows, id_col=id_col, vec_col=vec_col, residual_col="__r"
+    )
+    coded = pq_encode(assigned, books, vec_col="__r").drop("__r")
     coded.write.mode("overwrite").partitionBy("cid").parquet(path)
     _write_centroid_sidecar(path, cent_rows)
     import pyarrow as _pa
@@ -1505,17 +1527,11 @@ def ivfpq_index_append(
     write; no shuffle, and no existing index data moves."""
     cent_rows = _read_sidecar_rows(path + "_centroids")
     books = _load_codebooks(spark, path)
-    assigned = ivf_assign(new_vectors, cent_rows, id_col=id_col, vec_col=vec_col)
-    coded = pq_encode(
-        assigned.withColumn(
-            "__r",
-            F.expr(_residual_sql(
-                _q(vec_col), _centroid_array_sql(cent_rows), "`cid`"
-            )),
-        ),
-        books,
-        vec_col="__r",
-    ).drop("__r")
+    assigned = ivf_assign(
+        new_vectors, cent_rows, id_col=id_col, vec_col=vec_col,
+        residual_col="__r",
+    )
+    coded = pq_encode(assigned, books, vec_col="__r").drop("__r")
     coded.write.mode("append").partitionBy("cid").parquet(path)
     # staleness bookkeeping — see ivf_index_append; both the frozen
     # coarse quantizer AND the frozen residual codebooks drift here

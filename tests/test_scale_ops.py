@@ -1721,3 +1721,36 @@ def test_codec_roundtrip_fusion_matches_chained(spark, sf_dir):
         # the wrong-length payload routes to null features either way
         bad = [t for t in fused if t[0] == 900001]
         assert bad == [(900001, None, None, None)]
+
+
+def test_ivf_assign_residual_col_matches_reference(spark, sf_dir):
+    """r15 fused assign+residual: carrying the winning centroid's
+    vector in the argmax struct must give bit-identical (cid, residual)
+    to the reference two-step shape (assign, then re-look the centroid
+    up in a second embedded literal array)."""
+    from pypeman_spark.functions import similarity as S
+    from pypeman_spark.sources.tables import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 64)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    head = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("__id"), F.col("embedding").alias("__v"))
+        .collect()
+    )
+    cent_rows = [
+        {"cid": r["__id"], "cv": [float(x) for x in r["__v"]]} for r in head
+    ]
+    fused = S.ivf_assign(emb, cent_rows, residual_col="__r")
+    ref = S.ivf_assign(emb, cent_rows).withColumn(
+        "__r",
+        F.expr(S._residual_sql(
+            "`embedding`", S._centroid_array_sql(cent_rows), "`cid`"
+        )),
+    )
+    # exact compare on raw doubles, both directions
+    assert fused.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fused).count() == 0
