@@ -479,6 +479,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Duplicate-cluster assignment: ``(node, cluster_id)`` where
     ``cluster_id`` is the minimum id reachable through the candidate-pair
@@ -494,14 +495,23 @@ def connected_components(
     the standard alternating-star CC shape: no step ever materialises
     more than |edges| rows, and the label table is 16 bytes/node.
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint()
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
+    # ``assume_canonical=True``: the caller guarantees pairs are
+    # DISTINCT with id_a < id_b (both in-repo pair producers —
+    # minhash_candidate_pairs ends in .distinct() and
+    # embedding_near_dup_pairs emits one row per same-bucket pair —
+    # do). Then the two-direction union cannot contain duplicates
+    # ((a,b)==(b',a') would need a<b and a'<b'), so the edge-set
+    # distinct is a provably-empty dedup: skipping it removes a full
+    # shuffle of 2|pairs| rows from every CC call (§2.4). The default
+    # keeps the dedup for arbitrary inputs.
+    if not assume_canonical:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint()
     labels = edges.select(F.col("src").alias("node")).distinct()
     if nodes is not None:
         labels = labels.unionByName(nodes.select(F.col("node"))).distinct()

@@ -914,7 +914,8 @@ def training_data_filter(spark, sf_dir):
     d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     pairs = _D.minhash_candidate_pairs(d, num_hashes=16, bands=4, shingle_n=3)
     clusters = _D.connected_components(
-        pairs, nodes=d.select(F.col("doc_id").alias("node"))
+        pairs, nodes=d.select(F.col("doc_id").alias("node")),
+        assume_canonical=True,
     )
     m = d.select(
         "doc_id",

@@ -1176,7 +1176,8 @@ def dedup_clusters(spark, sf_dir):
     d = tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     pairs = D.minhash_candidate_pairs(d, num_hashes=16, bands=4, shingle_n=3)
     clusters = D.connected_components(
-        pairs, nodes=d.select(F.col("doc_id").alias("node"))
+        pairs, nodes=d.select(F.col("doc_id").alias("node")),
+        assume_canonical=True,
     )
     return clusters.select(
         F.col("node").alias("doc_id"), "cluster_id"

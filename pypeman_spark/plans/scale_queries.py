@@ -1418,10 +1418,12 @@ def dedup_corpus_pipelines(spark, sf_dir):
         fut_fuzzy = pool.submit(
             D.connected_components, pairs,
             nodes=d.select(F.col("doc_id").alias("node")),
+            assume_canonical=True,
         )
         fut_sem = pool.submit(
             D.connected_components, spairs,
             nodes=emb.select(F.col("vec_id").alias("node")),
+            assume_canonical=True,
         )
         clusters = fut_fuzzy.result()
         sclusters = fut_sem.result()

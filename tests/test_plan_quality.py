@@ -231,6 +231,32 @@ def test_connected_components_first_round_direct_min(spark):
     assert got == {7: 7, 8: 7, 9: 7, 10: 7, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_assume_canonical_matches_default(spark):
+    # r15: assume_canonical skips the edge-set distinct (the in-repo
+    # pair producers emit distinct id_a<id_b pairs, so the dedup is
+    # provably empty). Labels must match the guarded default exactly —
+    # and stay correct even under min-idempotent duplicate edges.
+    from pypeman_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 4, 5, 6, 42)], "node long"
+    )
+    base = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    fast = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            pairs, nodes=nodes, assume_canonical=True
+        ).collect()
+    }
+    assert fast == base == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 42: 42}
+
+
 def test_corpus_hygiene_queries_scale_clean(spark):
     # round-2b corpus ops: no cartesian/NLJ anywhere (semantic dedup's
     # exact verifier slice excepted — its crossJoin is the documented
