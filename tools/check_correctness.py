@@ -102,6 +102,18 @@ def main() -> int:
     # driver parity; set e.g. SPARK_GRAFT_DRIVER_MEM=4g for sf1 runs.
     drv_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if drv_mem:
+        # spark.driver.memory only takes effect when THIS builder
+        # launches the JVM; under spark-submit or a pre-existing
+        # gateway the knob is silently ignored — warn so an sf1 run in
+        # a reused session doesn't assume it applied (ADVICE r14).
+        from pyspark import SparkContext
+
+        if SparkContext._active_spark_context is not None:
+            print(
+                "WARNING: SPARK_GRAFT_DRIVER_MEM set but a SparkContext "
+                "already exists — driver memory NOT changed",
+                file=sys.stderr,
+            )
         builder = builder.config("spark.driver.memory", drv_mem)
     spark = builder.getOrCreate()
     if not master.startswith("local["):
